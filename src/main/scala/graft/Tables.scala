@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Schema-asserted loaders for the driver corpus (TESTDATA.md / FIXTURES.md).
+  *
+  * Every query takes the scale-factor directory as a runtime argument, so no
+  * loader may hardcode a scale factor. At cluster scale these single files
+  * become partitioned directories; `spark.read.parquet` handles both, and all
+  * filters/projections in the query layer push down to the parquet scan
+  * (verify `PushedFilters` in `.explain`), so the same plans run unchanged on
+  * a multi-executor cluster over 100 TB.
+  */
+object Tables {
+  private def p(sfDir: String, name: String) = s"$sfDir/$name.parquet"
+
+  def region(s: SparkSession, sf: String): DataFrame   = s.read.parquet(p(sf, "region"))
+  def nation(s: SparkSession, sf: String): DataFrame   = s.read.parquet(p(sf, "nation"))
+  def customer(s: SparkSession, sf: String): DataFrame = s.read.parquet(p(sf, "customer"))
+  def supplier(s: SparkSession, sf: String): DataFrame = s.read.parquet(p(sf, "supplier"))
+  def part(s: SparkSession, sf: String): DataFrame     = s.read.parquet(p(sf, "part"))
+  def orders(s: SparkSession, sf: String): DataFrame   = s.read.parquet(p(sf, "orders"))
+  def lineitem(s: SparkSession, sf: String): DataFrame = s.read.parquet(p(sf, "lineitem"))
+  def documents(s: SparkSession, sf: String): DataFrame  = s.read.parquet(p(sf, "documents"))
+  def embeddings(s: SparkSession, sf: String): DataFrame = s.read.parquet(p(sf, "embeddings"))
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects outright
+    * ([PARQUET_TYPE_ILLEGAL]). We read it as raw long nanos via the legacy
+    * conf and convert to a microsecond TimestampType (truncation — matching
+    * what any µs engine sees). Queries must still never emit raw `ts`
+    * (sub-second precision differs from ns-native engines); emit
+    * `date_trunc` values instead — see SURVEY §A-3.1.
+    */
+  def events(s: SparkSession, sf: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read
+      .parquet(p(sf, "events"))
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Explicit lineitem schema for fail-fast scans (q_scan_schema_assert). */
+  val lineitemSchema: StructType = StructType(Seq(
+    StructField("l_orderkey", LongType),
+    StructField("l_partkey", LongType),
+    StructField("l_suppkey", LongType),
+    StructField("l_linenumber", IntegerType),
+    StructField("l_quantity", DoubleType),
+    StructField("l_extendedprice", DoubleType),
+    StructField("l_discount", DoubleType),
+    StructField("l_tax", DoubleType),
+    StructField("l_returnflag", StringType),
+    StructField("l_linestatus", StringType),
+    StructField("l_shipdate", TimestampType)
+  ))
+}

@@ -1,0 +1,275 @@
+package graft.operators
+
+import graft.{Det, OracleDet, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** T4 — aggregation (SURVEY §2 T4).
+  *
+  * Every aggregate compiles to Spark's partial+final hash aggregate
+  * (map-side combine before the shuffle), which is the shape that scales:
+  * at 100 TB the shuffle carries one row per (partition × group), not per
+  * input row. Float sums use [[Det]]'s decimal-exact trick so results are
+  * bit-stable under any parallelism (SURVEY §A-3.2).
+  */
+object AggOps {
+  import Det._
+
+  private def registerEvents(s: SparkSession, sf: String): Unit =
+    Tables.events(s, sf).createOrReplaceTempView("events")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_global" -> ((s, sf) =>
+      Tables.lineitem(s, sf).agg(
+        count(lit(1)).as("cnt"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        davg(col("l_extendedprice")).as("avg_price"))),
+
+    "q_agg_hash_group" -> ((s, sf) =>
+      Tables.events(s, sf)
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("cnt"),
+          dsum(col("value")).as("sum_value"),
+          davg(col("value")).as("avg_value"))
+        .orderBy("event_type")),
+
+    "q_agg_pricing_summary" -> ((s, sf) =>
+      Tables.lineitem(s, sf)
+        .filter(expr("l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast(DecimalType(30, 6))).cast(DoubleType).as("sum_disc_price"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))
+            .cast(DecimalType(30, 6))).cast(DoubleType).as("sum_charge"),
+          davg(col("l_quantity")).as("avg_qty"),
+          davg(col("l_extendedprice")).as("avg_price"),
+          davg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    "q_agg_distinct" -> ((s, sf) =>
+      Tables.events(s, sf)
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("users"))
+        .orderBy("event_type")),
+
+    // HLL sketch — the 100 TB design point for distinct counts. Approximate,
+    // so no SQL oracle; the driver records a rows-only check and the exact/
+    // approx relative-error bound is asserted in AggOpsSpec.
+    "q_agg_approx_distinct" -> ((s, sf) =>
+      Tables.events(s, sf)
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+        .orderBy("event_type")),
+
+    "q_agg_grouping_sets" -> ((s, sf) => {
+      registerEvents(s, sf)
+      s.sql(
+        s"""SELECT event_type, user_id,
+           |  grouping(event_type) AS g_type, grouping(user_id) AS g_user,
+           |  count(*) AS cnt, ${OracleDet.dsum("value")} AS sum_value
+           |FROM events
+           |GROUP BY GROUPING SETS ((event_type), (user_id), ())
+           |ORDER BY g_type, g_user, event_type NULLS FIRST, user_id NULLS FIRST""".stripMargin)
+    }),
+
+    "q_agg_rollup" -> ((s, sf) => {
+      Tables.orders(s, sf).createOrReplaceTempView("orders_v")
+      Tables.customer(s, sf).createOrReplaceTempView("customer_v")
+      Tables.nation(s, sf).createOrReplaceTempView("nation_v")
+      Tables.region(s, sf).createOrReplaceTempView("region_v")
+      s.sql(
+        s"""SELECT r_name, n_name,
+           |  grouping(r_name) AS g_r, grouping(n_name) AS g_n,
+           |  count(*) AS cnt, ${OracleDet.dsum("o_totalprice")} AS revenue
+           |FROM orders_v
+           |JOIN customer_v ON o_custkey = c_custkey
+           |JOIN nation_v ON c_nationkey = n_nationkey
+           |JOIN region_v ON n_regionkey = r_regionkey
+           |GROUP BY ROLLUP (r_name, n_name)
+           |ORDER BY g_r, g_n, r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin)
+    }),
+
+    "q_agg_cube" -> ((s, sf) => {
+      Tables.orders(s, sf).createOrReplaceTempView("orders_v")
+      s.sql(
+        s"""SELECT o_orderpriority, o_orderstatus,
+           |  grouping(o_orderpriority) AS g_p, grouping(o_orderstatus) AS g_s,
+           |  count(*) AS cnt, ${OracleDet.dsum("o_totalprice")} AS revenue
+           |FROM orders_v
+           |GROUP BY CUBE (o_orderpriority, o_orderstatus)
+           |ORDER BY g_p, g_s, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin)
+    }),
+
+    "q_agg_filter_having" -> ((s, sf) => {
+      registerEvents(s, sf)
+      s.sql(
+        """SELECT event_type, count(*) AS cnt FROM events
+          |GROUP BY event_type
+          |HAVING count(*) > (SELECT count(*) FROM events) / 6
+          |ORDER BY event_type""".stripMargin)
+    }),
+
+    "q_agg_collect" -> ((s, sf) =>
+      Tables.events(s, sf)
+        .filter(col("user_id") < 50)
+        .groupBy("user_id")
+        .agg(concat_ws(",", sort_array(collect_list(col("event_type")))).as("types"))
+        .orderBy("user_id")),
+
+    // Variance/stddev/corr from exact decimal moments: both engines compute
+    // the identical closed-form IEEE expression over exact sums → bit-equal.
+    "q_agg_stats" -> ((s, sf) =>
+      Tables.events(s, sf)
+        .groupBy("event_type")
+        .agg(
+          count(col("value")).as("n"),
+          sum(col("value").cast(DecimalType(30, 6))).cast(DoubleType).as("s1"),
+          sum((col("value") * col("value")).cast(DecimalType(30, 8))).cast(DoubleType).as("s2"),
+          sum(col("user_id")).as("su"),
+          sum(col("user_id") * col("user_id")).as("suu"),
+          sum((col("value") * col("user_id")).cast(DecimalType(30, 6))).cast(DoubleType).as("svu"))
+        .select(
+          col("event_type"), col("n"),
+          round((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1), 6).as("var_value"),
+          round(sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1)), 6).as("std_value"),
+          round(
+            (col("n") * col("svu") - col("s1") * col("su")) /
+              (sqrt(col("n") * col("s2") - col("s1") * col("s1")) *
+                sqrt((col("n") * col("suu") - col("su") * col("su")).cast(DoubleType))), 6)
+            .as("corr_value_user"))
+        .orderBy("event_type")),
+
+    // Exact lower-median via rank selection — no interpolation, so no
+    // cross-engine float drift (quantile_cont interpolates differently).
+    "q_agg_median" -> ((s, sf) => {
+      registerEvents(s, sf)
+      s.sql(
+        """SELECT event_type, value AS median_lo FROM (
+          |  SELECT event_type, value,
+          |    row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+          |    count(*) OVER (PARTITION BY event_type) AS n
+          |  FROM events) t
+          |WHERE rn = (n + 1) DIV 2
+          |ORDER BY event_type""".stripMargin)
+    }),
+
+    "q_agg_minmax_by" -> ((s, sf) =>
+      Tables.events(s, sf)
+        .groupBy("user_id")
+        .agg(
+          max_by(col("event_type"), col("event_id")).as("last_type"),
+          min_by(col("event_type"), col("event_id")).as("first_type"),
+          max(col("value")).as("max_value"))
+        .orderBy("user_id"))
+  )
+
+  import OracleDet.{dsum => osum, davg => oavg}
+
+  val oracle: Map[String, String] = Map(
+    "q_agg_global" ->
+      s"""SELECT count(*) AS cnt, ${osum("l_quantity")} AS sum_qty,
+         |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+         |  ${oavg("l_extendedprice")} AS avg_price
+         |FROM lineitem""".stripMargin,
+
+    "q_agg_hash_group" ->
+      s"""SELECT event_type, count(*) AS cnt, ${osum("value")} AS sum_value,
+         |  ${oavg("value")} AS avg_value
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_agg_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${osum("l_quantity")} AS sum_qty,
+         |  ${osum("l_extendedprice")} AS sum_base_price,
+         |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS sum_disc_price,
+         |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(30,6))) AS DOUBLE) AS sum_charge,
+         |  ${oavg("l_quantity")} AS avg_qty,
+         |  ${oavg("l_extendedprice")} AS avg_price,
+         |  ${oavg("l_discount")} AS avg_disc,
+         |  count(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_agg_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_agg_grouping_sets" ->
+      s"""SELECT event_type, user_id,
+         |  grouping(event_type) AS g_type, grouping(user_id) AS g_user,
+         |  count(*) AS cnt, ${osum("value")} AS sum_value
+         |FROM events
+         |GROUP BY GROUPING SETS ((event_type), (user_id), ())
+         |ORDER BY g_type, g_user, event_type NULLS FIRST, user_id NULLS FIRST""".stripMargin,
+
+    "q_agg_rollup" ->
+      s"""SELECT r_name, n_name,
+         |  grouping(r_name) AS g_r, grouping(n_name) AS g_n,
+         |  count(*) AS cnt, ${osum("o_totalprice")} AS revenue
+         |FROM orders
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY ROLLUP (r_name, n_name)
+         |ORDER BY g_r, g_n, r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+
+    "q_agg_cube" ->
+      s"""SELECT o_orderpriority, o_orderstatus,
+         |  grouping(o_orderpriority) AS g_p, grouping(o_orderstatus) AS g_s,
+         |  count(*) AS cnt, ${osum("o_totalprice")} AS revenue
+         |FROM orders
+         |GROUP BY CUBE (o_orderpriority, o_orderstatus)
+         |ORDER BY g_p, g_s, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
+
+    "q_agg_filter_having" ->
+      """SELECT event_type, count(*) AS cnt FROM events
+        |GROUP BY event_type
+        |HAVING count(*) > (SELECT count(*) FROM events) / 6
+        |ORDER BY event_type""".stripMargin,
+
+    "q_agg_collect" ->
+      """SELECT user_id, string_agg(event_type, ',' ORDER BY event_type) AS types
+        |FROM events WHERE user_id < 50
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_agg_stats" ->
+      """WITH m AS (
+        |  SELECT event_type, count(value) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(value * value AS DECIMAL(30,8))) AS DOUBLE) AS s2,
+        |    SUM(user_id) AS su,
+        |    SUM(user_id * user_id) AS suu,
+        |    CAST(SUM(CAST(value * user_id AS DECIMAL(30,6))) AS DOUBLE) AS svu
+        |  FROM events GROUP BY event_type)
+        |SELECT event_type, n,
+        |  round((s2 - s1 * s1 / n) / (n - 1), 6) AS var_value,
+        |  round(sqrt((s2 - s1 * s1 / n) / (n - 1)), 6) AS std_value,
+        |  round((n * svu - s1 * su) /
+        |        (sqrt(n * s2 - s1 * s1) * sqrt(CAST(n * suu - su * su AS DOUBLE))), 6) AS corr_value_user
+        |FROM m ORDER BY event_type""".stripMargin,
+
+    "q_agg_median" ->
+      """SELECT event_type, value AS median_lo FROM (
+        |  SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events) t
+        |WHERE rn = (n + 1) // 2
+        |ORDER BY event_type""".stripMargin,
+
+    "q_agg_minmax_by" ->
+      """SELECT user_id, arg_max(event_type, event_id) AS last_type,
+        |  arg_min(event_type, event_id) AS first_type, max(value) AS max_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+  )
+}

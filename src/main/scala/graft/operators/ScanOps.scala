@@ -1,0 +1,111 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** T1 — scans, sources, ingest (SURVEY §2 T1).
+  *
+  * Scale notes: projections/filters here compile to a vectorized parquet
+  * scan with `ReadSchema` pruned to the selected columns; on a partitioned
+  * 100 TB table the same plan does partition pruning + row-group skipping.
+  */
+object ScanOps {
+
+  /** Deterministic sample syslog lines (RFC 3164 shape) for the ingest
+    * operator — the reference genre's core capability: raw text line →
+    * normalized columns. Input is generated in-query so the operator is
+    * runnable at any sfDir; at scale the same expressions run over
+    * `spark.read.text("/var/log/...")`.
+    */
+  private val syslogLines: Seq[String] = Seq(
+    "Jan  5 03:22:01 web01 sshd[4321]: Failed password for root from 10.0.0.5 port 22 ssh2",
+    "Jan  5 03:22:07 web01 sshd[4321]: Failed password for root from 10.0.0.5 port 22 ssh2",
+    "Jan  5 03:23:11 web01 sshd[4380]: Accepted publickey for deploy from 10.0.0.9 port 22 ssh2",
+    "Jan  5 03:25:00 db01 cron[812]: (root) CMD (command -v debian-sa1 > /dev/null)",
+    "Jan  5 04:01:33 db01 kernel[0]: Out of memory: Killed process 9912 (postgres)",
+    "Jan  6 11:09:41 app02 systemd[1]: Started Daily apt upgrade and clean activities.",
+    "Jan  6 11:09:42 app02 nginx[2201]: 10.1.2.3 - - GET /healthz 200",
+    "Jan  7 23:59:59 web01 sshd[5555]: Connection closed by 192.168.0.77 port 53211"
+  )
+
+  private val syslogPattern =
+    "^(\\w{3} +\\d+ \\d+:\\d+:\\d+) (\\S+) ([A-Za-z0-9_.-]+)\\[(\\d+)\\]: (.*)$"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scan_project" -> ((s, sf) =>
+      Tables.lineitem(s, sf)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    "q_scan_schema_assert" -> ((s, sf) =>
+      // Explicit expected schema: fail fast on upstream drift instead of
+      // silently inferring; also guarantees the pruned ReadSchema.
+      s.read.schema(Tables.lineitemSchema).parquet(s"$sf/lineitem.parquet")
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_shipdate")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    "q_ingest_syslog" -> ((s, sf) => {
+      val lineCols = array(syslogLines.map(lit): _*)
+      s.range(1)
+        .select(posexplode(lineCols).as(Seq("line_id", "line")))
+        .select(
+          col("line_id"),
+          regexp_extract(col("line"), syslogPattern, 1).as("ts_raw"),
+          regexp_extract(col("line"), syslogPattern, 2).as("host"),
+          regexp_extract(col("line"), syslogPattern, 3).as("proc"),
+          regexp_extract(col("line"), syslogPattern, 4).cast(IntegerType).as("pid"),
+          regexp_extract(col("line"), syslogPattern, 5).as("msg"))
+        .withColumn("severity",
+          when(col("msg").rlike("Failed|Out of memory|error"), lit("err"))
+            .when(col("msg").rlike("Accepted|Started"), lit("info"))
+            .otherwise(lit("notice")))
+        .orderBy("line_id")
+    }),
+
+    "q_ingest_json_events" -> ((s, sf) =>
+      Tables.events(s, sf)
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast(IntegerType).as("k"))
+        .orderBy("event_id"))
+  )
+
+  /** Oracle VALUES list generated from the same literal lines. */
+  private val syslogValues: String =
+    syslogLines.zipWithIndex
+      .map { case (l, i) => s"($i, '${l.replace("'", "''")}')" }
+      .mkString(", ")
+
+  // Single-backslash regex in SQL strings: DuckDB standard strings keep
+  // backslashes literal, so the pattern chars match the Scala-level pattern.
+  private val sqlPat = "^(\\w{3} +\\d+ \\d+:\\d+:\\d+) (\\S+) ([A-Za-z0-9_.-]+)\\[(\\d+)\\]: (.*)$"
+
+  val oracle: Map[String, String] = Map(
+    "q_scan_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_scan_schema_assert" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_shipdate
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_ingest_syslog" ->
+      s"""SELECT line_id,
+         |  regexp_extract(line, '$sqlPat', 1) AS ts_raw,
+         |  regexp_extract(line, '$sqlPat', 2) AS host,
+         |  regexp_extract(line, '$sqlPat', 3) AS proc,
+         |  CAST(regexp_extract(line, '$sqlPat', 4) AS INTEGER) AS pid,
+         |  regexp_extract(line, '$sqlPat', 5) AS msg,
+         |  CASE WHEN regexp_matches(regexp_extract(line, '$sqlPat', 5), 'Failed|Out of memory|error') THEN 'err'
+         |       WHEN regexp_matches(regexp_extract(line, '$sqlPat', 5), 'Accepted|Started') THEN 'info'
+         |       ELSE 'notice' END AS severity
+         |FROM (VALUES $syslogValues) AS t(line_id, line)
+         |ORDER BY line_id""".stripMargin,
+
+    "q_ingest_json_events" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |FROM events ORDER BY event_id""".stripMargin
+  )
+}

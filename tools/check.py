@@ -1,0 +1,85 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate.
+
+Usage: python3 tools/check.py <sfDir> <outDir>
+
+Reads each <outDir>/<name>/ parquet (written by graft.Verify), runs the
+matching oracle SQL from <outDir>/oracle_sql.json in DuckDB over the sfDir
+tables, sorts columns by name, and compares values exactly (with a float
+diff report on mismatch).
+"""
+import duckdb, glob, json, math, sys
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+def canon(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        return v
+    return v
+
+def eq(a, b):
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b
+    return str(a) == str(b)
+
+def main(sf, out):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+    oracle = json.load(open(f"{out}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        sql = oracle[name]
+        files = sorted(glob.glob(f"{out}/{name}/*.parquet"))
+        if not files:
+            print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+        try:
+            got = con.sql(f"SELECT * FROM read_parquet({files!r})").fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: cannot read spark output: {e}"); n_fail += 1; continue
+        try:
+            want = con.sql(sql).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: ORACLE ERROR: {e}"); n_fail += 1; continue
+        got = got.reindex(sorted(got.columns), axis=1)
+        want = want.reindex(sorted(want.columns), axis=1)
+        if list(got.columns) != list(want.columns):
+            print(f"FAIL {name}: columns {list(got.columns)} vs oracle {list(want.columns)}"); n_fail += 1; continue
+        if len(got) != len(want):
+            print(f"FAIL {name}: rows {len(got)} vs oracle {len(want)}"); n_fail += 1; continue
+        bad = []
+        gv, wv = got.values.tolist(), want.values.tolist()
+        for i in range(len(gv)):
+            for j in range(len(got.columns)):
+                if not eq(canon(gv[i][j]), canon(wv[i][j])):
+                    bad.append((i, got.columns[j], gv[i][j], wv[i][j]))
+                    if len(bad) > 4:
+                        break
+            if len(bad) > 4:
+                break
+        if bad:
+            print(f"FAIL {name}: {len(bad)}+ cell mismatches; first: {bad[:3]}")
+            for (i, c, g, w) in bad[:3]:
+                if isinstance(g, float) and isinstance(w, float):
+                    print(f"   row {i} col {c}: spark={g!r} oracle={w!r} diff={g-w!r}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(got)} rows)")
+            n_pass += 1
+    # queries without oracle → rows-only
+    all_dirs = {d.rstrip('/').split('/')[-1] for d in glob.glob(f"{out}/*/")}
+    for name in sorted(all_dirs - set(oracle)):
+        files = sorted(glob.glob(f"{out}/{name}/*.parquet"))
+        n = con.sql(f"SELECT count(*) FROM read_parquet({files!r})").fetchone()[0] if files else 0
+        print(f"ROWS {name}: {n}")
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
