@@ -17,8 +17,10 @@ object SparkEntry {
     queries("q_agg_pricing_summary")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ScanOps.queries ++ FilterOps.queries ++ AggOps.queries
+    ScanOps.queries ++ FilterOps.queries ++ JoinOps.queries ++ AggOps.queries ++
+      WindowOps.queries ++ SortOps.queries ++ SetOps.queries
 
   def oracleSql: Map[String, String] =
-    ScanOps.oracle ++ FilterOps.oracle ++ AggOps.oracle
+    ScanOps.oracle ++ FilterOps.oracle ++ JoinOps.oracle ++ AggOps.oracle ++
+      WindowOps.oracle ++ SortOps.oracle ++ SetOps.oracle
 }

@@ -19,6 +19,38 @@ object AggOps {
   private def registerEvents(s: SparkSession, sf: String): Unit =
     Tables.events(s, sf).createOrReplaceTempView("events")
 
+  // SQL shared verbatim between Spark and the DuckDB oracle (common dialect;
+  // generated ints cast to BIGINT on both sides for schema parity).
+  private val groupingSetsSql =
+    s"""SELECT event_type, user_id,
+       |  CAST(grouping(event_type) AS BIGINT) AS g_type,
+       |  CAST(grouping(user_id) AS BIGINT) AS g_user,
+       |  count(*) AS cnt, ${OracleDet.dsum("value")} AS sum_value
+       |FROM events
+       |GROUP BY GROUPING SETS ((event_type), (user_id), ())
+       |ORDER BY g_type, g_user, event_type NULLS FIRST, user_id NULLS FIRST""".stripMargin
+
+  private val rollupSql =
+    s"""SELECT r_name, n_name,
+       |  CAST(grouping(r_name) AS BIGINT) AS g_r,
+       |  CAST(grouping(n_name) AS BIGINT) AS g_n,
+       |  count(*) AS cnt, ${OracleDet.dsum("o_totalprice")} AS revenue
+       |FROM orders
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |GROUP BY ROLLUP (r_name, n_name)
+       |ORDER BY g_r, g_n, r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin
+
+  private val cubeSql =
+    s"""SELECT o_orderpriority, o_orderstatus,
+       |  CAST(grouping(o_orderpriority) AS BIGINT) AS g_p,
+       |  CAST(grouping(o_orderstatus) AS BIGINT) AS g_s,
+       |  count(*) AS cnt, ${OracleDet.dsum("o_totalprice")} AS revenue
+       |FROM orders
+       |GROUP BY CUBE (o_orderpriority, o_orderstatus)
+       |ORDER BY g_p, g_s, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_agg_global" -> ((s, sf) =>
       Tables.lineitem(s, sf).agg(
@@ -71,41 +103,20 @@ object AggOps {
 
     "q_agg_grouping_sets" -> ((s, sf) => {
       registerEvents(s, sf)
-      s.sql(
-        s"""SELECT event_type, user_id,
-           |  grouping(event_type) AS g_type, grouping(user_id) AS g_user,
-           |  count(*) AS cnt, ${OracleDet.dsum("value")} AS sum_value
-           |FROM events
-           |GROUP BY GROUPING SETS ((event_type), (user_id), ())
-           |ORDER BY g_type, g_user, event_type NULLS FIRST, user_id NULLS FIRST""".stripMargin)
+      s.sql(groupingSetsSql)
     }),
 
     "q_agg_rollup" -> ((s, sf) => {
-      Tables.orders(s, sf).createOrReplaceTempView("orders_v")
-      Tables.customer(s, sf).createOrReplaceTempView("customer_v")
-      Tables.nation(s, sf).createOrReplaceTempView("nation_v")
-      Tables.region(s, sf).createOrReplaceTempView("region_v")
-      s.sql(
-        s"""SELECT r_name, n_name,
-           |  grouping(r_name) AS g_r, grouping(n_name) AS g_n,
-           |  count(*) AS cnt, ${OracleDet.dsum("o_totalprice")} AS revenue
-           |FROM orders_v
-           |JOIN customer_v ON o_custkey = c_custkey
-           |JOIN nation_v ON c_nationkey = n_nationkey
-           |JOIN region_v ON n_regionkey = r_regionkey
-           |GROUP BY ROLLUP (r_name, n_name)
-           |ORDER BY g_r, g_n, r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin)
+      Tables.orders(s, sf).createOrReplaceTempView("orders")
+      Tables.customer(s, sf).createOrReplaceTempView("customer")
+      Tables.nation(s, sf).createOrReplaceTempView("nation")
+      Tables.region(s, sf).createOrReplaceTempView("region")
+      s.sql(rollupSql)
     }),
 
     "q_agg_cube" -> ((s, sf) => {
-      Tables.orders(s, sf).createOrReplaceTempView("orders_v")
-      s.sql(
-        s"""SELECT o_orderpriority, o_orderstatus,
-           |  grouping(o_orderpriority) AS g_p, grouping(o_orderstatus) AS g_s,
-           |  count(*) AS cnt, ${OracleDet.dsum("o_totalprice")} AS revenue
-           |FROM orders_v
-           |GROUP BY CUBE (o_orderpriority, o_orderstatus)
-           |ORDER BY g_p, g_s, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin)
+      Tables.orders(s, sf).createOrReplaceTempView("orders")
+      s.sql(cubeSql)
     }),
 
     "q_agg_filter_having" -> ((s, sf) => {
@@ -204,32 +215,11 @@ object AggOps {
       """SELECT event_type, count(DISTINCT user_id) AS users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
-    "q_agg_grouping_sets" ->
-      s"""SELECT event_type, user_id,
-         |  grouping(event_type) AS g_type, grouping(user_id) AS g_user,
-         |  count(*) AS cnt, ${osum("value")} AS sum_value
-         |FROM events
-         |GROUP BY GROUPING SETS ((event_type), (user_id), ())
-         |ORDER BY g_type, g_user, event_type NULLS FIRST, user_id NULLS FIRST""".stripMargin,
+    "q_agg_grouping_sets" -> groupingSetsSql,
 
-    "q_agg_rollup" ->
-      s"""SELECT r_name, n_name,
-         |  grouping(r_name) AS g_r, grouping(n_name) AS g_n,
-         |  count(*) AS cnt, ${osum("o_totalprice")} AS revenue
-         |FROM orders
-         |JOIN customer ON o_custkey = c_custkey
-         |JOIN nation ON c_nationkey = n_nationkey
-         |JOIN region ON n_regionkey = r_regionkey
-         |GROUP BY ROLLUP (r_name, n_name)
-         |ORDER BY g_r, g_n, r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+    "q_agg_rollup" -> rollupSql,
 
-    "q_agg_cube" ->
-      s"""SELECT o_orderpriority, o_orderstatus,
-         |  grouping(o_orderpriority) AS g_p, grouping(o_orderstatus) AS g_s,
-         |  count(*) AS cnt, ${osum("o_totalprice")} AS revenue
-         |FROM orders
-         |GROUP BY CUBE (o_orderpriority, o_orderstatus)
-         |ORDER BY g_p, g_s, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
+    "q_agg_cube" -> cubeSql,
 
     "q_agg_filter_having" ->
       """SELECT event_type, count(*) AS cnt FROM events

@@ -1,0 +1,204 @@
+package graft.operators
+
+import graft.{Det, OracleDet, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** T3 — joins: equi (hash/broadcast/multiway), outer, semi/anti, theta,
+  * interval self-join, as-of (SURVEY §2 T3).
+  *
+  * Scale notes:
+  *  - Dimension sides (region/nation/customer/part, ≤20k rows at sf0.1) are
+  *    under the broadcast threshold; `broadcast()` hints make that explicit
+  *    where the optimizer can't know (theta join would otherwise be a
+  *    cartesian SMJ error).
+  *  - The non-equi conditions always ride on an equi key (user_id / custkey)
+  *    so the physical plan is a shuffled/broadcast hash join with a residual
+  *    filter — never a cartesian product. That property is what survives a
+  *    100× scale-up.
+  *  - The as-of join uses join + per-event ranking (row_number = 1), the
+  *    deterministic distributed formulation (SURVEY §7.3.4).
+  */
+object JoinOps {
+  import Det._
+
+  /** Second-truncated event time: both engines order/compare identically
+    * (raw ts is ns in the file, µs in Spark — SURVEY §A-3.1). */
+  private def eventsTs(s: SparkSession, sf: String): DataFrame =
+    Tables.events(s, sf).withColumn("ts_s", date_trunc("second", col("ts")))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_inner_hash" -> ((s, sf) =>
+      Tables.orders(s, sf)
+        .join(Tables.customer(s, sf), col("o_custkey") === col("c_custkey"), "inner")
+        .select("o_orderkey", "c_name", "o_totalprice")
+        .orderBy("o_orderkey")),
+
+    "q_join_broadcast" -> ((s, sf) =>
+      Tables.lineitem(s, sf)
+        .join(broadcast(Tables.part(s, sf)), col("l_partkey") === col("p_partkey"))
+        .select("l_orderkey", "l_linenumber", "p_brand", "p_type")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    "q_join_multiway" -> ((s, sf) =>
+      Tables.orders(s, sf)
+        .join(Tables.customer(s, sf), col("o_custkey") === col("c_custkey"))
+        .join(Tables.nation(s, sf), col("c_nationkey") === col("n_nationkey"))
+        .join(Tables.region(s, sf), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("revenue"))
+        .orderBy("r_name", "n_name")),
+
+    "q_join_left_outer" -> ((s, sf) =>
+      Tables.customer(s, sf)
+        .join(Tables.orders(s, sf).filter(col("o_totalprice") > 400000.0),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .select(col("c_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("c_custkey").asc, col("o_orderkey").asc_nulls_first)),
+
+    "q_join_full_outer" -> ((s, sf) => {
+      val e = eventsTs(s, sf)
+      val clicks = e.filter(col("event_type") === "click")
+        .groupBy("user_id").agg(count(lit(1)).as("clicks"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id").as("p_user_id")).agg(count(lit(1)).as("purchases"))
+      clicks.join(purchases, col("user_id") === col("p_user_id"), "full_outer")
+        .select(
+          coalesce(col("user_id"), col("p_user_id")).as("uid"),
+          col("clicks"), col("purchases"))
+        .orderBy("uid")
+    }),
+
+    "q_join_semi" -> ((s, sf) =>
+      Tables.customer(s, sf)
+        .join(Tables.orders(s, sf).filter(col("o_totalprice") > 450000.0),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")),
+
+    "q_join_anti" -> ((s, sf) =>
+      Tables.customer(s, sf)
+        .join(Tables.orders(s, sf).filter(col("o_totalprice") > 450000.0),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")),
+
+    "q_join_theta_range" -> ((s, sf) => {
+      val bands = s.createDataFrame(Seq(
+        (0.0, 50.0, "low"), (50.0, 200.0, "mid"), (200.0, 1000.0, "high")))
+        .toDF("lo", "hi", "band")
+      Tables.events(s, sf)
+        // broadcast-nested-loop over a 3-row side: the only sane physical
+        // plan for a pure non-equi join; explicit hint per SURVEY §4.2
+        .join(broadcast(bands), col("value") >= col("lo") && col("value") < col("hi"))
+        .select("event_id", "value", "band")
+        .orderBy("event_id")
+    }),
+
+    "q_join_self_interval" -> ((s, sf) => {
+      val e = eventsTs(s, sf).select(
+        col("user_id"), col("event_id"), unix_timestamp(col("ts_s")).as("sec"))
+      val e2 = e.select(
+        col("user_id").as("user_id2"), col("event_id").as("event_id2"), col("sec").as("sec2"))
+      e.join(e2,
+          col("user_id") === col("user_id2")
+            && col("event_id") < col("event_id2")
+            && abs(col("sec") - col("sec2")) <= 3600)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("pairs_1h"))
+        .orderBy("user_id")
+    }),
+
+    "q_join_asof" -> ((s, sf) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = eventsTs(s, sf).select("event_id", "user_id", "ts_s")
+      val o = Tables.orders(s, sf).select("o_orderkey", "o_custkey", "o_orderdate")
+      val w = Window.partitionBy("event_id")
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      e.join(o, col("o_custkey") === col("user_id") && col("o_orderdate") <= col("ts_s"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("event_id", "user_id", "o_orderkey", "o_orderdate")
+        .orderBy("event_id")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_join_inner_hash" ->
+      """SELECT o_orderkey, c_name, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_join_broadcast" ->
+      """SELECT l_orderkey, l_linenumber, p_brand, p_type
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_join_multiway" ->
+      s"""SELECT r_name, n_name, count(*) AS cnt, ${OracleDet.dsum("o_totalprice")} AS revenue
+         |FROM orders
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name, n_name
+         |ORDER BY r_name, n_name""".stripMargin,
+
+    "q_join_left_outer" ->
+      """SELECT c_custkey, o_orderkey, o_totalprice
+        |FROM customer
+        |LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 400000.0) o
+        |  ON c_custkey = o_custkey
+        |ORDER BY c_custkey ASC, o_orderkey ASC NULLS FIRST""".stripMargin,
+
+    "q_join_full_outer" ->
+      """WITH c AS (SELECT user_id, count(*) AS clicks FROM events
+        |           WHERE event_type = 'click' GROUP BY user_id),
+        |     p AS (SELECT user_id, count(*) AS purchases FROM events
+        |           WHERE event_type = 'purchase' GROUP BY user_id)
+        |SELECT coalesce(c.user_id, p.user_id) AS uid, c.clicks, p.purchases
+        |FROM c FULL JOIN p ON c.user_id = p.user_id
+        |ORDER BY uid""".stripMargin,
+
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 450000.0)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 450000.0)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_join_theta_range" ->
+      """SELECT event_id, value, band
+        |FROM events
+        |JOIN (VALUES (0.0, 50.0, 'low'), (50.0, 200.0, 'mid'), (200.0, 1000.0, 'high'))
+        |  AS bands(lo, hi, band)
+        |  ON value >= lo AND value < hi
+        |ORDER BY event_id""".stripMargin,
+
+    "q_join_self_interval" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec
+        |           FROM events)
+        |SELECT a.user_id, count(*) AS pairs_1h
+        |FROM e a JOIN e b
+        |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+        | AND abs(a.sec - b.sec) <= 3600
+        |GROUP BY a.user_id
+        |ORDER BY a.user_id""".stripMargin,
+
+    "q_join_asof" ->
+      """SELECT event_id, user_id, o_orderkey, o_orderdate FROM (
+        |  SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |                       ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM events e
+        |  JOIN orders o ON o.o_custkey = e.user_id
+        |               AND o.o_orderdate <= CAST(date_trunc('second', e.ts) AS TIMESTAMP)
+        |) t WHERE rn = 1
+        |ORDER BY event_id""".stripMargin
+  )
+}

@@ -1,0 +1,75 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** T7 — set operations (SURVEY §2 T7).
+  *
+  * Scale notes: `union` is partition-local (no shuffle); `distinct` /
+  * `intersect` / `except` each shuffle once on the full row hash — Spark
+  * rewrites intersect/except to left-semi/anti aggregates, the same shape
+  * the oracle's INTERSECT/EXCEPT uses.
+  */
+object SetOps {
+
+  private def ev(s: SparkSession, sf: String): DataFrame = Tables.events(s, sf)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_union_all" -> ((s, sf) => {
+      val e = ev(s, sf)
+      e.filter(col("event_type") === "click").select("event_id", "event_type", "user_id")
+        .unionByName(
+          e.filter(col("event_type") === "purchase").select("event_id", "event_type", "user_id"))
+        .orderBy("event_id")
+    }),
+
+    "q_union_distinct" -> ((s, sf) => {
+      val e = ev(s, sf)
+      e.filter(col("value") > 300.0).select("user_id", "event_type")
+        .union(e.filter(col("event_type") === "signup").select("user_id", "event_type"))
+        .distinct()
+        .orderBy("user_id", "event_type")
+    }),
+
+    "q_intersect" -> ((s, sf) => {
+      val e = ev(s, sf)
+      e.filter(col("event_type") === "click").select("user_id")
+        .intersect(e.filter(col("event_type") === "purchase").select("user_id"))
+        .orderBy("user_id")
+    }),
+
+    "q_except" -> ((s, sf) => {
+      val e = ev(s, sf)
+      e.filter(col("event_type") === "error").select("user_id")
+        .except(e.filter(col("event_type") === "signup" && col("value") > 250.0).select("user_id"))
+        .orderBy("user_id")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_union_all" ->
+      """SELECT event_id, event_type, user_id FROM events WHERE event_type = 'click'
+        |UNION ALL
+        |SELECT event_id, event_type, user_id FROM events WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin,
+
+    "q_union_distinct" ->
+      """SELECT user_id, event_type FROM events WHERE value > 300.0
+        |UNION
+        |SELECT user_id, event_type FROM events WHERE event_type = 'signup'
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    "q_intersect" ->
+      """SELECT user_id FROM events WHERE event_type = 'click'
+        |INTERSECT
+        |SELECT user_id FROM events WHERE event_type = 'purchase'
+        |ORDER BY user_id""".stripMargin,
+
+    "q_except" ->
+      """SELECT user_id FROM events WHERE event_type = 'error'
+        |EXCEPT
+        |SELECT user_id FROM events WHERE event_type = 'signup' AND value > 250.0
+        |ORDER BY user_id""".stripMargin
+  )
+}

@@ -1,0 +1,185 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** T5 — window functions + sessionization (SURVEY §2 T5).
+  *
+  * Window order keys always use second-truncated event time plus the unique
+  * `event_id` tiebreaker so both engines rank identically (SURVEY §A-3.3);
+  * windowed float sums go through exact decimals (order-independent) before
+  * being emitted as doubles.
+  *
+  * Scale notes: a window over `partitionBy(user_id)` shuffles once on the
+  * partition key and sorts within partitions — the same plan a 1000-executor
+  * cluster runs; skewed users are the one hazard (AQE skew handling or
+  * salting if a single user exceeds an executor's sort buffer).
+  */
+object WindowOps {
+
+  private def eventsTs(s: SparkSession, sf: String): DataFrame =
+    Tables.events(s, sf).withColumn("ts_s", date_trunc("second", col("ts")))
+
+  private def decSum(c: Column): Column = c.cast(DecimalType(30, 6))
+
+  private val byUserTime = Window.partitionBy("user_id").orderBy(col("ts_s"), col("event_id"))
+  private val byUserValue = Window.partitionBy("user_id").orderBy(col("value"), col("event_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_win_rank" -> ((s, sf) => {
+      val w = Window.partitionBy("user_id").orderBy(col("value").desc, col("event_id"))
+      eventsTs(s, sf)
+        .select(
+          col("user_id"), col("event_id"), col("value"),
+          row_number().over(w).cast(LongType).as("rn"),
+          rank().over(w).cast(LongType).as("rnk"),
+          dense_rank().over(w).cast(LongType).as("drnk"))
+        .orderBy("user_id", "rn")
+    }),
+
+    "q_win_lag_lead" -> ((s, sf) =>
+      eventsTs(s, sf)
+        .select(
+          col("user_id"), col("event_id"),
+          (unix_timestamp(col("ts_s")) - unix_timestamp(lag(col("ts_s"), 1).over(byUserTime)))
+            .as("gap_s"),
+          lead(col("event_type"), 1).over(byUserTime).as("next_type"))
+        .orderBy("user_id", "event_id")),
+
+    "q_win_running" -> ((s, sf) =>
+      eventsTs(s, sf)
+        .select(
+          col("user_id"), col("event_id"),
+          sum(decSum(col("value")))
+            .over(byUserTime.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast(DoubleType).as("running_value"))
+        .orderBy("user_id", "event_id")),
+
+    "q_win_sliding_frame" -> ((s, sf) => {
+      val frame = byUserTime.rowsBetween(-9, Window.currentRow)
+      eventsTs(s, sf)
+        .select(
+          col("user_id"), col("event_id"),
+          (sum(decSum(col("value"))).over(frame).cast(DoubleType) /
+            count(lit(1)).over(frame)).as("mov_avg_10"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    "q_win_range_frame" -> ((s, sf) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(unix_timestamp(col("o_orderdate")))
+        .rangeBetween(-2419200L, 0L) // 28 days in seconds
+      Tables.orders(s, sf)
+        .select(
+          col("o_orderkey"), col("o_custkey"),
+          sum(col("o_totalprice").cast(DecimalType(30, 6))).over(w)
+            .cast(DoubleType).as("rev_4w"))
+        .orderBy("o_orderkey")
+    }),
+
+    "q_win_ntile_first_last" -> ((s, sf) => {
+      val full = byUserValue.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      eventsTs(s, sf)
+        .select(
+          col("user_id"), col("event_id"),
+          ntile(4).over(byUserValue).cast(LongType).as("quartile"),
+          first_value(col("value")).over(full).as("min_v"),
+          last_value(col("value")).over(full).as("max_v"),
+          nth_value(col("value"), 2).over(full).as("second_v"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    "q_sessionize" -> ((s, sf) => {
+      val gap = unix_timestamp(col("ts_s")) - unix_timestamp(lag(col("ts_s"), 1).over(byUserTime))
+      eventsTs(s, sf)
+        .withColumn("new_sess",
+          when(gap.isNull || gap > 1800, lit(1L)).otherwise(lit(0L)))
+        .withColumn("session_id",
+          sum(col("new_sess")).over(byUserTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_id")
+        .agg(
+          count(lit(1)).as("n_events"),
+          min(col("ts_s")).as("session_start"),
+          max(col("ts_s")).as("session_end"))
+        .orderBy("user_id", "session_id")
+    })
+  )
+
+  private val oracleTs = "CAST(date_trunc('second', ts) AS TIMESTAMP)"
+
+  val oracle: Map[String, String] = Map(
+    "q_win_rank" ->
+      """SELECT user_id, event_id, value,
+        |  row_number() OVER w AS rn, rank() OVER w AS rnk, dense_rank() OVER w AS drnk
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id)
+        |ORDER BY user_id, rn""".stripMargin,
+
+    "q_win_lag_lead" ->
+      s"""SELECT user_id, event_id,
+         |  CAST(epoch($oracleTs) - epoch(lag($oracleTs, 1) OVER w) AS BIGINT) AS gap_s,
+         |  lead(event_type, 1) OVER w AS next_type
+         |FROM events
+         |WINDOW w AS (PARTITION BY user_id ORDER BY $oracleTs, event_id)
+         |ORDER BY user_id, event_id""".stripMargin,
+
+    "q_win_running" ->
+      s"""SELECT user_id, event_id,
+         |  CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER
+         |    (PARTITION BY user_id ORDER BY $oracleTs, event_id
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+         |FROM events
+         |ORDER BY user_id, event_id""".stripMargin,
+
+    "q_win_sliding_frame" ->
+      s"""SELECT user_id, event_id,
+         |  CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER w AS DOUBLE)
+         |    / COUNT(*) OVER w AS mov_avg_10
+         |FROM events
+         |WINDOW w AS (PARTITION BY user_id ORDER BY $oracleTs, event_id
+         |             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+         |ORDER BY user_id, event_id""".stripMargin,
+
+    "q_win_range_frame" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) OVER
+        |    (PARTITION BY o_custkey ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+        |     RANGE BETWEEN 2419200 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rev_4w
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_win_ntile_first_last" ->
+      """SELECT user_id, event_id,
+        |  ntile(4) OVER wv AS quartile,
+        |  first_value(value) OVER wf AS min_v,
+        |  last_value(value) OVER wf AS max_v,
+        |  nth_value(value, 2) OVER wf AS second_v
+        |FROM events
+        |WINDOW wv AS (PARTITION BY user_id ORDER BY value, event_id),
+        |       wf AS (PARTITION BY user_id ORDER BY value, event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q_sessionize" ->
+      s"""WITH g AS (
+         |  SELECT user_id, event_id, $oracleTs AS ts_s,
+         |    CASE WHEN lag($oracleTs, 1) OVER w IS NULL
+         |           OR epoch($oracleTs) - epoch(lag($oracleTs, 1) OVER w) > 1800
+         |         THEN 1 ELSE 0 END AS new_sess
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY $oracleTs, event_id)
+         |), sess AS (
+         |  SELECT user_id, event_id, ts_s,
+         |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+         |  FROM g)
+         |SELECT user_id, session_id, count(*) AS n_events,
+         |  min(ts_s) AS session_start, max(ts_s) AS session_end
+         |FROM sess
+         |GROUP BY user_id, session_id
+         |ORDER BY user_id, session_id""".stripMargin
+  )
+}
