@@ -1,0 +1,207 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** T8 — scalar function surface: string / date / math / array / map / JSON /
+  * explode (SURVEY §2 T8). One consolidated query per family so the oracle
+  * checks the whole family cell-by-cell.
+  *
+  * Cross-engine type parity: Spark int-returning functions (length, instr,
+  * year, ...) are cast to BIGINT to match DuckDB's natural result types;
+  * transcendental functions (exp/ln/log10/pow) are rounded to 6 dp because
+  * libm implementations may differ in the last ulp (SURVEY §A-3.4). All of
+  * this stays inside whole-stage codegen — no UDFs.
+  */
+object FnOps {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_fn_string" -> ((s, sf) =>
+      Tables.documents(s, sf)
+        .select(
+          col("doc_id"),
+          upper(substring(col("text"), 1, 12)).as("up12"),
+          length(col("text")).cast(LongType).as("len"),
+          concat_ws("|", col("lang"), col("source")).as("tag"),
+          replace(substring(col("text"), 1, 20), lit(" "), lit("_")).as("und"),
+          regexp_replace(substring(col("text"), 1, 30), "[aeiou]", "*").as("vow"),
+          regexp_extract(col("text"), "([a-z]+) ([a-z]+)", 2).as("second_word"),
+          lpad(col("n_chars").cast(StringType), 6, "0").as("pad"),
+          instr(col("text"), "spark").cast(LongType).as("pos_spark"),
+          levenshtein(col("lang"), lit("en")).cast(LongType).as("lev_en"),
+          trim(concat(lit(" "), col("lang"), lit(" "))).as("trimmed"))
+        .orderBy("doc_id")),
+
+    "q_fn_date" -> ((s, sf) =>
+      Tables.orders(s, sf)
+        .select(
+          col("o_orderkey"),
+          date_trunc("day", col("o_orderdate")).as("od_day"),
+          year(col("o_orderdate")).cast(LongType).as("yr"),
+          month(col("o_orderdate")).cast(LongType).as("mo"),
+          dayofweek(col("o_orderdate")).cast(LongType).as("dow"),
+          hour(col("o_orderdate")).cast(LongType).as("hr"),
+          unix_timestamp(col("o_orderdate")).as("epoch_s"),
+          to_date(col("o_orderdate")).as("d"),
+          date_add(to_date(col("o_orderdate")), 30).as("d30"),
+          datediff(to_date(col("o_orderdate")), lit("1995-01-01").cast(DateType))
+            .cast(LongType).as("days_since_95"),
+          make_timestamp(lit(1999), lit(12), lit(31), lit(23), lit(59), lit(59)).as("mk"))
+        .orderBy("o_orderkey")),
+
+    "q_fn_math" -> ((s, sf) =>
+      Tables.lineitem(s, sf)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice") / 7, 2).as("r2"),
+          floor(col("l_extendedprice")).as("flr"),
+          ceil(col("l_extendedprice")).as("cl"),
+          abs(col("l_discount") - 0.05).as("ab"),
+          round(pow(col("l_quantity"), 2), 6).as("p2"),
+          round(sqrt(col("l_extendedprice")), 6).as("sq"),
+          round(exp(col("l_discount")), 6).as("ex"),
+          round(log(col("l_extendedprice")), 6).as("lg"),
+          round(log10(col("l_extendedprice")), 6).as("lg10"),
+          pmod(col("l_orderkey") - 3, lit(7)).as("pm"),
+          signum(col("l_discount") - 0.05).cast(LongType).as("sg"),
+          greatest(col("l_quantity"), col("l_discount") * 100).as("gr"),
+          least(col("l_quantity"), col("l_tax") * 100).as("ls"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    "q_fn_array" -> ((s, sf) =>
+      Tables.documents(s, sf)
+        .withColumn("toks", split(col("text"), " "))
+        .select(
+          col("doc_id"),
+          size(col("toks")).cast(LongType).as("n_toks"),
+          array_contains(col("toks"), "spark").as("has_spark"),
+          concat_ws(",", sort_array(array_distinct(col("toks")))).as("uniq"),
+          element_at(col("toks"), 3).as("third"),
+          concat_ws(",", slice(col("toks"), 2, 3)).as("s2_4"),
+          concat_ws(",", transform(slice(col("toks"), 1, 5), x => upper(x))).as("up5"),
+          expr("CAST(aggregate(transform(toks, x -> length(x)), 0, (a, x) -> a + x) AS BIGINT)")
+            .as("total_len"),
+          concat_ws(",",
+            zip_with(slice(col("toks"), 1, 3),
+              transform(slice(col("toks"), 1, 3), x => length(x)),
+              (x, y) => concat(x, lit("#"), y.cast(StringType)))).as("zipped"),
+          concat_ws(",", flatten(array(slice(col("toks"), 1, 2), slice(col("toks"), 3, 2))))
+            .as("flat4"))
+        .orderBy("doc_id")),
+
+    "q_fn_map" -> ((s, sf) =>
+      Tables.events(s, sf)
+        .withColumn("m", from_json(col("props"), MapType(StringType, IntegerType)))
+        .select(
+          col("event_id"),
+          concat_ws(",", map_keys(col("m"))).as("ks"),
+          element_at(col("m"), "k").as("k_val"),
+          element_at(map_values(col("m")), 1).as("v1"),
+          element_at(
+            map_from_entries(array(struct(lit("t"), col("event_type")))), "t").as("t_val"))
+        .orderBy("event_id")),
+
+    "q_fn_json" -> ((s, sf) =>
+      Tables.events(s, sf)
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").as("k_str"),
+          from_json(col("props"), StructType(Seq(StructField("k", IntegerType))))
+            .getField("k").as("k_int"),
+          to_json(struct(col("event_id"), col("event_type"))).as("j"))
+        .orderBy("event_id")),
+
+    "q_explode" -> ((s, sf) =>
+      Tables.documents(s, sf)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos0", "word")))
+        .select(col("doc_id"), (col("pos0") + 1).cast(LongType).as("pos"), col("word"))
+        .orderBy("doc_id", "pos"))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_fn_string" ->
+      """SELECT doc_id,
+        |  upper(substring(text, 1, 12)) AS up12,
+        |  length(text) AS len,
+        |  concat_ws('|', lang, source) AS tag,
+        |  replace(substring(text, 1, 20), ' ', '_') AS und,
+        |  regexp_replace(substring(text, 1, 30), '[aeiou]', '*', 'g') AS vow,
+        |  regexp_extract(text, '([a-z]+) ([a-z]+)', 2) AS second_word,
+        |  lpad(CAST(n_chars AS VARCHAR), 6, '0') AS pad,
+        |  instr(text, 'spark') AS pos_spark,
+        |  levenshtein(lang, 'en') AS lev_en,
+        |  trim(concat(' ', lang, ' ')) AS trimmed
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_fn_date" ->
+      """SELECT o_orderkey,
+        |  CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS od_day,
+        |  year(o_orderdate) AS yr,
+        |  month(o_orderdate) AS mo,
+        |  dayofweek(o_orderdate) + 1 AS dow,
+        |  hour(o_orderdate) AS hr,
+        |  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+        |  CAST(o_orderdate AS DATE) AS d,
+        |  CAST(o_orderdate AS DATE) + 30 AS d30,
+        |  date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_95,
+        |  make_timestamp(1999, 12, 31, 23, 59, 59.0) AS mk
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_fn_math" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  round(l_extendedprice / 7, 2) AS r2,
+        |  CAST(floor(l_extendedprice) AS BIGINT) AS flr,
+        |  CAST(ceil(l_extendedprice) AS BIGINT) AS cl,
+        |  abs(l_discount - 0.05) AS ab,
+        |  round(pow(l_quantity, 2), 6) AS p2,
+        |  round(sqrt(l_extendedprice), 6) AS sq,
+        |  round(exp(l_discount), 6) AS ex,
+        |  round(ln(l_extendedprice), 6) AS lg,
+        |  round(log10(l_extendedprice), 6) AS lg10,
+        |  (((l_orderkey - 3) % 7) + 7) % 7 AS pm,
+        |  CAST(sign(l_discount - 0.05) AS BIGINT) AS sg,
+        |  greatest(l_quantity, l_discount * 100) AS gr,
+        |  least(l_quantity, l_tax * 100) AS ls
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_fn_array" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |SELECT doc_id,
+        |  len(toks) AS n_toks,
+        |  list_contains(toks, 'spark') AS has_spark,
+        |  array_to_string(list_sort(list_distinct(toks)), ',') AS uniq,
+        |  toks[3] AS third,
+        |  array_to_string(list_slice(toks, 2, 4), ',') AS s2_4,
+        |  array_to_string(list_transform(list_slice(toks, 1, 5), x -> upper(x)), ',') AS up5,
+        |  CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS BIGINT) AS total_len,
+        |  array_to_string(list_transform(
+        |    list_zip(list_slice(toks, 1, 3),
+        |             list_transform(list_slice(toks, 1, 3), x -> length(x))),
+        |    p -> p[1] || '#' || CAST(p[2] AS VARCHAR)), ',') AS zipped,
+        |  array_to_string(flatten([list_slice(toks, 1, 2), list_slice(toks, 3, 4)]), ',') AS flat4
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q_fn_map" ->
+      """SELECT event_id,
+        |  array_to_string(json_keys(props), ',') AS ks,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS v1,
+        |  event_type AS t_val
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_fn_json" ->
+      """SELECT event_id,
+        |  json_extract_string(props, '$.k') AS k_str,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+        |  to_json(struct_pack(event_id := event_id, event_type := event_type)) AS j
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_explode" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |SELECT doc_id, CAST(generate_subscripts(toks, 1) AS BIGINT) AS pos,
+        |  unnest(toks) AS word
+        |FROM t ORDER BY doc_id, pos""".stripMargin
+  )
+}
