@@ -18,9 +18,11 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ScanOps.queries ++ FilterOps.queries ++ JoinOps.queries ++ AggOps.queries ++
-      WindowOps.queries ++ SortOps.queries ++ SetOps.queries ++ FnOps.queries
+      WindowOps.queries ++ SortOps.queries ++ SetOps.queries ++ FnOps.queries ++
+      TextOps.queries ++ VectorOps.queries
 
   def oracleSql: Map[String, String] =
     ScanOps.oracle ++ FilterOps.oracle ++ JoinOps.oracle ++ AggOps.oracle ++
-      WindowOps.oracle ++ SortOps.oracle ++ SetOps.oracle ++ FnOps.oracle
+      WindowOps.oracle ++ SortOps.oracle ++ SetOps.oracle ++ FnOps.oracle ++
+      TextOps.oracle ++ VectorOps.oracle
 }

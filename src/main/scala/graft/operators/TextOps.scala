@@ -1,0 +1,284 @@
+package graft.operators
+
+import graft.{OracleDet, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** T9 — text analysis + deduplication over `documents` (MANDATED:
+  * SURVEY §2 T9 + the LLM-data-pipeline operator set).
+  *
+  * Dedup ladder, cheapest to strongest, all deterministic and oracle-able:
+  *  - exact: sorted-token normalization key, keep min doc_id;
+  *  - fingerprint: md5 of the normalized text (content-defined id);
+  *  - MinHash: k=4 smallest md5(token) values as the signature — docs
+  *    sharing a signature are near-dup candidates. md5 is computed
+  *    identically by both engines, so the "random" permutation is portable
+  *    (no engine-specific hash seeds);
+  *  - SimHash: 16-bit fingerprint from the high bit of each md5 hex digit,
+  *    frequency-weighted (±1 per token occurrence);
+  *  - near-dup: exact token-set Jaccard ≥ 0.9 within a language block.
+  *
+  * Scale notes: the Jaccard self-join is blocked on `lang` (the blocking
+  * key bounds the quadratic term); at 100 TB you block on the MinHash
+  * signature instead (that query IS the blocker) so candidate pairs — not
+  * all pairs — hit the quadratic path. Everything else is one explode +
+  * one hash aggregate, the canonical map-side-combinable shape.
+  */
+object TextOps {
+
+  private def docs(s: SparkSession, sf: String): DataFrame =
+    Tables.documents(s, sf).withColumn("toks", split(col("text"), " "))
+
+  /** 16-bit SimHash over md5 hex digits, shared Spark-SQL shape. */
+  private val simhashSpark =
+    """concat_ws('', transform(sequence(1, 16), j ->
+      |  CASE WHEN aggregate(toks, 0, (acc, t) ->
+      |    acc + (CASE WHEN substring(md5(t), j, 1) IN ('8','9','a','b','c','d','e','f')
+      |           THEN 1 ELSE -1 END)) >= 0 THEN '1' ELSE '0' END))""".stripMargin
+
+  private val simhashDuck =
+    """array_to_string(list_transform(range(1, 17), j ->
+      |  CASE WHEN list_sum(list_transform(toks, t ->
+      |    CASE WHEN substring(md5(t), j, 1) IN ('8','9','a','b','c','d','e','f')
+      |    THEN 1 ELSE -1 END)) >= 0 THEN '1' ELSE '0' END), '')""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_tokenize_wordcount" -> ((s, sf) =>
+      docs(s, sf)
+        .select(explode(col("toks")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+        .orderBy("word")),
+
+    "q_text_lang_stats" -> ((s, sf) =>
+      Tables.documents(s, sf)
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          (sum(col("n_chars")).cast(DoubleType) / count(lit(1))).as("avg_chars"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+        .orderBy("lang")),
+
+    "q_text_tfidf" -> ((s, sf) => {
+      val d = docs(s, sf)
+      val tf = d.select(col("doc_id"), explode(col("toks")).as("word"))
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
+      val n = Tables.documents(s, sf).agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("word"))
+      tf.join(df, "word")
+        .crossJoin(broadcast(n))
+        .withColumn("score", col("tf") * log(col("n_docs") / col("df")))
+        .withColumn("rn", row_number().over(w).cast(LongType))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("rn"), col("word"), round(col("score"), 6).as("tfidf"))
+        .orderBy("doc_id", "rn")
+    }),
+
+    "q_text_ngrams" -> ((s, sf) =>
+      docs(s, sf)
+        .select(explode(
+          zip_with(
+            slice(col("toks"), lit(1), size(col("toks")) - 1),
+            slice(col("toks"), lit(2), size(col("toks")) - 1),
+            (x, y) => concat(x, lit(" "), y))).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("cnt"))
+        .orderBy("bigram")),
+
+    "q_text_langid" -> ((s, sf) => {
+      docs(s, sf).createOrReplaceTempView("d")
+      s.sql(
+        """SELECT doc_id,
+          |  round(size(filter(toks, t -> t IN ('the', 'a'))) / size(toks), 6) AS s_article,
+          |  round(size(filter(toks, t -> t IN ('spark', 'query', 'join'))) / size(toks), 6) AS s_tech,
+          |  CASE WHEN size(filter(toks, t -> t IN ('the', 'a'))) > size(filter(toks, t -> t IN ('spark', 'query', 'join'))) THEN 'article-heavy'
+          |       WHEN size(filter(toks, t -> t IN ('spark', 'query', 'join'))) > size(filter(toks, t -> t IN ('the', 'a'))) THEN 'tech-heavy'
+          |       ELSE 'balanced' END AS predicted
+          |FROM d ORDER BY doc_id""".stripMargin)
+    }),
+
+    "q_text_quality" -> ((s, sf) => {
+      docs(s, sf).createOrReplaceTempView("d")
+      s.sql(
+        """SELECT doc_id,
+          |  CAST(size(toks) AS BIGINT) AS n_toks,
+          |  CAST(size(array_distinct(toks)) AS BIGINT) AS n_uniq,
+          |  round(size(array_distinct(toks)) / size(toks), 6) AS ttr,
+          |  round(aggregate(transform(toks, t -> length(t)), 0, (a, x) -> a + x) / size(toks), 6) AS avg_tok_len,
+          |  round(size(filter(toks, t -> t IN ('the', 'a'))) / size(toks), 6) AS stop_ratio,
+          |  round(CAST(0.4 AS DOUBLE) * (size(array_distinct(toks)) / size(toks))
+          |      + CAST(0.3 AS DOUBLE) * (CAST(1 AS DOUBLE) - size(filter(toks, t -> t IN ('the', 'a'))) / size(toks))
+          |      + CAST(0.3 AS DOUBLE) * least(CAST(1 AS DOUBLE), size(toks) / CAST(100 AS DOUBLE)), 6) AS quality
+          |FROM d ORDER BY doc_id""".stripMargin)
+    }),
+
+    "q_text_token_count" -> ((s, sf) =>
+      docs(s, sf)
+        .select(
+          col("doc_id"),
+          size(col("toks")).cast(LongType).as("n_ws"),
+          regexp_count(col("text"), lit("[a-z]+")).cast(LongType).as("n_re"),
+          round(col("n_chars") / size(col("toks")), 6).as("chars_per_tok"))
+        .orderBy("doc_id")),
+
+    "q_text_fingerprint" -> ((s, sf) =>
+      docs(s, sf)
+        .select(
+          col("doc_id"),
+          md5(concat_ws(" ", sort_array(col("toks")))).as("fp"),
+          substring(md5(concat_ws(" ", sort_array(col("toks")))), 1, 16).as("fp16"))
+        .orderBy("doc_id")),
+
+    "q_dedup_exact" -> ((s, sf) => {
+      val w = Window
+        .partitionBy(concat_ws(" ", sort_array(col("toks"))))
+        .orderBy("doc_id")
+      docs(s, sf)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    }),
+
+    "q_dedup_minhash" -> ((s, sf) =>
+      docs(s, sf)
+        .withColumn("sig",
+          concat_ws(",", slice(
+            sort_array(transform(array_distinct(col("toks")), t => md5(t))), 1, 4)))
+        .groupBy("sig")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("keep_doc"),
+          concat_ws(",", sort_array(collect_list(col("doc_id")))).as("members"))
+        .orderBy("sig")),
+
+    "q_dedup_simhash" -> ((s, sf) => {
+      docs(s, sf).createOrReplaceTempView("d")
+      s.sql(
+        s"""SELECT doc_id, $simhashSpark AS simhash16
+           |FROM d ORDER BY doc_id""".stripMargin)
+    }),
+
+    "q_dedup_near" -> ((s, sf) => {
+      val d = docs(s, sf)
+        .select(col("doc_id"), col("lang"), array_distinct(col("toks")).as("ts"))
+      val b = d.select(
+        col("doc_id").as("doc_id_b"), col("lang").as("lang_b"), col("ts").as("ts_b"))
+      d.join(b, col("lang") === col("lang_b") && col("doc_id") < col("doc_id_b"))
+        .withColumn("jac",
+          size(array_intersect(col("ts"), col("ts_b"))) / size(array_union(col("ts"), col("ts_b"))))
+        .filter(round(col("jac"), 6) >= 0.9)
+        .select(col("lang"), col("doc_id"), col("doc_id_b"), round(col("jac"), 6).as("jaccard"))
+        .orderBy("lang", "doc_id", "doc_id_b")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_text_tokenize_wordcount" ->
+      """SELECT word, count(*) AS cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+        |GROUP BY word ORDER BY word""".stripMargin,
+
+    "q_text_lang_stats" ->
+      """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_text_tfidf" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |tf AS (SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY doc_id, word),
+        |df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.word, tf.tf * ln(n.n_docs / df.df) AS score
+        |  FROM tf JOIN df USING (word) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT doc_id, word, score,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, word) AS rn
+        |  FROM scored)
+        |SELECT doc_id, rn, word, round(score, 6) AS tfidf
+        |FROM ranked WHERE rn <= 3
+        |ORDER BY doc_id, rn""".stripMargin,
+
+    "q_text_ngrams" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+        |b AS (SELECT unnest(list_transform(
+        |        list_zip(list_slice(toks, 1, len(toks) - 1), list_slice(toks, 2, len(toks))),
+        |        p -> p[1] || ' ' || p[2])) AS bigram
+        |      FROM t)
+        |SELECT bigram, count(*) AS cnt FROM b
+        |GROUP BY bigram ORDER BY bigram""".stripMargin,
+
+    "q_text_langid" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |SELECT doc_id,
+        |  round(len(list_filter(toks, t -> t IN ('the', 'a'))) / len(toks), 6) AS s_article,
+        |  round(len(list_filter(toks, t -> t IN ('spark', 'query', 'join'))) / len(toks), 6) AS s_tech,
+        |  CASE WHEN len(list_filter(toks, t -> t IN ('the', 'a'))) > len(list_filter(toks, t -> t IN ('spark', 'query', 'join'))) THEN 'article-heavy'
+        |       WHEN len(list_filter(toks, t -> t IN ('spark', 'query', 'join'))) > len(list_filter(toks, t -> t IN ('the', 'a'))) THEN 'tech-heavy'
+        |       ELSE 'balanced' END AS predicted
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q_text_quality" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |SELECT doc_id,
+        |  len(toks) AS n_toks,
+        |  len(list_distinct(toks)) AS n_uniq,
+        |  round(len(list_distinct(toks)) / len(toks), 6) AS ttr,
+        |  round(list_aggregate(list_transform(toks, t -> length(t)), 'sum') / len(toks), 6) AS avg_tok_len,
+        |  round(len(list_filter(toks, t -> t IN ('the', 'a'))) / len(toks), 6) AS stop_ratio,
+        |  round(CAST(0.4 AS DOUBLE) * (len(list_distinct(toks)) / len(toks))
+        |      + CAST(0.3 AS DOUBLE) * (CAST(1 AS DOUBLE) - len(list_filter(toks, t -> t IN ('the', 'a'))) / len(toks))
+        |      + CAST(0.3 AS DOUBLE) * least(CAST(1 AS DOUBLE), len(toks) / CAST(100 AS DOUBLE)), 6) AS quality
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q_text_token_count" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_ws,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_re,
+        |  round(n_chars / len(string_split(text, ' ')), 6) AS chars_per_tok
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(array_to_string(list_sort(string_split(text, ' ')), ' ')) AS fp,
+        |  substring(md5(array_to_string(list_sort(string_split(text, ' ')), ' ')), 1, 16) AS fp16
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT doc_id, lang, n_chars FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |    row_number() OVER (
+        |      PARTITION BY array_to_string(list_sort(string_split(text, ' ')), ' ')
+        |      ORDER BY doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_minhash" ->
+      """WITH d AS (
+        |  SELECT doc_id, array_to_string(list_slice(
+        |    list_sort(list_transform(list_distinct(string_split(text, ' ')), t -> md5(t))),
+        |    1, 4), ',') AS sig
+        |  FROM documents)
+        |SELECT sig, count(*) AS n_docs, min(doc_id) AS keep_doc,
+        |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS members
+        |FROM d GROUP BY sig ORDER BY sig""".stripMargin,
+
+    "q_dedup_simhash" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+         |SELECT doc_id, $simhashDuck AS simhash16
+         |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_near" ->
+      """WITH d AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS ts FROM documents)
+        |SELECT a.lang, a.doc_id, b.doc_id AS doc_id_b,
+        |  round(len(list_intersect(a.ts, b.ts)) / len(list_distinct(list_concat(a.ts, b.ts))), 6) AS jaccard
+        |FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |WHERE round(len(list_intersect(a.ts, b.ts)) / len(list_distinct(list_concat(a.ts, b.ts))), 6) >= 0.9
+        |ORDER BY a.lang, a.doc_id, doc_id_b""".stripMargin
+  )
+}

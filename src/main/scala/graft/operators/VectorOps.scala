@@ -1,0 +1,158 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** T10 — vector similarity over `embeddings` (MANDATED: SURVEY §2 T10).
+  *
+  * The dot product is a left fold over the zipped arrays with every element
+  * cast to double first, written with the *same association order* in Spark
+  * (`aggregate(zip_with(...))`) and DuckDB (`list_reduce(list_transform(
+  * list_zip(...)))`), so the raw IEEE result is bit-identical; outputs are
+  * additionally rounded to 6 dp before any threshold/ranking decision.
+  *
+  * Scale notes: brute-force KNN broadcasts the probe (O(N) scan, the
+  * correct baseline at any scale); all-pairs similarity is blocked on
+  * `label` so the quadratic term is bounded per block — at 100 TB the
+  * blocking key becomes an LSH bucket (see q_vec_ann_lsh, which uses
+  * MLlib's random-hyperplane family with a fixed seed). If the fold-based
+  * dot product ever dominates a profile, the §4.3 upgrade path is a fused
+  * codegen `Expression`.
+  */
+object VectorOps {
+
+  /** Spark-SQL dot product, deterministic left fold over doubles. */
+  private def dot(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+
+  /** DuckDB twin of [[dot]] — same element order, same fold order. */
+  private def odot(a: String, b: String): String =
+    s"list_reduce(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)"
+
+  private def cosSpark(a: String, b: String): String =
+    s"round(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})), 6)"
+
+  private def cosDuck(a: String, b: String): String =
+    s"round(${odot(a, b)} / (sqrt(${odot(a, a)}) * sqrt(${odot(b, b)})), 6)"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_vec_norms" -> ((s, sf) => {
+      Tables.embeddings(s, sf).createOrReplaceTempView("embeddings")
+      s.sql(
+        s"""WITH x AS (SELECT label, posexplode(embedding) AS (pos, v) FROM embeddings),
+           |m AS (SELECT label, pos,
+           |        CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(30,12))) AS DOUBLE) / COUNT(v) AS mv
+           |      FROM x GROUP BY label, pos),
+           |c AS (SELECT label,
+           |        round(sqrt(CAST(SUM(CAST(mv * mv AS DECIMAL(38,18))) AS DOUBLE)), 6) AS centroid_norm
+           |      FROM m GROUP BY label),
+           |n AS (SELECT label, count(*) AS n_vecs,
+           |        round(CAST(SUM(CAST(sqrt(${dot("embedding", "embedding")}) AS DECIMAL(30,12))) AS DOUBLE)
+           |              / count(*), 6) AS avg_norm
+           |      FROM embeddings GROUP BY label)
+           |SELECT n.label, n_vecs, avg_norm, centroid_norm
+           |FROM n JOIN c ON n.label = c.label
+           |ORDER BY n.label""".stripMargin)
+    }),
+
+    "q_vec_knn_cosine" -> ((s, sf) => {
+      Tables.embeddings(s, sf).createOrReplaceTempView("embeddings")
+      s.sql(
+        s"""WITH probe AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0)
+           |SELECT vec_id, label, ${cosSpark("embedding", "pe")} AS cos_sim
+           |FROM embeddings CROSS JOIN probe
+           |WHERE vec_id <> 0
+           |ORDER BY cos_sim DESC, vec_id
+           |LIMIT 10""".stripMargin)
+    }),
+
+    "q_vec_pairs_threshold" -> ((s, sf) => {
+      Tables.embeddings(s, sf).createOrReplaceTempView("embeddings")
+      s.sql(
+        s"""SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+           |  ${cosSpark("a.embedding", "b.embedding")} AS cos_sim
+           |FROM embeddings a JOIN embeddings b
+           |  ON a.label = b.label AND a.vec_id < b.vec_id
+           |WHERE ${cosSpark("a.embedding", "b.embedding")} >= 0.25
+           |ORDER BY a.label, vec_a, vec_b""".stripMargin)
+    }),
+
+    // Embedding-cosine near-dup: same blocked pair scan at a higher
+    // threshold, emitted as (keep, dup) candidates.
+    "q_dedup_embedding" -> ((s, sf) => {
+      Tables.embeddings(s, sf).createOrReplaceTempView("embeddings")
+      s.sql(
+        s"""SELECT a.label, a.vec_id AS keep_id, b.vec_id AS dup_id,
+           |  ${cosSpark("a.embedding", "b.embedding")} AS cos_sim
+           |FROM embeddings a JOIN embeddings b
+           |  ON a.label = b.label AND a.vec_id < b.vec_id
+           |WHERE ${cosSpark("a.embedding", "b.embedding")} >= 0.4
+           |ORDER BY a.label, keep_id, dup_id""".stripMargin)
+    }),
+
+    // ANN scale path: random-hyperplane LSH (MLlib BucketedRandomProjection
+    // over the ~unit-norm vectors ≈ angular distance), fixed seed. Approx →
+    // no SQL oracle (rows-only check); recall vs brute force is asserted in
+    // VectorOpsSpec on sf0.001.
+    "q_vec_ann_lsh" -> ((s, sf) => {
+      import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+      import org.apache.spark.ml.functions.array_to_vector
+      val emb = Tables.embeddings(s, sf)
+        .withColumn("features", array_to_vector(col("embedding")))
+      val lsh = new BucketedRandomProjectionLSH()
+        .setBucketLength(0.5).setNumHashTables(4).setSeed(42L)
+        .setInputCol("features").setOutputCol("hashes")
+      val model = lsh.fit(emb)
+      val key = emb.filter(col("vec_id") === 0).select("features").head().getAs[org.apache.spark.ml.linalg.Vector](0)
+      model.approxNearestNeighbors(emb.filter(col("vec_id") =!= 0), key, 10)
+        .select(col("vec_id"), col("label"), round(col("distCol"), 6).as("dist"))
+        .orderBy("dist", "vec_id")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_vec_norms" ->
+      s"""WITH x AS (SELECT label, generate_subscripts(embedding, 1) AS pos,
+         |             unnest(embedding) AS v
+         |           FROM embeddings),
+         |m AS (SELECT label, pos,
+         |        CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(30,12))) AS DOUBLE) / COUNT(v) AS mv
+         |      FROM x GROUP BY label, pos),
+         |c AS (SELECT label,
+         |        round(sqrt(CAST(SUM(CAST(mv * mv AS DECIMAL(38,18))) AS DOUBLE)), 6) AS centroid_norm
+         |      FROM m GROUP BY label),
+         |n AS (SELECT label, count(*) AS n_vecs,
+         |        round(CAST(SUM(CAST(sqrt(${odot("embedding", "embedding")}) AS DECIMAL(30,12))) AS DOUBLE)
+         |              / count(*), 6) AS avg_norm
+         |      FROM embeddings GROUP BY label)
+         |SELECT n.label, n_vecs, avg_norm, centroid_norm
+         |FROM n JOIN c ON n.label = c.label
+         |ORDER BY n.label""".stripMargin,
+
+    "q_vec_knn_cosine" ->
+      s"""WITH probe AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id, label, ${cosDuck("embedding", "pe")} AS cos_sim
+         |FROM embeddings CROSS JOIN probe
+         |WHERE vec_id <> 0
+         |ORDER BY cos_sim DESC, vec_id
+         |LIMIT 10""".stripMargin,
+
+    "q_vec_pairs_threshold" ->
+      s"""SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |  ${cosDuck("a.embedding", "b.embedding")} AS cos_sim
+         |FROM embeddings a JOIN embeddings b
+         |  ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE ${cosDuck("a.embedding", "b.embedding")} >= 0.25
+         |ORDER BY a.label, vec_a, vec_b""".stripMargin,
+
+    "q_dedup_embedding" ->
+      s"""SELECT a.label, a.vec_id AS keep_id, b.vec_id AS dup_id,
+         |  ${cosDuck("a.embedding", "b.embedding")} AS cos_sim
+         |FROM embeddings a JOIN embeddings b
+         |  ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE ${cosDuck("a.embedding", "b.embedding")} >= 0.4
+         |ORDER BY a.label, keep_id, dup_id""".stripMargin
+  )
+}
