@@ -1,0 +1,110 @@
+package graft.multimodal
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column handling (MANDATED: LLM-data-pipeline operator set).
+  *
+  * Media are opaque `binary` payloads with typed metadata, processed by an
+  * imperative per-partition kernel over a typed `Dataset` — the Scala
+  * analog of a vectorized Python `mapInPandas` stage. The *plumbing* is
+  * real and scale-correct: schema'd binary column, typed Encoder, batched
+  * per-partition iteration (no driver collect), deterministic output. The
+  * *codec* is a clearly-marked deterministic fake (`FakeCodec`) because no
+  * image/audio library ships in this environment; swapping in a real JNI /
+  * JavaCV decoder changes only that one function.
+  *
+  * Scale notes: `mapPartitions` keeps the kernel streaming (one record in
+  * flight per iterator step, no per-row JVM↔task overhead); payloads stay
+  * off the driver; downstream aggregation is ordinary hash agg. For 100 TB
+  * of real media you'd read payloads as parquet binary (or paths into an
+  * object store resolved inside the partition) — the pipeline shape here is
+  * unchanged.
+  */
+object Multimodal {
+
+  /** One media record: payload + typed metadata. */
+  case class MediaRecord(
+      doc_id: Long,
+      media_type: String,
+      width: Int,
+      height: Int,
+      payload: Array[Byte])
+
+  /** Extracted features (the "decoded" output). */
+  case class MediaFeatures(
+      doc_id: Long,
+      media_type: String,
+      n_bytes: Long,
+      sum_bytes: Long,
+      avg_byte: Double,
+      thumb_w: Int,
+      thumb_h: Int)
+
+  /** DETERMINISTIC FAKE of the decode/feature-extract/resize kernel.
+    * A real implementation would decode `payload` with an image/audio
+    * codec; this fake derives features from the raw bytes so results are
+    * reproducible and oracle-checkable. */
+  object FakeCodec {
+    def features(r: MediaRecord): MediaFeatures = {
+      var sum = 0L
+      var i = 0
+      while (i < r.payload.length) { sum += r.payload(i) & 0xff; i += 1 }
+      val n = r.payload.length.toLong
+      // fake "resize to fit 64x64 box" preserving aspect ratio
+      val scale = 64.0 / math.max(r.width, r.height)
+      val (tw, th) =
+        if (scale >= 1.0) (r.width, r.height)
+        else (math.max(1, (r.width * scale).toInt), math.max(1, (r.height * scale).toInt))
+      MediaFeatures(r.doc_id, r.media_type, n, sum, sum.toDouble / n, tw, th)
+    }
+  }
+
+  /** Synthesize a media table from `documents`: utf-8 payloads plus
+    * deterministic fake dimensions derived from doc_id. */
+  def mediaTable(s: SparkSession, sf: String): DataFrame =
+    Tables.documents(s, sf).select(
+      col("doc_id"),
+      lit("text/plain").as("media_type"),
+      (lit(100) + col("doc_id") % 540).cast("int").as("width"),
+      (lit(50) + col("doc_id") % 270).cast("int").as("height"),
+      encode(col("text"), "UTF-8").as("payload"))
+
+  /** The batch pipeline: typed Dataset → per-partition kernel → DataFrame. */
+  def decodeFeatures(s: SparkSession, sf: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, sf)
+      .as[MediaRecord]
+      .mapPartitions(_.map(FakeCodec.features))
+      .toDF()
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mm_decode" -> ((s, sf) =>
+      decodeFeatures(s, sf)
+        .select("doc_id", "media_type", "n_bytes", "sum_bytes", "avg_byte", "thumb_w", "thumb_h")
+        .orderBy("doc_id"))
+  )
+
+  /** The documents corpus is ASCII, so byte values equal `ascii()` codes and
+    * the imperative kernel is fully reproducible in SQL. */
+  val oracle: Map[String, String] = Map(
+    "q_mm_decode" ->
+      """WITH m AS (
+        |  SELECT doc_id, 'text/plain' AS media_type,
+        |    CAST(100 + doc_id % 540 AS INTEGER) AS width,
+        |    CAST(50 + doc_id % 270 AS INTEGER) AS height,
+        |    length(text) AS n_bytes,
+        |    CAST(list_aggregate(list_transform(range(1, length(text) + 1),
+        |      i -> ascii(substring(text, i, 1))), 'sum') AS BIGINT) AS sum_bytes
+        |  FROM documents)
+        |SELECT doc_id, media_type, n_bytes, sum_bytes,
+        |  CAST(sum_bytes AS DOUBLE) / n_bytes AS avg_byte,
+        |  CASE WHEN 64.0 / greatest(width, height) >= 1.0 THEN width
+        |       ELSE greatest(1, CAST(trunc(width * (64.0 / greatest(width, height))) AS INTEGER)) END AS thumb_w,
+        |  CASE WHEN 64.0 / greatest(width, height) >= 1.0 THEN height
+        |       ELSE greatest(1, CAST(trunc(height * (64.0 / greatest(width, height))) AS INTEGER)) END AS thumb_h
+        |FROM m ORDER BY doc_id""".stripMargin
+  )
+}

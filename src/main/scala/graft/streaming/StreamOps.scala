@@ -1,0 +1,115 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** T11 — Structured Streaming over `events`-shaped data (SURVEY §2 T11).
+  *
+  * Each operator is a pure DataFrame→DataFrame transform so the same code
+  * runs over `spark.readStream` in production and `MemoryStream` in tests
+  * (streaming outputs are micro-batch-dependent, hence no DuckDB oracle —
+  * verified in StreamOpsSpec with deterministic AvailableNow-style drains).
+  *
+  * Scale notes: event-time windowed aggregation shuffles on (window, key)
+  * and keeps per-window state in the StateStore; watermarks bound that
+  * state (without one, 100 TB of stream history accumulates in state).
+  * `flatMapGroupsWithState` state is per-user and evicted by event-time
+  * timeout — the session operator's memory is O(active users), not O(events).
+  */
+object StreamOps {
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+  case class SessionState(start: Timestamp, last: Timestamp, n: Long)
+  case class SessionOut(user_id: Long, session_start: Timestamp, session_end: Timestamp, n_events: Long)
+
+  /** File-source ingest: same schema-first discipline as the batch loaders. */
+  def ingest(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val sch = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    s.readStream.schema(sch).parquet(dir)
+  }
+
+  /** Per-minute tumbling event counts (event time). */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 minute"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("cnt"))
+
+  /** 5-minute windows sliding every minute. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "5 minutes", "1 minute"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("cnt"))
+
+  /** Session windows with a 30-minute gap. */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"),
+        col("user_id"), col("cnt"))
+
+  /** Windowed counts that drop events later than 10 minutes (append mode). */
+  def lateDropCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 minute"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("cnt"))
+
+  /** Streaming dedup by event_id, state bounded by the watermark. */
+  def dedupWithinWatermark(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Custom stateful sessionization: 30-min inactivity gap, event-time
+    * timeout. Emits one row per closed session. */
+  def statefulSessionize(s: SparkSession, events: Dataset[Event]): Dataset[SessionOut] = {
+    import s.implicits._
+    val gapMs = 30L * 60 * 1000
+
+    def fn(userId: Long, rows: Iterator[Event], state: GroupState[SessionState]): Iterator[SessionOut] = {
+      if (state.hasTimedOut) {
+        val st = state.get
+        state.remove()
+        Iterator.single(SessionOut(userId, st.start, st.last, st.n))
+      } else {
+        val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+        var out = List.empty[SessionOut]
+        var cur = state.getOption
+        for (e <- sorted) {
+          cur match {
+            case Some(st) if e.ts.getTime - st.last.getTime > gapMs =>
+              out ::= SessionOut(userId, st.start, st.last, st.n)
+              cur = Some(SessionState(e.ts, e.ts, 1))
+            case Some(st) =>
+              cur = Some(SessionState(st.start, e.ts, st.n + 1))
+            case None =>
+              cur = Some(SessionState(e.ts, e.ts, 1))
+          }
+        }
+        cur.foreach { st =>
+          state.update(st)
+          state.setTimeoutTimestamp(st.last.getTime + gapMs)
+        }
+        out.reverseIterator
+      }
+    }
+
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+}

@@ -1,0 +1,163 @@
+package graft
+
+import graft.operators._
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Per-operator golden + property tests (SURVEY §5.2 layer 3). */
+class OperatorSpec extends AnyFunSuite with SparkSessionTest {
+
+  test("entry flagship returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query key has distinct name and runs at sf0.001") {
+    val qs = SparkEntry.queries
+    assert(qs.nonEmpty)
+    // oracle keys must be a subset of query keys
+    assert(SparkEntry.oracleSql.keySet.subsetOf(qs.keySet))
+  }
+
+  test("Det.dsum is exact and partition-order independent") {
+    import spark.implicits._
+    val base = Seq.fill(1000)(0.1).toDF("x")
+    val a = base.repartition(1).agg(Det.dsum($"x")).head().getDouble(0)
+    val b = base.repartition(7).agg(Det.dsum($"x")).head().getDouble(0)
+    assert(a == 100.0 && b == 100.0) // plain double sum would give 100.00000000000003
+  }
+
+  test("pricing summary golden on literal rows") {
+    import spark.implicits._
+    val df = Seq(
+      ("A", "F", 10.0, 100.0, 0.1, 0.05),
+      ("A", "F", 20.0, 200.0, 0.2, 0.05),
+      ("R", "O", 5.0, 50.0, 0.0, 0.0))
+      .toDF("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val out = df.groupBy("l_returnflag", "l_linestatus")
+      .agg(Det.dsum($"l_quantity").as("sum_qty"),
+        sum(($"l_extendedprice" * (lit(1) - $"l_discount")).cast(DecimalType(30, 6)))
+          .cast(DoubleType).as("disc"))
+      .orderBy("l_returnflag").collect()
+    assert(out(0).getDouble(2) == 30.0)
+    assert(out(0).getDouble(3) == 90.0 + 160.0)
+    assert(out(1).getDouble(2) == 5.0)
+  }
+
+  test("sessionize conserves events per user") {
+    val sess = WindowOps.queries("q_sessionize")(spark, sf0001)
+    val total = sess.agg(sum("n_events")).head().getLong(0)
+    val events = Tables.events(spark, sf0001).count()
+    assert(total == events)
+    // session ids are 1..k contiguous per user
+    val bad = sess.groupBy("user_id")
+      .agg(max("session_id").as("mx"), count(lit(1)).as("n"))
+      .filter(col("mx") =!= col("n")).count()
+    assert(bad == 0)
+  }
+
+  test("exact dedup keeps one survivor per normalized group and is idempotent") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "b a c"), (2L, "a b c"), (3L, "c b a"), // same multiset
+      (4L, "a a b"), (5L, "b a a"),                 // same multiset
+      (6L, "unique doc here"))
+      .toDF("doc_id", "text")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(concat_ws(" ", sort_array(split($"text", " ")))).orderBy("doc_id")
+    val dd = docs.withColumn("rn", row_number().over(w)).filter($"rn" === 1).drop("rn")
+    assert(dd.count() == 3)
+    assert(dd.select("doc_id").as[Long].collect().sorted.sameElements(Array(1L, 4L, 6L)))
+    val dd2 = dd.withColumn("rn", row_number().over(w)).filter($"rn" === 1).drop("rn")
+    assert(dd2.count() == 3) // idempotent
+  }
+
+  test("near-dup jaccard is symmetric and bounded") {
+    val pairs = TextOps.queries("q_dedup_near")(spark, sf0001)
+    val out = pairs.select("jaccard").collect().map(_.getDouble(0))
+    assert(out.forall(j => j >= 0.9 && j <= 1.0))
+  }
+
+  test("minhash groups contain only docs with identical signatures") {
+    val g = TextOps.queries("q_dedup_minhash")(spark, sf0001)
+    // every doc appears in exactly one group
+    val members = g.select(explode(split(col("members"), ","))).count()
+    assert(members == Tables.documents(spark, sf0001).count())
+  }
+
+  test("cosine similarity: self-similarity is 1, pairs bounded") {
+    Tables.embeddings(spark, sf0001).createOrReplaceTempView("embeddings")
+    val selfCos = spark.sql(
+      """SELECT round(aggregate(zip_with(embedding, embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)
+        |  / (sqrt(aggregate(zip_with(embedding, embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v))
+        |   * sqrt(aggregate(zip_with(embedding, embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v))), 6) AS c
+        |FROM embeddings""".stripMargin)
+      .agg(min("c"), max("c")).head()
+    assert(math.abs(selfCos.getDouble(0) - 1.0) < 1e-6)
+    assert(math.abs(selfCos.getDouble(1) - 1.0) < 1e-6)
+    val pairs = VectorOps.queries("q_vec_pairs_threshold")(spark, sf0001)
+    assert(pairs.select("cos_sim").collect().map(_.getDouble(0)).forall(c => c >= -1.0 && c <= 1.0))
+  }
+
+  test("approx distinct within 5% of exact") {
+    val approx = AggOps.queries("q_agg_approx_distinct")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = AggOps.queries("q_agg_distinct")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((k, e) <- exact) {
+      assert(math.abs(approx(k) - e).toDouble / e <= 0.05, s"$k approx=${approx(k)} exact=$e")
+    }
+  }
+
+  test("LSH ANN returns k sorted neighbors overlapping brute force") {
+    val ann = VectorOps.queries("q_vec_ann_lsh")(spark, sf0001).collect()
+    assert(ann.length == 10)
+    val dists = ann.map(_.getDouble(2))
+    assert(dists.sameElements(dists.sorted))
+    val brute = VectorOps.queries("q_vec_knn_cosine")(spark, sf0001)
+      .collect().map(_.getLong(0)).toSet
+    val annIds = ann.map(_.getLong(0)).toSet
+    // near-unit vectors: euclidean NN ≈ cosine NN; require nontrivial overlap
+    assert(brute.intersect(annIds).size >= 3, s"overlap ${brute.intersect(annIds)}")
+  }
+
+  test("as-of join picks latest order at/before event time (golden)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ev = Seq((100L, 1L, "2024-01-10 00:00:00"), (101L, 1L, "2024-01-01 00:00:00"))
+      .toDF("event_id", "user_id", "ts_str")
+      .withColumn("ts_s", to_timestamp($"ts_str"))
+    val ord = Seq(
+      (1L, 1L, "2024-01-05 00:00:00"),
+      (2L, 1L, "2024-01-09 00:00:00"),
+      (3L, 1L, "2024-02-01 00:00:00"))
+      .toDF("o_orderkey", "o_custkey", "od_str")
+      .withColumn("o_orderdate", to_timestamp($"od_str"))
+    val w = Window.partitionBy("event_id").orderBy($"o_orderdate".desc, $"o_orderkey".desc)
+    val res = ev.join(ord, $"o_custkey" === $"user_id" && $"o_orderdate" <= $"ts_s")
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select("event_id", "o_orderkey").as[(Long, Long)].collect().toMap
+    assert(res == Map(100L -> 2L)) // event 101 predates all orders → dropped
+  }
+
+  test("multimodal fake codec golden") {
+    val r = Multimodal.MediaRecord(7L, "image/fake", 640, 480, Array[Byte](0, 2, 4))
+    val f = Multimodal.FakeCodec.features(r)
+    assert(f.n_bytes == 3 && f.sum_bytes == 6 && f.avg_byte == 2.0)
+    assert(f.thumb_w == 64 && f.thumb_h == 48)
+    val small = Multimodal.FakeCodec.features(Multimodal.MediaRecord(8L, "t", 32, 16, Array[Byte](1)))
+    assert(small.thumb_w == 32 && small.thumb_h == 16) // no upscale
+  }
+
+  test("typed variance aggregator matches moment formula") {
+    import spark.implicits._
+    val xs = Seq(1.0, 2.0, 3.0, 4.0, 10.0)
+    val df = xs.toDF("value")
+    val varUdaf = udaf(UdfOps.VarianceAgg)
+    val v = df.agg(varUdaf($"value")).head().getDouble(0)
+    val n = xs.size.toDouble
+    val s1 = xs.sum; val s2 = xs.map(x => x * x).sum
+    assert(math.abs(v - (s2 - s1 * s1 / n) / (n - 1)) < 1e-9)
+  }
+}

@@ -1,0 +1,115 @@
+package graft
+
+import graft.streaming.StreamOps
+import graft.streaming.StreamOps.Event
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+/** T11 streaming tests: MemoryStream + deterministic drains (SURVEY §5.2). */
+class StreamOpsSpec extends AnyFunSuite with SparkSessionTest {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private def ev(id: Long, t: String, u: Long = 1L, typ: String = "click"): Event =
+    Event(id, ts(t), u, typ, 1.0)
+
+  test("tumbling window counts (batch parity of the same transform)") {
+    import spark.implicits._
+    val df = Seq(
+      ev(1, "2024-01-01 10:00:10"), ev(2, "2024-01-01 10:00:50"),
+      ev(3, "2024-01-01 10:01:10")).toDF()
+    val out = StreamOps.tumblingCounts(df)
+      .orderBy("w_start").collect()
+    assert(out.length == 2)
+    assert(out(0).getLong(2) == 2 && out(1).getLong(2) == 1)
+  }
+
+  test("session windows split on 30-minute gaps (batch parity)") {
+    import spark.implicits._
+    val df = Seq(
+      ev(1, "2024-01-01 10:00:00"), ev(2, "2024-01-01 10:05:00"),
+      ev(3, "2024-01-01 12:00:00")).toDF()
+    val out = StreamOps.sessionCounts(df).orderBy("s_start").collect()
+    assert(out.length == 2)
+    assert(out(0).getLong(3) == 2 && out(1).getLong(3) == 1)
+  }
+
+  test("streaming tumbling counts over MemoryStream") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val q = StreamOps.tumblingCounts(ms.toDF())
+      .writeStream.format("memory").queryName("t_tumbling").outputMode("complete").start()
+    try {
+      ms.addData(ev(1, "2024-01-01 10:00:10"), ev(2, "2024-01-01 10:00:20"))
+      q.processAllAvailable()
+      ms.addData(ev(3, "2024-01-01 10:00:40"))
+      q.processAllAvailable()
+      val cnt = spark.table("t_tumbling")
+        .filter(col("w_start") === ts("2024-01-01 10:00:00"))
+        .head().getLong(2)
+      assert(cnt == 3) // incremental state merged across micro-batches
+    } finally q.stop()
+  }
+
+  test("watermark drops events later than 10 minutes") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val q = StreamOps.lateDropCounts(ms.toDF())
+      .writeStream.format("memory").queryName("t_late").outputMode("append").start()
+    try {
+      ms.addData(ev(1, "2024-01-01 10:00:10"), ev(2, "2024-01-01 10:00:20"))
+      q.processAllAvailable()
+      // advance watermark far past the 10:00 window
+      ms.addData(ev(3, "2024-01-01 10:30:00"))
+      q.processAllAvailable()
+      // this event is >10 min late: must NOT reopen the finalized window
+      ms.addData(ev(4, "2024-01-01 10:00:30"))
+      q.processAllAvailable()
+      ms.addData(ev(5, "2024-01-01 11:00:00"))
+      q.processAllAvailable()
+      val w1000 = spark.table("t_late")
+        .filter(col("w_start") === ts("2024-01-01 10:00:00"))
+        .collect()
+      assert(w1000.length == 1 && w1000(0).getLong(2) == 2, w1000.mkString(","))
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark dedups by event_id") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val q = StreamOps.dedupWithinWatermark(ms.toDF())
+      .writeStream.format("memory").queryName("t_dedup").outputMode("append").start()
+    try {
+      ms.addData(ev(1, "2024-01-01 10:00:10"), ev(1, "2024-01-01 10:00:10"), ev(2, "2024-01-01 10:00:20"))
+      q.processAllAvailable()
+      ms.addData(ev(1, "2024-01-01 10:00:30")) // duplicate within watermark
+      q.processAllAvailable()
+      assert(spark.table("t_dedup").count() == 2)
+    } finally q.stop()
+  }
+
+  test("stateful sessionize emits closed sessions with event-time timeout") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val q = StreamOps.statefulSessionize(spark, ms.toDS())
+      .writeStream.format("memory").queryName("t_sess").outputMode("append").start()
+    try {
+      ms.addData(ev(1, "2024-01-01 10:00:00"), ev(2, "2024-01-01 10:10:00"))
+      q.processAllAvailable()
+      // >30 min gap → closes session 1 on arrival
+      ms.addData(ev(3, "2024-01-01 12:00:00"))
+      q.processAllAvailable()
+      val rows = spark.table("t_sess").orderBy("session_start").collect()
+      assert(rows.length == 1)
+      assert(rows(0).getTimestamp(1) == ts("2024-01-01 10:00:00"))
+      assert(rows(0).getTimestamp(2) == ts("2024-01-01 10:10:00"))
+      assert(rows(0).getLong(3) == 2)
+    } finally q.stop()
+  }
+}
