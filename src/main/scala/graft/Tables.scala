@@ -33,11 +33,17 @@ object Tables {
     * (sub-second precision differs from ns-native engines); emit
     * `date_trunc` values instead — see SURVEY §A-3.1.
     */
-  def events(s: SparkSession, sf: String): DataFrame = {
+  def events(s: SparkSession, sf: String): DataFrame =
+    eventsRaw(s, sf).withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+
+  /** `events` with `ts` still as raw int64 nanos. Predicates on the raw
+    * column push down to the parquet scan (min/max row-group skipping),
+    * which the post-conversion TimestampType column cannot — time-range
+    * queries should filter here first, then convert (see
+    * q_filter_range_time). */
+  def eventsRaw(s: SparkSession, sf: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read
-      .parquet(p(sf, "events"))
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    s.read.parquet(p(sf, "events"))
   }
 
   /** Explicit lineitem schema for fail-fast scans (q_scan_schema_assert). */

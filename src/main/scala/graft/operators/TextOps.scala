@@ -38,6 +38,34 @@ object TextOps {
       |    acc + (CASE WHEN substring(md5(t), j, 1) IN ('8','9','a','b','c','d','e','f')
       |           THEN 1 ELSE -1 END)) >= 0 THEN '1' ELSE '0' END))""".stripMargin
 
+  /** Shared SQL skeleton for the bitmap Jaccard join; `tokTable` yields
+    * (doc_id, lang, tok) with per-doc-distinct tokens, `shift` is the
+    * engine's bit-shift spelling with a %d word-offset slot. */
+  private def nearDupSql(tokTable: String, shift: String): String = {
+    val words = (0 until 4).map { w =>
+      val lo = w * 64; val hi = lo + 63
+      s"bit_or(CASE WHEN id BETWEEN $lo AND $hi THEN ${shift.format(lo)} ELSE CAST(0 AS BIGINT) END) AS m$w"
+    }.mkString(",\n          ")
+    val inter = (0 until 4).map(w => s"bit_count(a.m$w & b.m$w)").mkString(" + ")
+    s"""WITH tok AS ($tokTable),
+       |dict AS (SELECT tok, CAST(row_number() OVER (ORDER BY tok) AS INT) - 1 AS id
+       |         FROM (SELECT DISTINCT tok FROM tok) u),
+       |enc AS (SELECT doc_id, lang,
+       |          $words,
+       |          count(*) AS n
+       |        FROM tok JOIN dict USING (tok)
+       |        GROUP BY doc_id, lang),
+       |p AS (SELECT a.lang AS lang, a.doc_id AS doc_id, b.doc_id AS doc_id_b,
+       |        CAST($inter AS BIGINT) AS inter, a.n AS na, b.n AS nb
+       |      FROM enc a JOIN enc b
+       |        ON a.lang = b.lang AND a.doc_id < b.doc_id
+       |       AND least(a.n, b.n) * 10 >= greatest(a.n, b.n) * 9)
+       |SELECT lang, doc_id, doc_id_b, round(inter / (na + nb - inter), 6) AS jaccard
+       |FROM p
+       |WHERE round(inter / (na + nb - inter), 6) >= 0.9
+       |ORDER BY lang, doc_id, doc_id_b""".stripMargin
+  }
+
   private val simhashDuck =
     """array_to_string(list_transform(range(1, 17), j ->
       |  CASE WHEN list_sum(list_transform(toks, t ->
@@ -162,17 +190,21 @@ object TextOps {
            |FROM d ORDER BY doc_id""".stripMargin)
     }),
 
+    // Exact token-set Jaccard as a *bitmap* set-similarity join: tokens are
+    // dictionary-encoded against a global sorted dictionary, each doc's set
+    // becomes 256 bits in four longs (bit_or aggregate), and each candidate
+    // pair costs 4 AND+popcount ops — no per-pair hash-set work. Two
+    // semantics-preserving prunes ride on the join: the length band
+    // (jaccard ≤ min/max, so 10*min ≥ 9*max in exact integer arithmetic),
+    // and union size derived as na+nb-|∩|. Identical formulation in the
+    // oracle. Constraint: dictionary ≤ 256 tokens (corpus has 31); larger
+    // vocabularies take the MinHash-signature blocking path
+    // (q_dedup_minhash) instead — that pairing is the 100 TB design.
     "q_dedup_near" -> ((s, sf) => {
-      val d = docs(s, sf)
-        .select(col("doc_id"), col("lang"), array_distinct(col("toks")).as("ts"))
-      val b = d.select(
-        col("doc_id").as("doc_id_b"), col("lang").as("lang_b"), col("ts").as("ts_b"))
-      d.join(b, col("lang") === col("lang_b") && col("doc_id") < col("doc_id_b"))
-        .withColumn("jac",
-          size(array_intersect(col("ts"), col("ts_b"))) / size(array_union(col("ts"), col("ts_b"))))
-        .filter(round(col("jac"), 6) >= 0.9)
-        .select(col("lang"), col("doc_id"), col("doc_id_b"), round(col("jac"), 6).as("jaccard"))
-        .orderBy("lang", "doc_id", "doc_id_b")
+      Tables.documents(s, sf).createOrReplaceTempView("documents")
+      s.sql(nearDupSql(
+        tokTable = "SELECT doc_id, lang, explode(array_distinct(split(text, ' '))) AS tok FROM documents",
+        shift = "shiftleft(CAST(1 AS BIGINT), id - %d)"))
     })
   )
 
@@ -273,12 +305,8 @@ object TextOps {
          |SELECT doc_id, $simhashDuck AS simhash16
          |FROM d ORDER BY doc_id""".stripMargin,
 
-    "q_dedup_near" ->
-      """WITH d AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS ts FROM documents)
-        |SELECT a.lang, a.doc_id, b.doc_id AS doc_id_b,
-        |  round(len(list_intersect(a.ts, b.ts)) / len(list_distinct(list_concat(a.ts, b.ts))), 6) AS jaccard
-        |FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
-        |WHERE round(len(list_intersect(a.ts, b.ts)) / len(list_distinct(list_concat(a.ts, b.ts))), 6) >= 0.9
-        |ORDER BY a.lang, a.doc_id, doc_id_b""".stripMargin
+    "q_dedup_near" -> nearDupSql(
+      tokTable = "SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents",
+      shift = "(CAST(1 AS BIGINT) << (id - %d))")
   )
 }

@@ -37,6 +37,25 @@ object VectorOps {
   private def cosDuck(a: String, b: String): String =
     s"round(${odot(a, b)} / (sqrt(${odot(a, a)}) * sqrt(${odot(b, b)})), 6)"
 
+  /** Blocked all-pairs cosine ≥ τ with hoisted per-vector norms. */
+  private def pairSql(dotFn: (String, String) => String, tau: Double,
+                      aName: String, bName: String): String =
+    s"""WITH v AS (SELECT vec_id, label, embedding,
+       |             sqrt(${dotFn("embedding", "embedding")}) AS nrm
+       |           FROM embeddings)
+       |SELECT label, $aName, $bName, cos_sim FROM (
+       |  SELECT a.label AS label, a.vec_id AS $aName, b.vec_id AS $bName,
+       |    round(${dotFn("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) AS cos_sim
+       |  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id) t
+       |WHERE cos_sim >= $tau
+       |ORDER BY label, $aName, $bName""".stripMargin
+
+  private def pairSqlSpark(tau: Double, aName: String, bName: String): String =
+    pairSql(dot, tau, aName, bName)
+
+  private def pairSqlDuck(tau: Double, aName: String, bName: String): String =
+    pairSql(odot, tau, aName, bName)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_vec_norms" -> ((s, sf) => {
       Tables.embeddings(s, sf).createOrReplaceTempView("embeddings")
@@ -68,28 +87,19 @@ object VectorOps {
            |LIMIT 10""".stripMargin)
     }),
 
+    // Per-vector norms are hoisted into an O(N) subquery so each pair costs
+    // ONE dot product; the threshold filters on the aliased column in an
+    // outer query (no expression recompute). Same shape in the oracle.
     "q_vec_pairs_threshold" -> ((s, sf) => {
       Tables.embeddings(s, sf).createOrReplaceTempView("embeddings")
-      s.sql(
-        s"""SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
-           |  ${cosSpark("a.embedding", "b.embedding")} AS cos_sim
-           |FROM embeddings a JOIN embeddings b
-           |  ON a.label = b.label AND a.vec_id < b.vec_id
-           |WHERE ${cosSpark("a.embedding", "b.embedding")} >= 0.25
-           |ORDER BY a.label, vec_a, vec_b""".stripMargin)
+      s.sql(pairSqlSpark(0.25, "vec_a", "vec_b"))
     }),
 
     // Embedding-cosine near-dup: same blocked pair scan at a higher
     // threshold, emitted as (keep, dup) candidates.
     "q_dedup_embedding" -> ((s, sf) => {
       Tables.embeddings(s, sf).createOrReplaceTempView("embeddings")
-      s.sql(
-        s"""SELECT a.label, a.vec_id AS keep_id, b.vec_id AS dup_id,
-           |  ${cosSpark("a.embedding", "b.embedding")} AS cos_sim
-           |FROM embeddings a JOIN embeddings b
-           |  ON a.label = b.label AND a.vec_id < b.vec_id
-           |WHERE ${cosSpark("a.embedding", "b.embedding")} >= 0.4
-           |ORDER BY a.label, keep_id, dup_id""".stripMargin)
+      s.sql(pairSqlSpark(0.4, "keep_id", "dup_id"))
     }),
 
     // ANN scale path: random-hyperplane LSH (MLlib BucketedRandomProjection
@@ -139,20 +149,8 @@ object VectorOps {
          |ORDER BY cos_sim DESC, vec_id
          |LIMIT 10""".stripMargin,
 
-    "q_vec_pairs_threshold" ->
-      s"""SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
-         |  ${cosDuck("a.embedding", "b.embedding")} AS cos_sim
-         |FROM embeddings a JOIN embeddings b
-         |  ON a.label = b.label AND a.vec_id < b.vec_id
-         |WHERE ${cosDuck("a.embedding", "b.embedding")} >= 0.25
-         |ORDER BY a.label, vec_a, vec_b""".stripMargin,
+    "q_vec_pairs_threshold" -> pairSqlDuck(0.25, "vec_a", "vec_b"),
 
-    "q_dedup_embedding" ->
-      s"""SELECT a.label, a.vec_id AS keep_id, b.vec_id AS dup_id,
-         |  ${cosDuck("a.embedding", "b.embedding")} AS cos_sim
-         |FROM embeddings a JOIN embeddings b
-         |  ON a.label = b.label AND a.vec_id < b.vec_id
-         |WHERE ${cosDuck("a.embedding", "b.embedding")} >= 0.4
-         |ORDER BY a.label, keep_id, dup_id""".stripMargin
+    "q_dedup_embedding" -> pairSqlDuck(0.4, "keep_id", "dup_id")
   )
 }
