@@ -20,11 +20,11 @@ object SparkEntry {
     ScanOps.queries ++ FilterOps.queries ++ JoinOps.queries ++ AggOps.queries ++
       WindowOps.queries ++ SortOps.queries ++ SetOps.queries ++ FnOps.queries ++
       TextOps.queries ++ VectorOps.queries ++ UdfOps.queries ++
-      graft.multimodal.Multimodal.queries
+      ReshapeOps.queries ++ graft.multimodal.Multimodal.queries
 
   def oracleSql: Map[String, String] =
     ScanOps.oracle ++ FilterOps.oracle ++ JoinOps.oracle ++ AggOps.oracle ++
       WindowOps.oracle ++ SortOps.oracle ++ SetOps.oracle ++ FnOps.oracle ++
       TextOps.oracle ++ VectorOps.oracle ++ UdfOps.oracle ++
-      graft.multimodal.Multimodal.oracle
+      ReshapeOps.oracle ++ graft.multimodal.Multimodal.oracle
 }

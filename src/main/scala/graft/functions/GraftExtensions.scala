@@ -1,0 +1,36 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Engine extension point (SURVEY §2 T12 / §4.3): custom Catalyst functions
+  * injected via `SparkSessionExtensions`.
+  *
+  * Production path: `--conf spark.sql.extensions=graft.functions.GraftExtensions`
+  * (or `.withExtensions` on the builder). For sessions created before the
+  * conf could be applied, `GraftFunctions.register(spark)` installs the same
+  * builders into the live registry — the query layer calls it defensively so
+  * `vec_dot` is always resolvable.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction(GraftFunctions.vecDotDescriptor)
+}
+
+object GraftFunctions {
+  private def builder(children: Seq[Expression]): Expression = {
+    require(children.size == 2, s"vec_dot expects 2 arguments, got ${children.size}")
+    VecDot(children.head, children(1))
+  }
+
+  val vecDotDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    new FunctionIdentifier("vec_dot"),
+    new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+    builder _)
+
+  /** Idempotent registration into an already-running session. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction("vec_dot", builder, "built-in")
+}

@@ -23,9 +23,11 @@ import org.apache.spark.sql.types._
   */
 object VectorOps {
 
-  /** Spark-SQL dot product, deterministic left fold over doubles. */
-  private def dot(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+  /** Spark-side dot product: the fused codegen expression
+    * [[graft.functions.VecDot]] — bit-equal to the lambda formulation
+    * `aggregate(zip_with(a, b, (x,y) -> CAST(x AS DOUBLE)*CAST(y AS DOUBLE)), 0D, (acc,v) -> acc+v)`
+    * (same element order, same left fold) but a tight primitive loop. */
+  private def dot(a: String, b: String): String = s"vec_dot($a, $b)"
 
   /** DuckDB twin of [[dot]] — same element order, same fold order. */
   private def odot(a: String, b: String): String =
@@ -58,6 +60,7 @@ object VectorOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_vec_norms" -> ((s, sf) => {
+      graft.functions.GraftFunctions.register(s)
       Tables.embeddings(s, sf).createOrReplaceTempView("embeddings")
       s.sql(
         s"""WITH x AS (SELECT label, posexplode(embedding) AS (pos, v) FROM embeddings),
@@ -77,6 +80,7 @@ object VectorOps {
     }),
 
     "q_vec_knn_cosine" -> ((s, sf) => {
+      graft.functions.GraftFunctions.register(s)
       Tables.embeddings(s, sf).createOrReplaceTempView("embeddings")
       s.sql(
         s"""WITH probe AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0)
@@ -91,6 +95,7 @@ object VectorOps {
     // ONE dot product; the threshold filters on the aliased column in an
     // outer query (no expression recompute). Same shape in the oracle.
     "q_vec_pairs_threshold" -> ((s, sf) => {
+      graft.functions.GraftFunctions.register(s)
       Tables.embeddings(s, sf).createOrReplaceTempView("embeddings")
       s.sql(pairSqlSpark(0.25, "vec_a", "vec_b"))
     }),
@@ -98,6 +103,7 @@ object VectorOps {
     // Embedding-cosine near-dup: same blocked pair scan at a higher
     // threshold, emitted as (keep, dup) candidates.
     "q_dedup_embedding" -> ((s, sf) => {
+      graft.functions.GraftFunctions.register(s)
       Tables.embeddings(s, sf).createOrReplaceTempView("embeddings")
       s.sql(pairSqlSpark(0.4, "keep_id", "dup_id"))
     }),

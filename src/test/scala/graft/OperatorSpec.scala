@@ -150,6 +150,20 @@ class OperatorSpec extends AnyFunSuite with SparkSessionTest {
     assert(small.thumb_w == 32 && small.thumb_h == 16) // no upscale
   }
 
+  test("vec_dot expression is bit-equal to the lambda fold") {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.embeddings(spark, sf0001).createOrReplaceTempView("embeddings")
+    val diff = spark.sql(
+      """SELECT max(abs(vec_dot(embedding, embedding) -
+        |  aggregate(zip_with(embedding, embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+        |            CAST(0 AS DOUBLE), (acc, v) -> acc + v))) AS d
+        |FROM embeddings""".stripMargin).head().getDouble(0)
+    assert(diff == 0.0) // identical fold order → bit-equal, not merely close
+    // null propagation
+    val n = spark.sql("SELECT vec_dot(CAST(NULL AS ARRAY<FLOAT>), array(CAST(1.0 AS FLOAT)))").head()
+    assert(n.isNullAt(0))
+  }
+
   test("typed variance aggregator matches moment formula") {
     import spark.implicits._
     val xs = Seq(1.0, 2.0, 3.0, 4.0, 10.0)
