@@ -109,16 +109,22 @@ object JoinOps {
         .orderBy("user_id")
     }),
 
+    // As-of via join + max(struct(date, key)) hash aggregate rather than a
+    // window rank: the aggregate is partially combinable map-side (the
+    // joined rows never all meet in one sort), which is the shape that
+    // survives 100×. Lexicographic struct max == (date DESC, key DESC)
+    // row_number()=1 — the oracle keeps the rank formulation to prove the
+    // equivalence.
     "q_join_asof" -> ((s, sf) => {
-      import org.apache.spark.sql.expressions.Window
       val e = eventsTs(s, sf).select("event_id", "user_id", "ts_s")
       val o = Tables.orders(s, sf).select("o_orderkey", "o_custkey", "o_orderdate")
-      val w = Window.partitionBy("event_id")
-        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
       e.join(o, col("o_custkey") === col("user_id") && col("o_orderdate") <= col("ts_s"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select("event_id", "user_id", "o_orderkey", "o_orderdate")
+        .groupBy("event_id", "user_id")
+        .agg(max(struct(col("o_orderdate"), col("o_orderkey"))).as("m"))
+        .select(
+          col("event_id"), col("user_id"),
+          col("m.o_orderkey").as("o_orderkey"),
+          col("m.o_orderdate").as("o_orderdate"))
         .orderBy("event_id")
     })
   )

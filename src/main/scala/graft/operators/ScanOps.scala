@@ -69,8 +69,43 @@ object ScanOps {
         .select(
           col("event_id"),
           get_json_object(col("props"), "$.k").cast(IntegerType).as("k"))
-        .orderBy("event_id"))
+        .orderBy("event_id")),
+
+    "q_ingest_jsonl" -> ((s, sf) => {
+      val lineCols = array(jsonlLines.map(lit): _*)
+      s.range(1)
+        .select(posexplode(lineCols).as(Seq("line_id", "line")))
+        .select(
+          col("line_id"),
+          from_json(col("line"), org.apache.spark.sql.types.StructType.fromDDL(
+            "host STRING, status INT, bytes BIGINT")).as("r"))
+        .select(col("line_id"), col("r.host").as("host"),
+          col("r.status").as("status"), col("r.bytes").as("bytes"))
+        .orderBy("line_id")
+    }),
+
+    "q_ingest_csv" -> ((s, sf) => {
+      val lineCols = array(csvLines.map(lit): _*)
+      s.range(1)
+        .select(posexplode(lineCols).as(Seq("line_id", "line")))
+        .select(
+          col("line_id"),
+          from_csv(col("line"), org.apache.spark.sql.types.StructType.fromDDL(
+            "host STRING, status INT, bytes BIGINT"), Map.empty[String, String]).as("r"))
+        .select(col("line_id"), col("r.host").as("host"),
+          col("r.status").as("status"), col("r.bytes").as("bytes"))
+        .orderBy("line_id")
+    })
   )
+
+  private val jsonlLines: Seq[String] = Seq(
+    """{"host": "web01", "status": 200, "bytes": 512}""",
+    """{"host": "web01", "status": 404, "bytes": 48}""",
+    """{"host": "db01", "status": 500, "bytes": 1024}""",
+    """{"host": "app02", "status": 200, "bytes": 2048}""")
+
+  private val csvLines: Seq[String] = Seq(
+    "web01,200,512", "web01,404,48", "db01,500,1024", "app02,200,2048")
 
   /** Oracle VALUES list generated from the same literal lines. */
   private val syslogValues: String =
@@ -106,6 +141,28 @@ object ScanOps {
 
     "q_ingest_json_events" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
-        |FROM events ORDER BY event_id""".stripMargin
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_ingest_jsonl" -> {
+      val values = jsonlLines.zipWithIndex
+        .map { case (l, i) => s"($i, '${l.replace("'", "''")}')" }.mkString(", ")
+      s"""SELECT line_id,
+         |  json_extract_string(line, '$$.host') AS host,
+         |  CAST(json_extract_string(line, '$$.status') AS INTEGER) AS status,
+         |  CAST(json_extract_string(line, '$$.bytes') AS BIGINT) AS bytes
+         |FROM (VALUES $values) AS t(line_id, line)
+         |ORDER BY line_id""".stripMargin
+    },
+
+    "q_ingest_csv" -> {
+      val values = csvLines.zipWithIndex
+        .map { case (l, i) => s"($i, '$l')" }.mkString(", ")
+      s"""SELECT line_id,
+         |  string_split(line, ',')[1] AS host,
+         |  CAST(string_split(line, ',')[2] AS INTEGER) AS status,
+         |  CAST(string_split(line, ',')[3] AS BIGINT) AS bytes
+         |FROM (VALUES $values) AS t(line_id, line)
+         |ORDER BY line_id""".stripMargin
+    }
   )
 }

@@ -205,6 +205,31 @@ object TextOps {
       s.sql(nearDupSql(
         tokTable = "SELECT doc_id, lang, explode(array_distinct(split(text, ' '))) AS tok FROM documents",
         shift = "shiftleft(CAST(1 AS BIGINT), id - %d)"))
+    }),
+
+    // n-gram (bigram) Jaccard, estimated by MinHash signature overlap and
+    // *blocked on shared signature hashes* — candidate pairs come from an
+    // inverted index on the k=8 smallest md5(bigram) values, never from an
+    // all-pairs scan. shared/k estimates Jaccard; shared >= 6 ≈ j >= 0.75.
+    // This signature-join IS the 100 TB shape (cost ∝ docs sharing a
+    // min-hash, not docs²); md5 keeps the permutation portable across
+    // engines so even this approximate operator is exactly oracle-checked.
+    "q_dedup_ngram" -> ((s, sf) => {
+      Tables.documents(s, sf).createOrReplaceTempView("documents")
+      s.sql(
+        """WITH d AS (SELECT doc_id, lang, split(text, ' ') AS toks FROM documents),
+          |sig AS (SELECT doc_id, lang,
+          |          explode(slice(sort_array(transform(array_distinct(
+          |            zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1),
+          |                     (x, y) -> concat(x, ' ', y))), b -> md5(b))), 1, 8)) AS h
+          |        FROM d)
+          |SELECT a.lang AS lang, a.doc_id AS doc_id, b.doc_id AS doc_id_b,
+          |  count(*) AS shared
+          |FROM sig a JOIN sig b
+          |  ON a.lang = b.lang AND a.h = b.h AND a.doc_id < b.doc_id
+          |GROUP BY a.lang, a.doc_id, b.doc_id
+          |HAVING count(*) >= 6
+          |ORDER BY lang, doc_id, doc_id_b""".stripMargin)
     })
   )
 
@@ -307,6 +332,22 @@ object TextOps {
 
     "q_dedup_near" -> nearDupSql(
       tokTable = "SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents",
-      shift = "(CAST(1 AS BIGINT) << (id - %d))")
+      shift = "(CAST(1 AS BIGINT) << (id - %d))"),
+
+    "q_dedup_ngram" ->
+      """WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+        |sig AS (SELECT doc_id, lang,
+        |          unnest(list_slice(list_sort(list_transform(list_distinct(
+        |            list_transform(list_zip(list_slice(toks, 1, len(toks) - 1),
+        |                                    list_slice(toks, 2, len(toks))),
+        |                           p -> p[1] || ' ' || p[2])), b -> md5(b))), 1, 8)) AS h
+        |        FROM d)
+        |SELECT a.lang AS lang, a.doc_id AS doc_id, b.doc_id AS doc_id_b,
+        |  count(*) AS shared
+        |FROM sig a JOIN sig b
+        |  ON a.lang = b.lang AND a.h = b.h AND a.doc_id < b.doc_id
+        |GROUP BY a.lang, a.doc_id, b.doc_id
+        |HAVING count(*) >= 6
+        |ORDER BY lang, doc_id, doc_id_b""".stripMargin
   )
 }

@@ -58,6 +58,42 @@ object VectorOps {
   private def pairSqlDuck(tau: Double, aName: String, bName: String): String =
     pairSql(odot, tau, aName, bName)
 
+  /** IVF-style ANN: codebook = per-label mean vectors (one deterministic
+    * k-means step), every vector assigned to its nearest centroid (coarse
+    * quantization), probe searches only the nprobe=2 nearest cells. The
+    * scan cost is |probed cells|, not N — the inverted-file structure that
+    * scales; and because the codebook is deterministic, even this
+    * *approximate* index is exactly oracle-checked. */
+  private def ivfSql(dotFn: (String, String) => String, explodeCte: String,
+                     assemble: String): String = {
+    def dist2(e: String, c: String) =
+      s"(${dotFn(e, e)} - 2 * ${dotFn(e, c)} + ${dotFn(c, c)})"
+    s"""WITH x AS ($explodeCte),
+       |mm AS (SELECT label AS cid, pos,
+       |         CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(30,12))) AS DOUBLE) / COUNT(v) AS mv
+       |       FROM x GROUP BY label, pos),
+       |cent AS (SELECT cid, $assemble AS cvec FROM mm GROUP BY cid),
+       |asgn AS (SELECT vec_id, label, embedding, cid FROM (
+       |    SELECT e.vec_id, e.label, e.embedding, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |                         ORDER BY ${dist2("e.embedding", "c.cvec")}, c.cid) AS rn
+       |    FROM embeddings e CROSS JOIN cent c) t
+       |  WHERE rn = 1),
+       |probe AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0),
+       |pcell AS (SELECT cid FROM (
+       |    SELECT c.cid,
+       |      row_number() OVER (ORDER BY ${dist2("p.pe", "c.cvec")}, c.cid) AS rn
+       |    FROM cent c CROSS JOIN probe p) t
+       |  WHERE rn <= 2)
+       |SELECT vec_id, label,
+       |  round(${dotFn("embedding", "pe")} /
+       |        (sqrt(${dotFn("embedding", "embedding")}) * sqrt(${dotFn("pe", "pe")})), 6) AS cos_sim
+       |FROM asgn CROSS JOIN probe
+       |WHERE cid IN (SELECT cid FROM pcell) AND vec_id <> 0
+       |ORDER BY cos_sim DESC, vec_id
+       |LIMIT 10""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_vec_norms" -> ((s, sf) => {
       graft.functions.GraftFunctions.register(s)
@@ -108,6 +144,15 @@ object VectorOps {
       s.sql(pairSqlSpark(0.4, "keep_id", "dup_id"))
     }),
 
+    "q_vec_ann_ivf" -> ((s, sf) => {
+      graft.functions.GraftFunctions.register(s)
+      Tables.embeddings(s, sf).createOrReplaceTempView("embeddings")
+      s.sql(ivfSql(
+        dot,
+        explodeCte = "SELECT label, posexplode(embedding) AS (pos, v) FROM embeddings",
+        assemble = "transform(array_sort(collect_list(struct(pos, mv))), s -> CAST(s.mv AS FLOAT))"))
+    }),
+
     // ANN scale path: random-hyperplane LSH (MLlib BucketedRandomProjection
     // over the ~unit-norm vectors ≈ angular distance), fixed seed. Approx →
     // no SQL oracle (rows-only check); recall vs brute force is asserted in
@@ -154,6 +199,11 @@ object VectorOps {
          |WHERE vec_id <> 0
          |ORDER BY cos_sim DESC, vec_id
          |LIMIT 10""".stripMargin,
+
+    "q_vec_ann_ivf" -> ivfSql(
+      odot,
+      explodeCte = "SELECT label, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS v FROM embeddings",
+      assemble = "list_transform(list(mv ORDER BY pos), x -> CAST(x AS FLOAT))"),
 
     "q_vec_pairs_threshold" -> pairSqlDuck(0.25, "vec_a", "vec_b"),
 

@@ -141,6 +141,20 @@ class OperatorSpec extends AnyFunSuite with SparkSessionTest {
     assert(res == Map(100L -> 2L)) // event 101 predates all orders → dropped
   }
 
+  test("partitioned sink round-trips with partition pruning layout") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val ev = Tables.events(spark, sf0001)
+    graft.sources.Sinks.writePartitioned(ev, dir, Seq("event_type"))
+    val back = spark.read.parquet(dir)
+    assert(back.count() == ev.count())
+    // hive-style layout → one directory per type
+    val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.count(_.startsWith("event_type=")) == 5)
+    // a filter on the partition column prunes at planning time
+    val pruned = back.filter(col("event_type") === "error")
+    assert(pruned.count() == ev.filter(col("event_type") === "error").count())
+  }
+
   test("multimodal fake codec golden") {
     val r = Multimodal.MediaRecord(7L, "image/fake", 640, 480, Array[Byte](0, 2, 4))
     val f = Multimodal.FakeCodec.features(r)
