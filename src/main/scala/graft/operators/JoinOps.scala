@@ -126,6 +126,18 @@ object JoinOps {
           col("m.o_orderkey").as("o_orderkey"),
           col("m.o_orderdate").as("o_orderdate"))
         .orderBy("event_id")
+    }),
+
+    // Same semantics through the custom operator stack (graft.plans.AsOf):
+    // logical AsOfJoinPlan → AsOfJoinStrategy → AsOfMergeJoinExec, a
+    // co-partitioned streaming merge with no join explosion. Checked
+    // against the identical rank-based oracle as q_join_asof.
+    "q_join_asof_custom" -> ((s, sf) => {
+      val e = eventsTs(s, sf).select("event_id", "user_id", "ts_s")
+      val o = Tables.orders(s, sf).select("o_orderkey", "o_custkey", "o_orderdate")
+      graft.plans.AsOf.join(e, o, "user_id", "o_custkey", "ts_s", "o_orderdate", "o_orderkey")
+        .select("event_id", "user_id", "o_orderkey", "o_orderdate")
+        .orderBy("event_id")
     })
   )
 
@@ -195,6 +207,17 @@ object JoinOps {
         | AND abs(a.sec - b.sec) <= 3600
         |GROUP BY a.user_id
         |ORDER BY a.user_id""".stripMargin,
+
+    "q_join_asof_custom" ->
+      """SELECT event_id, user_id, o_orderkey, o_orderdate FROM (
+        |  SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |                       ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM events e
+        |  JOIN orders o ON o.o_custkey = e.user_id
+        |               AND o.o_orderdate <= CAST(date_trunc('second', e.ts) AS TIMESTAMP)
+        |) t WHERE rn = 1
+        |ORDER BY event_id""".stripMargin,
 
     "q_join_asof" ->
       """SELECT event_id, user_id, o_orderkey, o_orderdate FROM (

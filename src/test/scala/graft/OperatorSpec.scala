@@ -155,6 +155,27 @@ class OperatorSpec extends AnyFunSuite with SparkSessionTest {
     assert(pruned.count() == ev.filter(col("event_type") === "error").count())
   }
 
+  test("custom as-of merge join: plan shape and golden semantics") {
+    import spark.implicits._
+    val ev = Seq((100L, 1L, "2024-01-10 00:00:00"), (101L, 1L, "2024-01-01 00:00:00"),
+      (102L, 2L, "2024-01-10 00:00:00"))
+      .toDF("event_id", "user_id", "ts_str")
+      .withColumn("ts_s", to_timestamp($"ts_str")).drop("ts_str")
+    val ord = Seq(
+      (1L, 1L, "2024-01-05 00:00:00"),
+      (2L, 1L, "2024-01-05 00:00:00"), // same date: larger key must win
+      (3L, 1L, "2024-02-01 00:00:00"))
+      .toDF("o_orderkey", "o_custkey", "od_str")
+      .withColumn("o_orderdate", to_timestamp($"od_str")).drop("od_str")
+    val res = graft.plans.AsOf.join(ev, ord, "user_id", "o_custkey", "ts_s", "o_orderdate", "o_orderkey")
+    // physical plan actually uses the custom operator
+    assert(res.queryExecution.executedPlan.toString.contains("AsOfMergeJoin"))
+    val got = res.select("event_id", "o_orderkey").as[(Long, Long)].collect().toMap
+    // event 100 → order 2 (tie on date broken by larger key); 101 predates
+    // all orders; user 2 has no orders → both dropped (inner)
+    assert(got == Map(100L -> 2L))
+  }
+
   test("multimodal fake codec golden") {
     val r = Multimodal.MediaRecord(7L, "image/fake", 640, 480, Array[Byte](0, 2, 4))
     val f = Multimodal.FakeCodec.features(r)
