@@ -66,7 +66,9 @@ object FilterOps {
           when(col("l_quantity") > 40, "bulk")
             .when(col("l_quantity") > 20, "mid")
             .otherwise("small").as("qty_bucket"))
-        .orderBy("l_orderkey", "l_linenumber"))
+        // (l_orderkey, l_linenumber) is not unique: order by the full
+        // emitted list so ties are identical rows (hash-order-proof)
+        .orderBy("l_orderkey", "l_linenumber", "net", "qty_bucket"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -103,6 +105,6 @@ object FilterOps {
         |  CASE WHEN l_quantity > 40 THEN 'bulk'
         |       WHEN l_quantity > 20 THEN 'mid'
         |       ELSE 'small' END AS qty_bucket
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, net, qty_bucket""".stripMargin
   )
 }

@@ -68,7 +68,10 @@ object FnOps {
           signum(col("l_discount") - 0.05).cast(LongType).as("sg"),
           greatest(col("l_quantity"), col("l_discount") * 100).as("gr"),
           least(col("l_quantity"), col("l_tax") * 100).as("ls"))
-        .orderBy("l_orderkey", "l_linenumber")),
+        // (l_orderkey, l_linenumber) is not unique: order by the full
+        // emitted list so ties are identical rows (hash-order-proof)
+        .orderBy("l_orderkey", "l_linenumber", "r2", "flr", "cl", "ab", "p2",
+          "sq", "ex", "lg", "lg10", "pm", "sg", "gr", "ls")),
 
     "q_fn_array" -> ((s, sf) =>
       Tables.documents(s, sf)
@@ -164,7 +167,8 @@ object FnOps {
         |  CAST(sign(l_discount - 0.05) AS BIGINT) AS sg,
         |  greatest(l_quantity, l_discount * 100) AS gr,
         |  least(l_quantity, l_tax * 100) AS ls
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, r2, flr, cl, ab, p2, sq, ex, lg, lg10, pm, sg, gr, ls""".stripMargin,
 
     "q_fn_array" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)

@@ -38,7 +38,8 @@ object JoinOps {
       Tables.lineitem(s, sf)
         .join(broadcast(Tables.part(s, sf)), col("l_partkey") === col("p_partkey"))
         .select("l_orderkey", "l_linenumber", "p_brand", "p_type")
-        .orderBy("l_orderkey", "l_linenumber")),
+        // (l_orderkey, l_linenumber) is not unique: full emitted list
+        .orderBy("l_orderkey", "l_linenumber", "p_brand", "p_type")),
 
     "q_join_multiway" -> ((s, sf) =>
       Tables.orders(s, sf)
@@ -150,7 +151,7 @@ object JoinOps {
     "q_join_broadcast" ->
       """SELECT l_orderkey, l_linenumber, p_brand, p_type
         |FROM lineitem JOIN part ON l_partkey = p_partkey
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, p_brand, p_type""".stripMargin,
 
     "q_join_multiway" ->
       s"""SELECT r_name, n_name, count(*) AS cnt, ${OracleDet.dsum("o_totalprice")} AS revenue

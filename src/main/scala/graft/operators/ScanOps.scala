@@ -37,14 +37,16 @@ object ScanOps {
     "q_scan_project" -> ((s, sf) =>
       Tables.lineitem(s, sf)
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
-        .orderBy("l_orderkey", "l_linenumber")),
+        // (l_orderkey, l_linenumber) is NOT unique in this corpus: order by
+        // the full emitted list so ties are identical rows (hash-order-proof)
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")),
 
     "q_scan_schema_assert" -> ((s, sf) =>
       // Explicit expected schema: fail fast on upstream drift instead of
       // silently inferring; also guarantees the pruned ReadSchema.
       s.read.schema(Tables.lineitemSchema).parquet(s"$sf/lineitem.parquet")
         .select("l_orderkey", "l_linenumber", "l_returnflag", "l_shipdate")
-        .orderBy("l_orderkey", "l_linenumber")),
+        .orderBy("l_orderkey", "l_linenumber", "l_returnflag", "l_shipdate")),
 
     "q_ingest_syslog" -> ((s, sf) => {
       val lineCols = array(syslogLines.map(lit): _*)
@@ -120,11 +122,13 @@ object ScanOps {
   val oracle: Map[String, String] = Map(
     "q_scan_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice""".stripMargin,
 
     "q_scan_schema_assert" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag, l_shipdate
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, l_returnflag, l_shipdate""".stripMargin,
 
     "q_ingest_syslog" ->
       s"""SELECT line_id,

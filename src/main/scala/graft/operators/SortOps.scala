@@ -46,9 +46,12 @@ object SortOps {
 
     "q_limit_offset" -> ((s, sf) => {
       Tables.lineitem(s, sf).createOrReplaceTempView("lineitem")
+      // (l_orderkey, l_linenumber) is not unique: include l_quantity so the
+      // offset slice falls on a deterministic boundary (ties that remain
+      // are fully identical rows)
       s.sql(
         """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
-          |ORDER BY l_orderkey, l_linenumber
+          |ORDER BY l_orderkey, l_linenumber, l_quantity
           |LIMIT 20 OFFSET 100""".stripMargin)
     })
   )
@@ -75,7 +78,7 @@ object SortOps {
 
     "q_limit_offset" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
-        |ORDER BY l_orderkey, l_linenumber
+        |ORDER BY l_orderkey, l_linenumber, l_quantity
         |LIMIT 20 OFFSET 100""".stripMargin
   )
 }
