@@ -94,10 +94,13 @@ object TextOps {
       val d = docs(s, sf)
       val tf = d.select(col("doc_id"), explode(col("toks")).as("word"))
         .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-      val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
+      // document frequency as a window count over the tf relation — one
+      // shuffle on `word` replaces the groupBy + join pair (tf is unique
+      // per (doc, word), so count-over-partition == docs containing word)
       val n = Tables.documents(s, sf).agg(count(lit(1)).as("n_docs"))
+      val wDf = Window.partitionBy("word")
       val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("word"))
-      tf.join(df, "word")
+      tf.withColumn("df", count(lit(1)).over(wDf))
         .crossJoin(broadcast(n))
         .withColumn("score", col("tf") * log(col("n_docs") / col("df")))
         .withColumn("rn", row_number().over(w).cast(LongType))
