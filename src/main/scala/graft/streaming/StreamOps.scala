@@ -73,6 +73,29 @@ object StreamOps {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join: purchases within 30 minutes after a
+    * click by the same user. Watermarks on both sides bound the join state
+    * (without them the runtime must keep every past row — the 100 TB
+    * failure mode); the interval condition lets the engine evict state
+    * once the watermark passes `click.ts + 30 min`. */
+  def clickToPurchase(clicks: DataFrame, purchases: DataFrame): DataFrame =
+    clicks.withWatermark("ts", "10 minutes").alias("c")
+      .join(
+        purchases.withWatermark("ts", "10 minutes").alias("p"),
+        expr("""c.user_id = p.user_id AND
+                p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTES"""))
+      .select(
+        col("c.event_id").as("click_id"),
+        col("p.event_id").as("purchase_id"),
+        col("c.user_id").as("user_id"))
+
+  /** Micro-batch sink via foreachBatch: append each batch as parquet.
+    * The (batchId, data) contract is where exactly-once sinks hook in. */
+  def sinkForeachBatch(df: DataFrame, path: String) =
+    df.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      batch.write.mode("append").parquet(path)
+    }
+
   /** Custom stateful sessionization: 30-min inactivity gap, event-time
     * timeout. Emits one row per closed session. */
   def statefulSessionize(s: SparkSession, events: Dataset[Event]): Dataset[SessionOut] = {

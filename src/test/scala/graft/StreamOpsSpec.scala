@@ -93,6 +93,38 @@ class StreamOpsSpec extends AnyFunSuite with SparkSessionTest {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches purchases within 30 minutes") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val q = StreamOps.clickToPurchase(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("t_ssj").outputMode("append").start()
+    try {
+      clicks.addData(ev(1, "2024-01-01 10:00:00"))
+      purchases.addData(
+        ev(50, "2024-01-01 10:10:00", typ = "purchase"),   // within 30 min → match
+        ev(51, "2024-01-01 11:30:00", typ = "purchase"),   // outside → no match
+        ev(52, "2024-01-01 10:10:00", u = 9, typ = "purchase")) // other user → no match
+      q.processAllAvailable()
+      val rows = spark.table("t_ssj").collect()
+      assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 50L)))
+    } finally q.stop()
+  }
+
+  test("foreachBatch sink appends each micro-batch as parquet") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_fb").toString
+    val ms = MemoryStream[Event]
+    val q = StreamOps.sinkForeachBatch(ms.toDF(), s"$dir/out").start()
+    try {
+      ms.addData(ev(1, "2024-01-01 10:00:00")); q.processAllAvailable()
+      ms.addData(ev(2, "2024-01-01 10:01:00")); q.processAllAvailable()
+      assert(spark.read.parquet(s"$dir/out").count() == 2)
+    } finally q.stop()
+  }
+
   test("stateful sessionize emits closed sessions with event-time timeout") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
