@@ -139,6 +139,20 @@ object JoinOps {
       graft.plans.AsOf.join(e, o, "user_id", "o_custkey", "ts_s", "o_orderdate", "o_orderkey")
         .select("event_id", "user_id", "o_orderkey", "o_orderdate")
         .orderBy("event_id")
+    }),
+
+    // Left-outer as-of through the same custom operator: the right side is
+    // restricted to high-value orders so a real fraction of events has no
+    // match and must null-extend.
+    "q_join_asof_outer" -> ((s, sf) => {
+      val e = eventsTs(s, sf).select("event_id", "user_id", "ts_s")
+      val o = Tables.orders(s, sf)
+        .filter(col("o_totalprice") > 300000.0)
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+      graft.plans.AsOf.join(e, o, "user_id", "o_custkey", "ts_s", "o_orderdate",
+          "o_orderkey", leftOuter = true)
+        .select("event_id", "user_id", "o_orderkey", "o_orderdate")
+        .orderBy("event_id")
     })
   )
 
@@ -217,6 +231,19 @@ object JoinOps {
         |  FROM events e
         |  JOIN orders o ON o.o_custkey = e.user_id
         |               AND o.o_orderdate <= CAST(date_trunc('second', e.ts) AS TIMESTAMP)
+        |) t WHERE rn = 1
+        |ORDER BY event_id""".stripMargin,
+
+    "q_join_asof_outer" ->
+      """SELECT event_id, user_id, o_orderkey, o_orderdate FROM (
+        |  SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |                       ORDER BY o.o_orderdate DESC NULLS LAST,
+        |                                o.o_orderkey DESC NULLS LAST) AS rn
+        |  FROM events e
+        |  LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 300000.0) o
+        |    ON o.o_custkey = e.user_id
+        |   AND o.o_orderdate <= CAST(date_trunc('second', e.ts) AS TIMESTAMP)
         |) t WHERE rn = 1
         |ORDER BY event_id""".stripMargin,
 

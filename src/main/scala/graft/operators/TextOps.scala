@@ -41,7 +41,7 @@ object TextOps {
   /** Shared SQL skeleton for the bitmap Jaccard join; `tokTable` yields
     * (doc_id, lang, tok) with per-doc-distinct tokens, `shift` is the
     * engine's bit-shift spelling with a %d word-offset slot. */
-  private def nearDupSql(tokTable: String, shift: String): String = {
+  private[graft] def nearDupSql(tokTable: String, shift: String): String = {
     val words = (0 until 4).map { w =>
       val lo = w * 64; val hi = lo + 63
       s"bit_or(CASE WHEN id BETWEEN $lo AND $hi THEN ${shift.format(lo)} ELSE CAST(0 AS BIGINT) END) AS m$w"

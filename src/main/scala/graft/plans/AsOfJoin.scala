@@ -33,8 +33,10 @@ case class AsOfJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, rightKey: Expression,
     leftTime: Expression, rightTime: Expression,
-    rightTie: Expression) extends BinaryNode {
-  override def output: Seq[Attribute] = left.output ++ right.output
+    rightTie: Expression, isLeftOuter: Boolean) extends BinaryNode {
+  override def output: Seq[Attribute] =
+    if (isLeftOuter) left.output ++ right.output.map(_.withNullability(true))
+    else left.output ++ right.output
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
     copy(left = newLeft, right = newRight)
@@ -42,8 +44,8 @@ case class AsOfJoinPlan(
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tie) =>
-      AsOfMergeJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tie) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tie, outer) =>
+      AsOfMergeJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tie, outer) :: Nil
     case _ => Nil
   }
 }
@@ -52,9 +54,11 @@ case class AsOfMergeJoinExec(
     left: SparkPlan, right: SparkPlan,
     leftKey: Expression, rightKey: Expression,
     leftTime: Expression, rightTime: Expression,
-    rightTie: Expression) extends BinaryExecNode {
+    rightTie: Expression, isLeftOuter: Boolean) extends BinaryExecNode {
 
-  override def output: Seq[Attribute] = left.output ++ right.output
+  override def output: Seq[Attribute] =
+    if (isLeftOuter) left.output ++ right.output.map(_.withNullability(true))
+    else left.output ++ right.output
 
   // one hash shuffle per side on the join key (co-partitioned like SMJ)
   override def requiredChildDistribution: Seq[Distribution] =
@@ -78,9 +82,12 @@ case class AsOfMergeJoinExec(
     val rkB = BindReferences.bindReference(rightKey, AttributeSeq(rOut))
     val rtB = BindReferences.bindReference(rightTime, AttributeSeq(rOut))
     val schema = output
+    val rightArity = right.output.size
+    val outer = isLeftOuter
     left.execute().zipPartitions(right.execute()) { (li, ri) =>
       new Iterator[InternalRow] {
         private val joined = new JoinedRow
+        private val nullRight = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(rightArity)
         private val proj = UnsafeProjection.create(schema.map(_.dataType).toArray)
         private var rHead: InternalRow = if (ri.hasNext) ri.next() else null
         private var cand: InternalRow = null
@@ -106,7 +113,9 @@ case class AsOfMergeJoinExec(
             }
             if (cand != null && candKey == k) {
               nextOut = proj(joined(l, cand))
-            } // else: no match for this left row — inner semantics, skip
+            } else if (outer) {
+              nextOut = proj(joined(l, nullRight)) // left-outer: null-extend
+            } // else: inner semantics, skip unmatched left rows
           }
         }
 
@@ -135,7 +144,7 @@ object AsOf {
   def join(leftDf: DataFrame, rightDf: DataFrame,
            leftKey: String, rightKey: String,
            leftTime: String, rightTime: String,
-           rightTie: String): DataFrame = {
+           rightTie: String, leftOuter: Boolean = false): DataFrame = {
     val spark = leftDf.sparkSession
     GraftBridge.addStrategy(spark, AsOfJoinStrategy)
     val lp = leftDf.queryExecution.analyzed
@@ -155,6 +164,6 @@ object AsOf {
       checked(attr(rp, rightKey), Set(LongType)),
       checked(attr(lp, leftTime), ts),
       checked(attr(rp, rightTime), ts),
-      checked(attr(rp, rightTie), Set(LongType))))
+      checked(attr(rp, rightTie), Set(LongType)), leftOuter))
   }
 }

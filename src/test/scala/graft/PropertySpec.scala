@@ -1,0 +1,94 @@
+package graft
+
+import graft.operators.TextOps
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Generative properties (SURVEY §5.2 layer 3): the clever encodings must
+  * equal their naive definitions on arbitrary inputs, not just the corpus. */
+class PropertySpec extends AnyFunSuite with SparkSessionTest {
+
+  /** Deterministic sampling from a Gen (no scalatest-plus bridge in the
+    * offline cache): fixed seeds, n draws. */
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).map(i => g.pureApply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val vocab: Vector[String] =
+    (0 until 200).map(i => f"w$i%03d").toVector // within the 256-token bitmap cap
+
+  private val docGen: Gen[List[String]] =
+    Gen.chooseNum(3, 40).flatMap(n => Gen.listOfN(n, Gen.oneOf(vocab)))
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("bitmap Jaccard pipeline == direct set Jaccard on random corpora") {
+    for (docs <- samples(Gen.listOfN(25, docGen), 4)) {
+      {
+        import spark.implicits._
+        docs.zipWithIndex.map { case (toks, i) => (i.toLong, "x", toks.mkString(" ")) }
+          .toDF("doc_id", "lang", "text")
+          .createOrReplaceTempView("documents")
+        val got = spark.sql(TextOps.nearDupSql(
+            tokTable = "SELECT doc_id, lang, explode(array_distinct(split(text, ' '))) AS tok FROM documents",
+            shift = "shiftleft(CAST(1 AS BIGINT), id - %d)"))
+          .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+        // naive reference: exact set jaccard + the same band prune + rounding
+        val sets = docs.map(_.toSet).zipWithIndex
+        val want = (for {
+          (a, i) <- sets; (b, j) <- sets if i < j
+          if math.min(a.size, b.size) * 10 >= math.max(a.size, b.size) * 9
+          inter = (a & b).size
+          j6 = round6(inter.toDouble / (a.size + b.size - inter))
+          if j6 >= 0.9
+        } yield (i.toLong, j.toLong, j6)).toSet
+        assert(got == want)
+      }
+    }
+  }
+
+  test("SimHash is invariant under token-order permutation") {
+    for ((doc, seed) <- samples(Gen.zip(docGen, Gen.long), 4)) {
+      {
+        import spark.implicits._
+        val shuffled = new scala.util.Random(seed).shuffle(doc)
+        Seq((1L, doc.mkString(" ")), (2L, shuffled.mkString(" ")))
+          .toDF("doc_id", "text")
+          .createOrReplaceTempView("d2")
+        val hashes = spark.sql(
+          """SELECT concat_ws('', transform(sequence(1, 16), j ->
+            |  CASE WHEN aggregate(split(text, ' '), 0, (acc, t) ->
+            |    acc + (CASE WHEN substring(md5(t), j, 1) IN ('8','9','a','b','c','d','e','f')
+            |           THEN 1 ELSE -1 END)) >= 0 THEN '1' ELSE '0' END)) AS h
+            |FROM d2""".stripMargin).collect().map(_.getString(0))
+        assert(hashes(0) == hashes(1)) // frequency-weighted → order-free
+      }
+    }
+  }
+
+  test("as-of result time is the max right time <= left time (generative)") {
+    val timesGen = Gen.listOfN(20, Gen.chooseNum(0L, 1000000L))
+    for ((lts, rts) <- samples(Gen.zip(timesGen, timesGen), 3)) {
+      {
+        import spark.implicits._
+        val l = lts.distinct.zipWithIndex
+          .map { case (t, i) => (i.toLong, 1L, new java.sql.Timestamp(t * 1000)) }
+          .toDF("event_id", "user_id", "ts_s")
+        val r = rts.distinct.zipWithIndex
+          .map { case (t, i) => (i.toLong, 1L, new java.sql.Timestamp(t * 1000)) }
+          .toDF("o_orderkey", "o_custkey", "o_orderdate")
+        val got = graft.plans.AsOf
+          .join(l, r, "user_id", "o_custkey", "ts_s", "o_orderdate", "o_orderkey", leftOuter = true)
+          .select("event_id", "o_orderdate").collect()
+          .map(row => row.getLong(0) -> Option(row.getTimestamp(1)).map(_.getTime / 1000)).toMap
+        val rsorted = rts.distinct.sorted
+        for ((t, i) <- lts.distinct.zipWithIndex) {
+          val expect = rsorted.takeWhile(_ <= t).lastOption
+          assert(got(i.toLong) == expect, s"left t=$t")
+        }
+      }
+    }
+  }
+}
