@@ -57,6 +57,17 @@ object FilterOps {
         .select("doc_id", "lang")
         .orderBy("doc_id")),
 
+    // Log-analytics time histogram: daily event counts with error rate.
+    "q_report_time_histogram" -> ((s, sf) =>
+      Tables.events(s, sf)
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          count(when(col("event_type") === "error", 1)).as("n_errors"),
+          round(count(when(col("event_type") === "error", 1)).cast("double") / count(lit(1)), 6)
+            .as("error_rate"))
+        .orderBy("day")),
+
     "q_project_derived" -> ((s, sf) =>
       Tables.lineitem(s, sf)
         .select(
@@ -98,6 +109,14 @@ object FilterOps {
       """SELECT doc_id, lang FROM documents
         |WHERE regexp_matches(text, '(join|merge) (window|stream)')
         |ORDER BY doc_id""".stripMargin,
+
+    "q_report_time_histogram" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |  count(*) AS n_events,
+        |  count(CASE WHEN event_type = 'error' THEN 1 END) AS n_errors,
+        |  round(CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS DOUBLE) / count(*), 6) AS error_rate
+        |FROM events
+        |GROUP BY 1 ORDER BY day""".stripMargin,
 
     "q_project_derived" ->
       """SELECT l_orderkey, l_linenumber,

@@ -86,6 +86,21 @@ object ScanOps {
         .orderBy("line_id")
     }),
 
+    // The reference genre's marquee report: failed-login attempts grouped
+    // by host and source IP, from raw auth-log lines.
+    "q_report_failed_logins" -> ((s, sf) => {
+      val lineCols = array(syslogLines.map(lit): _*)
+      s.range(1)
+        .select(posexplode(lineCols).as(Seq("line_id", "line")))
+        .filter(col("line").contains("Failed password"))
+        .select(
+          regexp_extract(col("line"), syslogPattern, 2).as("host"),
+          regexp_extract(col("line"), "from (\\d+\\.\\d+\\.\\d+\\.\\d+)", 1).as("src_ip"))
+        .groupBy("host", "src_ip")
+        .agg(count(lit(1)).as("attempts"))
+        .orderBy("host", "src_ip")
+    }),
+
     "q_ingest_csv" -> ((s, sf) => {
       val lineCols = array(csvLines.map(lit): _*)
       s.range(1)
@@ -146,6 +161,15 @@ object ScanOps {
     "q_ingest_json_events" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_report_failed_logins" ->
+      s"""SELECT regexp_extract(line, '$sqlPat', 2) AS host,
+         |  regexp_extract(line, 'from (\\d+\\.\\d+\\.\\d+\\.\\d+)', 1) AS src_ip,
+         |  count(*) AS attempts
+         |FROM (VALUES $syslogValues) AS t(line_id, line)
+         |WHERE line LIKE '%Failed password%'
+         |GROUP BY 1, 2
+         |ORDER BY host, src_ip""".stripMargin,
 
     "q_ingest_jsonl" -> {
       val values = jsonlLines.zipWithIndex

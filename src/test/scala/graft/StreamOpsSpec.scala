@@ -93,6 +93,24 @@ class StreamOpsSpec extends AnyFunSuite with SparkSessionTest {
     } finally q.stop()
   }
 
+  test("file-source ingest streams parquet through a windowed count") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest").toString
+    import spark.implicits._
+    // first files present before the stream starts; more arrive mid-stream
+    Seq(ev(1, "2024-01-01 10:00:10"), ev(2, "2024-01-01 10:00:40"))
+      .toDF().write.mode("append").parquet(dir)
+    val q = StreamOps.tumblingCounts(StreamOps.ingest(spark, dir))
+      .writeStream.format("memory").queryName("t_ingest").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      Seq(ev(3, "2024-01-01 10:00:50")).toDF().write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val cnt = spark.table("t_ingest")
+        .filter(col("w_start") === ts("2024-01-01 10:00:00")).head().getLong(2)
+      assert(cnt == 3) // discovered the late-arriving file
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches purchases within 30 minutes") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
