@@ -172,6 +172,17 @@ object AggOps {
           |ORDER BY event_type""".stripMargin)
     }),
 
+    "q_agg_bool_bit" -> ((s, sf) =>
+      Tables.events(s, sf)
+        .groupBy("event_type")
+        .agg(
+          bool_and(col("value") > 0.0).as("all_pos"),
+          bool_or(col("value") > 500.0).as("any_big"),
+          bit_and(col("user_id")).as("k_and"),
+          bit_or(col("user_id")).as("k_or"),
+          bit_xor(col("user_id")).as("k_xor"))
+        .orderBy("event_type")),
+
     "q_agg_minmax_by" -> ((s, sf) =>
       Tables.events(s, sf)
         .groupBy("user_id")
@@ -256,6 +267,15 @@ object AggOps {
         |  FROM events) t
         |WHERE rn = (n + 1) // 2
         |ORDER BY event_type""".stripMargin,
+
+    "q_agg_bool_bit" ->
+      """SELECT event_type,
+        |  bool_and(value > 0.0) AS all_pos,
+        |  bool_or(value > 500.0) AS any_big,
+        |  bit_and(user_id) AS k_and,
+        |  bit_or(user_id) AS k_or,
+        |  bit_xor(user_id) AS k_xor
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_agg_minmax_by" ->
       """SELECT user_id, arg_max(event_type, event_id) AS last_type,
