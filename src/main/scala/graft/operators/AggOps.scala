@@ -172,6 +172,17 @@ object AggOps {
           |ORDER BY event_type""".stripMargin)
     }),
 
+    // t-digest-style quantile sketch — deterministic for fixed input but
+    // implementation-defined, so rows-only (no oracle); exact-percentile
+    // parity is covered by q_agg_median's rank selection.
+    "q_agg_approx_percentile" -> ((s, sf) =>
+      Tables.events(s, sf)
+        .groupBy("event_type")
+        .agg(
+          percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50"),
+          percentile_approx(col("value"), lit(0.9), lit(10000)).as("p90"))
+        .orderBy("event_type")),
+
     "q_agg_bool_bit" -> ((s, sf) =>
       Tables.events(s, sf)
         .groupBy("event_type")

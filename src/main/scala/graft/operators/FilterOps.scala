@@ -57,6 +57,18 @@ object FilterOps {
         .select("doc_id", "lang")
         .orderBy("doc_id")),
 
+    // Value histogram via explicit bucketing (floor((v-lo)/width)): the
+    // engine-agnostic width_bucket — exact integer bucket ids, no
+    // interpolation, one hash aggregate.
+    "q_report_value_histogram" -> ((s, sf) =>
+      Tables.events(s, sf)
+        .groupBy(floor(col("value") / 50.0).cast("bigint").as("bucket"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          min(col("value")).as("lo"),
+          max(col("value")).as("hi"))
+        .orderBy("bucket")),
+
     // Log-analytics time histogram: daily event counts with error rate.
     "q_report_time_histogram" -> ((s, sf) =>
       Tables.events(s, sf)
@@ -109,6 +121,11 @@ object FilterOps {
       """SELECT doc_id, lang FROM documents
         |WHERE regexp_matches(text, '(join|merge) (window|stream)')
         |ORDER BY doc_id""".stripMargin,
+
+    "q_report_value_histogram" ->
+      """SELECT CAST(floor(value / 50.0) AS BIGINT) AS bucket,
+        |  count(*) AS cnt, min(value) AS lo, max(value) AS hi
+        |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "q_report_time_histogram" ->
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,

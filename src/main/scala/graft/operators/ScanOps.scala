@@ -101,6 +101,25 @@ object ScanOps {
         .orderBy("host", "src_ip")
     }),
 
+    // Log template mining (Drain-style, deterministic): variable fields
+    // (IPs, numbers, paths' hex ids) are normalized to placeholders and
+    // identical templates grouped — the "what kinds of messages do I have"
+    // report every log analyzer ships. At 100 TB this is one regex pass +
+    // one hash aggregate over templates, map-side combinable.
+    "q_report_log_templates" -> ((s, sf) => {
+      val lineCols = array(syslogLines.map(lit): _*)
+      s.range(1)
+        .select(posexplode(lineCols).as(Seq("line_id", "line")))
+        .select(regexp_extract(col("line"), syslogPattern, 5).as("msg"))
+        .select(
+          regexp_replace(
+            regexp_replace(col("msg"), "\\d+\\.\\d+\\.\\d+\\.\\d+", "<ip>"),
+            "\\d+", "<n>").as("template"))
+        .groupBy("template")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("template")
+    }),
+
     "q_ingest_csv" -> ((s, sf) => {
       val lineCols = array(csvLines.map(lit): _*)
       s.range(1)
@@ -170,6 +189,14 @@ object ScanOps {
          |WHERE line LIKE '%Failed password%'
          |GROUP BY 1, 2
          |ORDER BY host, src_ip""".stripMargin,
+
+    "q_report_log_templates" ->
+      s"""SELECT regexp_replace(regexp_replace(
+         |    regexp_extract(line, '$sqlPat', 5),
+         |    '\\d+\\.\\d+\\.\\d+\\.\\d+', '<ip>', 'g'), '\\d+', '<n>', 'g') AS template,
+         |  count(*) AS cnt
+         |FROM (VALUES $syslogValues) AS t(line_id, line)
+         |GROUP BY 1 ORDER BY template""".stripMargin,
 
     "q_ingest_jsonl" -> {
       val values = jsonlLines.zipWithIndex

@@ -92,6 +92,20 @@ object WindowOps {
         .orderBy("user_id", "event_id")
     }),
 
+    // Native session_window in batch mode, oracle-checked against the
+    // MANUAL gap-session construction in DuckDB — proving the built-in
+    // operator implements exactly the 30-min-gap definition.
+    "q_session_window_native" -> ((s, sf) =>
+      eventsTs(s, sf)
+        .groupBy(session_window(col("ts_s"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(
+          col("user_id"),
+          col("session_window.start").as("s_start"),
+          col("session_window.end").as("s_end"),
+          col("n_events"))
+        .orderBy("user_id", "s_start")),
+
     "q_sessionize" -> ((s, sf) => {
       val gap = unix_timestamp(col("ts_s")) - unix_timestamp(lag(col("ts_s"), 1).over(byUserTime))
       eventsTs(s, sf)
@@ -162,6 +176,26 @@ object WindowOps {
         |       wf AS (PARTITION BY user_id ORDER BY value, event_id
         |              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY user_id, event_id""".stripMargin,
+
+    "q_session_window_native" ->
+      s"""WITH g AS (
+         |  SELECT user_id, event_id, $oracleTs AS ts_s,
+         |    CASE WHEN lag($oracleTs, 1) OVER w IS NULL
+         |           OR epoch($oracleTs) - epoch(lag($oracleTs, 1) OVER w) > 1800
+         |         THEN 1 ELSE 0 END AS new_sess
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY $oracleTs, event_id)
+         |), sess AS (
+         |  SELECT user_id, ts_s,
+         |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+         |  FROM g)
+         |SELECT user_id, min(ts_s) AS s_start,
+         |  max(ts_s) + INTERVAL 30 MINUTES AS s_end,
+         |  count(*) AS n_events
+         |FROM sess
+         |GROUP BY user_id, session_id
+         |ORDER BY user_id, s_start""".stripMargin,
 
     "q_sessionize" ->
       s"""WITH g AS (

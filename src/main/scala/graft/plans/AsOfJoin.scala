@@ -74,7 +74,12 @@ case class AsOfMergeJoinExec(
 
   override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
 
+  override lazy val metrics = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"))
+
   override protected def doExecute(): RDD[InternalRow] = {
+    val numOutputRows = longMetric("numOutputRows")
     val lOut = left.output
     val rOut = right.output
     val lkB = BindReferences.bindReference(leftKey, AttributeSeq(lOut))
@@ -127,6 +132,7 @@ case class AsOfMergeJoinExec(
           if (nextOut == null) advanceLeft()
           val out = nextOut
           nextOut = null
+          numOutputRows += 1
           out
         }
       }
