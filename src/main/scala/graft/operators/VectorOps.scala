@@ -52,6 +52,60 @@ object VectorOps {
        |WHERE cos_sim >= $tau
        |ORDER BY label, $aName, $bName""".stripMargin
 
+  /** DataFrame-native random-hyperplane LSH with *deterministic portable
+    * planes*: plane p's component i is ±1 from the high bit of the first
+    * hex digit of md5("p:i") — the same rule evaluated in Scala and
+    * inlined as literal float arrays, so both engines use identical planes
+    * and each projection is a single `dot(embedding, <const>)` (no
+    * explode, no join). The fold-identical dot makes the projection sign —
+    * hence the 16-bit bucket — bit-stable across engines, so this
+    * approximate index is exactly oracle-checkable (unlike seeded MLlib
+    * LSH). Candidates = vectors within Hamming distance 3 of the probe's
+    * bucket; exact cosine reranks. At scale the bucket is the shuffle key
+    * and only candidate cells are scanned.
+    */
+  private def planeSigns(p: Int): Seq[Int] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (1 to 64).map { i =>
+      val h = md.digest(s"$p:$i".getBytes("UTF-8"))
+      if (((h(0) >> 4) & 0xf) >= 8) 1 else -1
+    }
+  }
+
+  private def lshSql(dotFn: (String, String) => String,
+                     planeLit: Seq[Int] => String): String = {
+    val bucketExpr = (0 until 16)
+      .map(p => s"CASE WHEN ${dotFn("embedding", planeLit(planeSigns(p)))} >= 0 THEN '1' ELSE '0' END")
+      .mkString("concat(", ",\n             ", ")")
+    s"""WITH buck AS (SELECT vec_id, $bucketExpr AS bucket FROM embeddings),
+       |pb AS (SELECT bucket AS pbucket FROM buck WHERE vec_id = 0),
+       |probe AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0),
+       |cand AS (SELECT b.vec_id FROM buck b CROSS JOIN pb
+       |         WHERE b.vec_id <> 0 AND
+       |           ((CASE WHEN substring(b.bucket,1,1) <> substring(pb.pbucket,1,1) THEN 1 ELSE 0 END +
+       |             CASE WHEN substring(b.bucket,2,1) <> substring(pb.pbucket,2,1) THEN 1 ELSE 0 END +
+       |             CASE WHEN substring(b.bucket,3,1) <> substring(pb.pbucket,3,1) THEN 1 ELSE 0 END +
+       |             CASE WHEN substring(b.bucket,4,1) <> substring(pb.pbucket,4,1) THEN 1 ELSE 0 END +
+       |             CASE WHEN substring(b.bucket,5,1) <> substring(pb.pbucket,5,1) THEN 1 ELSE 0 END +
+       |             CASE WHEN substring(b.bucket,6,1) <> substring(pb.pbucket,6,1) THEN 1 ELSE 0 END +
+       |             CASE WHEN substring(b.bucket,7,1) <> substring(pb.pbucket,7,1) THEN 1 ELSE 0 END +
+       |             CASE WHEN substring(b.bucket,8,1) <> substring(pb.pbucket,8,1) THEN 1 ELSE 0 END +
+       |             CASE WHEN substring(b.bucket,9,1) <> substring(pb.pbucket,9,1) THEN 1 ELSE 0 END +
+       |             CASE WHEN substring(b.bucket,10,1) <> substring(pb.pbucket,10,1) THEN 1 ELSE 0 END +
+       |             CASE WHEN substring(b.bucket,11,1) <> substring(pb.pbucket,11,1) THEN 1 ELSE 0 END +
+       |             CASE WHEN substring(b.bucket,12,1) <> substring(pb.pbucket,12,1) THEN 1 ELSE 0 END +
+       |             CASE WHEN substring(b.bucket,13,1) <> substring(pb.pbucket,13,1) THEN 1 ELSE 0 END +
+       |             CASE WHEN substring(b.bucket,14,1) <> substring(pb.pbucket,14,1) THEN 1 ELSE 0 END +
+       |             CASE WHEN substring(b.bucket,15,1) <> substring(pb.pbucket,15,1) THEN 1 ELSE 0 END +
+       |             CASE WHEN substring(b.bucket,16,1) <> substring(pb.pbucket,16,1) THEN 1 ELSE 0 END)) <= 3)
+       |SELECT e.vec_id AS vec_id, e.label AS label,
+       |  round(${dotFn("e.embedding", "probe.pe")} /
+       |        (sqrt(${dotFn("e.embedding", "e.embedding")}) * sqrt(${dotFn("probe.pe", "probe.pe")})), 6) AS cos_sim
+       |FROM embeddings e JOIN cand ON e.vec_id = cand.vec_id CROSS JOIN probe
+       |ORDER BY cos_sim DESC, e.vec_id
+       |LIMIT 10""".stripMargin
+  }
+
   private def pairSqlSpark(tau: Double, aName: String, bName: String): String =
     pairSql(dot, tau, aName, bName)
 
@@ -144,6 +198,13 @@ object VectorOps {
       s.sql(pairSqlSpark(0.4, "keep_id", "dup_id"))
     }),
 
+    "q_vec_ann_lsh_native" -> ((s, sf) => {
+      graft.functions.GraftFunctions.register(s)
+      Tables.embeddings(s, sf).createOrReplaceTempView("embeddings")
+      s.sql(lshSql(dot,
+        signs => s"CAST(array(${signs.mkString(", ")}) AS ARRAY<FLOAT>)"))
+    }),
+
     "q_vec_ann_ivf" -> ((s, sf) => {
       graft.functions.GraftFunctions.register(s)
       Tables.embeddings(s, sf).createOrReplaceTempView("embeddings")
@@ -199,6 +260,9 @@ object VectorOps {
          |WHERE vec_id <> 0
          |ORDER BY cos_sim DESC, vec_id
          |LIMIT 10""".stripMargin,
+
+    "q_vec_ann_lsh_native" -> lshSql(odot,
+      signs => s"CAST([${signs.mkString(", ")}] AS FLOAT[])"),
 
     "q_vec_ann_ivf" -> ivfSql(
       odot,

@@ -155,6 +155,19 @@ class OperatorSpec extends AnyFunSuite with SparkSessionTest {
     assert(pruned.count() == ev.filter(col("event_type") === "error").count())
   }
 
+  test("native LSH ANN overlaps brute-force neighbors") {
+    val ann = VectorOps.queries("q_vec_ann_lsh_native")(spark, sf0001)
+      .collect().map(_.getLong(0)).toSet
+    val brute = VectorOps.queries("q_vec_knn_cosine")(spark, sf0001)
+      .collect().map(_.getLong(0)).toSet
+    assert(ann.nonEmpty)
+    // corpus vectors are near-random (no planted neighbors), where a single
+    // 16-bit hyperplane table has inherently modest recall — require a
+    // nonzero overlap; the MLlib variant with OR-amplified tables covers
+    // the stronger recall bound
+    assert(brute.intersect(ann).nonEmpty, s"overlap ${brute.intersect(ann)}")
+  }
+
   test("custom as-of merge join: plan shape and golden semantics") {
     import spark.implicits._
     val ev = Seq((100L, 1L, "2024-01-10 00:00:00"), (101L, 1L, "2024-01-01 00:00:00"),
