@@ -217,6 +217,21 @@ object TextOps {
     // This signature-join IS the 100 TB shape (cost ∝ docs sharing a
     // min-hash, not docs²); md5 keeps the permutation portable across
     // engines so even this approximate operator is exactly oracle-checked.
+    // Fuzzy label matching through the LevenshteinBandRule optimizer
+    // rewrite: the filter is authored as plain `levenshtein(a,b) <= 1` and
+    // the rule turns it into band-prefilter + early-exit threshold form.
+    "q_fuzzy_source_match" -> ((s, sf) => {
+      org.apache.spark.sql.GraftBridge.addOptimization(s, graft.plans.LevenshteinBandRule)
+      Tables.documents(s, sf).select("source").distinct()
+        .createOrReplaceTempView("srcs")
+      s.sql(
+        """SELECT a.source AS src_a, b.source AS src_b,
+          |  levenshtein(a.source, b.source) AS dist
+          |FROM srcs a JOIN srcs b ON a.source < b.source
+          |WHERE levenshtein(a.source, b.source) <= 1
+          |ORDER BY src_a, src_b""".stripMargin)
+    }),
+
     "q_dedup_ngram" -> ((s, sf) => {
       Tables.documents(s, sf).createOrReplaceTempView("documents")
       s.sql(
@@ -336,6 +351,14 @@ object TextOps {
     "q_dedup_near" -> nearDupSql(
       tokTable = "SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents",
       shift = "(CAST(1 AS BIGINT) << (id - %d))"),
+
+    "q_fuzzy_source_match" ->
+      """WITH srcs AS (SELECT DISTINCT source FROM documents)
+        |SELECT a.source AS src_a, b.source AS src_b,
+        |  CAST(levenshtein(a.source, b.source) AS INTEGER) AS dist
+        |FROM srcs a JOIN srcs b ON a.source < b.source
+        |WHERE levenshtein(a.source, b.source) <= 1
+        |ORDER BY src_a, src_b""".stripMargin,
 
     "q_dedup_ngram" ->
       """WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),

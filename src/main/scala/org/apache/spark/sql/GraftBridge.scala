@@ -1,6 +1,7 @@
 package org.apache.spark.sql
 
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
 
 /** Minimal bridge into `private[sql]` factory methods, following the
   * standard Spark-library pattern of placing one object inside the sql
@@ -13,6 +14,14 @@ object GraftBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame = {
     val cs = spark.asInstanceOf[classic.SparkSession]
     classic.Dataset.ofRows(cs, plan)
+  }
+
+  /** Install an extra optimizer rule on a live session (idempotent). */
+  def addOptimization(spark: SparkSession, r: Rule[LogicalPlan]): Unit = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    if (!cs.experimental.extraOptimizations.contains(r)) {
+      cs.experimental.extraOptimizations = cs.experimental.extraOptimizations :+ r
+    }
   }
 
   /** Install an extra planner strategy on a live session (idempotent). */

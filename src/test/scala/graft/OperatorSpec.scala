@@ -155,6 +155,20 @@ class OperatorSpec extends AnyFunSuite with SparkSessionTest {
     assert(pruned.count() == ev.filter(col("event_type") === "error").count())
   }
 
+  test("LevenshteinBandRule rewrites threshold filters, same results") {
+    org.apache.spark.sql.GraftBridge.addOptimization(spark, graft.plans.LevenshteinBandRule)
+    // parquet-backed source so constant folding can't collapse the filter
+    val q = Tables.documents(spark, sf0001)
+      .filter(expr("levenshtein(source, 'src0') <= 1")).select("doc_id", "source")
+    val optimized = q.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("Some(1)) >= 0"), s"rule did not fire:\n$optimized")
+    assert(optimized.contains("abs((length("), s"no band prefilter:\n$optimized")
+    // semantics unchanged: src0..src9 (substitution) plus src10 (insertion)
+    // are within edit distance 1 of src0
+    val got = q.select("source").distinct().collect().map(_.getString(0)).toSet
+    assert(got == ((0 to 9).map(i => s"src$i").toSet + "src10"), got)
+  }
+
   test("native LSH ANN overlaps brute-force neighbors") {
     val ann = VectorOps.queries("q_vec_ann_lsh_native")(spark, sf0001)
       .collect().map(_.getLong(0)).toSet
