@@ -73,6 +73,21 @@ object FnOps {
         .orderBy("l_orderkey", "l_linenumber", "r2", "flr", "cl", "ab", "p2",
           "sq", "ex", "lg", "lg10", "pm", "sg", "gr", "ls")),
 
+    // NaN handling with an explicit NaN literal (engines disagree on which
+    // expressions *produce* NaN, but agree on NaN semantics once present).
+    "q_fn_conditional" -> ((s, sf) =>
+      Tables.events(s, sf)
+        .withColumn("maybe_nan",
+          when(col("value") < 300.0, expr("CAST('NaN' AS DOUBLE)")).otherwise(col("value")))
+        .select(
+          col("event_id"),
+          coalesce(nullif(col("event_type"), lit("click")), lit("<clicked>")).as("c1"),
+          when(col("maybe_nan").isNaN, "is-nan").otherwise("finite").as("nan_check"),
+          nanvl(col("maybe_nan"), lit(-1.0)).as("nan_defaulted"),
+          greatest(col("value"), col("user_id").cast(DoubleType)).as("g"),
+          least(col("value"), col("user_id").cast(DoubleType)).as("l"))
+        .orderBy("event_id")),
+
     "q_fn_array" -> ((s, sf) =>
       Tables.documents(s, sf)
         .withColumn("toks", split(col("text"), " "))
@@ -169,6 +184,18 @@ object FnOps {
         |  least(l_quantity, l_tax * 100) AS ls
         |FROM lineitem
         |ORDER BY l_orderkey, l_linenumber, r2, flr, cl, ab, p2, sq, ex, lg, lg10, pm, sg, gr, ls""".stripMargin,
+
+    "q_fn_conditional" ->
+      """WITH m AS (SELECT event_id, event_type, value, user_id,
+        |  CASE WHEN value < 300.0 THEN CAST('NaN' AS DOUBLE) ELSE value END AS maybe_nan
+        |  FROM events)
+        |SELECT event_id,
+        |  coalesce(nullif(event_type, 'click'), '<clicked>') AS c1,
+        |  CASE WHEN isnan(maybe_nan) THEN 'is-nan' ELSE 'finite' END AS nan_check,
+        |  CASE WHEN isnan(maybe_nan) THEN -1.0 ELSE maybe_nan END AS nan_defaulted,
+        |  greatest(value, CAST(user_id AS DOUBLE)) AS g,
+        |  least(value, CAST(user_id AS DOUBLE)) AS l
+        |FROM m ORDER BY event_id""".stripMargin,
 
     "q_fn_array" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)

@@ -70,6 +70,18 @@ object JoinOps {
         .orderBy("uid")
     }),
 
+    "q_join_right_outer" -> ((s, sf) =>
+      Tables.orders(s, sf).filter(col("o_totalprice") > 400000.0)
+        .join(Tables.customer(s, sf), col("o_custkey") === col("c_custkey"), "right_outer")
+        .select(col("c_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("c_custkey").asc, col("o_orderkey").asc_nulls_first)),
+
+    "q_join_cross" -> ((s, sf) =>
+      Tables.region(s, sf)
+        .crossJoin(Tables.nation(s, sf))
+        .select("r_name", "n_name")
+        .orderBy("r_name", "n_name")),
+
     "q_join_semi" -> ((s, sf) =>
       Tables.customer(s, sf)
         .join(Tables.orders(s, sf).filter(col("o_totalprice") > 450000.0),
@@ -191,6 +203,16 @@ object JoinOps {
         |SELECT coalesce(c.user_id, p.user_id) AS uid, c.clicks, p.purchases
         |FROM c FULL JOIN p ON c.user_id = p.user_id
         |ORDER BY uid""".stripMargin,
+
+    "q_join_right_outer" ->
+      """SELECT c_custkey, o_orderkey, o_totalprice
+        |FROM (SELECT * FROM orders WHERE o_totalprice > 400000.0) o
+        |RIGHT JOIN customer ON o_custkey = c_custkey
+        |ORDER BY c_custkey ASC, o_orderkey ASC NULLS FIRST""".stripMargin,
+
+    "q_join_cross" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name""".stripMargin,
 
     "q_join_semi" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
