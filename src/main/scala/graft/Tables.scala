@@ -40,11 +40,31 @@ object Tables {
     * column push down to the parquet scan (min/max row-group skipping),
     * which the post-conversion TimestampType column cannot — time-range
     * queries should filter here first, then convert (see
-    * q_filter_range_time). */
-  def eventsRaw(s: SparkSession, sf: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(p(sf, "events"))
-  }
+    * q_filter_range_time).
+    *
+    * The nanos flag is scoped PER READ: an explicit schema skips footer
+    * schema inference (which would reject TIMESTAMP(NANOS) without the
+    * session flag), and the reader option merges the legacy key into this
+    * relation's hadoop conf so the task-side footer-to-Spark converter
+    * accepts NANOS→Long. The session conf is never touched — no
+    * action-at-a-distance for co-resident queries reading other
+    * nanos-timestamped parquet. */
+  def eventsRaw(s: SparkSession, sf: String): DataFrame =
+    s.read.schema(eventsRawSchema)
+      .option("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .parquet(p(sf, "events"))
+
+  /** Events schema with `ts` as raw int64 nanos (parquet TIMESTAMP(NANOS)
+    * read under the legacy flag). Pinned explicitly so `eventsRaw` never
+    * needs session-level conf for schema inference. */
+  val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)
+  ))
 
   /** Explicit lineitem schema for fail-fast scans (q_scan_schema_assert). */
   val lineitemSchema: StructType = StructType(Seq(

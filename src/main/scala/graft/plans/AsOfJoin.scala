@@ -94,7 +94,6 @@ case class AsOfMergeJoinExec(
         private val joined = new JoinedRow
         private val nullRight = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(rightArity)
         private val proj = UnsafeProjection.create(schema.map(_.dataType).toArray)
-        private var rHead: InternalRow = if (ri.hasNext) ri.next() else null
         private var cand: InternalRow = null
         private var candKey: Long = 0L
         private var nextOut: InternalRow = null
@@ -102,25 +101,45 @@ case class AsOfMergeJoinExec(
         private def rKey(r: InternalRow): Long = rkB.eval(r).asInstanceOf[Long]
         private def rTime(r: InternalRow): Long = rtB.eval(r).asInstanceOf[Long]
 
+        // Null-keyed / null-timed right rows can never match any left row
+        // (standard join semantics: NULL compares to nothing), so drop them
+        // on the way in rather than letting eval(...).asInstanceOf[Long]
+        // unbox null to 0L and join them as key 0 / epoch 0.
+        private def nextRight(): InternalRow = {
+          while (ri.hasNext) {
+            val r = ri.next()
+            if (rkB.eval(r) != null && rtB.eval(r) != null) return r
+          }
+          null
+        }
+        private var rHead: InternalRow = nextRight()
+
         private def advanceLeft(): Unit = {
           nextOut = null
           while (nextOut == null && li.hasNext) {
             val l = li.next()
-            val k = lkB.eval(l).asInstanceOf[Long]
-            val t = ltB.eval(l).asInstanceOf[Long]
-            // consume right rows usable for this (k, t): key < k (skip) or
-            // key == k with time <= t (becomes the current candidate —
-            // sorted input means later candidates are always "more recent")
-            while (rHead != null &&
-              (rKey(rHead) < k || (rKey(rHead) == k && rTime(rHead) <= t))) {
-              if (rKey(rHead) == k) { cand = rHead.copy(); candKey = k }
-              rHead = if (ri.hasNext) ri.next() else null
+            val kA = lkB.eval(l)
+            val tA = ltB.eval(l)
+            if (kA == null || tA == null) {
+              // NULL key or time matches nothing: null-extend (outer) / drop (inner)
+              if (outer) nextOut = proj(joined(l, nullRight))
+            } else {
+              val k = kA.asInstanceOf[Long]
+              val t = tA.asInstanceOf[Long]
+              // consume right rows usable for this (k, t): key < k (skip) or
+              // key == k with time <= t (becomes the current candidate —
+              // sorted input means later candidates are always "more recent")
+              while (rHead != null &&
+                (rKey(rHead) < k || (rKey(rHead) == k && rTime(rHead) <= t))) {
+                if (rKey(rHead) == k) { cand = rHead.copy(); candKey = k }
+                rHead = nextRight()
+              }
+              if (cand != null && candKey == k) {
+                nextOut = proj(joined(l, cand))
+              } else if (outer) {
+                nextOut = proj(joined(l, nullRight)) // left-outer: null-extend
+              } // else: inner semantics, skip unmatched left rows
             }
-            if (cand != null && candKey == k) {
-              nextOut = proj(joined(l, cand))
-            } else if (outer) {
-              nextOut = proj(joined(l, nullRight)) // left-outer: null-extend
-            } // else: inner semantics, skip unmatched left rows
           }
         }
 

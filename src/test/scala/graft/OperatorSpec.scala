@@ -203,6 +203,38 @@ class OperatorSpec extends AnyFunSuite with SparkSessionTest {
     assert(got == Map(100L -> 2L))
   }
 
+  test("as-of merge join: NULL keys/times match nothing (not key 0 / epoch 0)") {
+    import spark.implicits._
+    // left: one valid row (user 1), one null-key row, one null-time row
+    val ev = Seq(
+      (100L, Option(1L), Option("2024-01-10 00:00:00")),
+      (101L, Option.empty[Long], Option("2024-01-10 00:00:00")),
+      (102L, Option(1L), Option.empty[String]))
+      .toDF("event_id", "user_id", "ts_str")
+      .withColumn("ts_s", to_timestamp($"ts_str")).drop("ts_str")
+    // right: a poison row with key NULL (must never act as a candidate for
+    // any key, including 0), a null-time row, and one real match for user 1.
+    // A second left-side probe at key 0 guards the unboxed-null-is-0 trap.
+    val ord = Seq(
+      (1L, Option.empty[Long], Option("2024-01-01 00:00:00")),
+      (2L, Option(1L), Option.empty[String]),
+      (3L, Option(1L), Option("2024-01-05 00:00:00")),
+      (4L, Option(0L), Option("2024-01-02 00:00:00")))
+      .toDF("o_orderkey", "o_custkey", "od_str")
+      .withColumn("o_orderdate", to_timestamp($"od_str")).drop("od_str")
+    // inner: only the valid (1, 2024-01-10) left row survives, matched to
+    // order 3 (order 2 has null time, order 1 null key → both excluded)
+    val inner = graft.plans.AsOf.join(ev, ord, "user_id", "o_custkey", "ts_s", "o_orderdate", "o_orderkey")
+      .select("event_id", "o_orderkey").as[(Long, Long)].collect().toMap
+    assert(inner == Map(100L -> 3L))
+    // outer: null-key/null-time left rows survive null-extended
+    val outer = graft.plans.AsOf.join(ev, ord, "user_id", "o_custkey", "ts_s", "o_orderdate", "o_orderkey",
+      leftOuter = true)
+      .select("event_id", "o_orderkey").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(outer == Map(100L -> 3L, 101L -> -1L, 102L -> -1L))
+  }
+
   test("multimodal fake codec golden") {
     val r = Multimodal.MediaRecord(7L, "image/fake", 640, 480, Array[Byte](0, 2, 4))
     val f = Multimodal.FakeCodec.features(r)

@@ -33,7 +33,8 @@ class PropertySpec extends AnyFunSuite with SparkSessionTest {
           .createOrReplaceTempView("documents")
         val got = spark.sql(TextOps.nearDupSql(
             tokTable = "SELECT doc_id, lang, explode(array_distinct(split(text, ' '))) AS tok FROM documents",
-            shift = "shiftleft(CAST(1 AS BIGINT), id - %d)"))
+            shift = "shiftleft(CAST(1 AS BIGINT), id - %d)",
+            probe = "explode(sequence((9 * n + 9) div 10, (10 * n) div 9))"))
           .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
         // naive reference: exact set jaccard + the same band prune + rounding
         val sets = docs.map(_.toSet).zipWithIndex
