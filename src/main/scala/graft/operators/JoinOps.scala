@@ -153,6 +153,25 @@ object JoinOps {
         .orderBy("event_id")
     }),
 
+    // As-of over STRING keys and DATE times — exercises the generalized
+    // interpreted-ordering merge (the operator accepts any orderable
+    // atomic type; keys here are 'c<custkey>' strings, times are days).
+    // Date ties are common (many orders share a day), broken by the
+    // largest o_orderkey exactly as in the timestamp variant.
+    "q_join_asof_typed" -> ((s, sf) => {
+      val e = eventsTs(s, sf).select(
+        col("event_id"),
+        concat(lit("c"), col("user_id")).as("skey"),
+        to_date(col("ts_s")).as("day"))
+      val o = Tables.orders(s, sf).select(
+        col("o_orderkey"),
+        concat(lit("c"), col("o_custkey")).as("rkey"),
+        to_date(col("o_orderdate")).as("o_day"))
+      graft.plans.AsOf.join(e, o, "skey", "rkey", "day", "o_day", "o_orderkey")
+        .select("event_id", "skey", "o_orderkey", "o_day")
+        .orderBy("event_id")
+    }),
+
     // Left-outer as-of through the same custom operator: the right side is
     // restricted to high-value orders so a real fraction of events has no
     // match and must null-extend.
@@ -253,6 +272,20 @@ object JoinOps {
         |  FROM events e
         |  JOIN orders o ON o.o_custkey = e.user_id
         |               AND o.o_orderdate <= CAST(date_trunc('second', e.ts) AS TIMESTAMP)
+        |) t WHERE rn = 1
+        |ORDER BY event_id""".stripMargin,
+
+    "q_join_asof_typed" ->
+      """SELECT event_id, skey, o_orderkey, o_day FROM (
+        |  SELECT e.event_id, concat('c', e.user_id) AS skey,
+        |    o.o_orderkey, CAST(o.o_orderdate AS DATE) AS o_day,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |                       ORDER BY CAST(o.o_orderdate AS DATE) DESC,
+        |                                o.o_orderkey DESC) AS rn
+        |  FROM events e
+        |  JOIN orders o ON concat('c', o.o_custkey) = concat('c', e.user_id)
+        |               AND CAST(o.o_orderdate AS DATE)
+        |                   <= CAST(CAST(date_trunc('second', e.ts) AS TIMESTAMP) AS DATE)
         |) t WHERE rn = 1
         |ORDER BY event_id""".stripMargin,
 

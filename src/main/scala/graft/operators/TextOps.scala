@@ -93,6 +93,82 @@ object TextOps {
       |    CASE WHEN substring(md5(t), j, 1) IN ('8','9','a','b','c','d','e','f')
       |    THEN 1 ELSE -1 END)) >= 0 THEN '1' ELSE '0' END), '')""".stripMargin
 
+  /** Generalization of [[nearDupSql]] beyond the 4×64-bit fixed mask: the
+    * bitmap is a dynamically-sized ARRAY of 64-bit words (`ceil(V/64)`
+    * words for a V-token dictionary), so the exact set-similarity join
+    * works for ANY vocabulary size — here exercised on the BIGRAM
+    * vocabulary (~900 distinct bigrams in this corpus, 15 words; the
+    * fixed-mask path caps at 256). Same inverted length-band probe for
+    * candidate generation, same exact integer band check, pair
+    * intersection is a zip-sum of per-word AND+popcount. Jaccard ≥ 0.8 on
+    * exact bigram sets. The word count rides along as a 1-row broadcast
+    * cross join — nothing in the plan depends on driver-side knowledge of
+    * the vocabulary, so the identical plan runs at any scale.
+    *
+    * Spark-side bitmap build is `transform(sequence(0, nw-1), w -> ...)`
+    * over each doc's sorted id array; DuckDB mirrors it with
+    * `list_transform(generate_series(...))`. Bit 63 needs a CASE in
+    * DuckDB (its `<<` raises on 1<<63) where Java's shift wraps to the
+    * same two's-complement pattern. */
+  private[graft] val nearDupWideSpark: String =
+    """WITH d AS (SELECT doc_id, lang, split(text, ' ') AS toks FROM documents),
+      |tok AS (SELECT doc_id, lang, explode(array_distinct(
+      |          zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1),
+      |                   (x, y) -> concat(x, ' ', y)))) AS tok FROM d),
+      |dict AS (SELECT tok, CAST(row_number() OVER (ORDER BY tok) AS INT) - 1 AS id
+      |         FROM (SELECT DISTINCT tok FROM tok) u),
+      |ids AS (SELECT doc_id, lang, sort_array(collect_list(id)) AS ids, count(*) AS n
+      |        FROM tok JOIN dict USING (tok) GROUP BY doc_id, lang),
+      |nw AS (SELECT (max(id) div 64) + 1 AS nw FROM dict),
+      |enc AS (SELECT doc_id, lang, n,
+      |          transform(sequence(0, CAST(nw AS INT) - 1), w ->
+      |            aggregate(filter(ids, i -> i div 64 = w),
+      |              CAST(0 AS BIGINT), (acc, i) -> acc | shiftleft(CAST(1 AS BIGINT), i % 64))) AS masks
+      |        FROM ids CROSS JOIN nw),
+      |pr AS (SELECT doc_id, lang, n, masks,
+      |         explode(sequence((4 * n + 4) div 5, (5 * n) div 4)) AS nb FROM enc),
+      |p AS (SELECT /*+ MERGE(a) */ a.lang AS lang, a.doc_id AS doc_id, b.doc_id AS doc_id_b,
+      |        CAST(aggregate(zip_with(a.masks, b.masks, (x, y) -> bit_count(x & y)),
+      |          0, (acc, v) -> acc + v) AS BIGINT) AS inter,
+      |        a.n AS na, b.n AS nb
+      |      FROM pr a JOIN enc b
+      |        ON a.lang = b.lang AND a.nb = b.n AND a.doc_id < b.doc_id
+      |       AND least(a.n, b.n) * 5 >= greatest(a.n, b.n) * 4)
+      |SELECT lang, doc_id, doc_id_b, round(inter / (na + nb - inter), 6) AS jaccard
+      |FROM p
+      |WHERE round(inter / (na + nb - inter), 6) >= 0.8
+      |ORDER BY lang, doc_id, doc_id_b""".stripMargin
+
+  private[graft] val nearDupWideDuck: String =
+    """WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+      |tok AS (SELECT doc_id, lang, unnest(list_distinct(
+      |          list_transform(list_zip(toks[1:len(toks)-1], toks[2:len(toks)]),
+      |                         z -> concat(z[1], ' ', z[2])))) AS tok FROM d),
+      |dict AS (SELECT tok, CAST(row_number() OVER (ORDER BY tok) AS INT) - 1 AS id
+      |         FROM (SELECT DISTINCT tok FROM tok) u),
+      |ids AS (SELECT doc_id, lang, list_sort(list(id)) AS ids, count(*) AS n
+      |        FROM tok JOIN dict USING (tok) GROUP BY doc_id, lang),
+      |nw AS (SELECT (max(id) // 64) + 1 AS nw FROM dict),
+      |enc AS (SELECT doc_id, lang, n,
+      |          list_transform(generate_series(0, nw - 1), w ->
+      |            list_aggregate(list_transform(list_filter(ids, i -> i // 64 = w),
+      |              i -> CASE WHEN i % 64 = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+      |                        ELSE (CAST(1 AS BIGINT) << (i % 64)) END), 'bit_or')) AS masks
+      |        FROM ids CROSS JOIN nw),
+      |pr AS (SELECT doc_id, lang, n, masks,
+      |         unnest(generate_series((4 * n + 4) // 5, (5 * n) // 4)) AS nb FROM enc),
+      |p AS (SELECT a.lang AS lang, a.doc_id AS doc_id, b.doc_id AS doc_id_b,
+      |        CAST(list_sum(list_transform(list_zip(a.masks, b.masks),
+      |          z -> bit_count(COALESCE(z[1], CAST(0 AS BIGINT)) & COALESCE(z[2], CAST(0 AS BIGINT))))) AS BIGINT) AS inter,
+      |        a.n AS na, b.n AS nb
+      |      FROM pr a JOIN enc b
+      |        ON a.lang = b.lang AND a.nb = b.n AND a.doc_id < b.doc_id
+      |       AND least(a.n, b.n) * 5 >= greatest(a.n, b.n) * 4)
+      |SELECT lang, doc_id, doc_id_b, round(inter / (na + nb - inter), 6) AS jaccard
+      |FROM p
+      |WHERE round(inter / (na + nb - inter), 6) >= 0.8
+      |ORDER BY lang, doc_id, doc_id_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_tokenize_wordcount" -> ((s, sf) =>
       docs(s, sf)
@@ -230,6 +306,14 @@ object TextOps {
         tokTable = "SELECT doc_id, lang, explode(array_distinct(split(text, ' '))) AS tok FROM documents",
         shift = "shiftleft(CAST(1 AS BIGINT), id - %d)",
         probe = "explode(sequence((9 * n + 9) div 10, (10 * n) div 9))"))
+    }),
+
+    // Bitmap-ARRAY variant: exact bigram-set Jaccard with a dynamically
+    // sized bitmap (vocabulary ~900 bigrams here — far past the fixed
+    // 4-word mask's 256 cap). See nearDupWideSpark scaladoc.
+    "q_dedup_near_wide" -> ((s, sf) => {
+      Tables.documents(s, sf).createOrReplaceTempView("documents")
+      s.sql(nearDupWideSpark)
     }),
 
     // n-gram (bigram) Jaccard, estimated by MinHash signature overlap and
@@ -379,6 +463,8 @@ object TextOps {
       tokTable = "SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents",
       shift = "(CAST(1 AS BIGINT) << (id - %d))",
       probe = "unnest(generate_series((9 * n + 9) // 10, (10 * n) // 9))"),
+
+    "q_dedup_near_wide" -> nearDupWideDuck,
 
     "q_fuzzy_source_match" ->
       """WITH srcs AS (SELECT DISTINCT source FROM documents)

@@ -8,7 +8,6 @@ import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeSeq, BindR
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
-import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** AS-OF JOIN as a first-class operator (SURVEY §2 T3 `q_join_asof`,
   * §7.3.4): for each left row, the single latest right row with the same
@@ -26,8 +25,11 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
   * [[AsOfJoinStrategy]] (SparkStrategy) → [[AsOfMergeJoinExec]] (physical
   * BinaryExecNode; distribution/ordering requirements make
   * EnsureRequirements insert the one hash shuffle + in-partition sorts).
-  * Type restriction kept deliberate: key LongType, times TimestampType,
-  * tie LongType.
+  * Keys, times and ties may be ANY orderable atomic type (the merge
+  * compares through the type's interpreted ordering over Spark-internal
+  * values); left/right key and time types must match exactly. NULL keys
+  * or times match nothing — inner drops such rows, left-outer
+  * null-extends them — per standard join semantics.
   */
 case class AsOfJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
@@ -86,6 +88,13 @@ case class AsOfMergeJoinExec(
     val ltB = BindReferences.bindReference(leftTime, AttributeSeq(lOut))
     val rkB = BindReferences.bindReference(rightKey, AttributeSeq(rOut))
     val rtB = BindReferences.bindReference(rightTime, AttributeSeq(rOut))
+    // interpreted orderings over Spark-internal values (UTF8String, Int
+    // days, Long micros, Decimal, ...) — this is what makes the merge
+    // generic over any orderable atomic key/time type
+    val keyOrd = org.apache.spark.sql.catalyst.util.TypeUtils
+      .getInterpretedOrdering(leftKey.dataType)
+    val timeOrd = org.apache.spark.sql.catalyst.util.TypeUtils
+      .getInterpretedOrdering(leftTime.dataType)
     val schema = output
     val rightArity = right.output.size
     val outer = isLeftOuter
@@ -95,21 +104,29 @@ case class AsOfMergeJoinExec(
         private val nullRight = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(rightArity)
         private val proj = UnsafeProjection.create(schema.map(_.dataType).toArray)
         private var cand: InternalRow = null
-        private var candKey: Long = 0L
+        private var candKey: Any = null
+        private var rHeadKey: Any = null
+        private var rHeadTime: Any = null
         private var nextOut: InternalRow = null
-
-        private def rKey(r: InternalRow): Long = rkB.eval(r).asInstanceOf[Long]
-        private def rTime(r: InternalRow): Long = rtB.eval(r).asInstanceOf[Long]
 
         // Null-keyed / null-timed right rows can never match any left row
         // (standard join semantics: NULL compares to nothing), so drop them
-        // on the way in rather than letting eval(...).asInstanceOf[Long]
-        // unbox null to 0L and join them as key 0 / epoch 0.
+        // on the way in rather than letting a null comparison slip into the
+        // merge. Caches the evaluated key/time alongside the row — copied,
+        // because values evaluated off an UnsafeRow (UTF8String, Decimal)
+        // point into a buffer the upstream iterator reuses.
         private def nextRight(): InternalRow = {
           while (ri.hasNext) {
             val r = ri.next()
-            if (rkB.eval(r) != null && rtB.eval(r) != null) return r
+            val k = rkB.eval(r)
+            val t = rtB.eval(r)
+            if (k != null && t != null) {
+              rHeadKey = InternalRow.copyValue(k)
+              rHeadTime = InternalRow.copyValue(t)
+              return r
+            }
           }
+          rHeadKey = null; rHeadTime = null
           null
         }
         private var rHead: InternalRow = nextRight()
@@ -118,23 +135,22 @@ case class AsOfMergeJoinExec(
           nextOut = null
           while (nextOut == null && li.hasNext) {
             val l = li.next()
-            val kA = lkB.eval(l)
-            val tA = ltB.eval(l)
-            if (kA == null || tA == null) {
+            val k = lkB.eval(l)
+            val t = ltB.eval(l)
+            if (k == null || t == null) {
               // NULL key or time matches nothing: null-extend (outer) / drop (inner)
               if (outer) nextOut = proj(joined(l, nullRight))
             } else {
-              val k = kA.asInstanceOf[Long]
-              val t = tA.asInstanceOf[Long]
               // consume right rows usable for this (k, t): key < k (skip) or
               // key == k with time <= t (becomes the current candidate —
               // sorted input means later candidates are always "more recent")
               while (rHead != null &&
-                (rKey(rHead) < k || (rKey(rHead) == k && rTime(rHead) <= t))) {
-                if (rKey(rHead) == k) { cand = rHead.copy(); candKey = k }
+                (keyOrd.lt(rHeadKey, k) ||
+                  (keyOrd.equiv(rHeadKey, k) && timeOrd.lteq(rHeadTime, t)))) {
+                if (keyOrd.equiv(rHeadKey, k)) { cand = rHead.copy(); candKey = rHeadKey }
                 rHead = nextRight()
               }
-              if (cand != null && candKey == k) {
+              if (cand != null && candKey != null && keyOrd.equiv(candKey, k)) {
                 nextOut = proj(joined(l, cand))
               } else if (outer) {
                 nextOut = proj(joined(l, nullRight)) // left-outer: null-extend
@@ -164,7 +180,9 @@ case class AsOfMergeJoinExec(
 }
 
 /** Public API: `AsOf.join(events, orders, "user_id", "o_custkey", "ts_s",
-  * "o_orderdate", "o_orderkey")`. */
+  * "o_orderdate", "o_orderkey")`. Key/time/tie columns may be any
+  * orderable atomic type (string, numeric, date, timestamp, decimal);
+  * left and right key types — and time types — must match exactly. */
 object AsOf {
   def join(leftDf: DataFrame, rightDf: DataFrame,
            leftKey: String, rightKey: String,
@@ -177,18 +195,25 @@ object AsOf {
     def attr(p: LogicalPlan, name: String): Attribute =
       p.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(s"column $name not found in ${p.output.map(_.name)}"))
-    def checked(a: Attribute, ok: Set[org.apache.spark.sql.types.DataType]): Attribute = {
-      require(ok.contains(a.dataType), s"as-of join: unsupported type ${a.dataType} for ${a.name}")
+    def orderable(a: Attribute): Attribute = {
+      require(org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(a.dataType),
+        s"as-of join: unorderable type ${a.dataType} for ${a.name}")
       a
     }
-    // both timestamp flavors carry micros-since-epoch Longs internally;
-    // with the session pinned to UTC they compare identically
-    val ts: Set[org.apache.spark.sql.types.DataType] = Set(TimestampType, TimestampNTZType)
-    GraftBridge.ofRows(spark, AsOfJoinPlan(lp, rp,
-      checked(attr(lp, leftKey), Set(LongType)),
-      checked(attr(rp, rightKey), Set(LongType)),
-      checked(attr(lp, leftTime), ts),
-      checked(attr(rp, rightTime), ts),
-      checked(attr(rp, rightTie), Set(LongType)), leftOuter))
+    // both timestamp flavors carry micros-since-epoch Longs internally and
+    // share one interpreted ordering; with the session pinned to UTC they
+    // compare identically, so the mix is allowed
+    val tsFamily: Set[org.apache.spark.sql.types.DataType] =
+      Set(org.apache.spark.sql.types.TimestampType, org.apache.spark.sql.types.TimestampNTZType)
+    def matched(l: Attribute, r: Attribute): Unit =
+      require(l.dataType == r.dataType ||
+          (tsFamily.contains(l.dataType) && tsFamily.contains(r.dataType)),
+        s"as-of join: type mismatch ${l.name}: ${l.dataType} vs ${r.name}: ${r.dataType}")
+    val (lk, rk) = (orderable(attr(lp, leftKey)), orderable(attr(rp, rightKey)))
+    val (lt, rt) = (orderable(attr(lp, leftTime)), orderable(attr(rp, rightTime)))
+    matched(lk, rk)
+    matched(lt, rt)
+    GraftBridge.ofRows(spark, AsOfJoinPlan(lp, rp, lk, rk, lt, rt,
+      orderable(attr(rp, rightTie)), leftOuter))
   }
 }

@@ -235,6 +235,30 @@ class OperatorSpec extends AnyFunSuite with SparkSessionTest {
     assert(outer == Map(100L -> 3L, 101L -> -1L, 102L -> -1L))
   }
 
+  test("as-of merge join generalizes to string keys and date times") {
+    import spark.implicits._
+    val ev = Seq((1L, "alice", "2024-03-10"), (2L, "bob", "2024-03-10"), (3L, "alice", "2024-01-01"))
+      .toDF("event_id", "user", "d_str")
+      .withColumn("day", to_date($"d_str")).drop("d_str")
+    val ord = Seq((10L, "alice", "2024-02-01"), (11L, "alice", "2024-03-01"),
+      (12L, "bob", "2024-03-10"), (13L, "carol", "2024-01-01"))
+      .toDF("o_id", "cust", "od_str")
+      .withColumn("o_day", to_date($"od_str")).drop("od_str")
+    val got = graft.plans.AsOf.join(ev, ord, "user", "cust", "day", "o_day", "o_id")
+      .select("event_id", "o_id").as[(Long, Long)].collect().toMap
+    // alice@03-10 → order 11 (latest ≤); bob@03-10 → 12 (same-day counts);
+    // alice@01-01 predates all alice orders → dropped (inner)
+    assert(got == Map(1L -> 11L, 2L -> 12L))
+    // decimal keys exercise a non-primitive ordering
+    val l = Seq((1L, BigDecimal("1.50"), 5L), (2L, BigDecimal("2.25"), 5L))
+      .toDF("id", "k", "t")
+    val r = Seq((7L, BigDecimal("1.50"), 4L), (8L, BigDecimal("2.25"), 9L))
+      .toDF("rid", "rk", "rt")
+    val got2 = graft.plans.AsOf.join(l, r, "k", "rk", "t", "rt", "rid")
+      .select("id", "rid").as[(Long, Long)].collect().toMap
+    assert(got2 == Map(1L -> 7L)) // rid 8 is later than t=5 → no match for id 2
+  }
+
   test("multimodal fake codec golden") {
     val r = Multimodal.MediaRecord(7L, "image/fake", 640, 480, Array[Byte](0, 2, 4))
     val f = Multimodal.FakeCodec.features(r)
