@@ -16,6 +16,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.vecDotDescriptor)
+    ext.injectFunction(GraftFunctions.maskAndCountDescriptor)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinBandRule)
   }
@@ -27,13 +28,26 @@ object GraftFunctions {
     VecDot(children.head, children(1))
   }
 
+  private def macBuilder(children: Seq[Expression]): Expression = {
+    require(children.size == 2, s"mask_and_count expects 2 arguments, got ${children.size}")
+    MaskAndCount(children.head, children(1))
+  }
+
   val vecDotDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     new FunctionIdentifier("vec_dot"),
     new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
     builder _)
 
+  val maskAndCountDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    new FunctionIdentifier("mask_and_count"),
+    new ExpressionInfo(classOf[MaskAndCount].getName, "mask_and_count"),
+    macBuilder _)
+
   /** Idempotent registration into an already-running session. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction("vec_dot", builder, "built-in")
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction("mask_and_count", macBuilder, "built-in")
+  }
 }

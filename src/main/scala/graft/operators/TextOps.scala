@@ -59,32 +59,49 @@ object TextOps {
     * scale with bucket products, not block squares. The exact integer band
     * check is still applied on the joined pair, so the probe is purely a
     * candidate generator and the output is byte-identical. */
-  private[graft] def nearDupSql(tokTable: String, shift: String, probe: String): String = {
+  /** The encode stage of [[nearDupSql]]: (doc_id, lang, m0..m3, n). */
+  private[graft] def nearDupEncSql(tokTable: String, shift: String): String = {
     val words = (0 until 4).map { w =>
       val lo = w * 64; val hi = lo + 63
       s"bit_or(CASE WHEN id BETWEEN $lo AND $hi THEN ${shift.format(lo)} ELSE CAST(0 AS BIGINT) END) AS m$w"
     }.mkString(",\n          ")
-    val inter = (0 until 4).map(w => s"bit_count(a.m$w & b.m$w)").mkString(" + ")
     s"""WITH tok AS ($tokTable),
        |dict AS (SELECT tok, CAST(row_number() OVER (ORDER BY tok) AS INT) - 1 AS id
-       |         FROM (SELECT DISTINCT tok FROM tok) u),
-       |enc AS (SELECT doc_id, lang,
+       |         FROM (SELECT DISTINCT tok FROM tok) u)
+       |SELECT doc_id, lang,
        |          $words,
        |          count(*) AS n
        |        FROM tok JOIN dict USING (tok)
-       |        GROUP BY doc_id, lang),
-       |pr AS (SELECT doc_id, lang, m0, m1, m2, m3, n,
+       |        GROUP BY doc_id, lang""".stripMargin
+  }
+
+  /** The pair stage of [[nearDupSql]] over an encoded relation `encRef`
+    * (referenced twice: probe side and build side). */
+  private[graft] def nearDupPairSql(encRef: String, probe: String): String = {
+    val inter = (0 until 4).map(w => s"bit_count(a.m$w & b.m$w)").mkString(" + ")
+    s"""WITH pr AS (SELECT doc_id, lang, m0, m1, m2, m3, n,
        |         $probe AS nb
-       |       FROM enc),
+       |       FROM $encRef),
        |p AS (SELECT a.lang AS lang, a.doc_id AS doc_id, b.doc_id AS doc_id_b,
        |        CAST($inter AS BIGINT) AS inter, a.n AS na, b.n AS nb
-       |      FROM pr a JOIN enc b
+       |      FROM pr a JOIN $encRef b
        |        ON a.lang = b.lang AND a.nb = b.n AND a.doc_id < b.doc_id
        |       AND least(a.n, b.n) * 10 >= greatest(a.n, b.n) * 9)
        |SELECT lang, doc_id, doc_id_b, round(inter / (na + nb - inter), 6) AS jaccard
        |FROM p
        |WHERE round(inter / (na + nb - inter), 6) >= 0.9
        |ORDER BY lang, doc_id, doc_id_b""".stripMargin
+  }
+
+  /** One-WITH-query composition of enc + pair: the DuckDB oracle form. */
+  private[graft] def nearDupSql(tokTable: String, shift: String, probe: String): String = {
+    // nearDupEncSql is "WITH tok AS (...), dict AS (...)\nSELECT <body>";
+    // re-nest its SELECT as an `enc` CTE and append the pair stage.
+    val Array(withHeader, encBody) = nearDupEncSql(tokTable, shift).split("\nSELECT ", 2)
+    // nearDupPairSql opens its own WITH; fold its CTEs into this one.
+    s"""$withHeader,
+       |enc AS (SELECT $encBody),
+       |${nearDupPairSql("enc", probe).stripPrefix("WITH ")}""".stripMargin
   }
 
   private val simhashDuck =
@@ -105,11 +122,18 @@ object TextOps {
     * cross join — nothing in the plan depends on driver-side knowledge of
     * the vocabulary, so the identical plan runs at any scale.
     *
-    * Spark-side bitmap build is `transform(sequence(0, nw-1), w -> ...)`
-    * over each doc's sorted id array; DuckDB mirrors it with
-    * `list_transform(generate_series(...))`. Bit 63 needs a CASE in
-    * DuckDB (its `<<` raises on 1<<63) where Java's shift wraps to the
-    * same two's-complement pattern. */
+    * Spark-side bitmap build is LINEAR in the token count: one hash
+    * aggregate per (doc, word-slot) computes `bit_or(1 << id%64)`, a second
+    * assembles the sparse slots into the dense word array through a map
+    * lookup (`map_from_entries` + `transform(sequence(...))`). The first
+    * formulation (per-doc `transform(filter(ids, ...))` over the full id
+    * array) re-scanned every doc's id list once PER WORD — O(n·V/64)
+    * interpreted lambda work that measured 4.9 s at sf0.1; the aggregate
+    * form is O(n) and map-side combinable, the shape that survives 100 TB.
+    * DuckDB mirrors the build with `list_transform(generate_series(...))`
+    * (the corpus-sized oracle doesn't need the linear form). Bit 63 needs a
+    * CASE in DuckDB (its `<<` raises on 1<<63) where Java's shift wraps to
+    * the same two's-complement pattern. */
   private[graft] val nearDupWideSpark: String =
     """WITH d AS (SELECT doc_id, lang, split(text, ' ') AS toks FROM documents),
       |tok AS (SELECT doc_id, lang, explode(array_distinct(
@@ -117,21 +141,24 @@ object TextOps {
       |                   (x, y) -> concat(x, ' ', y)))) AS tok FROM d),
       |dict AS (SELECT tok, CAST(row_number() OVER (ORDER BY tok) AS INT) - 1 AS id
       |         FROM (SELECT DISTINCT tok FROM tok) u),
-      |ids AS (SELECT doc_id, lang, sort_array(collect_list(id)) AS ids, count(*) AS n
-      |        FROM tok JOIN dict USING (tok) GROUP BY doc_id, lang),
+      |wm AS (SELECT doc_id, lang, id div 64 AS w,
+      |         bit_or(shiftleft(CAST(1 AS BIGINT), id % 64)) AS m,
+      |         count(*) AS c
+      |       FROM tok JOIN dict USING (tok) GROUP BY doc_id, lang, id div 64),
       |nw AS (SELECT (max(id) div 64) + 1 AS nw FROM dict),
-      |enc AS (SELECT doc_id, lang, n,
-      |          transform(sequence(0, CAST(nw AS INT) - 1), w ->
-      |            aggregate(filter(ids, i -> i div 64 = w),
-      |              CAST(0 AS BIGINT), (acc, i) -> acc | shiftleft(CAST(1 AS BIGINT), i % 64))) AS masks
-      |        FROM ids CROSS JOIN nw),
+      |enc AS (SELECT doc_id, lang, CAST(sum(c) AS BIGINT) AS n,
+      |          map_from_entries(collect_list(struct(w, m))) AS mp
+      |        FROM wm GROUP BY doc_id, lang),
+      |enc2 AS (SELECT doc_id, lang, n,
+      |           transform(sequence(0, CAST(nw AS INT) - 1), w ->
+      |             coalesce(element_at(mp, CAST(w AS BIGINT)), CAST(0 AS BIGINT))) AS masks
+      |         FROM enc CROSS JOIN nw),
       |pr AS (SELECT doc_id, lang, n, masks,
-      |         explode(sequence((4 * n + 4) div 5, (5 * n) div 4)) AS nb FROM enc),
-      |p AS (SELECT /*+ MERGE(a) */ a.lang AS lang, a.doc_id AS doc_id, b.doc_id AS doc_id_b,
-      |        CAST(aggregate(zip_with(a.masks, b.masks, (x, y) -> bit_count(x & y)),
-      |          0, (acc, v) -> acc + v) AS BIGINT) AS inter,
+      |         explode(sequence((4 * n + 4) div 5, (5 * n) div 4)) AS nb FROM enc2),
+      |p AS (SELECT /*+ SHUFFLE_HASH(b) */ a.lang AS lang, a.doc_id AS doc_id, b.doc_id AS doc_id_b,
+      |        mask_and_count(a.masks, b.masks) AS inter,
       |        a.n AS na, b.n AS nb
-      |      FROM pr a JOIN enc b
+      |      FROM pr a JOIN enc2 b
       |        ON a.lang = b.lang AND a.nb = b.n AND a.doc_id < b.doc_id
       |       AND least(a.n, b.n) * 5 >= greatest(a.n, b.n) * 4)
       |SELECT lang, doc_id, doc_id_b, round(inter / (na + nb - inter), 6) AS jaccard
@@ -312,6 +339,7 @@ object TextOps {
     // sized bitmap (vocabulary ~900 bigrams here — far past the fixed
     // 4-word mask's 256 cap). See nearDupWideSpark scaladoc.
     "q_dedup_near_wide" -> ((s, sf) => {
+      graft.functions.GraftFunctions.register(s)
       Tables.documents(s, sf).createOrReplaceTempView("documents")
       s.sql(nearDupWideSpark)
     }),
