@@ -134,7 +134,7 @@ object TextOps {
     * (the corpus-sized oracle doesn't need the linear form). Bit 63 needs a
     * CASE in DuckDB (its `<<` raises on 1<<63) where Java's shift wraps to
     * the same two's-complement pattern. */
-  private[graft] val nearDupWideSpark: String =
+  private[graft] val nearDupWideEncSpark: String =
     """WITH d AS (SELECT doc_id, lang, split(text, ' ') AS toks FROM documents),
       |tok AS (SELECT doc_id, lang, explode(array_distinct(
       |          zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1),
@@ -148,23 +148,37 @@ object TextOps {
       |nw AS (SELECT (max(id) div 64) + 1 AS nw FROM dict),
       |enc AS (SELECT doc_id, lang, CAST(sum(c) AS BIGINT) AS n,
       |          map_from_entries(collect_list(struct(w, m))) AS mp
-      |        FROM wm GROUP BY doc_id, lang),
-      |enc2 AS (SELECT doc_id, lang, n,
-      |           transform(sequence(0, CAST(nw AS INT) - 1), w ->
-      |             coalesce(element_at(mp, CAST(w AS BIGINT)), CAST(0 AS BIGINT))) AS masks
-      |         FROM enc CROSS JOIN nw),
-      |pr AS (SELECT doc_id, lang, n, masks,
-      |         explode(sequence((4 * n + 4) div 5, (5 * n) div 4)) AS nb FROM enc2),
-      |p AS (SELECT /*+ SHUFFLE_HASH(b) */ a.lang AS lang, a.doc_id AS doc_id, b.doc_id AS doc_id_b,
-      |        mask_and_count(a.masks, b.masks) AS inter,
-      |        a.n AS na, b.n AS nb
-      |      FROM pr a JOIN enc2 b
-      |        ON a.lang = b.lang AND a.nb = b.n AND a.doc_id < b.doc_id
-      |       AND least(a.n, b.n) * 5 >= greatest(a.n, b.n) * 4)
-      |SELECT lang, doc_id, doc_id_b, round(inter / (na + nb - inter), 6) AS jaccard
-      |FROM p
-      |WHERE round(inter / (na + nb - inter), 6) >= 0.8
-      |ORDER BY lang, doc_id, doc_id_b""".stripMargin
+      |        FROM wm GROUP BY doc_id, lang)
+      |SELECT doc_id, lang, n,
+      |  transform(sequence(0, CAST(nw AS INT) - 1), w ->
+      |    coalesce(element_at(mp, CAST(w AS BIGINT)), CAST(0 AS BIGINT))) AS masks
+      |FROM enc CROSS JOIN nw""".stripMargin
+
+  /** Pair stage over an encoded relation `enc` — referenced twice (probe
+    * and build sides), so callers persist/materialize `enc` first. */
+  private[graft] def nearDupWidePairSpark(enc: String): String =
+    s"""WITH pr AS (SELECT doc_id, lang, n, masks,
+       |         explode(sequence((4 * n + 4) div 5, (5 * n) div 4)) AS nb FROM $enc),
+       |p AS (SELECT /*+ SHUFFLE_HASH(b) */ a.lang AS lang, a.doc_id AS doc_id, b.doc_id AS doc_id_b,
+       |        mask_and_count(a.masks, b.masks) AS inter,
+       |        a.n AS na, b.n AS nb
+       |      FROM pr a JOIN $enc b
+       |        ON a.lang = b.lang AND a.nb = b.n AND a.doc_id < b.doc_id
+       |       AND least(a.n, b.n) * 5 >= greatest(a.n, b.n) * 4)
+       |SELECT lang, doc_id, doc_id_b, round(inter / (na + nb - inter), 6) AS jaccard
+       |FROM p
+       |WHERE round(inter / (na + nb - inter), 6) >= 0.8
+       |ORDER BY lang, doc_id, doc_id_b""".stripMargin
+
+  /** One-query composition of the wide enc + pair stages (used by tests /
+    * profiling; the `queries` entry persists the enc side instead —
+    * Spark inlines CTEs, so this form computes the encode subtree twice). */
+  private[graft] val nearDupWideSpark: String = {
+    val Array(withHeader, encBody) = nearDupWideEncSpark.split("\nSELECT ", 2)
+    s"""$withHeader,
+       |enc2 AS (SELECT $encBody),
+       |${nearDupWidePairSpark("enc2").stripPrefix("WITH ")}""".stripMargin
+  }
 
   private[graft] val nearDupWideDuck: String =
     """WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
@@ -327,6 +341,11 @@ object TextOps {
     // oracle. Constraint: dictionary ≤ 256 tokens (corpus has 31); larger
     // vocabularies take the MinHash-signature blocking path
     // (q_dedup_minhash) instead — that pairing is the 100 TB design.
+    // The enc relation feeds BOTH sides of the pair self-join. Spark
+    // inlines SQL CTEs, but ReuseExchange dedups the identical encode
+    // subtree at the physical level — measured FASTER than an explicit
+    // persist()+count() of enc (materialization breaks whole-stage
+    // pipelining and adds a job): 6.4 s vs 9.0 s first-run at sf0.1.
     "q_dedup_near" -> ((s, sf) => {
       Tables.documents(s, sf).createOrReplaceTempView("documents")
       s.sql(nearDupSql(
@@ -337,7 +356,7 @@ object TextOps {
 
     // Bitmap-ARRAY variant: exact bigram-set Jaccard with a dynamically
     // sized bitmap (vocabulary ~900 bigrams here — far past the fixed
-    // 4-word mask's 256 cap). See nearDupWideSpark scaladoc.
+    // 4-word mask's 256 cap). See nearDupWideEncSpark scaladoc.
     "q_dedup_near_wide" -> ((s, sf) => {
       graft.functions.GraftFunctions.register(s)
       Tables.documents(s, sf).createOrReplaceTempView("documents")

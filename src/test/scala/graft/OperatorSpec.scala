@@ -259,6 +259,28 @@ class OperatorSpec extends AnyFunSuite with SparkSessionTest {
     assert(got2 == Map(1L -> 7L)) // rid 8 is later than t=5 → no match for id 2
   }
 
+  test("as-of merge join excludes NULL keys and times per join semantics") {
+    import spark.implicits._
+    // left: id 1 matches; id 2 null key; id 3 null time; id 4 unmatched key
+    val l = Seq((1L, java.lang.Long.valueOf(10L), java.lang.Long.valueOf(5L)),
+      (2L, null.asInstanceOf[java.lang.Long], java.lang.Long.valueOf(5L)),
+      (3L, java.lang.Long.valueOf(10L), null.asInstanceOf[java.lang.Long]),
+      (4L, java.lang.Long.valueOf(99L), java.lang.Long.valueOf(5L)))
+      .toDF("id", "k", "t")
+    // right: rid 7 usable; rid 8 null key; rid 9 null time — 8/9 must never match
+    val r = Seq((7L, java.lang.Long.valueOf(10L), java.lang.Long.valueOf(4L)),
+      (8L, null.asInstanceOf[java.lang.Long], java.lang.Long.valueOf(1L)),
+      (9L, java.lang.Long.valueOf(10L), null.asInstanceOf[java.lang.Long]))
+      .toDF("rid", "rk", "rt")
+    val inner = graft.plans.AsOf.join(l, r, "k", "rk", "t", "rt", "rid")
+      .select("id", "rid").as[(Long, Long)].collect().toMap
+    assert(inner == Map(1L -> 7L)) // 2,3 null-dropped; 4 unmatched
+    val outer = graft.plans.AsOf.join(l, r, "k", "rk", "t", "rt", "rid", leftOuter = true)
+      .select($"id", $"rid").collect()
+      .map(row => row.getLong(0) -> (if (row.isNullAt(1)) -1L else row.getLong(1))).toMap
+    assert(outer == Map(1L -> 7L, 2L -> -1L, 3L -> -1L, 4L -> -1L))
+  }
+
   test("multimodal fake codec golden") {
     val r = Multimodal.MediaRecord(7L, "image/fake", 640, 480, Array[Byte](0, 2, 4))
     val f = Multimodal.FakeCodec.features(r)
