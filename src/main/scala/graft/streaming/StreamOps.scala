@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import java.sql.Timestamp
 
 /** T11 — Structured Streaming over `events`-shaped data (SURVEY §2 T11).
@@ -134,5 +135,38 @@ object StreamOps {
       .withWatermark("ts", "10 minutes")
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
+  case class UserCount(user_id: Long, n_events: Long)
+
+  /** Spark 4 `transformWithState` stateful processor: running per-user
+    * event count in a typed `ValueState[Long]`. The modern replacement for
+    * the `*GroupsWithState` family — state variables are declared against a
+    * handle (RocksDB-backed; value/list/map state, TTL, timers) instead of
+    * a single opaque state object, and the store can be evolved/rescaled
+    * independently of the operator. Requires
+    * `spark.sql.streaming.stateStore.providerClass=RocksDBStateStoreProvider`.
+    */
+  class RunningCountProcessor extends StatefulProcessor[Long, Event, UserCount] {
+    @transient private var count: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      count = getHandle.getValueState[Long]("count", Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+                                 timerValues: TimerValues): Iterator[UserCount] = {
+      val n = (if (count.exists()) count.get() else 0L) + rows.size
+      count.update(n)
+      Iterator.single(UserCount(key, n))
+    }
+  }
+
+  /** Running per-user counts via [[RunningCountProcessor]]; Update-mode
+    * emission (one row per user per micro-batch that saw that user). */
+  def statefulRunningCount(s: SparkSession, events: Dataset[Event]): Dataset[UserCount] = {
+    import s.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningCountProcessor, TimeMode.None(), OutputMode.Update())
   }
 }

@@ -162,4 +162,30 @@ class StreamOpsSpec extends AnyFunSuite with SparkSessionTest {
       assert(rows(0).getLong(3) == 2)
     } finally q.stop()
   }
+
+  test("transformWithState running count (Spark 4 stateful processor)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // transformWithState requires the RocksDB state store provider
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ms = MemoryStream[Event]
+    val q = StreamOps.statefulRunningCount(spark, ms.toDS())
+      .writeStream.format("memory").queryName("t_tws").outputMode("update").start()
+    try {
+      ms.addData(ev(1, "2024-01-01 10:00:00", u = 1), ev(2, "2024-01-01 10:01:00", u = 1),
+        ev(3, "2024-01-01 10:02:00", u = 2))
+      q.processAllAvailable()
+      ms.addData(ev(4, "2024-01-01 10:03:00", u = 1))
+      q.processAllAvailable()
+      // update mode: latest emission per user carries the running total
+      val last = spark.table("t_tws").groupBy("user_id")
+        .agg(max("n_events").as("n")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(last == Map(1L -> 3L, 2L -> 1L)) // state carried across batches
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
