@@ -135,7 +135,41 @@ object FnOps {
       Tables.documents(s, sf)
         .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos0", "word")))
         .select(col("doc_id"), (col("pos0") + 1).cast(LongType).as("pos"), col("word"))
-        .orderBy("doc_id", "pos"))
+        .orderBy("doc_id", "pos")),
+
+    // bitwise family: AND/OR/XOR/NOT, shifts, popcount — the primitives
+    // under the bitmap set-similarity operators, exposed as a first-class
+    // scalar surface.
+    "q_fn_bitwise" -> ((s, sf) =>
+      Tables.orders(s, sf)
+        .select(
+          col("o_orderkey"),
+          col("o_orderkey").bitwiseAND(lit(255L)).as("b_and"),
+          col("o_orderkey").bitwiseOR(lit(4096L)).as("b_or"),
+          col("o_orderkey").bitwiseXOR(col("o_custkey")).as("b_xor"),
+          bitwise_not(col("o_orderkey")).as("b_not"),
+          shiftleft(col("o_orderkey"), 3).as("b_shl"),
+          shiftright(col("o_orderkey"), 2).as("b_shr"),
+          bit_count(col("o_orderkey")).cast(LongType).as("b_pop"))
+        .orderBy("o_orderkey")),
+
+    // URL dissection: parse_url on Spark (codegen'd built-in); the oracle
+    // mirrors the same fields with plain regexes — values, not engines,
+    // are what's compared. URLs are derived deterministically from order
+    // rows so the query runs on the stock corpus.
+    "q_fn_url" -> ((s, sf) =>
+      Tables.orders(s, sf)
+        .withColumn("url",
+          // '4-NOT SPECIFIED' has a space → would make the URI invalid
+          concat(lit("https://logs.example.com/"), translate(col("o_orderpriority"), " ", "_"),
+            lit("/order?id="), col("o_orderkey"), lit("&seg="), col("o_orderstatus")))
+        .select(
+          col("o_orderkey"),
+          parse_url(col("url"), lit("HOST")).as("host"),
+          parse_url(col("url"), lit("PATH")).as("path"),
+          parse_url(col("url"), lit("QUERY")).as("query"),
+          parse_url(col("url"), lit("QUERY"), lit("seg")).as("seg"))
+        .orderBy("o_orderkey"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -233,6 +267,30 @@ object FnOps {
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
         |SELECT doc_id, CAST(generate_subscripts(toks, 1) AS BIGINT) AS pos,
         |  unnest(toks) AS word
-        |FROM t ORDER BY doc_id, pos""".stripMargin
+        |FROM t ORDER BY doc_id, pos""".stripMargin,
+
+    "q_fn_bitwise" ->
+      """SELECT o_orderkey,
+        |  o_orderkey & 255 AS b_and,
+        |  o_orderkey | 4096 AS b_or,
+        |  xor(o_orderkey, o_custkey) AS b_xor,
+        |  ~o_orderkey AS b_not,
+        |  o_orderkey << 3 AS b_shl,
+        |  o_orderkey >> 2 AS b_shr,
+        |  CAST(bit_count(o_orderkey) AS BIGINT) AS b_pop
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_fn_url" ->
+      """WITH u AS (SELECT o_orderkey,
+        |  'https://logs.example.com/' || replace(o_orderpriority, ' ', '_')
+        |    || '/order?id=' || CAST(o_orderkey AS VARCHAR)
+        |    || '&seg=' || o_orderstatus AS url
+        |  FROM orders)
+        |SELECT o_orderkey,
+        |  regexp_extract(url, '^https://([^/]+)', 1) AS host,
+        |  regexp_extract(url, '^https://[^/]+(/[^?]*)', 1) AS path,
+        |  regexp_extract(url, '\?(.*)$', 1) AS query,
+        |  regexp_extract(url, '[?&]seg=([^&]*)', 1) AS seg
+        |FROM u ORDER BY o_orderkey""".stripMargin
   )
 }

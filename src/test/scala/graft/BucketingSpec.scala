@@ -67,4 +67,25 @@ class BucketingSpec extends AnyFunSuite with SparkSessionTest
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
   }
+
+  test("hive-style partitioned sink gives partition pruning on read") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val events = Tables.events(spark, sf0001)
+    graft.sources.Sinks.writePartitioned(events, dir, Seq("event_type"))
+
+    val back = spark.read.parquet(dir).filter(col("event_type") === "error")
+    back.collect()
+    val scans = collect(back.queryExecution.executedPlan) {
+      case s: FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    // the event_type predicate must land in partitionFilters (directory
+    // pruning — non-matching partitions are never listed or read), not in
+    // dataFilters (per-row evaluation after reading everything)
+    assert(scans.head.partitionFilters.exists(_.references.exists(_.name == "event_type")))
+    val prunedRows = back.count()
+    val expected = events.filter(col("event_type") === "error").count()
+    assert(prunedRows === expected && prunedRows > 0)
+  }
 }
