@@ -12,8 +12,16 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: JIT + codegen + parquet-reader init otherwise land on
     // whichever query happens to run first, skewing its number (BASELINE.md
-    // protocol). The flagship exercises scan→filter→hash-agg→sort.
+    // protocol). Round 1 warmed only the flagship; that leaves each query's
+    // FIRST execution paying its own one-time JVM cost — measured 5-8 s
+    // cold vs 1-2 s steady-state for the lambda-heavy text operators
+    // (interpreted HigherOrderFunction paths JIT late). So warm every
+    // query once at sf0.001 (tiny data: the one-time cost is per code
+    // path, not per row), then time steady-state latency at the target SF.
     try { SparkEntry.entry(spark).count() } catch { case _: Throwable => () }
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try { fn(spark, "/root/testdata/sf0.001").count() } catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

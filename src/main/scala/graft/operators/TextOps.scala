@@ -409,10 +409,13 @@ object TextOps {
     }),
 
     // Textbook MinHash LSH banding (shingle → minhash → band → bucket-join):
-    // 8 md5-keyed min-hashes per doc folded into 4 bands of 2; a candidate
-    // pair is any two docs sharing a (band index, band value) bucket within
-    // a language. Buckets come from an inverted index (explode + equi-join)
-    // — never an all-pairs scan — and OVERSIZED buckets are dropped
+    // 8 min-hashes per doc (8 overlapping 8-hex slices of ONE md5 per
+    // token — one hash invocation per token instead of eight, ~8× less
+    // hash work for mildly correlated permutations) folded into 4 bands of
+    // 2; a candidate pair is any two docs sharing a (band index, band
+    // value) bucket within a language. Buckets come from an inverted index
+    // (explode + equi-join) — never an all-pairs scan — and OVERSIZED
+    // buckets are dropped
     // (bucket_n > 10): a bucket shared by many docs is non-discriminative
     // and is exactly where bucket joins go quadratic; capping it is the
     // standard LSH skew guard (this corpus: 2.7M pairs uncapped → 2.5k
@@ -422,10 +425,11 @@ object TextOps {
       Tables.documents(s, sf).createOrReplaceTempView("documents")
       s.sql(
         """WITH d AS (SELECT doc_id, lang, array_distinct(split(text, ' ')) AS toks FROM documents),
+          |hs AS (SELECT doc_id, lang, transform(toks, t -> md5(t)) AS th FROM d),
           |sig AS (SELECT doc_id, lang,
           |          transform(sequence(0, 7), i ->
-          |            array_min(transform(toks, t -> md5(concat(CAST(i AS STRING), ':', t))))) AS mh
-          |        FROM d),
+          |            array_min(transform(th, h -> substring(h, 3 * i + 1, 8)))) AS mh
+          |        FROM hs),
           |bands AS (SELECT doc_id, lang, b,
           |            concat(element_at(mh, 2 * b + 1), element_at(mh, 2 * b + 2)) AS bv
           |          FROM sig LATERAL VIEW explode(sequence(0, 3)) bx AS b),
@@ -476,23 +480,82 @@ object TextOps {
     // build and scoring are both distributed joins.
     "q_text_langid_ngram" -> ((s, sf) => {
       Tables.documents(s, sf).createOrReplaceTempView("documents")
+      // The per-doc distinct-trigram array is the expensive part (one
+      // interpreted substring lambda per character of the corpus); it
+      // feeds BOTH the profile build and the scoring stage, and the two
+      // consumers shuffle differently so ReuseExchange can't dedup them.
+      // Unlike the bitmap enc case this subtree is lambda-heavy and
+      // row-light (one array per doc), so persisting it IS the win here:
+      // 5.8 s → ~1.5 s at sf0.1. Profiles are document frequencies;
+      // scoring is a broadcast cross join + array_intersect per (doc,
+      // lang) — no second full-corpus shuffle at any scale.
+      val d = s.sql(
+        """SELECT doc_id, lang, array_distinct(transform(
+          |  sequence(1, length(lower(text)) - 2), i -> substring(lower(text), i, 3))) AS gs
+          |FROM documents WHERE length(text) >= 3""".stripMargin).persist()
+      d.count()
+      d.createOrReplaceTempView("langid_d")
       s.sql(
-        """WITH d AS (SELECT doc_id, lang, lower(text) AS t FROM documents),
-          |tg AS (SELECT doc_id, lang, explode(transform(sequence(1, length(t) - 2), i ->
-          |         substring(t, i, 3))) AS g
-          |       FROM d WHERE length(t) >= 3),
+        """WITH tg AS (SELECT doc_id, lang, explode(gs) AS g FROM langid_d),
           |prof AS (SELECT lang, g, count(*) AS c FROM tg GROUP BY lang, g),
           |top AS (SELECT lang AS plang, g FROM
           |          (SELECT lang, g, row_number() OVER (PARTITION BY lang ORDER BY c DESC, g) AS rn
           |           FROM prof) r
           |        WHERE rn <= 30),
-          |docg AS (SELECT DISTINCT doc_id, g FROM tg),
-          |score AS (SELECT doc_id, plang, count(*) AS s
-          |          FROM docg JOIN top USING (g) GROUP BY doc_id, plang)
-          |SELECT doc_id, plang AS predicted, s AS score FROM
+          |topa AS (SELECT plang, collect_list(g) AS pg FROM top GROUP BY plang),
+          |score AS (SELECT /*+ BROADCAST(topa) */ doc_id, plang,
+          |            size(array_intersect(gs, pg)) AS s
+          |          FROM langid_d CROSS JOIN topa)
+          |SELECT doc_id, plang AS predicted, CAST(s AS BIGINT) AS score FROM
           |  (SELECT doc_id, plang, s,
           |     row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, plang) AS rn
           |   FROM score) x
+          |WHERE rn = 1 ORDER BY doc_id""".stripMargin)
+    }),
+
+    // Reproducible stratified sampling: per-language top-20 by md5(doc_id)
+    // — a deterministic, engine-portable stand-in for seeded uniform
+    // sampling (the md5 order IS the "random" order, identical on any
+    // engine and any partitioning; a seeded TABLESAMPLE would be
+    // engine-private). The per-stratum quota is the training-pipeline
+    // "balanced subset" primitive.
+    "q_sample_stratified" -> ((s, sf) => {
+      Tables.documents(s, sf).createOrReplaceTempView("documents")
+      s.sql(
+        """SELECT lang, doc_id, n_chars, rn FROM (
+          |  SELECT lang, doc_id, n_chars,
+          |    row_number() OVER (PARTITION BY lang
+          |      ORDER BY md5(CAST(doc_id AS STRING)), doc_id) AS rn
+          |  FROM documents) t
+          |WHERE rn <= 20 ORDER BY lang, rn""".stripMargin)
+    }),
+
+    // End-to-end corpus-cleaning pipeline — the composition the individual
+    // operators exist FOR: quality gate (length + type/token ratio) →
+    // exact dedup on normalized text → MinHash near-dup collapse (keep
+    // lowest doc_id per signature). One declarative plan: Catalyst fuses
+    // the gates into the scan and the two dedups are two hash shuffles.
+    "q_pipeline_clean_corpus" -> ((s, sf) => {
+      Tables.documents(s, sf).createOrReplaceTempView("documents")
+      s.sql(
+        """WITH d AS (SELECT doc_id, lang, n_chars, split(text, ' ') AS toks,
+          |             array_join(sort_array(split(text, ' ')), ' ') AS norm
+          |           FROM documents),
+          |q AS (SELECT * FROM d
+          |      WHERE size(toks) >= 5
+          |        AND size(array_distinct(toks)) / size(toks) >= 0.3),
+          |e AS (SELECT * FROM (
+          |        SELECT *, row_number() OVER (PARTITION BY norm ORDER BY doc_id) AS rn
+          |        FROM q) t
+          |      WHERE rn = 1),
+          |sig AS (SELECT doc_id, lang, n_chars,
+          |          concat_ws(',', slice(sort_array(transform(
+          |            array_distinct(toks), t -> md5(t))), 1, 4)) AS mh
+          |        FROM e)
+          |SELECT doc_id, lang, n_chars FROM (
+          |  SELECT doc_id, lang, n_chars,
+          |    row_number() OVER (PARTITION BY mh ORDER BY doc_id) AS rn
+          |  FROM sig) t
           |WHERE rn = 1 ORDER BY doc_id""".stripMargin)
     })
   )
@@ -627,10 +690,11 @@ object TextOps {
 
     "q_dedup_lsh_bands" ->
       """WITH d AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks FROM documents),
+        |hs AS (SELECT doc_id, lang, list_transform(toks, t -> md5(t)) AS th FROM d),
         |sig AS (SELECT doc_id, lang,
         |          list_transform(generate_series(0, 7), i ->
-        |            list_aggregate(list_transform(toks, t -> md5(CAST(i AS VARCHAR) || ':' || t)), 'min')) AS mh
-        |        FROM d),
+        |            list_aggregate(list_transform(th, h -> substring(h, 3 * i + 1, 8)), 'min')) AS mh
+        |        FROM hs),
         |bands AS (SELECT doc_id, lang, b, mh[2 * b + 1] || mh[2 * b + 2] AS bv
         |          FROM sig, (SELECT unnest(generate_series(0, 3)) AS b) bi),
         |sized AS (SELECT *, count(*) OVER (PARTITION BY lang, b, bv) AS bucket_n FROM bands),
@@ -662,22 +726,52 @@ object TextOps {
         |FROM w ORDER BY doc_id""".stripMargin,
 
     "q_text_langid_ngram" ->
-      """WITH d AS (SELECT doc_id, lang, lower(text) AS t FROM documents),
-        |tg AS (SELECT doc_id, lang, unnest(list_transform(generate_series(1, length(t) - 2), i ->
-        |         substring(t, i, 3))) AS g
-        |       FROM d WHERE length(t) >= 3),
+      """WITH d AS (SELECT doc_id, lang, list_distinct(list_transform(
+        |             generate_series(1, length(lower(text)) - 2),
+        |             i -> substring(lower(text), i, 3))) AS gs
+        |           FROM documents WHERE length(text) >= 3),
+        |tg AS (SELECT doc_id, lang, unnest(gs) AS g FROM d),
         |prof AS (SELECT lang, g, count(*) AS c FROM tg GROUP BY lang, g),
         |top AS (SELECT lang AS plang, g FROM
         |          (SELECT lang, g, row_number() OVER (PARTITION BY lang ORDER BY c DESC, g) AS rn
         |           FROM prof) r
         |        WHERE rn <= 30),
-        |docg AS (SELECT DISTINCT doc_id, g FROM tg),
-        |score AS (SELECT doc_id, plang, count(*) AS s
-        |          FROM docg JOIN top USING (g) GROUP BY doc_id, plang)
-        |SELECT doc_id, plang AS predicted, s AS score FROM
+        |topa AS (SELECT plang, list(g) AS pg FROM top GROUP BY plang),
+        |score AS (SELECT doc_id, plang, len(list_intersect(gs, pg)) AS s
+        |          FROM d CROSS JOIN topa)
+        |SELECT doc_id, plang AS predicted, CAST(s AS BIGINT) AS score FROM
         |  (SELECT doc_id, plang, s,
         |     row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, plang) AS rn
         |   FROM score) x
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "q_sample_stratified" ->
+      """SELECT lang, doc_id, n_chars, rn FROM (
+        |  SELECT lang, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn <= 20 ORDER BY lang, rn""".stripMargin,
+
+    "q_pipeline_clean_corpus" ->
+      """WITH d AS (SELECT doc_id, lang, n_chars, string_split(text, ' ') AS toks,
+        |             array_to_string(list_sort(string_split(text, ' ')), ' ') AS norm
+        |           FROM documents),
+        |q AS (SELECT * FROM d
+        |      WHERE len(toks) >= 5
+        |        AND len(list_distinct(toks)) / len(toks) >= 0.3),
+        |e AS (SELECT * FROM (
+        |        SELECT *, row_number() OVER (PARTITION BY norm ORDER BY doc_id) AS rn
+        |        FROM q) t
+        |      WHERE rn = 1),
+        |sig AS (SELECT doc_id, lang, n_chars,
+        |          array_to_string(list_sort(list_transform(
+        |            list_distinct(toks), t -> md5(t)))[1:4], ',') AS mh
+        |        FROM e)
+        |SELECT doc_id, lang, n_chars FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |    row_number() OVER (PARTITION BY mh ORDER BY doc_id) AS rn
+        |  FROM sig) t
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin
   )
 }

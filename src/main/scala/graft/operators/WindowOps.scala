@@ -177,15 +177,19 @@ object WindowOps {
         |              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY user_id, event_id""".stripMargin,
 
-    // NOTE the >= 1800 boundary: Spark's session_window is half-open
-    // [start, last+gap) — an event at exactly last+gap falls OUTSIDE the
-    // session and starts a new one, so the manual-gap oracle must also
-    // treat a gap of exactly 30 minutes as a session break.
+    // NOTE the > 1800 boundary: Spark's session_window interval is CLOSED
+    // at the end — an event at exactly last+gap still extends the session
+    // (verified empirically on Spark 4.1.2: two events 1800 s apart with a
+    // 30-minute gap produce ONE session; regression-tested in
+    // OperatorSpec "session_window merges an exactly-gap-length interval").
+    // So the manual-gap oracle starts a new session only for gap > 1800,
+    // same as q_sessionize. An sf0.1 event pair sits exactly on this
+    // boundary, so the gate itself exercises it.
     "q_session_window_native" ->
       s"""WITH g AS (
          |  SELECT user_id, event_id, $oracleTs AS ts_s,
          |    CASE WHEN lag($oracleTs, 1) OVER w IS NULL
-         |           OR epoch($oracleTs) - epoch(lag($oracleTs, 1) OVER w) >= 1800
+         |           OR epoch($oracleTs) - epoch(lag($oracleTs, 1) OVER w) > 1800
          |         THEN 1 ELSE 0 END AS new_sess
          |  FROM events
          |  WINDOW w AS (PARTITION BY user_id ORDER BY $oracleTs, event_id)

@@ -281,6 +281,20 @@ class OperatorSpec extends AnyFunSuite with SparkSessionTest {
     assert(outer == Map(1L -> 7L, 2L -> -1L, 3L -> -1L, 4L -> -1L))
   }
 
+  test("session_window merges an exactly-gap-length interval") {
+    import spark.implicits._
+    // Spark's session window is closed at the end: an event at exactly
+    // last+gap extends the session (the q_session_window_native oracle's
+    // `> 1800` rule depends on this; an sf0.1 pair sits on the boundary).
+    val df = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00")),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:30:00"))
+    ).toDF("u", "ts")
+    val n = df.groupBy(session_window(col("ts"), "30 minutes"), col("u"))
+      .count().count()
+    assert(n == 1)
+  }
+
   test("multimodal fake codec golden") {
     val r = Multimodal.MediaRecord(7L, "image/fake", 640, 480, Array[Byte](0, 2, 4))
     val f = Multimodal.FakeCodec.features(r)
