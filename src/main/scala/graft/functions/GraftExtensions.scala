@@ -17,6 +17,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.vecDotDescriptor)
     ext.injectFunction(GraftFunctions.maskAndCountDescriptor)
+    ext.injectFunction(GraftFunctions.charNgramsDescriptor)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinBandRule)
   }
@@ -33,6 +34,11 @@ object GraftFunctions {
     MaskAndCount(children.head, children(1))
   }
 
+  private def ngramsBuilder(children: Seq[Expression]): Expression = {
+    require(children.size == 2, s"char_ngrams expects 2 arguments, got ${children.size}")
+    CharNgrams(children.head, children(1))
+  }
+
   val vecDotDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     new FunctionIdentifier("vec_dot"),
     new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
@@ -43,11 +49,18 @@ object GraftFunctions {
     new ExpressionInfo(classOf[MaskAndCount].getName, "mask_and_count"),
     macBuilder _)
 
+  val charNgramsDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    new FunctionIdentifier("char_ngrams"),
+    new ExpressionInfo(classOf[CharNgrams].getName, "char_ngrams"),
+    ngramsBuilder _)
+
   /** Idempotent registration into an already-running session. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction("vec_dot", builder, "built-in")
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction("mask_and_count", macBuilder, "built-in")
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction("char_ngrams", ngramsBuilder, "built-in")
   }
 }

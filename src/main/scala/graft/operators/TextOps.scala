@@ -489,9 +489,12 @@ object TextOps {
       // 5.8 s → ~1.5 s at sf0.1. Profiles are document frequencies;
       // scoring is a broadcast cross join + array_intersect per (doc,
       // lang) — no second full-corpus shuffle at any scale.
+      graft.functions.GraftFunctions.register(s)
+      // char_ngrams: custom codegen kernel, identical output to the
+      // transform(sequence(...), i -> substring(...)) lambda (parity test
+      // in RobustnessSpec) without per-element interpreted dispatch.
       val d = s.sql(
-        """SELECT doc_id, lang, array_distinct(transform(
-          |  sequence(1, length(lower(text)) - 2), i -> substring(lower(text), i, 3))) AS gs
+        """SELECT doc_id, lang, array_distinct(char_ngrams(lower(text), 3)) AS gs
           |FROM documents WHERE length(text) >= 3""".stripMargin).persist()
       d.count()
       d.createOrReplaceTempView("langid_d")

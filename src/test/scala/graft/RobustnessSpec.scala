@@ -74,4 +74,23 @@ class RobustnessSpec extends AnyFunSuite with SparkSessionTest {
     val agg = j.agg(count(lit(1)), count($"tag"), Det.dsum($"x")).head()
     assert(agg.getLong(0) == 2 && agg.getLong(1) == 1 && agg.getDouble(2) == 30.0)
   }
+
+  test("char_ngrams ≡ the substring lambda, incl. unicode and short strings") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val df = Seq("hello world", "ab", "abc", "", "héllo wörld ünïcode",
+      "日本語のテキスト", "x").toDF("s")
+    // (sequence(1, 0) is a DESCENDING range in Spark, so the lambda twin
+    // needs the short-string guard explicitly — char_ngrams builds it in)
+    val rows = df.selectExpr(
+      "char_ngrams(s, 3) AS fast",
+      """CASE WHEN length(s) < 3 THEN array()
+        |ELSE transform(sequence(1, length(s) - 2), i -> substring(s, i, 3)) END AS slow""".stripMargin)
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1), s"mismatch on row $r")
+    }
+    // n larger than the string → empty, not negative-sized
+    assert(df.selectExpr("size(char_ngrams(s, 40))").collect().forall(_.getInt(0) == 0))
+  }
 }
