@@ -137,6 +137,34 @@ object FnOps {
         .select(col("doc_id"), (col("pos0") + 1).cast(LongType).as("pos"), col("word"))
         .orderBy("doc_id", "pos")),
 
+    // struct family: create, field access, nesting, array-of-struct
+    // element access — nested data is how log/event payloads arrive.
+    "q_fn_struct" -> ((s, sf) =>
+      Tables.orders(s, sf)
+        .withColumn("st", struct(col("o_orderstatus").as("status"),
+          col("o_totalprice").as("price")))
+        .withColumn("nested", struct(col("o_orderkey").as("k"), col("st").as("inner")))
+        .withColumn("arr", array(col("st"), col("st")))
+        .select(
+          col("o_orderkey"),
+          col("st.status").as("status"),
+          round(col("nested.inner.price"), 2).as("price2"),
+          element_at(col("arr"), 2).getField("status").as("arr_status"),
+          size(col("arr")).cast(LongType).as("n_arr"))
+        .orderBy("o_orderkey")),
+
+    // regexp family beyond rlike-search: first-group extract, extract-all,
+    // count, and backreference-free masking replace.
+    "q_fn_regexp" -> ((s, sf) =>
+      Tables.documents(s, sf)
+        .select(
+          col("doc_id"),
+          regexp_extract(col("text"), "([a-z]+) ([a-z]+)", 2).as("second_word"),
+          concat_ws(",", expr("regexp_extract_all(text, '[a-z]{7,}', 0)")).as("long_words"),
+          expr("regexp_count(text, 'the')").cast(LongType).as("n_the"),
+          regexp_replace(col("text"), "[aeiou]", "_").as("masked"))
+        .orderBy("doc_id")),
+
     // bitwise family: AND/OR/XOR/NOT, shifts, popcount — the primitives
     // under the bitmap set-similarity operators, exposed as a first-class
     // scalar surface.
@@ -268,6 +296,27 @@ object FnOps {
         |SELECT doc_id, CAST(generate_subscripts(toks, 1) AS BIGINT) AS pos,
         |  unnest(toks) AS word
         |FROM t ORDER BY doc_id, pos""".stripMargin,
+
+    "q_fn_struct" ->
+      """WITH t AS (SELECT o_orderkey,
+        |  {'status': o_orderstatus, 'price': o_totalprice} AS st
+        |  FROM orders),
+        |n AS (SELECT o_orderkey, st, {'k': o_orderkey, 'inner': st} AS nested,
+        |        [st, st] AS arr FROM t)
+        |SELECT o_orderkey,
+        |  st.status AS status,
+        |  round(nested.inner.price, 2) AS price2,
+        |  arr[2].status AS arr_status,
+        |  CAST(len(arr) AS BIGINT) AS n_arr
+        |FROM n ORDER BY o_orderkey""".stripMargin,
+
+    "q_fn_regexp" ->
+      """SELECT doc_id,
+        |  regexp_extract(text, '([a-z]+) ([a-z]+)', 2) AS second_word,
+        |  COALESCE(array_to_string(regexp_extract_all(text, '[a-z]{7,}', 0), ','), '') AS long_words,
+        |  CAST(len(regexp_extract_all(text, 'the', 0)) AS BIGINT) AS n_the,
+        |  regexp_replace(text, '[aeiou]', '_', 'g') AS masked
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_fn_bitwise" ->
       """SELECT o_orderkey,

@@ -109,6 +109,48 @@ object JoinOps {
         .select("c_custkey", "c_name", "c_mktsegment")
         .orderBy("c_custkey")),
 
+    // IN-subquery surface: Catalyst rewrites to the same left-semi join as
+    // q_join_semi — this query pins the SQL path (subquery decorrelation),
+    // not new physical machinery.
+    "q_subquery_in" -> ((s, sf) => {
+      Tables.customer(s, sf).createOrReplaceTempView("customer")
+      Tables.orders(s, sf).createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT c_custkey, c_name FROM customer
+          |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 450000.0)
+          |ORDER BY c_custkey""".stripMargin)
+    }),
+
+    // Scalar subqueries, correlated and uncorrelated: per-customer order
+    // count (decorrelates to an outer-join + aggregate) and account
+    // balance relative to the global decimal-exact average.
+    "q_subquery_scalar" -> ((s, sf) => {
+      Tables.customer(s, sf).createOrReplaceTempView("customer")
+      Tables.orders(s, sf).createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT c_custkey,
+          |  (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders,
+          |  round(c_acctbal / (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(30,4))) AS DOUBLE) / count(*)
+          |                     FROM customer), 6) AS rel_bal
+          |FROM customer ORDER BY c_custkey""".stripMargin)
+    }),
+
+    // LATERAL correlated subquery join: top-1 order per customer via a
+    // per-row dependent subquery with ORDER BY + LIMIT — the SQL spelling
+    // of q_topk_per_group (Catalyst decorrelates to window-rank; DuckDB
+    // executes it natively).
+    "q_join_lateral" -> ((s, sf) => {
+      Tables.customer(s, sf).createOrReplaceTempView("customer")
+      Tables.orders(s, sf).createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT c_custkey, t.o_orderkey, t.o_totalprice
+          |FROM customer, LATERAL (
+          |  SELECT o_orderkey, o_totalprice FROM orders
+          |  WHERE o_custkey = c_custkey
+          |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t
+          |ORDER BY c_custkey""".stripMargin)
+    }),
+
     "q_join_anti" -> ((s, sf) =>
       Tables.customer(s, sf)
         .join(Tables.orders(s, sf).filter(col("o_totalprice") > 450000.0),
@@ -263,6 +305,26 @@ object JoinOps {
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders
         |              WHERE o_custkey = c_custkey AND o_totalprice > 450000.0)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_subquery_in" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 450000.0)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_subquery_scalar" ->
+      """SELECT c_custkey,
+        |  (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders,
+        |  round(c_acctbal / (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(30,4))) AS DOUBLE) / count(*)
+        |                     FROM customer), 6) AS rel_bal
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_join_lateral" ->
+      """SELECT c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_custkey = c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t
         |ORDER BY c_custkey""".stripMargin,
 
     "q_join_anti" ->
