@@ -131,6 +131,29 @@ object ScanOps {
         .select(col("line_id"), col("r.host").as("host"),
           col("r.status").as("status"), col("r.bytes").as("bytes"))
         .orderBy("line_id")
+    }),
+
+    // Corrupt-record handling: PERMISSIVE mode with a named corrupt-record
+    // column — malformed lines land intact in `_corrupt` with null data
+    // fields (from_json's malformed output is an all-null-field struct,
+    // NOT a null struct, so `r IS NOT NULL` can't detect them). At 100 TB
+    // a FAILFAST ingest dies on the first bad byte; flag-and-continue with
+    // a dead-letter filter on `_corrupt` is the production shape.
+    "q_ingest_json_corrupt" -> ((s, sf) => {
+      val lineCols = array(dirtyJsonLines.map(lit): _*)
+      s.range(1)
+        .select(posexplode(lineCols).as(Seq("line_id", "line")))
+        .select(
+          col("line_id"),
+          from_json(col("line"), org.apache.spark.sql.types.StructType.fromDDL(
+            "host STRING, status INT, bytes BIGINT, _corrupt STRING"),
+            Map("columnNameOfCorruptRecord" -> "_corrupt")).as("r"))
+        .select(
+          col("line_id"),
+          col("r._corrupt").isNull.as("ok"),
+          col("r.host").as("host"),
+          col("r.status").as("status"))
+        .orderBy("line_id")
     })
   )
 
@@ -139,6 +162,13 @@ object ScanOps {
     """{"host": "web01", "status": 404, "bytes": 48}""",
     """{"host": "db01", "status": 500, "bytes": 1024}""",
     """{"host": "app02", "status": 200, "bytes": 2048}""")
+
+  /** Mix of valid and malformed lines for the corrupt-record path. */
+  private val dirtyJsonLines: Seq[String] = Seq(
+    """{"host": "web01", "status": 200, "bytes": 512}""",
+    """{"host": "web02", "status": 301""", // truncated
+    """not json at all""",
+    """{"host": "db01", "status": 500, "bytes": 1024}""")
 
   private val csvLines: Seq[String] = Seq(
     "web01,200,512", "web01,404,48", "db01,500,1024", "app02,200,2048")
@@ -205,6 +235,17 @@ object ScanOps {
          |  json_extract_string(line, '$$.host') AS host,
          |  CAST(json_extract_string(line, '$$.status') AS INTEGER) AS status,
          |  CAST(json_extract_string(line, '$$.bytes') AS BIGINT) AS bytes
+         |FROM (VALUES $values) AS t(line_id, line)
+         |ORDER BY line_id""".stripMargin
+    },
+
+    "q_ingest_json_corrupt" -> {
+      val values = dirtyJsonLines.zipWithIndex
+        .map { case (l, i) => s"($i, '${l.replace("'", "''")}')" }.mkString(", ")
+      s"""SELECT line_id,
+         |  json_valid(line) AS ok,
+         |  CASE WHEN json_valid(line) THEN json_extract_string(line, '$$.host') END AS host,
+         |  CASE WHEN json_valid(line) THEN CAST(json_extract_string(line, '$$.status') AS INTEGER) END AS status
          |FROM (VALUES $values) AS t(line_id, line)
          |ORDER BY line_id""".stripMargin
     },

@@ -137,6 +137,12 @@ object StreamOps {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  /** Stream-static enrichment join: each micro-batch joins against the
+    * (re-read per batch) static dimension — broadcast, since the dim side
+    * is the small one; the classic at-ingest enrichment shape. */
+  def enrichWithDim(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   case class UserCount(user_id: Long, n_events: Long)
 
   /** Spark 4 `transformWithState` stateful processor: running per-user

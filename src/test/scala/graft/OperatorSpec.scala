@@ -281,6 +281,20 @@ class OperatorSpec extends AnyFunSuite with SparkSessionTest {
     assert(outer == Map(1L -> 7L, 2L -> -1L, 3L -> -1L, 4L -> -1L))
   }
 
+  test("Observation collects in-flight metrics without a second pass") {
+    // production monitoring shape: row counts / sums ride along the real
+    // query as accumulators instead of a separate aggregation job
+    val obs = org.apache.spark.sql.Observation("ingest_stats")
+    val df = Tables.lineitem(spark, sf0001)
+      .observe(obs, count(lit(1)).as("n_rows"), Det.dsum(col("l_quantity")).as("sum_qty"))
+      .filter(col("l_quantity") > 25)
+    val filtered = df.count()
+    val m = obs.get
+    assert(m("n_rows").asInstanceOf[Long] == Tables.lineitem(spark, sf0001).count())
+    assert(m("sum_qty").asInstanceOf[Double] > 0)
+    assert(filtered > 0 && filtered < m("n_rows").asInstanceOf[Long])
+  }
+
   test("session_window merges an exactly-gap-length interval") {
     import spark.implicits._
     // Spark's session window is closed at the end: an event at exactly

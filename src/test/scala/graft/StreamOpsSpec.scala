@@ -163,6 +163,23 @@ class StreamOpsSpec extends AnyFunSuite with SparkSessionTest {
     } finally q.stop()
   }
 
+  test("stream-static broadcast enrichment join") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val ms = MemoryStream[Event]
+    val q = StreamOps.enrichWithDim(ms.toDF(), dim, "user_id")
+      .writeStream.format("memory").queryName("t_enrich").outputMode("append").start()
+    try {
+      ms.addData(ev(1, "2024-01-01 10:00:00", u = 1), ev(2, "2024-01-01 10:00:01", u = 3))
+      q.processAllAvailable()
+      val rows = spark.table("t_enrich").orderBy("event_id")
+        .select("user_id", "tier").collect()
+      assert(rows(0).getString(1) == "gold")
+      assert(rows(1).isNullAt(1)) // unmatched user null-extends (left join)
+    } finally q.stop()
+  }
+
   test("transformWithState running count (Spark 4 stateful processor)") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
