@@ -68,6 +68,34 @@ class BucketingSpec extends AnyFunSuite with SparkSessionTest
     }
   }
 
+  test("AQE splits a skewed sort-merge join partition at runtime") {
+    import spark.implicits._
+    // one hot key holding most rows — the "anonymous user" shape
+    val fact = spark.range(0, 20000)
+      .select((when(col("id") % 100 === 0, col("id") % 50).otherwise(lit(7L))).as("k"),
+        col("id").as("v"))
+    val dim = spark.range(0, 50).select(col("id").as("k"), (col("id") * 10).as("w"))
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // no keyed aggregation downstream: reusing the join's hash
+      // partitioning would forbid the skew split
+      val joined = fact.join(dim, Seq("k")).select(col("v") + col("w"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), s"expected AQE skew split in:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("hive-style partitioned sink gives partition pruning on read") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
