@@ -101,6 +101,14 @@ object AggOps {
         .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
         .orderBy("event_type")),
 
+    // Spark 4 approx_top_k sketch (heavy hitters at 100 TB without a full
+    // groupBy+sort). Rows-only by design like the other sketches: the
+    // sketch's internal ordering is engine-private. Exactness on this
+    // low-cardinality column is asserted separately in OperatorSpec.
+    "q_agg_approx_topk" -> ((s, sf) =>
+      Tables.events(s, sf)
+        .agg(expr("approx_top_k(event_type, 3)").as("top3"))),
+
     "q_agg_grouping_sets" -> ((s, sf) => {
       registerEvents(s, sf)
       s.sql(groupingSetsSql)

@@ -48,6 +48,17 @@ object ScanOps {
         .select("l_orderkey", "l_linenumber", "l_returnflag", "l_shipdate")
         .orderBy("l_orderkey", "l_linenumber", "l_returnflag", "l_shipdate")),
 
+    // Hidden file-metadata columns: every file-source row carries
+    // _metadata (file_path/name/size/modification_time) — the lineage
+    // primitive for tracing any record back to its input file at 100 TB.
+    // Emitted as the basename + per-file row count so the output is
+    // path-prefix and SF independent.
+    "q_scan_metadata" -> ((s, sf) =>
+      Tables.lineitem(s, sf)
+        .select(col("_metadata.file_name").as("fname"))
+        .groupBy("fname").agg(count(lit(1)).as("n_rows"))
+        .orderBy("fname")),
+
     "q_ingest_syslog" -> ((s, sf) => {
       val lineCols = array(syslogLines.map(lit): _*)
       s.range(1)
@@ -193,6 +204,13 @@ object ScanOps {
       """SELECT l_orderkey, l_linenumber, l_returnflag, l_shipdate
         |FROM lineitem
         |ORDER BY l_orderkey, l_linenumber, l_returnflag, l_shipdate""".stripMargin,
+
+    // the corpus stores each table as exactly one file named
+    // <table>.parquet at every SF, so the oracle pins the basename
+    // literally and checks the per-file count
+    "q_scan_metadata" ->
+      """SELECT 'lineitem.parquet' AS fname, count(*) AS n_rows
+        |FROM lineitem ORDER BY fname""".stripMargin,
 
     "q_ingest_syslog" ->
       s"""SELECT line_id,

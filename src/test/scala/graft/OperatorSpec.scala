@@ -281,6 +281,17 @@ class OperatorSpec extends AnyFunSuite with SparkSessionTest {
     assert(outer == Map(1L -> 7L, 2L -> -1L, 3L -> -1L, 4L -> -1L))
   }
 
+  test("approx_top_k is exact on a low-cardinality column") {
+    import spark.implicits._
+    val exact = Tables.events(spark, sf0001).groupBy("event_type").count()
+      .orderBy(col("count").desc, col("event_type")).limit(3)
+      .as[(String, Long)].collect().toMap
+    val sketch = SparkEntry.queries("q_agg_approx_topk")(spark, sf0001)
+      .selectExpr("explode(top3) AS e").select("e.item", "e.count")
+      .as[(String, Long)].collect().toMap
+    assert(sketch == exact) // 5 distinct values fit the sketch exactly
+  }
+
   test("Observation collects in-flight metrics without a second pass") {
     // production monitoring shape: row counts / sums ride along the real
     // query as accumulators instead of a separate aggregation job
