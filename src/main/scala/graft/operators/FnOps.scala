@@ -165,6 +165,20 @@ object FnOps {
           regexp_replace(col("text"), "[aeiou]", "_").as("masked"))
         .orderBy("doc_id")),
 
+    // Spark 4 VARIANT: schema-on-read semi-structured access — parse once,
+    // extract typed fields lazily; the 100 TB answer to "props has no
+    // fixed schema". Emitted as concrete types (the binary variant itself
+    // is engine-private); DuckDB mirrors with json_extract.
+    "q_fn_variant" -> ((s, sf) =>
+      Tables.events(s, sf)
+        .withColumn("v", parse_json(col("props")))
+        .select(
+          col("event_id"),
+          expr("variant_get(v, '$.k', 'int')").as("k_int"),
+          expr("variant_get(v, '$.k', 'string')").as("k_str"),
+          expr("variant_get(v, '$.missing', 'string')").isNull.as("miss_null"))
+        .orderBy("event_id")),
+
     // bitwise family: AND/OR/XOR/NOT, shifts, popcount — the primitives
     // under the bitmap set-similarity operators, exposed as a first-class
     // scalar surface.
@@ -317,6 +331,13 @@ object FnOps {
         |  CAST(len(regexp_extract_all(text, 'the', 0)) AS BIGINT) AS n_the,
         |  regexp_replace(text, '[aeiou]', '_', 'g') AS masked
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_fn_variant" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+        |  json_extract_string(props, '$.k') AS k_str,
+        |  json_extract_string(props, '$.missing') IS NULL AS miss_null
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "q_fn_bitwise" ->
       """SELECT o_orderkey,

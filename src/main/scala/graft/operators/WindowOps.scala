@@ -106,6 +106,27 @@ object WindowOps {
           col("n_events"))
         .orderBy("user_id", "s_start")),
 
+    // Dynamic gap duration: error events time out after 10 minutes, the
+    // rest after 30 — the session boundary is a per-event expression, so
+    // the merged session end is max(tsᵢ + gapᵢ), not last + constant.
+    // Oracle mirrors with a running-max-of-ends rule (an event extends the
+    // session iff ts <= max end so far; closed interval per the
+    // session_window boundary semantics pinned in OperatorSpec).
+    "q_session_window_dynamic" -> ((s, sf) =>
+      eventsTs(s, sf)
+        .groupBy(
+          session_window(col("ts_s"),
+            when(col("event_type") === "error", lit("10 minutes"))
+              .otherwise(lit("30 minutes"))),
+          col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(
+          col("user_id"),
+          col("session_window.start").as("s_start"),
+          col("session_window.end").as("s_end"),
+          col("n_events"))
+        .orderBy("user_id", "s_start")),
+
     "q_sessionize" -> ((s, sf) => {
       val gap = unix_timestamp(col("ts_s")) - unix_timestamp(lag(col("ts_s"), 1).over(byUserTime))
       eventsTs(s, sf)
@@ -203,6 +224,23 @@ object WindowOps {
          |  count(*) AS n_events
          |FROM sess
          |GROUP BY user_id, session_id
+         |ORDER BY user_id, s_start""".stripMargin,
+
+    "q_session_window_dynamic" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, $oracleTs AS ts_s,
+         |    CASE WHEN event_type = 'error' THEN 600 ELSE 1800 END AS g
+         |  FROM events),
+         |w AS (SELECT *, max(epoch(ts_s) + g) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end FROM e),
+         |s AS (SELECT *, CASE WHEN prev_end IS NULL OR epoch(ts_s) > prev_end
+         |        THEN 1 ELSE 0 END AS new_sess FROM w),
+         |sid AS (SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM s)
+         |SELECT user_id, min(ts_s) AS s_start,
+         |  max(ts_s + INTERVAL (g) SECOND) AS s_end,
+         |  count(*) AS n_events
+         |FROM sid GROUP BY user_id, session_id
          |ORDER BY user_id, s_start""".stripMargin,
 
     "q_sessionize" ->
