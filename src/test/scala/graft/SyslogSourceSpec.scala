@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** DataSource V2 syslog source: end-to-end read, per-file partitioning,
+  * column pruning, corrupt-line flagging (SURVEY §2 T1). */
+class SyslogSourceSpec extends AnyFunSuite with SparkSessionTest {
+
+  private val fmt = "graft.sources.SyslogDataSource"
+
+  private def writeLogs(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_syslog")
+    val f1 = Seq(
+      "Mar 12 14:02:11 web01 sshd[4721]: Accepted password for root from 10.0.0.5",
+      "this line is not syslog at all",
+      "Mar 12 14:02:13 web01 cron[901]: job started")
+    val f2 = Seq(
+      "Mar 12 14:05:00 db01 postgres[222]: checkpoint complete")
+    java.nio.file.Files.write(dir.resolve("a.log"),
+      String.join("\n", f1: _*).getBytes)
+    java.nio.file.Files.write(dir.resolve("b.log"),
+      String.join("\n", f2: _*).getBytes)
+    dir.toString
+  }
+
+  test("reads a directory of log files with typed columns") {
+    val df = spark.read.format(fmt).load(writeLogs())
+    assert(df.schema.fieldNames.toSeq ==
+      Seq("ts_raw", "host", "proc", "pid", "msg"))
+    val rows = df.orderBy("ts_raw").collect()
+    assert(rows.length == 4)
+    val parsed = df.filter(col("host").isNotNull)
+    assert(parsed.count() == 3)
+    assert(parsed.filter(col("proc") === "sshd").head().getInt(3) == 4721)
+    // a directory fans out one partition per file
+    assert(df.rdd.getNumPartitions == 2)
+    // corrupt line: null fields, raw line preserved in msg
+    val bad = df.filter(col("host").isNull).head()
+    assert(bad.getString(4) == "this line is not syslog at all")
+  }
+
+  test("column pruning reaches the reader") {
+    val df = spark.read.format(fmt).load(writeLogs()).select("host")
+    df.collect()
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    // the pruned scan itself outputs only `host` — pid regex capture and
+    // msg materialization never happen in the reader
+    assert(scans.nonEmpty && scans.head.output.map(_.name) == Seq("host"))
+  }
+}
