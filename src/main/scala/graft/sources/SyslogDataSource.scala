@@ -66,18 +66,40 @@ class SyslogTable(path: String) extends Table with SupportsRead {
 }
 
 class SyslogScanBuilder(path: String)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
+  import org.apache.spark.sql.sources.{EqualTo, Filter}
+
   private var required: StructType = SyslogDataSource.schema
+  private var pushed: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new SyslogScan(path, required)
+  // Accept string-equality filters on the parsed columns: rows are
+  // dropped inside the reader, before they ever cross the source
+  // boundary. Everything else stays with Spark (returned as remaining).
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, remaining) = filters.partition {
+      case EqualTo(attr, _: String) =>
+        SyslogDataSource.schema.fieldNames.contains(attr)
+      case _ => false
+    }
+    pushed = accepted
+    remaining
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan =
+    new SyslogScan(path, required,
+      pushed.collect { case EqualTo(a, v: String) => (a, v) })
 }
 
 case class SyslogFilePartition(file: String) extends InputPartition
 
-class SyslogScan(path: String, required: StructType) extends Scan with Batch {
+class SyslogScan(path: String, required: StructType,
+                 eqFilters: Seq[(String, String)] = Nil) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
@@ -92,25 +114,33 @@ class SyslogScan(path: String, required: StructType) extends Scan with Batch {
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new SyslogReaderFactory(required)
+    new SyslogReaderFactory(required, eqFilters)
 }
 
-class SyslogReaderFactory(required: StructType)
+class SyslogReaderFactory(required: StructType,
+                          eqFilters: Seq[(String, String)])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[SyslogFilePartition].file
     // map required columns to indices in the full parsed array
     val idx = required.fields.map(f =>
       SyslogDataSource.schema.fieldIndex(f.name))
+    val filterIdx = eqFilters.map { case (a, v) =>
+      (SyslogDataSource.schema.fieldIndex(a), UTF8String.fromString(v))
+    }
     new PartitionReader[InternalRow] {
       private val lines = java.nio.file.Files.readAllLines(
         java.nio.file.Paths.get(file)).iterator()
       private var row: InternalRow = _
       override def next(): Boolean = {
-        if (!lines.hasNext) return false
-        val full = SyslogDataSource.parse(lines.next())
-        row = InternalRow.fromSeq(idx.toSeq.map(full(_)))
-        true
+        while (lines.hasNext) {
+          val full = SyslogDataSource.parse(lines.next())
+          if (filterIdx.forall { case (i, v) => v == full(i) }) {
+            row = InternalRow.fromSeq(idx.toSeq.map(full(_)))
+            return true
+          }
+        }
+        false
       }
       override def get(): InternalRow = row
       override def close(): Unit = ()

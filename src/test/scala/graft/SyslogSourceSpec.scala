@@ -50,4 +50,18 @@ class SyslogSourceSpec extends AnyFunSuite with SparkSessionTest {
     // msg materialization never happen in the reader
     assert(scans.nonEmpty && scans.head.output.map(_.name) == Seq("host"))
   }
+
+  test("equality filters push into the reader; others remain with Spark") {
+    val df = spark.read.format(fmt).load(writeLogs())
+      .filter(col("proc") === "sshd" && col("pid") > 0)
+    val rows = df.collect()
+    assert(rows.length == 1 && rows.head.getString(1) == "web01")
+    // proc='sshd' was accepted by pushFilters → rows drop inside the
+    // reader; pid > 0 is not a string equality → Spark keeps a Filter node
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Filter"), plan) // residual pid predicate
+    val nPushed = spark.read.format(fmt).load(writeLogs())
+      .filter(col("proc") === "nonexistent").count()
+    assert(nPushed == 0)
+  }
 }
