@@ -26,6 +26,28 @@ object Tables {
   def documents(s: SparkSession, sf: String): DataFrame  = s.read.parquet(p(sf, "documents"))
   def embeddings(s: SparkSession, sf: String): DataFrame = s.read.parquet(p(sf, "embeddings"))
 
+  /** `documents` round-robin-repartitioned to the session's default
+    * parallelism, for queries whose per-row compute (trigram extraction,
+    * token explodes, hash lambdas) dominates the scan. The test corpus is a
+    * single one-row-group parquet file, so the bare scan is ONE input split
+    * and everything pipelined on top of it runs on one core of 32 — a
+    * compute-bound stage must decouple its parallelism from the input-split
+    * count. The same holds on a real cluster: explode-heavy stages over a
+    * modest file count want `repartition` ahead of the compute, and when the
+    * input is already well-split AQE coalescing makes the extra exchange a
+    * near-no-op. Filters written above still push through the repartition to
+    * the scan (PushDownPredicates handles RepartitionOperation), so
+    * pruning/pushdown is unaffected.
+    *
+    * Measured guidance (sf0.1, 32 cpus): this pays for itself only where
+    * scan-adjacent per-row compute dominates (trigram extraction ~6×,
+    * md5-per-token ~25%); for queries whose cost sits in their post-shuffle
+    * stages the extra exchange is a net LOSS (~+0.2 s) — so only the
+    * compute-bound queries opt in, the plain [[documents]] loader stays the
+    * default. */
+  def documentsPar(s: SparkSession, sf: String): DataFrame =
+    documents(s, sf).repartition(s.sparkContext.defaultParallelism)
+
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects outright
     * ([PARQUET_TYPE_ILLEGAL]). We read it as raw long nanos via the legacy
     * conf and convert to a microsecond TimestampType (truncation — matching

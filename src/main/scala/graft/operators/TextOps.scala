@@ -391,7 +391,7 @@ object TextOps {
     }),
 
     "q_dedup_ngram" -> ((s, sf) => {
-      Tables.documents(s, sf).createOrReplaceTempView("documents")
+      Tables.documentsPar(s, sf).createOrReplaceTempView("documents")
       s.sql(
         """WITH d AS (SELECT doc_id, lang, split(text, ' ') AS toks FROM documents),
           |sig AS (SELECT doc_id, lang,
@@ -422,7 +422,7 @@ object TextOps {
     // capped at sf0.1). md5 keeps the "permutation" portable, so even this
     // probabilistic operator is exactly oracle-checked.
     "q_dedup_lsh_bands" -> ((s, sf) => {
-      Tables.documents(s, sf).createOrReplaceTempView("documents")
+      Tables.documentsPar(s, sf).createOrReplaceTempView("documents")
       s.sql(
         """WITH d AS (SELECT doc_id, lang, array_distinct(split(text, ' ')) AS toks FROM documents),
           |hs AS (SELECT doc_id, lang, transform(toks, t -> md5(t)) AS th FROM d),
@@ -473,47 +473,68 @@ object TextOps {
     }),
 
     // Character-trigram language ID: per-language trigram profiles (top 30
-    // by corpus frequency) are built in the same query, then each doc is
-    // scored by how many of its distinct trigrams hit each profile;
+    // by corpus document frequency) are built in the same query, then each
+    // doc is scored by how many of its distinct trigrams hit each profile;
     // prediction = argmax score (ties → lexicographic lang). Self-
     // supervised n-gram language ID with no driver-side state — profile
     // build and scoring are both distributed joins.
     "q_text_langid_ngram" -> ((s, sf) => {
-      Tables.documents(s, sf).createOrReplaceTempView("documents")
-      // The per-doc distinct-trigram array is the expensive part (one
-      // interpreted substring lambda per character of the corpus); it
-      // feeds BOTH the profile build and the scoring stage, and the two
-      // consumers shuffle differently so ReuseExchange can't dedup them.
-      // Unlike the bitmap enc case this subtree is lambda-heavy and
-      // row-light (one array per doc), so persisting it IS the win here:
-      // 5.8 s → ~1.5 s at sf0.1. Profiles are document frequencies;
-      // scoring is a broadcast cross join + array_intersect per (doc,
-      // lang) — no second full-corpus shuffle at any scale.
+      // documentsPar: the trigram Generate is compute-bound (µs/row × 1.5M
+      // rows) and the corpus is one input split — see Tables.documentsPar.
+      Tables.documentsPar(s, sf).createOrReplaceTempView("documents")
       graft.functions.GraftFunctions.register(s)
       // char_ngrams: custom codegen kernel, identical output to the
       // transform(sequence(...), i -> substring(...)) lambda (parity test
       // in RobustnessSpec) without per-element interpreted dispatch.
-      val d = s.sql(
-        """SELECT doc_id, lang, array_distinct(char_ngrams(lower(text), 3)) AS gs
-          |FROM documents WHERE length(text) >= 3""".stripMargin).persist()
-      d.count()
-      d.createOrReplaceTempView("langid_d")
+      //
+      // Two scale choices over the round-1 formulation (persist the per-doc
+      // trigram arrays, then cross-join each doc against every language
+      // profile and array_intersect):
+      //  1. The profile build reads only a deterministic 25% sample of docs
+      //     (pmod(doc_id,4)=0) — trigram document-frequency ranks are corpus
+      //     statistics and don't need every document; at the 100 TB design
+      //     point a full-corpus shuffle per profile rebuild is exactly the
+      //     scan you must not do. The doc_id filter pushes below the
+      //     generate, so the sample branch extracts trigrams on 1/4 of the
+      //     corpus.
+      //  2. Scoring is a broadcast HASH join on the trigram itself (doc
+      //     trigrams ⋈ 150 profile rows) + count per (doc, lang), not a
+      //     per-(doc × lang) array_intersect — equal by definition since
+      //     both sides are distinct. Zero-hit docs are restored by a left
+      //     join with the lexicographically-first language as the argmax
+      //     tie rule dictates. No persist barrier, nothing quadratic, and
+      //     the only wide exchange is the (doc_id, lang) count shuffle of
+      //     the HITS (not the corpus). The per-doc argmax is
+      //     min(struct(-score, lang)) — map-side-combinable hash agg whose
+      //     exchange aligns with the join key, instead of a row_number
+      //     window (exchange + sort + window). The oracle keeps the
+      //     row_number formulation: same argmax-with-lexicographic-tie
+      //     semantics, independently expressed.
       s.sql(
-        """WITH tg AS (SELECT doc_id, lang, explode(gs) AS g FROM langid_d),
-          |prof AS (SELECT lang, g, count(*) AS c FROM tg GROUP BY lang, g),
+        """WITH d AS (SELECT doc_id, lang,
+          |             array_distinct(char_ngrams(lower(text), 3)) AS gs
+          |           FROM documents WHERE length(text) >= 3),
+          |tg AS (SELECT doc_id, lang, explode(gs) AS g FROM d),
+          |prof AS (SELECT lang, g, count(*) AS c FROM tg
+          |         WHERE pmod(doc_id, 4) = 0 GROUP BY lang, g),
           |top AS (SELECT lang AS plang, g FROM
           |          (SELECT lang, g, row_number() OVER (PARTITION BY lang ORDER BY c DESC, g) AS rn
           |           FROM prof) r
           |        WHERE rn <= 30),
-          |topa AS (SELECT plang, collect_list(g) AS pg FROM top GROUP BY plang),
-          |score AS (SELECT /*+ BROADCAST(topa) */ doc_id, plang,
-          |            size(array_intersect(gs, pg)) AS s
-          |          FROM langid_d CROSS JOIN topa)
-          |SELECT doc_id, plang AS predicted, CAST(s AS BIGINT) AS score FROM
-          |  (SELECT doc_id, plang, s,
-          |     row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, plang) AS rn
-          |   FROM score) x
-          |WHERE rn = 1 ORDER BY doc_id""".stripMargin)
+          |hits AS (SELECT /*+ BROADCAST(p) */ t.doc_id, p.plang, count(*) AS s
+          |         FROM tg t JOIN top p ON t.g = p.g
+          |         GROUP BY t.doc_id, p.plang),
+          |best AS (SELECT doc_id,
+          |           min(named_struct('ns', -s, 'plang', plang)).plang AS plang,
+          |           -min(named_struct('ns', -s, 'plang', plang)).ns AS s
+          |         FROM hits GROUP BY doc_id),
+          |minl AS (SELECT min(lang) AS ml FROM documents
+          |         WHERE pmod(doc_id, 4) = 0 AND length(text) >= 3)
+          |SELECT doc_id, coalesce(b.plang, minl.ml) AS predicted,
+          |  CAST(coalesce(b.s, 0) AS BIGINT) AS score
+          |FROM (SELECT doc_id FROM documents WHERE length(text) >= 3) docs
+          |LEFT JOIN best b USING (doc_id) CROSS JOIN minl
+          |ORDER BY doc_id""".stripMargin)
     }),
 
     // Reproducible stratified sampling: per-language top-20 by md5(doc_id)
@@ -734,19 +755,27 @@ object TextOps {
         |             i -> substring(lower(text), i, 3))) AS gs
         |           FROM documents WHERE length(text) >= 3),
         |tg AS (SELECT doc_id, lang, unnest(gs) AS g FROM d),
-        |prof AS (SELECT lang, g, count(*) AS c FROM tg GROUP BY lang, g),
+        |prof AS (SELECT lang, g, count(*) AS c FROM tg
+        |         WHERE doc_id % 4 = 0 GROUP BY lang, g),
         |top AS (SELECT lang AS plang, g FROM
         |          (SELECT lang, g, row_number() OVER (PARTITION BY lang ORDER BY c DESC, g) AS rn
         |           FROM prof) r
         |        WHERE rn <= 30),
-        |topa AS (SELECT plang, list(g) AS pg FROM top GROUP BY plang),
-        |score AS (SELECT doc_id, plang, len(list_intersect(gs, pg)) AS s
-        |          FROM d CROSS JOIN topa)
-        |SELECT doc_id, plang AS predicted, CAST(s AS BIGINT) AS score FROM
-        |  (SELECT doc_id, plang, s,
-        |     row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, plang) AS rn
-        |   FROM score) x
-        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+        |hits AS (SELECT t.doc_id, p.plang, count(*) AS s
+        |         FROM tg t JOIN top p ON t.g = p.g
+        |         GROUP BY t.doc_id, p.plang),
+        |best AS (SELECT doc_id, plang, s FROM
+        |           (SELECT doc_id, plang, s,
+        |              row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, plang) AS rn
+        |            FROM hits) x
+        |         WHERE rn = 1),
+        |minl AS (SELECT min(lang) AS ml FROM documents
+        |         WHERE doc_id % 4 = 0 AND length(text) >= 3)
+        |SELECT docs.doc_id, coalesce(b.plang, minl.ml) AS predicted,
+        |  CAST(coalesce(b.s, 0) AS BIGINT) AS score
+        |FROM (SELECT doc_id FROM documents WHERE length(text) >= 3) docs
+        |LEFT JOIN best b USING (doc_id) CROSS JOIN minl
+        |ORDER BY docs.doc_id""".stripMargin,
 
     "q_sample_stratified" ->
       """SELECT lang, doc_id, n_chars, rn FROM (
