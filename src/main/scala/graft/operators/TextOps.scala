@@ -104,6 +104,48 @@ object TextOps {
        |${nearDupPairSql("enc", probe).stripPrefix("WITH ")}""".stripMargin
   }
 
+  /** Shared CTE chain producing the LSH band candidate `pairs`
+    * (lang, doc_id, doc_id_b, n_bands) — the full banding pipeline described
+    * on q_dedup_lsh_bands; consumed by that query and as the edge set of
+    * q_dedup_clusters. */
+  private val lshBandPairsCtesSpark =
+    """WITH d AS (SELECT doc_id, lang, array_distinct(split(text, ' ')) AS toks FROM documents),
+      |hs AS (SELECT doc_id, lang, transform(toks, t -> md5(t)) AS th FROM d),
+      |sig AS (SELECT doc_id, lang,
+      |          transform(sequence(0, 7), i ->
+      |            array_min(transform(th, h -> substring(h, 3 * i + 1, 8)))) AS mh
+      |        FROM hs),
+      |bands AS (SELECT doc_id, lang, b,
+      |            concat(element_at(mh, 2 * b + 1), element_at(mh, 2 * b + 2)) AS bv
+      |          FROM sig LATERAL VIEW explode(sequence(0, 3)) bx AS b),
+      |sized AS (SELECT *, count(*) OVER (PARTITION BY lang, b, bv) AS bucket_n FROM bands),
+      |keep AS (SELECT * FROM sized WHERE bucket_n <= 10),
+      |pairs AS (SELECT a.lang AS lang, a.doc_id AS doc_id, b.doc_id AS doc_id_b,
+      |            count(*) AS n_bands
+      |          FROM keep a JOIN keep b
+      |            ON a.lang = b.lang AND a.b = b.b AND a.bv = b.bv
+      |           AND a.doc_id < b.doc_id
+      |          GROUP BY a.lang, a.doc_id, b.doc_id)""".stripMargin
+
+  /** DuckDB twin of [[lshBandPairsCtesSpark]] (same `pairs` contract). */
+  private val lshBandPairsCtesDuck =
+    """d AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks FROM documents),
+      |hs AS (SELECT doc_id, lang, list_transform(toks, t -> md5(t)) AS th FROM d),
+      |sig AS (SELECT doc_id, lang,
+      |          list_transform(generate_series(0, 7), i ->
+      |            list_aggregate(list_transform(th, h -> substring(h, 3 * i + 1, 8)), 'min')) AS mh
+      |        FROM hs),
+      |bands AS (SELECT doc_id, lang, b, mh[2 * b + 1] || mh[2 * b + 2] AS bv
+      |          FROM sig, (SELECT unnest(generate_series(0, 3)) AS b) bi),
+      |sized AS (SELECT *, count(*) OVER (PARTITION BY lang, b, bv) AS bucket_n FROM bands),
+      |keep AS (SELECT * FROM sized WHERE bucket_n <= 10),
+      |pairs AS (SELECT a.lang AS lang, a.doc_id AS doc_id, b.doc_id AS doc_id_b,
+      |            count(*) AS n_bands
+      |          FROM keep a JOIN keep b
+      |            ON a.lang = b.lang AND a.b = b.b AND a.bv = b.bv
+      |           AND a.doc_id < b.doc_id
+      |          GROUP BY a.lang, a.doc_id, b.doc_id)""".stripMargin
+
   private val simhashDuck =
     """array_to_string(list_transform(range(1, 17), j ->
       |  CASE WHEN list_sum(list_transform(toks, t ->
@@ -424,25 +466,82 @@ object TextOps {
     "q_dedup_lsh_bands" -> ((s, sf) => {
       Tables.documentsPar(s, sf).createOrReplaceTempView("documents")
       s.sql(
-        """WITH d AS (SELECT doc_id, lang, array_distinct(split(text, ' ')) AS toks FROM documents),
-          |hs AS (SELECT doc_id, lang, transform(toks, t -> md5(t)) AS th FROM d),
-          |sig AS (SELECT doc_id, lang,
-          |          transform(sequence(0, 7), i ->
-          |            array_min(transform(th, h -> substring(h, 3 * i + 1, 8)))) AS mh
-          |        FROM hs),
-          |bands AS (SELECT doc_id, lang, b,
-          |            concat(element_at(mh, 2 * b + 1), element_at(mh, 2 * b + 2)) AS bv
-          |          FROM sig LATERAL VIEW explode(sequence(0, 3)) bx AS b),
-          |sized AS (SELECT *, count(*) OVER (PARTITION BY lang, b, bv) AS bucket_n FROM bands),
-          |keep AS (SELECT * FROM sized WHERE bucket_n <= 10),
-          |pairs AS (SELECT a.lang AS lang, a.doc_id AS doc_id, b.doc_id AS doc_id_b,
-          |            count(*) AS n_bands
-          |          FROM keep a JOIN keep b
-          |            ON a.lang = b.lang AND a.b = b.b AND a.bv = b.bv
-          |           AND a.doc_id < b.doc_id
-          |          GROUP BY a.lang, a.doc_id, b.doc_id)
+        s"""$lshBandPairsCtesSpark
           |SELECT lang, doc_id, doc_id_b, n_bands FROM pairs
           |ORDER BY lang, doc_id, doc_id_b""".stripMargin)
+    }),
+
+    // Transitive duplicate CLUSTERS over the LSH candidate pairs: connected
+    // components by distributed min-label propagation. Pairwise near-dup
+    // output (q_dedup_lsh_bands) under-collapses at corpus scale — A~B and
+    // B~C must fold into ONE cluster even when A~C was never a candidate
+    // pair — and "keep one doc per component" is the operator a training
+    // pipeline actually runs. Each round is one co-partitioned hash join
+    // (edges ⋈ labels on doc_id) + one map-side-combinable min aggregate;
+    // rounds = graph diameter (LSH candidate components are near-cliques,
+    // so a handful; at 100 TB you would bound rounds to O(log n) with the
+    // large-star/small-star contraction — same per-round plan shape).
+    // Convergence is checked with a `min only ever decreases` count, so the
+    // fixpoint — hence the output — is iteration-order-independent and
+    // exactly reproducible; the oracle states the same fixpoint as a
+    // DuckDB recursive CTE (min over the reachable set).
+    "q_dedup_clusters" -> ((s, sf) => {
+      Tables.documentsPar(s, sf).createOrReplaceTempView("documents")
+      val pairs = s.sql(
+        s"""$lshBandPairsCtesSpark
+          |SELECT doc_id, doc_id_b FROM pairs""".stripMargin)
+      val edges = pairs.select(col("doc_id").as("src"), col("doc_id_b").as("dst"))
+        .union(pairs.select(col("doc_id_b").as("src"), col("doc_id").as("dst")))
+        .persist()
+      // localCheckpoint (not persist): each round references the previous
+      // labels TWICE (identity ∪ messages), so the logical plan doubles per
+      // round — persist caches execution but does NOT truncate lineage, and
+      // the tree goes exponential (measured: driver spins/OOMs stringifying
+      // it). localCheckpoint materializes AND truncates to a LogicalRDD,
+      // the standard lineage break for iterative DataFrame algorithms (on a
+      // real cluster you'd use reliable checkpoint() for fault tolerance).
+      var labels = Tables.documents(s, sf)
+        .select(col("doc_id"), col("doc_id").as("label")).localCheckpoint()
+      // Convergence check without a round-over-round self-join: labels only
+      // ever decrease, so Σlabel (exact decimal — no long overflow at any
+      // scale) strictly decreases every non-fixpoint round. One tiny
+      // aggregate action per round, and no ambiguous-self-join hazard.
+      def tot(df: DataFrame): java.math.BigDecimal =
+        df.agg(sum(col("label").cast(DecimalType(38, 0)))).head().getDecimal(0)
+      var prev = tot(labels)
+      var converged = false
+      var iter = 0
+      while (!converged && iter < 50) {
+        val msgs = edges.join(labels, edges("src") === labels("doc_id"))
+          .select(edges("dst").as("doc_id"), labels("label"))
+        val prop = labels.select("doc_id", "label").union(msgs)
+          .groupBy("doc_id").agg(min("label").as("label"))
+        // pointer halving: follow one label→label hop (every label IS a
+        // doc_id, so the self-join is total). Plain one-hop propagation
+        // needs diameter rounds — measured 14 at sf0.1 — while halving
+        // compresses paths every round, giving O(log d) rounds (measured 5).
+        val par = prop.select(col("doc_id").as("p_id"), col("label").as("p_lab"))
+        // lazy checkpoint: the convergence aggregate below is the action
+        // that materializes it, so each round is ONE job, not two.
+        val next = prop.join(par, prop("label") === par("p_id"))
+          .select(prop("doc_id"), least(col("p_lab"), prop("label")).as("label"))
+          .localCheckpoint(eager = false)
+        val cur = tot(next)
+        labels = next
+        converged = cur.compareTo(prev) == 0
+        prev = cur
+        iter += 1
+        if (sys.env.contains("GRAFT_CC_DEBUG")) System.err.println(s"CCROUND $iter sum=$cur t=${System.nanoTime()}")
+      }
+      edges.unpersist()
+      val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
+      // the returned plan reads the final checkpointed labels; intermediate
+      // rounds' blocks are reclaimed by the ContextCleaner as their
+      // DataFrames go out of scope.
+      labels.join(sizes, "label")
+        .select(col("doc_id"), col("label").as("cluster_id"), col("cluster_size"),
+          (col("doc_id") === col("label")).as("is_canonical"))
+        .orderBy("doc_id")
     }),
 
     // Rolling-hash document fingerprinting (Rabin–Karp over the token
@@ -713,24 +812,29 @@ object TextOps {
         |ORDER BY lang, doc_id, doc_id_b""".stripMargin,
 
     "q_dedup_lsh_bands" ->
-      """WITH d AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks FROM documents),
-        |hs AS (SELECT doc_id, lang, list_transform(toks, t -> md5(t)) AS th FROM d),
-        |sig AS (SELECT doc_id, lang,
-        |          list_transform(generate_series(0, 7), i ->
-        |            list_aggregate(list_transform(th, h -> substring(h, 3 * i + 1, 8)), 'min')) AS mh
-        |        FROM hs),
-        |bands AS (SELECT doc_id, lang, b, mh[2 * b + 1] || mh[2 * b + 2] AS bv
-        |          FROM sig, (SELECT unnest(generate_series(0, 3)) AS b) bi),
-        |sized AS (SELECT *, count(*) OVER (PARTITION BY lang, b, bv) AS bucket_n FROM bands),
-        |keep AS (SELECT * FROM sized WHERE bucket_n <= 10),
-        |pairs AS (SELECT a.lang AS lang, a.doc_id AS doc_id, b.doc_id AS doc_id_b,
-        |            count(*) AS n_bands
-        |          FROM keep a JOIN keep b
-        |            ON a.lang = b.lang AND a.b = b.b AND a.bv = b.bv
-        |           AND a.doc_id < b.doc_id
-        |          GROUP BY a.lang, a.doc_id, b.doc_id)
+      s"""WITH $lshBandPairsCtesDuck
         |SELECT lang, doc_id, doc_id_b, n_bands FROM pairs
         |ORDER BY lang, doc_id, doc_id_b""".stripMargin,
+
+    // Fixpoint of min-label propagation == min over each node's reachable
+    // set; DuckDB states that directly as a recursive transitive closure
+    // (UNION dedups, so it terminates), entirely independent of the Spark
+    // side's iteration schedule.
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE $lshBandPairsCtesDuck,
+        |e AS (SELECT doc_id AS src, doc_id_b AS dst FROM pairs
+        |      UNION ALL
+        |      SELECT doc_id_b AS src, doc_id AS dst FROM pairs),
+        |reach(src, v) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN e ON r.v = e.src),
+        |lab AS (SELECT src AS doc_id, min(v) AS cluster_id FROM reach GROUP BY src),
+        |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY cluster_id)
+        |SELECT doc_id, cluster_id, cluster_size,
+        |  doc_id = cluster_id AS is_canonical
+        |FROM lab JOIN sz USING (cluster_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_text_rollhash" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

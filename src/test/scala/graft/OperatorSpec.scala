@@ -353,4 +353,32 @@ class OperatorSpec extends AnyFunSuite with SparkSessionTest {
     val s1 = xs.sum; val s2 = xs.map(x => x * x).sum
     assert(math.abs(v - (s2 - s1 * s1 / n) / (n - 1)) < 1e-9)
   }
+
+  test("dedup clusters are a fixpoint over the LSH candidate pairs") {
+    val clusters = SparkEntry.queries("q_dedup_clusters")(spark, sf0001)
+      .select("doc_id", "cluster_id", "cluster_size", "is_canonical")
+    clusters.createOrReplaceTempView("cc")
+    val pairs = SparkEntry.queries("q_dedup_lsh_bands")(spark, sf0001)
+      .select("doc_id", "doc_id_b")
+    pairs.createOrReplaceTempView("cc_pairs")
+    // every candidate pair landed in the same cluster (closure holds)
+    val split = spark.sql(
+      """SELECT count(*) AS n FROM cc_pairs p
+        |JOIN cc a ON p.doc_id = a.doc_id
+        |JOIN cc b ON p.doc_id_b = b.doc_id
+        |WHERE a.cluster_id <> b.cluster_id""".stripMargin).head().getLong(0)
+    assert(split == 0L)
+    // cluster_id is the min member, exactly one canonical doc per cluster
+    val bad = spark.sql(
+      """SELECT count(*) AS n FROM (
+        |  SELECT cluster_id, min(doc_id) AS lo, max(cluster_size) AS sz,
+        |         count(*) AS n_docs,
+        |         sum(CASE WHEN is_canonical THEN 1 ELSE 0 END) AS n_canon
+        |  FROM cc GROUP BY cluster_id) t
+        |WHERE lo <> cluster_id OR n_docs <> sz OR n_canon <> 1""".stripMargin)
+      .head().getLong(0)
+    assert(bad == 0L)
+    // all docs covered exactly once
+    assert(clusters.count() == Tables.documents(spark, sf0001).count())
+  }
 }
