@@ -209,7 +209,53 @@ object AggOps {
           max_by(col("event_type"), col("event_id")).as("last_type"),
           min_by(col("event_type"), col("event_id")).as("first_type"),
           max(col("value")).as("max_value"))
-        .orderBy("user_id"))
+        .orderBy("user_id")),
+
+    // Ordered funnel (view → click → purchase): each stage's timestamp is
+    // the user's first qualifying event STRICTLY AFTER the previous stage —
+    // three per-user min-aggregates chained by join, every one
+    // map-side-combinable and co-partitioned on user_id (one shuffle key
+    // end-to-end). Comparisons and outputs are second-truncated per the
+    // cross-engine timestamp rule (SURVEY §A-3.1): truncation commutes with
+    // min and with the strict > on both engines.
+    "q_funnel_stages" -> ((s, sf) => {
+      registerEvents(s, sf)
+      s.sql(
+        """WITH e AS (SELECT user_id, event_type, date_trunc('SECOND', ts) AS ts_s
+          |           FROM events),
+          |v AS (SELECT user_id, min(ts_s) AS t_view FROM e
+          |      WHERE event_type = 'view' GROUP BY user_id),
+          |c AS (SELECT e.user_id, min(e.ts_s) AS t_click FROM e JOIN v USING (user_id)
+          |      WHERE e.event_type = 'click' AND e.ts_s > v.t_view GROUP BY e.user_id),
+          |p AS (SELECT e.user_id, min(e.ts_s) AS t_purchase FROM e JOIN c USING (user_id)
+          |      WHERE e.event_type = 'purchase' AND e.ts_s > c.t_click GROUP BY e.user_id)
+          |SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+          |  CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+          |            WHEN c.user_id IS NOT NULL THEN 2
+          |            ELSE 1 END AS BIGINT) AS reached
+          |FROM v LEFT JOIN c ON v.user_id = c.user_id
+          |       LEFT JOIN p ON v.user_id = p.user_id
+          |ORDER BY v.user_id""".stripMargin)
+    }),
+
+    // Weekly cohort retention matrix: cohort = week of first activity,
+    // offset = whole weeks since cohort, cell = active users. Both stages
+    // are hash aggregates on (user) then (cohort, offset); the week
+    // truncation commutes across the engines' ns/µs precision difference
+    // (week boundaries are whole seconds).
+    "q_retention_cohort" -> ((s, sf) => {
+      registerEvents(s, sf)
+      s.sql(
+        """WITH f AS (SELECT user_id, min(date_trunc('WEEK', ts)) AS cohort
+          |           FROM events GROUP BY user_id),
+          |a AS (SELECT DISTINCT user_id, date_trunc('WEEK', ts) AS w FROM events)
+          |SELECT CAST(f.cohort AS DATE) AS cohort_week,
+          |  CAST(datediff(a.w, f.cohort) div 7 AS BIGINT) AS week_offset,
+          |  count(*) AS n_users
+          |FROM a JOIN f ON a.user_id = f.user_id
+          |GROUP BY f.cohort, datediff(a.w, f.cohort) div 7
+          |ORDER BY cohort_week, week_offset""".stripMargin)
+    })
   )
 
   import OracleDet.{dsum => osum, davg => oavg}
@@ -299,6 +345,35 @@ object AggOps {
     "q_agg_minmax_by" ->
       """SELECT user_id, arg_max(event_type, event_id) AS last_type,
         |  arg_min(event_type, event_id) AS first_type, max(value) AS max_value
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_funnel_stages" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |             CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_s
+        |           FROM events),
+        |v AS (SELECT user_id, min(ts_s) AS t_view FROM e
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts_s) AS t_click FROM e JOIN v USING (user_id)
+        |      WHERE e.event_type = 'click' AND e.ts_s > v.t_view GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts_s) AS t_purchase FROM e JOIN c USING (user_id)
+        |      WHERE e.event_type = 'purchase' AND e.ts_s > c.t_click GROUP BY e.user_id)
+        |SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+        |  CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+        |            WHEN c.user_id IS NOT NULL THEN 2
+        |            ELSE 1 END AS BIGINT) AS reached
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |       LEFT JOIN p ON v.user_id = p.user_id
+        |ORDER BY v.user_id""".stripMargin,
+
+    "q_retention_cohort" ->
+      """WITH f AS (SELECT user_id, min(date_trunc('week', ts)) AS cohort
+        |           FROM events GROUP BY user_id),
+        |a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events)
+        |SELECT CAST(f.cohort AS DATE) AS cohort_week,
+        |  CAST(date_diff('day', f.cohort, a.w) // 7 AS BIGINT) AS week_offset,
+        |  count(*) AS n_users
+        |FROM a JOIN f ON a.user_id = f.user_id
+        |GROUP BY f.cohort, date_diff('day', f.cohort, a.w) // 7
+        |ORDER BY cohort_week, week_offset""".stripMargin
   )
 }

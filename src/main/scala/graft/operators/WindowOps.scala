@@ -140,6 +140,35 @@ object WindowOps {
           min(col("ts_s")).as("session_start"),
           max(col("ts_s")).as("session_end"))
         .orderBy("user_id", "session_id")
+    }),
+
+    // Time-series resample + gap-fill: regularize each user's event stream
+    // onto an hourly spine (sequence() + explode between the user's first
+    // and last active hour), left-join the observed per-hour aggregates,
+    // and forward-fill gaps with last_value(... IGNORE NULLS). The spine is
+    // generated per key, so its size is bounded by Σ per-key spans — no
+    // global cross join ever materializes; at cluster scale the spine
+    // explode, join and window all co-partition on user_id (one shuffle
+    // chain). Hourly means are decimal-exact then rounded, so both engines
+    // agree bit-for-bit. Scoped to the user_id % 50 == 0 slice to keep the
+    // oracle compare bounded — the plan is slice-size-independent.
+    "q_resample_gapfill" -> ((s, sf) => {
+      Tables.events(s, sf).createOrReplaceTempView("events_gapfill")
+      s.sql(
+        """WITH e AS (SELECT user_id, date_trunc('HOUR', ts) AS h, value
+          |           FROM events_gapfill WHERE user_id % 50 = 0),
+          |obs AS (SELECT user_id, h, count(*) AS n_events,
+          |          round(CAST(sum(CAST(value AS DECIMAL(30,12))) AS DOUBLE) / count(*), 6) AS v
+          |        FROM e GROUP BY user_id, h),
+          |span AS (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM obs GROUP BY user_id),
+          |spine AS (SELECT user_id, explode(sequence(h0, h1, interval 1 hour)) AS h FROM span),
+          |j AS (SELECT s.user_id, s.h, coalesce(o.n_events, CAST(0 AS BIGINT)) AS n_events, o.v
+          |      FROM spine s LEFT JOIN obs o ON s.user_id = o.user_id AND s.h = o.h)
+          |SELECT user_id, h, n_events,
+          |  last_value(v, true) OVER (PARTITION BY user_id ORDER BY h
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ffill,
+          |  (n_events = CAST(0 AS BIGINT)) AS is_gap
+          |FROM j ORDER BY user_id, h""".stripMargin)
     })
   )
 
@@ -260,6 +289,22 @@ object WindowOps {
          |  min(ts_s) AS session_start, max(ts_s) AS session_end
          |FROM sess
          |GROUP BY user_id, session_id
-         |ORDER BY user_id, session_id""".stripMargin
+         |ORDER BY user_id, session_id""".stripMargin,
+
+    "q_resample_gapfill" ->
+      """WITH e AS (SELECT user_id, date_trunc('hour', ts) AS h, value
+        |           FROM events WHERE user_id % 50 = 0),
+        |obs AS (SELECT user_id, h, count(*) AS n_events,
+        |          round(CAST(sum(CAST(value AS DECIMAL(30,12))) AS DOUBLE) / count(*), 6) AS v
+        |        FROM e GROUP BY user_id, h),
+        |span AS (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM obs GROUP BY user_id),
+        |spine AS (SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM span),
+        |j AS (SELECT s.user_id, s.h, coalesce(o.n_events, 0) AS n_events, o.v
+        |      FROM spine s LEFT JOIN obs o ON s.user_id = o.user_id AND s.h = o.h)
+        |SELECT user_id, CAST(h AS TIMESTAMP) AS h, n_events,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY h
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ffill,
+        |  (n_events = 0) AS is_gap
+        |FROM j ORDER BY user_id, h""".stripMargin
   )
 }
