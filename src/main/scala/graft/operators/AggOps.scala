@@ -211,6 +211,45 @@ object AggOps {
           max(col("value")).as("max_value"))
         .orderBy("user_id")),
 
+    // Deterministic MODE: most frequent event_type per user, ties to the
+    // lexicographically smallest type. Two chained hash aggregates — the
+    // argmax is min(struct(-cnt, type)), map-side-combinable, no window
+    // sort. (Built-in mode() leaves ties undefined, which can never pass a
+    // cross-engine hash gate; this formulation pins them.)
+    "q_agg_mode" -> ((s, sf) => {
+      registerEvents(s, sf)
+      s.sql(
+        """WITH c AS (SELECT user_id, event_type, count(*) AS cnt
+          |           FROM events GROUP BY user_id, event_type)
+          |SELECT user_id,
+          |  min(named_struct('nc', -cnt, 'et', event_type)).et AS mode_type,
+          |  -min(named_struct('nc', -cnt, 'et', event_type)).nc AS mode_cnt
+          |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin)
+    }),
+
+    // Mergeable distinct-count sketches (Spark 4 DataSketches HLL): one
+    // sketch per event_type, then the per-type sketches UNION into the
+    // global estimate — the pre-aggregate/merge-later contract that makes
+    // distinct counting feasible at 100 TB (per-partition sketches merge
+    // associatively; no shuffle of raw user ids). Approximate → rows-only
+    // at the gate; exactness bound asserted vs countDistinct in
+    // OperatorSpec.
+    "q_agg_hll_sketch" -> ((s, sf) => {
+      registerEvents(s, sf)
+      s.sql(
+        """WITH sk AS (SELECT event_type, hll_sketch_agg(user_id) AS sketch,
+          |              count(DISTINCT user_id) AS exact_users
+          |            FROM events GROUP BY event_type)
+          |SELECT event_type, hll_sketch_estimate(sketch) AS est_users, exact_users
+          |FROM sk
+          |UNION ALL
+          |SELECT 'ALL' AS event_type,
+          |  hll_sketch_estimate(hll_union_agg(sketch)) AS est_users,
+          |  (SELECT count(DISTINCT user_id) FROM events) AS exact_users
+          |FROM sk
+          |ORDER BY event_type""".stripMargin)
+    }),
+
     // Ordered funnel (view → click → purchase): each stage's timestamp is
     // the user's first qualifying event STRICTLY AFTER the previous stage —
     // three per-user min-aggregates chained by join, every one
@@ -346,6 +385,15 @@ object AggOps {
       """SELECT user_id, arg_max(event_type, event_id) AS last_type,
         |  arg_min(event_type, event_id) AS first_type, max(value) AS max_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_agg_mode" ->
+      """WITH c AS (SELECT user_id, event_type, count(*) AS cnt
+        |           FROM events GROUP BY user_id, event_type)
+        |SELECT user_id, event_type AS mode_type, cnt AS mode_cnt FROM (
+        |  SELECT user_id, event_type, cnt,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY cnt DESC, event_type) AS rn
+        |  FROM c) t
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
 
     "q_funnel_stages" ->
       """WITH e AS (SELECT user_id, event_type,

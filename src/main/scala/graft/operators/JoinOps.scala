@@ -170,6 +170,35 @@ object JoinOps {
         .orderBy("event_id")
     }),
 
+    // The interval join at SCALE: q_join_theta_range's broadcast nested
+    // loop is only sane while the interval side is tiny — its cost is
+    // |probe| × |intervals|. Binning makes the range join an EQUI-join:
+    // every interval is replicated to the fixed-width bins it overlaps
+    // (fan-out ceil(len/W)+1), every probe value maps to exactly one bin,
+    // and the exact [lo, hi) check runs as a post-filter on the matched
+    // pairs. Both sides shuffle-partition on the bin key, so the join
+    // spreads across the cluster like any hash join — this is the standard
+    // range-join optimization (bin width trades replication against bucket
+    // selectivity). 100 overlapping intervals here (already 33× past where
+    // the 3-row BNL broadcast stops being a plan), integer bin arithmetic
+    // identical in both engines.
+    "q_join_range_binned" -> ((s, sf) => {
+      Tables.events(s, sf).createOrReplaceTempView("events")
+      s.sql(
+        """WITH bands AS (SELECT explode(sequence(0, 99)) AS b),
+          |iv AS (SELECT b, b * 5.0 AS lo, b * 5.0 + 8.0 AS hi FROM bands),
+          |ib AS (SELECT b, lo, hi,
+          |         explode(sequence(CAST(floor(lo / 4.0) AS INT),
+          |                          CAST(floor(hi / 4.0) AS INT))) AS bin
+          |       FROM iv),
+          |ev AS (SELECT event_id, value, CAST(floor(value / 4.0) AS INT) AS bin
+          |       FROM events)
+          |SELECT event_id, value, CAST(b AS BIGINT) AS band_id
+          |FROM ev JOIN ib ON ev.bin = ib.bin
+          |WHERE value >= lo AND value < hi
+          |ORDER BY event_id, band_id""".stripMargin)
+    }),
+
     "q_join_self_interval" -> ((s, sf) => {
       val e = eventsTs(s, sf).select(
         col("user_id"), col("event_id"), unix_timestamp(col("ts_s")).as("sec"))
@@ -340,6 +369,20 @@ object JoinOps {
         |  AS bands(lo, hi, band)
         |  ON value >= lo AND value < hi
         |ORDER BY event_id""".stripMargin,
+
+    "q_join_range_binned" ->
+      """WITH bands AS (SELECT unnest(generate_series(0, 99)) AS b),
+        |iv AS (SELECT b, b * 5.0 AS lo, b * 5.0 + 8.0 AS hi FROM bands),
+        |ib AS (SELECT b, lo, hi,
+        |         unnest(generate_series(CAST(floor(lo / 4.0) AS INT),
+        |                                CAST(floor(hi / 4.0) AS INT))) AS bin
+        |       FROM iv),
+        |ev AS (SELECT event_id, value, CAST(floor(value / 4.0) AS INT) AS bin
+        |       FROM events)
+        |SELECT event_id, value, CAST(b AS BIGINT) AS band_id
+        |FROM ev JOIN ib ON ev.bin = ib.bin
+        |WHERE value >= lo AND value < hi
+        |ORDER BY event_id, band_id""".stripMargin,
 
     "q_join_self_interval" ->
       """WITH e AS (SELECT user_id, event_id,

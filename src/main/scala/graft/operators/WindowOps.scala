@@ -142,6 +142,21 @@ object WindowOps {
         .orderBy("user_id", "session_id")
     }),
 
+    // Running DISTINCT count over a window: Spark has no count(DISTINCT)
+    // window form, so the distributed workaround is size(collect_set() OVER
+    // running-frame) — set semantics make the SIZE order-independent even
+    // though collect order isn't. The oracle uses DuckDB's native
+    // count(DISTINCT) OVER, proving the rewrite's equivalence rather than
+    // mirroring it.
+    "q_win_distinct_running" -> ((s, sf) =>
+      eventsTs(s, sf)
+        .withColumn("n_types_seen",
+          size(collect_set(col("event_type")).over(
+            byUserTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+            .cast(LongType))
+        .select("user_id", "event_id", "n_types_seen")
+        .orderBy("user_id", "event_id")),
+
     // Time-series resample + gap-fill: regularize each user's event stream
     // onto an hourly spine (sequence() + explode between the user's first
     // and last active hour), left-join the observed per-hour aggregates,
@@ -290,6 +305,14 @@ object WindowOps {
          |FROM sess
          |GROUP BY user_id, session_id
          |ORDER BY user_id, session_id""".stripMargin,
+
+    "q_win_distinct_running" ->
+      s"""SELECT user_id, event_id,
+         |  count(DISTINCT event_type) OVER (PARTITION BY user_id
+         |    ORDER BY $oracleTs, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_types_seen
+         |FROM events
+         |ORDER BY user_id, event_id""".stripMargin,
 
     "q_resample_gapfill" ->
       """WITH e AS (SELECT user_id, date_trunc('hour', ts) AS h, value

@@ -354,6 +354,16 @@ class OperatorSpec extends AnyFunSuite with SparkSessionTest {
     assert(math.abs(v - (s2 - s1 * s1 / n) / (n - 1)) < 1e-9)
   }
 
+  test("HLL sketch estimates stay within 5% of exact, union included") {
+    val rows = SparkEntry.queries("q_agg_hll_sketch")(spark, sf0001).collect()
+    assert(rows.length >= 2 && rows.exists(_.getString(0) == "ALL"))
+    rows.foreach { r =>
+      val est = r.getLong(1).toDouble; val exact = r.getLong(2).toDouble
+      assert(math.abs(est - exact) / exact <= 0.05,
+        s"${r.getString(0)}: est $est vs exact $exact")
+    }
+  }
+
   test("dedup clusters are a fixpoint over the LSH candidate pairs") {
     val clusters = SparkEntry.queries("q_dedup_clusters")(spark, sf0001)
       .select("doc_id", "cluster_id", "cluster_size", "is_canonical")
