@@ -211,6 +211,22 @@ object AggOps {
           max(col("value")).as("max_value"))
         .orderBy("user_id")),
 
+    // ANSI FILTER-clause aggregates: per-aggregate predicates in ONE pass
+    // over the data (the alternative — one subquery per predicate — scans
+    // the fact N times). Common SQL dialect, shared verbatim with the
+    // oracle; sums are decimal-exact per SURVEY §A-3.2.
+    "q_agg_filter_clause" -> ((s, sf) => {
+      registerEvents(s, sf)
+      s.sql(
+        """SELECT event_type,
+          |  count(*) AS n_all,
+          |  count(*) FILTER (WHERE value > 100) AS n_big,
+          |  CAST(sum(CAST(value AS DECIMAL(30,6))) FILTER (WHERE value > 100) AS DOUBLE) AS sum_big,
+          |  count(*) FILTER (WHERE user_id % 2 = 0) AS n_even_user,
+          |  CAST(count(*) FILTER (WHERE value > 100) AS DOUBLE) / count(*) AS frac_big
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+    }),
+
     // Deterministic MODE: most frequent event_type per user, ties to the
     // lexicographically smallest type. Two chained hash aggregates — the
     // argmax is min(struct(-cnt, type)), map-side-combinable, no window
@@ -385,6 +401,15 @@ object AggOps {
       """SELECT user_id, arg_max(event_type, event_id) AS last_type,
         |  arg_min(event_type, event_id) AS first_type, max(value) AS max_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_agg_filter_clause" ->
+      """SELECT event_type,
+        |  count(*) AS n_all,
+        |  count(*) FILTER (WHERE value > 100) AS n_big,
+        |  CAST(sum(CAST(value AS DECIMAL(30,6))) FILTER (WHERE value > 100) AS DOUBLE) AS sum_big,
+        |  count(*) FILTER (WHERE user_id % 2 = 0) AS n_even_user,
+        |  CAST(count(*) FILTER (WHERE value > 100) AS DOUBLE) / count(*) AS frac_big
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_agg_mode" ->
       """WITH c AS (SELECT user_id, event_type, count(*) AS cnt

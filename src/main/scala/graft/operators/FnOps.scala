@@ -34,6 +34,20 @@ object FnOps {
           trim(concat(lit(" "), col("lang"), lit(" "))).as("trimmed"))
         .orderBy("doc_id")),
 
+    // Binary encode/decode + cryptographic hash family. hex is uppercase in
+    // both engines; base64 is unchunked RFC 4648; the unhex→decode
+    // round-trip proves bytes survive both directions.
+    "q_fn_encode" -> ((s, sf) =>
+      Tables.documents(s, sf)
+        .select(
+          col("doc_id"),
+          base64(substring(col("text"), 1, 8).cast(BinaryType)).as("b64"),
+          hex(substring(col("text"), 1, 4).cast(BinaryType)).as("hx"),
+          decode(unhex(hex(substring(col("text"), 1, 4).cast(BinaryType))), "UTF-8").as("rt"),
+          md5(col("text")).as("h_md5"),
+          sha2(col("text"), 256).as("h_sha256"))
+        .orderBy("doc_id")),
+
     "q_fn_date" -> ((s, sf) =>
       Tables.orders(s, sf)
         .select(
@@ -227,6 +241,15 @@ object FnOps {
         |  instr(text, 'spark') AS pos_spark,
         |  levenshtein(lang, 'en') AS lev_en,
         |  trim(concat(' ', lang, ' ')) AS trimmed
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_fn_encode" ->
+      """SELECT doc_id,
+        |  to_base64(encode(substring(text, 1, 8))) AS b64,
+        |  hex(encode(substring(text, 1, 4))) AS hx,
+        |  decode(unhex(hex(encode(substring(text, 1, 4))))) AS rt,
+        |  md5(text) AS h_md5,
+        |  sha256(text) AS h_sha256
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_fn_date" ->

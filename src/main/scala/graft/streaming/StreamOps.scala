@@ -90,6 +90,25 @@ object StreamOps {
         col("p.event_id").as("purchase_id"),
         col("c.user_id").as("user_id"))
 
+  /** Stream-stream LEFT OUTER interval join: every click, with its
+    * purchase if one arrived within the window, else null-extended. The
+    * outer side makes watermarks MANDATORY, not just state hygiene: a
+    * click can only be emitted as unmatched once the watermark proves no
+    * matching purchase can still arrive, so null rows appear exactly when
+    * the right-side watermark passes `click.ts + 30 min` — bounded state
+    * AND bounded result latency at any scale. */
+  def clickToPurchaseOuter(clicks: DataFrame, purchases: DataFrame): DataFrame =
+    clicks.withWatermark("ts", "10 minutes").alias("c")
+      .join(
+        purchases.withWatermark("ts", "10 minutes").alias("p"),
+        expr("""c.user_id = p.user_id AND
+                p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTES"""),
+        "left_outer")
+      .select(
+        col("c.event_id").as("click_id"),
+        col("p.event_id").as("purchase_id"),
+        col("c.user_id").as("user_id"))
+
   /** Micro-batch sink via foreachBatch: append each batch as parquet.
     * The (batchId, data) contract is where exactly-once sinks hook in. */
   def sinkForeachBatch(df: DataFrame, path: String) =

@@ -130,6 +130,34 @@ class StreamOpsSpec extends AnyFunSuite with SparkSessionTest {
     } finally q.stop()
   }
 
+  test("stream-stream left-outer join null-extends once the watermark proves no match") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val q = StreamOps.clickToPurchaseOuter(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("t_ssj_outer").outputMode("append").start()
+    try {
+      clicks.addData(
+        ev(1, "2024-01-01 10:00:00"),            // will match purchase 50
+        ev(2, "2024-01-01 10:05:00", u = 5))     // no purchase ever → null-extend
+      purchases.addData(ev(50, "2024-01-01 10:10:00", typ = "purchase"))
+      q.processAllAvailable()
+      // heartbeats push BOTH watermarks past 10:05 + 30min join window +
+      // 10min delay; only then may click 2 be emitted unmatched
+      clicks.addData(ev(3, "2024-01-01 12:00:00", u = 7))
+      purchases.addData(ev(99, "2024-01-01 12:00:00", u = 8, typ = "purchase"))
+      q.processAllAvailable()
+      clicks.addData(ev(4, "2024-01-01 12:30:00", u = 7))
+      purchases.addData(ev(98, "2024-01-01 12:30:00", u = 8, typ = "purchase"))
+      q.processAllAvailable()
+      val rows = spark.table("t_ssj_outer").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+      assert(rows.contains((1L, 50L)), s"matched pair missing in $rows")
+      assert(rows.contains((2L, -1L)), s"null-extended unmatched click missing in $rows")
+    } finally q.stop()
+  }
+
   test("foreachBatch sink appends each micro-batch as parquet") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
