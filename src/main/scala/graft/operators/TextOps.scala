@@ -494,20 +494,44 @@ object TextOps {
         .union(pairs.select(col("doc_id_b").as("src"), col("doc_id").as("dst")))
         .persist()
       // localCheckpoint (not persist): each round references the previous
-      // labels TWICE (identity ∪ messages), so the logical plan doubles per
-      // round — persist caches execution but does NOT truncate lineage, and
-      // the tree goes exponential (measured: driver spins/OOMs stringifying
+      // labels several times, so the logical plan multiplies per round —
+      // persist caches execution but does NOT truncate lineage, and the
+      // tree goes exponential (measured: driver spins/OOMs stringifying
       // it). localCheckpoint materializes AND truncates to a LogicalRDD,
       // the standard lineage break for iterative DataFrame algorithms (on a
       // real cluster you'd use reliable checkpoint() for fault tolerance).
-      var labels = Tables.documents(s, sf)
-        .select(col("doc_id"), col("doc_id").as("label")).localCheckpoint()
+      //
+      // Round-3 cut: with identity start labels the first propagation is
+      // just min(self, min(neighbor)) — a single no-join aggregate over the
+      // symmetric edge list left-joined back to the corpus — so round 1
+      // folds into initialization (one fewer join round). Measured
+      // NON-wins recorded for honesty: (a) double pointer-halving per
+      // round only cut rounds 7→6 while adding a shuffle to every round
+      // (net +4.5 s) — the per-round bottleneck is label travel along
+      // GRAPH edges, not pointer-tree depth, so extra halving is wasted
+      // past the first; (b) iterating only edge-incident vertices shrank
+      // loop data but forced an extra corpus re-join in the finale —
+      // stage-floor-bound loss on this box. Both reverted.
+      def dbg(m: String): Unit =
+        if (sys.env.contains("GRAFT_CC_DEBUG")) System.err.println(s"CCPHASE $m t=${System.nanoTime()}")
+      dbg("start")
+      val nbrMin = edges.groupBy(col("src"))
+        .agg(least(min(col("dst")), col("src")).as("label"))
+        .select(col("src").as("doc_id"), col("label"))
+      var labels = Tables.documents(s, sf).select(col("doc_id"))
+        .join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("label"))
+        .localCheckpoint()
+      dbg("init-ckpt")
       // Convergence check without a round-over-round self-join: labels only
       // ever decrease, so Σlabel (exact decimal — no long overflow at any
       // scale) strictly decreases every non-fixpoint round. One tiny
       // aggregate action per round, and no ambiguous-self-join hazard.
-      def tot(df: DataFrame): java.math.BigDecimal =
-        df.agg(sum(col("label").cast(DecimalType(38, 0)))).head().getDecimal(0)
+      // (coalesce-to-0 covers the empty candidate graph: sum(∅) is NULL.)
+      def tot(df: DataFrame): java.math.BigDecimal = {
+        val d = df.agg(sum(col("label").cast(DecimalType(38, 0)))).head().getDecimal(0)
+        if (d == null) java.math.BigDecimal.ZERO else d
+      }
       var prev = tot(labels)
       var converged = false
       var iter = 0
@@ -519,7 +543,8 @@ object TextOps {
         // pointer halving: follow one label→label hop (every label IS a
         // doc_id, so the self-join is total). Plain one-hop propagation
         // needs diameter rounds — measured 14 at sf0.1 — while halving
-        // compresses paths every round, giving O(log d) rounds (measured 5).
+        // compresses paths every round, giving O(log d) rounds (measured 6
+        // with the folded-init round).
         val par = prop.select(col("doc_id").as("p_id"), col("label").as("p_lab"))
         // lazy checkpoint: the convergence aggregate below is the action
         // that materializes it, so each round is ONE job, not two.
@@ -534,6 +559,7 @@ object TextOps {
         if (sys.env.contains("GRAFT_CC_DEBUG")) System.err.println(s"CCROUND $iter sum=$cur t=${System.nanoTime()}")
       }
       edges.unpersist()
+      dbg("loop-done")
       val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
       // the returned plan reads the final checkpointed labels; intermediate
       // rounds' blocks are reclaimed by the ContextCleaner as their
