@@ -80,11 +80,49 @@ object Multimodal {
       .toDF()
   }
 
+  /** One sampled frame from a media payload. */
+  case class Frame(
+      doc_id: Long,
+      frame_idx: Int,
+      frame_len: Int,
+      frame_sum: Long)
+
+  /** Frame-sampling kernel (the video analog of decode): treat the payload
+    * as fixed-size 16-byte frames and keep every 4th, emitting per-frame
+    * stats. A real sampler would seek keyframes with a codec; the fake
+    * slices raw bytes, keeping the 1→N generator plumbing (flatMap inside
+    * mapPartitions — rows stream out, nothing buffers per record) real. */
+  def sampleFrames(s: SparkSession, sf: String): DataFrame = {
+    import s.implicits._
+    val frameBytes = 16
+    val stride = 4
+    mediaTable(s, sf)
+      .as[MediaRecord]
+      .mapPartitions(_.flatMap { r =>
+        val n = r.payload.length
+        val nFrames = (n + frameBytes - 1) / frameBytes
+        Iterator.range(0, nFrames, stride).map { f =>
+          val start = f * frameBytes
+          val end = math.min(start + frameBytes, n)
+          var sum = 0L
+          var i = start
+          while (i < end) { sum += r.payload(i) & 0xff; i += 1 }
+          Frame(r.doc_id, f, end - start, sum)
+        }
+      })
+      .toDF()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mm_decode" -> ((s, sf) =>
       decodeFeatures(s, sf)
         .select("doc_id", "media_type", "n_bytes", "sum_bytes", "avg_byte", "thumb_w", "thumb_h")
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    "q_mm_framesample" -> ((s, sf) =>
+      sampleFrames(s, sf)
+        .select("doc_id", "frame_idx", "frame_len", "frame_sum")
+        .orderBy("doc_id", "frame_idx"))
   )
 
   /** The documents corpus is ASCII, so byte values equal `ascii()` codes and
@@ -105,6 +143,20 @@ object Multimodal {
         |       ELSE greatest(1, CAST(trunc(width * (64.0 / greatest(width, height))) AS INTEGER)) END AS thumb_w,
         |  CASE WHEN 64.0 / greatest(width, height) >= 1.0 THEN height
         |       ELSE greatest(1, CAST(trunc(height * (64.0 / greatest(width, height))) AS INTEGER)) END AS thumb_h
-        |FROM m ORDER BY doc_id""".stripMargin
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q_mm_framesample" ->
+      """WITH m AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        |f AS (SELECT doc_id,
+        |        CAST(unnest(range(0, CAST(ceil(n / 16.0) AS BIGINT), 4)) AS INTEGER) AS frame_idx,
+        |        text
+        |      FROM m),
+        |fr AS (SELECT doc_id, frame_idx,
+        |         substring(text, frame_idx * 16 + 1, 16) AS fb
+        |       FROM f)
+        |SELECT doc_id, frame_idx, CAST(length(fb) AS INTEGER) AS frame_len,
+        |  CAST(list_aggregate(list_transform(range(1, length(fb) + 1),
+        |    i -> ascii(substring(fb, i, 1))), 'sum') AS BIGINT) AS frame_sum
+        |FROM fr ORDER BY doc_id, frame_idx""".stripMargin
   )
 }

@@ -310,7 +310,46 @@ object AggOps {
           |FROM a JOIN f ON a.user_id = f.user_id
           |GROUP BY f.cohort, datediff(a.w, f.cohort) div 7
           |ORDER BY cohort_week, week_offset""".stripMargin)
-    })
+    }),
+
+    // Statistical anomaly detection: per-type z-score of `value`, flagging
+    // |z| ≥ 2.5 — the per-severity outlier sweep a log monitor runs.
+    // Moments come from exact decimal sums (order-independent, map-side
+    // combinable — see Det), then ONE broadcast join sends the tiny
+    // per-type (mean, std) table back across the events: the big side
+    // never shuffles, which is the shape that survives 100 TB. The double
+    // arithmetic (value−mean)/std is written identically in the oracle so
+    // the bits agree.
+    "q_anomaly_zscore" -> ((s, sf) => {
+      val e = Tables.events(s, sf)
+      val m = e.groupBy("event_type")
+        .agg(
+          count(col("value")).as("n"),
+          sum(col("value").cast(DecimalType(30, 6))).cast(DoubleType).as("s1"),
+          sum((col("value") * col("value")).cast(DecimalType(30, 8))).cast(DoubleType).as("s2"))
+        .select(col("event_type"),
+          (col("s1") / col("n")).as("mean_v"),
+          sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1)).as("std_v"))
+      e.join(broadcast(m), "event_type")
+        .select(col("event_id"), col("event_type"), col("value"),
+          round((col("value") - col("mean_v")) / col("std_v"), 6).as("z"))
+        .filter(abs(col("z")) >= 2.5)
+        .orderBy("event_id")
+    }),
+
+    // Weighted aggregate: quantity-weighted average price per return flag.
+    // Numerator and denominator are separate exact decimal sums emitted as
+    // doubles, divided once — never decimal÷decimal, whose result
+    // scale/rounding rules differ across engines.
+    "q_agg_weighted" -> ((s, sf) =>
+      Tables.lineitem(s, sf)
+        .groupBy("l_returnflag")
+        .agg(
+          sum(col("l_quantity").cast(DecimalType(30, 6))).cast(DoubleType).as("w_total"),
+          round(
+            sum((col("l_extendedprice") * col("l_quantity")).cast(DecimalType(30, 4))).cast(DoubleType) /
+              sum(col("l_quantity").cast(DecimalType(30, 6))).cast(DoubleType), 6).as("wavg_price"))
+        .orderBy("l_returnflag"))
   )
 
   import OracleDet.{dsum => osum, davg => oavg}
@@ -447,6 +486,30 @@ object AggOps {
         |  count(*) AS n_users
         |FROM a JOIN f ON a.user_id = f.user_id
         |GROUP BY f.cohort, date_diff('day', f.cohort, a.w) // 7
-        |ORDER BY cohort_week, week_offset""".stripMargin
+        |ORDER BY cohort_week, week_offset""".stripMargin,
+
+    "q_anomaly_zscore" ->
+      """WITH m0 AS (
+        |  SELECT event_type, count(value) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(value * value AS DECIMAL(30,8))) AS DOUBLE) AS s2
+        |  FROM events GROUP BY event_type),
+        |m AS (SELECT event_type, s1 / n AS mean_v,
+        |        sqrt((s2 - s1 * s1 / n) / (n - 1)) AS std_v
+        |      FROM m0)
+        |SELECT event_id, e.event_type AS event_type, value,
+        |  round((value - mean_v) / std_v, 6) AS z
+        |FROM events e JOIN m ON e.event_type = m.event_type
+        |WHERE abs(round((value - mean_v) / std_v, 6)) >= 2.5
+        |ORDER BY event_id""".stripMargin,
+
+    "q_agg_weighted" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS w_total,
+        |  round(CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(30,4))) AS DOUBLE) /
+        |        CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE), 6) AS wavg_price
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin
   )
 }

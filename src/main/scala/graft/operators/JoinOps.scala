@@ -3,6 +3,7 @@ package graft.operators
 import graft.{Det, OracleDet, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 /** T3 — joins: equi (hash/broadcast/multiway), outer, semi/anti, theta,
   * interval self-join, as-of (SURVEY §2 T3).
@@ -275,6 +276,37 @@ object JoinOps {
           "o_orderkey", leftOuter = true)
         .select("event_id", "user_id", "o_orderkey", "o_orderdate")
         .orderBy("event_id")
+    }),
+
+    // MERGE / upsert semantics as one declarative plan: target = customer
+    // balances, source = per-customer open-order totals PLUS a shifted key
+    // range that exists only in the source (so every MERGE branch is
+    // exercised). matched → update (balance + delta), not-matched-by-target
+    // → insert, not-matched-by-source → keep. A full outer join on the key
+    // IS the MERGE engine: at scale it shuffles both sides once on the
+    // merge key — or goes broadcast when the delta batch is small, which
+    // Catalyst picks from stats; writers (Delta/Iceberg) layer file
+    // rewriting on exactly this join.
+    "q_merge_upsert" -> ((s, sf) => {
+      val target = Tables.customer(s, sf)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      val src0 = Tables.orders(s, sf)
+        .filter(col("o_orderstatus") === "O")
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(30, 2))).cast(DoubleType).as("delta"))
+      // shifted copy: keys guaranteed absent from the target → INSERT arm
+      val source = src0.union(
+        src0.select(col("o_custkey") + lit(10000000L), col("delta")))
+      target.join(source, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(
+          coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          coalesce(col("c_name"), lit("NEW")).as("name"),
+          round(coalesce(col("c_acctbal"), lit(0.0)) + coalesce(col("delta"), lit(0.0)), 2)
+            .as("acctbal"),
+          when(col("c_custkey").isNull, "insert")
+            .when(col("delta").isNull, "keep")
+            .otherwise("update").as("action"))
+        .orderBy("custkey")
     })
   )
 
@@ -442,6 +474,22 @@ object JoinOps {
         |  JOIN orders o ON o.o_custkey = e.user_id
         |               AND o.o_orderdate <= CAST(date_trunc('second', e.ts) AS TIMESTAMP)
         |) t WHERE rn = 1
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+
+    "q_merge_upsert" ->
+      """WITH src0 AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS delta
+        |  FROM orders WHERE o_orderstatus = 'O' GROUP BY o_custkey),
+        |src AS (SELECT * FROM src0
+        |        UNION ALL SELECT o_custkey + 10000000, delta FROM src0)
+        |SELECT coalesce(c_custkey, o_custkey) AS custkey,
+        |  coalesce(c_name, 'NEW') AS name,
+        |  round(coalesce(c_acctbal, 0.0) + coalesce(delta, 0.0), 2) AS acctbal,
+        |  CASE WHEN c_custkey IS NULL THEN 'insert'
+        |       WHEN delta IS NULL THEN 'keep'
+        |       ELSE 'update' END AS action
+        |FROM customer FULL JOIN src ON c_custkey = o_custkey
+        |ORDER BY custkey""".stripMargin
   )
 }

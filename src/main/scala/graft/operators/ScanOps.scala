@@ -165,6 +165,30 @@ object ScanOps {
           col("r.host").as("host"),
           col("r.status").as("status"))
         .orderBy("line_id")
+    }),
+
+    // ORC round-trip: write `orders` out as ORC (Spark's second columnar
+    // house format), read it back, aggregate. Proves the source/sink pair
+    // end-to-end — schema fidelity, compression, and the same
+    // filter/column pushdown surface as parquet (the scan shows
+    // PushedFilters and a pruned ReadSchema exactly like a parquet read).
+    // The oracle states the same aggregate over the original parquet:
+    // hash-equality proves the round-trip is lossless, including the
+    // DATE/DECIMAL-free double columns. Local tmp stands in for the
+    // object-store path a cluster would use; partitionBy on the write is
+    // exercised by Sinks (BucketingSpec) so this stays a single-file
+    // contract check.
+    "q_ingest_orc" -> ((s, sf) => {
+      val dir = s"/tmp/graft_orc_rt/${sf.replaceAll("[^A-Za-z0-9]", "_")}"
+      Tables.orders(s, sf)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .write.mode("overwrite").orc(dir)
+      s.read.orc(dir)
+        .filter(col("o_orderstatus") =!= "P")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(DecimalType(30, 2))).cast(DoubleType).as("total"))
+        .orderBy("o_orderstatus")
     })
   )
 
@@ -277,6 +301,14 @@ object ScanOps {
          |  CAST(string_split(line, ',')[3] AS BIGINT) AS bytes
          |FROM (VALUES $values) AS t(line_id, line)
          |ORDER BY line_id""".stripMargin
-    }
+    },
+
+    "q_ingest_orc" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS total
+        |FROM orders
+        |WHERE o_orderstatus <> 'P'
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin
   )
 }

@@ -184,6 +184,68 @@ object WindowOps {
           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ffill,
           |  (n_events = CAST(0 AS BIGINT)) AS is_gap
           |FROM j ORDER BY user_id, h""".stripMargin)
+    }),
+
+    // SCD2 dimension history: compress each user's event_type stream into
+    // validity intervals (valid_from, valid_to, is_current) — the
+    // slowly-changing-dimension build a warehouse load runs over change
+    // logs. Change rows = rows whose type differs from the previous row
+    // (lag); interval end = next change's start (lead). Both windows
+    // partition on user_id with the same (ts_s, event_id) order, so the
+    // second window reuses the first's exchange AND sort — one shuffle
+    // total (verified: single Exchange in the plan).
+    "q_scd2_intervals" -> ((s, sf) => {
+      val changed = eventsTs(s, sf)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("ts_s"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(byUserTime))
+        .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      changed.select(
+          col("user_id"),
+          row_number().over(byUserTime).cast(LongType).as("version"),
+          col("event_type"),
+          col("ts_s").as("valid_from"),
+          lead(col("ts_s"), 1).over(byUserTime).as("valid_to"),
+          lead(col("ts_s"), 1).over(byUserTime).isNull.as("is_current"))
+        .orderBy("user_id", "version")
+    }),
+
+    // Run-length compression of the per-user event stream (log
+    // compaction): consecutive rows with the same event_type collapse to
+    // one row carrying the run length and start. Change flag (lag) →
+    // running sum = run id → groupBy(user_id, run_id). The groupBy needs
+    // NO new shuffle: HashPartitioning(user_id) from the window satisfies
+    // the (user_id, run_id) clustered distribution because its keys are a
+    // subset of the grouping keys.
+    "q_compress_runs" -> ((s, sf) =>
+      eventsTs(s, sf)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("ts_s"))
+        .withColumn("chg",
+          when(lag(col("event_type"), 1).over(byUserTime).isNull ||
+               lag(col("event_type"), 1).over(byUserTime) =!= col("event_type"), 1L)
+            .otherwise(0L))
+        .withColumn("run_id",
+          sum(col("chg")).over(byUserTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("run_id"), col("event_type"))
+        .agg(count(lit(1)).as("run_len"),
+          min(col("ts_s")).as("run_start"),
+          min(col("event_id")).as("first_event_id"))
+        .orderBy("user_id", "run_id")),
+
+    // Event-rate series with first differences: per-minute global counts,
+    // then delta vs the previous minute (lag over the aggregated series).
+    // The unpartitioned window is safe BECAUSE it runs over the aggregate,
+    // not the events: cardinality = distinct minutes (a year of minutes is
+    // ~526k rows — one task's worth), while the heavy groupBy below it is
+    // fully parallel. Never window an unaggregated stream without a
+    // partition key.
+    "q_events_rate" -> ((s, sf) => {
+      val w = Window.orderBy("minute")
+      Tables.events(s, sf)
+        .groupBy(date_trunc("minute", col("ts")).as("minute"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("minute"), col("n_events"),
+          (col("n_events") - coalesce(lag(col("n_events"), 1).over(w), lit(0L))).as("delta"))
+        .orderBy("minute")
     })
   )
 
@@ -328,6 +390,50 @@ object WindowOps {
         |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY h
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ffill,
         |  (n_events = 0) AS is_gap
-        |FROM j ORDER BY user_id, h""".stripMargin
+        |FROM j ORDER BY user_id, h""".stripMargin,
+
+    "q_scd2_intervals" ->
+      s"""WITH c AS (
+         |  SELECT user_id, event_id, event_type, $oracleTs AS ts_s,
+         |    lag(event_type, 1) OVER (PARTITION BY user_id
+         |      ORDER BY $oracleTs, event_id) AS prev_type
+         |  FROM events),
+         |ch AS (SELECT * FROM c WHERE prev_type IS NULL OR prev_type <> event_type)
+         |SELECT user_id,
+         |  row_number() OVER w AS version,
+         |  event_type,
+         |  ts_s AS valid_from,
+         |  lead(ts_s, 1) OVER w AS valid_to,
+         |  (lead(ts_s, 1) OVER w IS NULL) AS is_current
+         |FROM ch
+         |WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)
+         |ORDER BY user_id, version""".stripMargin,
+
+    "q_compress_runs" ->
+      s"""WITH f AS (
+         |  SELECT user_id, event_id, event_type, $oracleTs AS ts_s,
+         |    CASE WHEN lag(event_type, 1) OVER w IS NULL
+         |           OR lag(event_type, 1) OVER w <> event_type
+         |         THEN 1 ELSE 0 END AS chg
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY $oracleTs, event_id)),
+         |r AS (
+         |  SELECT *, CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_id
+         |  FROM f)
+         |SELECT user_id, run_id, event_type, count(*) AS run_len,
+         |  min(ts_s) AS run_start, min(event_id) AS first_event_id
+         |FROM r
+         |GROUP BY user_id, run_id, event_type
+         |ORDER BY user_id, run_id""".stripMargin,
+
+    "q_events_rate" ->
+      """WITH m AS (
+        |  SELECT CAST(date_trunc('minute', ts) AS TIMESTAMP) AS minute,
+        |    count(*) AS n_events
+        |  FROM events GROUP BY 1)
+        |SELECT minute, n_events,
+        |  n_events - coalesce(lag(n_events, 1) OVER (ORDER BY minute), 0) AS delta
+        |FROM m ORDER BY minute""".stripMargin
   )
 }

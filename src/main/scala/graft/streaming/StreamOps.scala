@@ -2,8 +2,9 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
-  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout,
+  ListState, MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues,
+  ValueState}
 import java.sql.Timestamp
 
 /** T11 — Structured Streaming over `events`-shaped data (SURVEY §2 T11).
@@ -193,5 +194,72 @@ object StreamOps {
     events
       .groupByKey(_.user_id)
       .transformWithState(new RunningCountProcessor, TimeMode.None(), OutputMode.Update())
+  }
+
+  case class UserDigest(user_id: Long, kind: String, n_types: Long, recent: Seq[Double])
+
+  /** Spark 4 stateful processor exercising the FULL typed-state surface:
+    * - `ListState` — bounded buffer of the user's most recent values
+    *   (appendValue per row; trimmed by rewriting when it exceeds 3 —
+    *   list state is append-oriented, there is no pop);
+    * - `MapState` — per-event-type running counts (point get/update; at
+    *   scale this beats a single Value[Map] blob because RocksDB updates
+    *   touch one map entry, not a reserialized whole map);
+    * - event-time timers — each batch (re)arms an idle timer at
+    *   max(event ts)+gap, deleting the previously-armed one (tracked in a
+    *   `ValueState`; re-registering without deleting leaks timers that all
+    *   fire). When the watermark passes the armed time,
+    *   `handleExpiredTimer` emits a final "expired" digest and clears the
+    *   user's state — memory stays O(active users), the property that
+    *   matters at 100 TB of stream history.
+    */
+  class UserDigestProcessor(gapMs: Long) extends StatefulProcessor[Long, Event, UserDigest] {
+    @transient private var recent: ListState[Double] = _
+    @transient private var typeCounts: MapState[String, Long] = _
+    @transient private var armed: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      recent = getHandle.getListState[Double]("recent", Encoders.scalaDouble, TTLConfig.NONE)
+      typeCounts = getHandle.getMapState[String, Long](
+        "typeCounts", Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+      armed = getHandle.getValueState[Long]("armed", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+                                 timerValues: TimerValues): Iterator[UserDigest] = {
+      var maxTs = Long.MinValue
+      rows.foreach { e =>
+        recent.appendValue(e.value)
+        val c = if (typeCounts.containsKey(e.event_type)) typeCounts.getValue(e.event_type) else 0L
+        typeCounts.updateValue(e.event_type, c + 1L)
+        maxTs = math.max(maxTs, e.ts.getTime)
+      }
+      val buf = recent.get().toArray
+      if (buf.length > 3) recent.put(buf.takeRight(3))
+      if (armed.exists()) getHandle.deleteTimer(armed.get())
+      getHandle.registerTimer(maxTs + gapMs)
+      armed.update(maxTs + gapMs)
+      Iterator.single(UserDigest(key, "update", typeCounts.keys().size.toLong,
+        recent.get().toSeq))
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+                                    info: ExpiredTimerInfo): Iterator[UserDigest] = {
+      val out = UserDigest(key, "expired", typeCounts.keys().size.toLong,
+        recent.get().toSeq)
+      recent.clear(); typeCounts.clear(); armed.clear()
+      Iterator.single(out)
+    }
+  }
+
+  /** Per-user digests with idle finalization via [[UserDigestProcessor]];
+    * event-time timers require a watermark on the input. */
+  def statefulUserDigest(s: SparkSession, events: Dataset[Event],
+                         gapMs: Long = 60000L): Dataset[UserDigest] = {
+    import s.implicits._
+    events
+      .withWatermark("ts", "0 seconds")
+      .groupByKey(_.user_id)
+      .transformWithState(new UserDigestProcessor(gapMs), TimeMode.EventTime(), OutputMode.Update())
   }
 }

@@ -391,4 +391,106 @@ class OperatorSpec extends AnyFunSuite with SparkSessionTest {
     // all docs covered exactly once
     assert(clusters.count() == Tables.documents(spark, sf0001).count())
   }
+
+  test("scd2 intervals tile each user's history without gaps or overlap") {
+    val iv = SparkEntry.queries("q_scd2_intervals")(spark, sf0001)
+    iv.createOrReplaceTempView("scd2")
+    // exactly one open (is_current) interval per user
+    val open = spark.sql(
+      """SELECT count(*) FROM (
+        |  SELECT user_id FROM scd2 GROUP BY user_id
+        |  HAVING sum(CASE WHEN is_current THEN 1 ELSE 0 END) <> 1) t""".stripMargin)
+      .head().getLong(0)
+    assert(open == 0L)
+    // consecutive versions: valid_to meets the next valid_from, type changes
+    val bad = spark.sql(
+      """SELECT count(*) FROM (
+        |  SELECT valid_to,
+        |    lead(valid_from) OVER (PARTITION BY user_id ORDER BY version) AS nxt,
+        |    event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY version) AS nxt_type
+        |  FROM scd2) t
+        |WHERE nxt IS NOT NULL AND (valid_to <> nxt OR event_type = nxt_type)""".stripMargin)
+      .head().getLong(0)
+    assert(bad == 0L)
+  }
+
+  test("compress_runs conserves events and alternates types") {
+    val runs = SparkEntry.queries("q_compress_runs")(spark, sf0001)
+    runs.createOrReplaceTempView("rle")
+    val total = spark.sql("SELECT sum(run_len) FROM rle").head().getLong(0)
+    assert(total == Tables.events(spark, sf0001).count())
+    val sameNeighbor = spark.sql(
+      """SELECT count(*) FROM (
+        |  SELECT event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY run_id) AS nxt
+        |  FROM rle) t WHERE event_type = nxt""".stripMargin).head().getLong(0)
+    assert(sameNeighbor == 0L) // a run never touches an equal-typed run
+  }
+
+  test("events_rate deltas telescope to the last minute's count") {
+    val rate = SparkEntry.queries("q_events_rate")(spark, sf0001).collect()
+    assert(rate.map(_.getLong(1)).sum == Tables.events(spark, sf0001).count())
+    // Σ deltas = last n_events (first delta counts from 0)
+    assert(rate.map(_.getLong(2)).sum == rate.last.getLong(1))
+  }
+
+  test("anomaly zscore flags only |z| >= 2.5 and a small tail") {
+    val z = SparkEntry.queries("q_anomaly_zscore")(spark, sf0001).collect()
+    assert(z.forall(r => math.abs(r.getDouble(3)) >= 2.5))
+    val n = Tables.events(spark, sf0001).count()
+    assert(z.length < n / 10) // outliers are a tail, not the body
+  }
+
+  test("weighted average golden on literal rows") {
+    import spark.implicits._
+    val df = Seq(("A", 1.0, 10.0), ("A", 3.0, 20.0), ("B", 2.0, 30.0))
+      .toDF("l_returnflag", "l_quantity", "l_extendedprice")
+    df.createOrReplaceTempView("li_w")
+    // wavg(A) = (10*1 + 20*3) / (1+3) = 17.5
+    val out = df.groupBy("l_returnflag")
+      .agg(round(
+        sum(($"l_extendedprice" * $"l_quantity").cast(DecimalType(30, 4))).cast(DoubleType) /
+          sum($"l_quantity".cast(DecimalType(30, 6))).cast(DoubleType), 6).as("wavg"))
+      .orderBy("l_returnflag").collect()
+    assert(out(0).getDouble(1) == 17.5 && out(1).getDouble(1) == 30.0)
+  }
+
+  test("merge upsert exercises all three MERGE branches consistently") {
+    val m = SparkEntry.queries("q_merge_upsert")(spark, sf0001)
+    m.createOrReplaceTempView("merged")
+    val byAction = spark.sql(
+      "SELECT action, count(*) AS n FROM merged GROUP BY action").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nCust = Tables.customer(spark, sf0001).count()
+    // target rows all survive (update + keep = customers); inserts are the
+    // shifted source keys and carry the synthetic name
+    assert(byAction("update") + byAction("keep") == nCust)
+    assert(byAction("insert") > 0)
+    val badInsert = spark.sql(
+      "SELECT count(*) FROM merged WHERE action = 'insert' AND name <> 'NEW'")
+      .head().getLong(0)
+    assert(badInsert == 0L)
+  }
+
+  test("orc round-trip equals the parquet-side aggregate") {
+    val viaOrc = SparkEntry.queries("q_ingest_orc")(spark, sf0001).collect()
+    val direct = Tables.orders(spark, sf0001)
+      .filter(col("o_orderstatus") =!= "P")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(DecimalType(30, 2))).cast(DoubleType).as("total"))
+      .orderBy("o_orderstatus").collect()
+    assert(viaOrc.toSeq == direct.toSeq)
+  }
+
+  test("frame sampling strides and bounds frames") {
+    val f = SparkEntry.queries("q_mm_framesample")(spark, sf0001).collect()
+    assert(f.nonEmpty)
+    assert(f.forall(_.getInt(1) % 4 == 0))                 // stride
+    assert(f.forall(r => r.getInt(2) > 0 && r.getInt(2) <= 16)) // frame size bound
+    // every doc contributes at least frame 0
+    val docs = Tables.documents(spark, sf0001).count()
+    assert(f.count(_.getInt(1) == 0) == docs)
+  }
 }

@@ -260,4 +260,42 @@ class StreamOpsSpec extends AnyFunSuite with SparkSessionTest {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
+
+  test("transformWithState list/map state + event-time timer finalization") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ms = MemoryStream[Event]
+    val q = StreamOps.statefulUserDigest(spark, ms.toDS(), gapMs = 60000L)
+      .writeStream.format("memory").queryName("t_digest").outputMode("update").start()
+    try {
+      // batch 1: user 1 has 4 events / 2 types → list trims to last 3
+      ms.addData(
+        ev(1, "2024-01-01 10:00:00", u = 1, typ = "click"),
+        ev(2, "2024-01-01 10:00:05", u = 1, typ = "view"),
+        ev(3, "2024-01-01 10:00:10", u = 1, typ = "click"),
+        ev(4, "2024-01-01 10:00:20", u = 1, typ = "click"))
+      q.processAllAvailable()
+      val upd = spark.table("t_digest").filter($"kind" === "update" && $"user_id" === 1)
+        .orderBy($"n_types".desc).head()
+      assert(upd.getLong(2) == 2L)                            // map state: 2 types
+      assert(upd.getSeq[Double](3).length == 3)               // list state trimmed to 3
+      // batch 2: a different user far in the future advances the watermark
+      // past user 1's idle timer (10:00:20 + 60 s) → timer fires, state clears
+      ms.addData(ev(5, "2024-01-01 10:10:00", u = 2))
+      q.processAllAvailable()
+      val expired = spark.table("t_digest").filter($"kind" === "expired").collect()
+      assert(expired.map(_.getLong(0)).toSet == Set(1L))      // only user 1 idle-expired
+      // batch 3: user 1 returns — state was cleared, digest starts fresh
+      ms.addData(ev(6, "2024-01-01 10:20:00", u = 1, typ = "purchase"))
+      q.processAllAvailable()
+      val fresh = spark.table("t_digest")
+        .filter($"kind" === "update" && $"user_id" === 1 && $"n_types" === 1).collect()
+      assert(fresh.nonEmpty)                                  // map/list state reset
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
