@@ -225,7 +225,37 @@ object FnOps {
           parse_url(col("url"), lit("PATH")).as("path"),
           parse_url(col("url"), lit("QUERY")).as("query"),
           parse_url(col("url"), lit("QUERY"), lit("seg")).as("seg"))
-        .orderBy("o_orderkey"))
+        .orderBy("o_orderkey")),
+
+    // IP dissection + subnet math over a synthesized address column (the
+    // same derive-from-fact-table pattern as q_fn_url): octet split,
+    // RFC-1918 private classification, numeric form for range predicates,
+    // and the /24 rollup a log analyzer groups attack sources by. All
+    // per-row integer/string work on one scan; the /24 aggregate is an
+    // ordinary hash agg on the derived subnet key.
+    "q_fn_ip" -> ((s, sf) =>
+      Tables.events(s, sf)
+        .withColumn("ip", concat_ws(".",
+          pmod(col("user_id"), lit(223)) + lit(1),
+          pmod(col("event_id"), lit(256)),
+          pmod(col("user_id") * lit(7), lit(256)),
+          pmod(col("event_id") * lit(13), lit(256))))
+        .select(
+          col("event_id"), col("ip"),
+          split(col("ip"), "\\.").getItem(0).cast(LongType).as("o1"),
+          split(col("ip"), "\\.").getItem(1).cast(LongType).as("o2"),
+          split(col("ip"), "\\.").getItem(2).cast(LongType).as("o3"),
+          split(col("ip"), "\\.").getItem(3).cast(LongType).as("o4"))
+        .select(
+          col("event_id"), col("ip"),
+          (col("o1") * 16777216L + col("o2") * 65536L + col("o3") * 256L + col("o4"))
+            .as("ip_num"),
+          (col("o1") === 10L ||
+            (col("o1") === 172L && col("o2").between(16L, 31L)) ||
+            (col("o1") === 192L && col("o2") === 168L)).as("is_private"),
+          concat(col("o1"), lit("."), col("o2"), lit("."), col("o3"), lit(".0/24"))
+            .as("subnet24"))
+        .orderBy("event_id"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -384,6 +414,22 @@ object FnOps {
         |  regexp_extract(url, '^https://[^/]+(/[^?]*)', 1) AS path,
         |  regexp_extract(url, '\?(.*)$', 1) AS query,
         |  regexp_extract(url, '[?&]seg=([^&]*)', 1) AS seg
-        |FROM u ORDER BY o_orderkey""".stripMargin
+        |FROM u ORDER BY o_orderkey""".stripMargin,
+
+    "q_fn_ip" ->
+      """WITH ipt AS (
+        |  SELECT event_id,
+        |    user_id % 223 + 1 AS o1, event_id % 256 AS o2,
+        |    (user_id * 7) % 256 AS o3, (event_id * 13) % 256 AS o4
+        |  FROM events)
+        |SELECT event_id,
+        |  CAST(o1 AS VARCHAR) || '.' || CAST(o2 AS VARCHAR) || '.' ||
+        |    CAST(o3 AS VARCHAR) || '.' || CAST(o4 AS VARCHAR) AS ip,
+        |  o1 * 16777216 + o2 * 65536 + o3 * 256 + o4 AS ip_num,
+        |  (o1 = 10 OR (o1 = 172 AND o2 BETWEEN 16 AND 31)
+        |    OR (o1 = 192 AND o2 = 168)) AS is_private,
+        |  CAST(o1 AS VARCHAR) || '.' || CAST(o2 AS VARCHAR) || '.' ||
+        |    CAST(o3 AS VARCHAR) || '.0/24' AS subnet24
+        |FROM ipt ORDER BY event_id""".stripMargin
   )
 }

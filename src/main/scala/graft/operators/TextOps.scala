@@ -706,10 +706,64 @@ object TextOps {
           |    row_number() OVER (PARTITION BY mh ORDER BY doc_id) AS rn
           |  FROM sig) t
           |WHERE rn = 1 ORDER BY doc_id""".stripMargin)
+    }),
+
+    // PII detection + redaction (the compliance pass every training-data
+    // pipeline runs before release): count and mask emails, IPv4s, and
+    // NANP-style phone numbers with chained regexp_replace. Patterns stay
+    // in the portable intersection of Java regex and RE2 (no lookaround,
+    // no backrefs) so both engines transform identically; masking order is
+    // email → ip → phone so earlier masks can't create later matches. The
+    // fixture is inline (like the syslog/CSV ingests) because the parquet
+    // corpus is PII-free by construction; over a real corpus this is one
+    // embarrassingly-parallel projection — no shuffle at any scale.
+    "q_text_pii_mask" -> ((s, sf) => {
+      val lineCols = array(piiLines.map(lit): _*)
+      s.range(1)
+        .select(posexplode(lineCols).as(Seq("line_id", "line")))
+        .select(
+          col("line_id"),
+          regexp_count(col("line"), lit(piiEmailPat)).cast(LongType).as("n_email"),
+          regexp_count(col("line"), lit(piiIpPat)).cast(LongType).as("n_ip"),
+          regexp_count(col("line"), lit(piiPhonePat)).cast(LongType).as("n_phone"),
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(col("line"), piiEmailPat, "<EMAIL>"),
+              piiIpPat, "<IP>"),
+            piiPhonePat, "<PHONE>").as("masked"))
+        .orderBy("line_id")
     })
   )
 
+  private val piiEmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val piiIpPat = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private val piiPhonePat = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+  private val piiLines: Seq[String] = Seq(
+    "contact john.doe@example.com for access from 10.0.0.5 today",
+    "user alice@corp.io logged in phone 555-123-4567",
+    "no pii here just ordinary words and numbers 42",
+    "mail bob.smith+spam@mail.example.org backup host 192.168.1.10 call 555-867-5309",
+    "double alert admin@example.com and root@example.com from 172.16.9.1")
+
+  /** Oracle VALUES list for the PII fixture. */
+  private val piiValues: String =
+    piiLines.zipWithIndex
+      .map { case (l, i) => s"($i, '${l.replace("'", "''")}')" }
+      .mkString(", ")
+
   val oracle: Map[String, String] = Map(
+    "q_text_pii_mask" ->
+      s"""SELECT line_id,
+         |  CAST(len(regexp_extract_all(line, '$piiEmailPat')) AS BIGINT) AS n_email,
+         |  CAST(len(regexp_extract_all(line, '$piiIpPat')) AS BIGINT) AS n_ip,
+         |  CAST(len(regexp_extract_all(line, '$piiPhonePat')) AS BIGINT) AS n_phone,
+         |  regexp_replace(regexp_replace(regexp_replace(line,
+         |    '$piiEmailPat', '<EMAIL>', 'g'),
+         |    '$piiIpPat', '<IP>', 'g'),
+         |    '$piiPhonePat', '<PHONE>', 'g') AS masked
+         |FROM (VALUES $piiValues) AS t(line_id, line)
+         |ORDER BY line_id""".stripMargin,
     "q_text_tokenize_wordcount" ->
       """SELECT word, count(*) AS cnt
         |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t

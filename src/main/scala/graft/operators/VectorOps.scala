@@ -106,6 +106,37 @@ object VectorOps {
        |LIMIT 10""".stripMargin
   }
 
+  /** Semantic-dedup SQL shared by the Spark query and the DuckDB oracle:
+    * IVF-style deterministic codebook (per-label mean), global nearest-cell
+    * assignment, then ONE representative per cell by (distance, vec_id)
+    * rank. The rank-1 selection is a window here so the oracle states the
+    * identical computation; the at-scale form is the map-side-combinable
+    * `min(struct(d2, vec_id))` aggregate (same fixpoint, no per-cell sort). */
+  private def semanticDedupSql(dotFn: (String, String) => String,
+                               explodeCte: String, assemble: String): String = {
+    def dist2(e: String, c: String) =
+      s"(${dotFn(e, e)} - 2 * ${dotFn(e, c)} + ${dotFn(c, c)})"
+    s"""WITH x AS ($explodeCte),
+       |mm AS (SELECT label AS cid, pos,
+       |         CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(30,12))) AS DOUBLE) / COUNT(v) AS mv
+       |       FROM x GROUP BY label, pos),
+       |cent AS (SELECT cid, $assemble AS cvec FROM mm GROUP BY cid),
+       |asgn AS (SELECT vec_id, cid, d2 FROM (
+       |    SELECT e.vec_id, c.cid, ${dist2("e.embedding", "c.cvec")} AS d2,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |                         ORDER BY ${dist2("e.embedding", "c.cvec")}, c.cid) AS rn
+       |    FROM embeddings e CROSS JOIN cent c) t
+       |  WHERE rn = 1),
+       |rep AS (SELECT cid, vec_id, d2,
+       |          row_number() OVER (PARTITION BY cid ORDER BY d2, vec_id) AS rr
+       |        FROM asgn),
+       |grp AS (SELECT cid, count(*) AS n_members FROM asgn GROUP BY cid)
+       |SELECT g.cid AS cid, g.n_members,
+       |  r.vec_id AS rep_vec_id, round(sqrt(r.d2), 6) AS rep_dist
+       |FROM grp g JOIN rep r ON g.cid = r.cid AND r.rr = 1
+       |ORDER BY cid""".stripMargin
+  }
+
   private def pairSqlSpark(tau: Double, aName: String, bName: String): String =
     pairSql(dot, tau, aName, bName)
 
@@ -231,6 +262,51 @@ object VectorOps {
       model.approxNearestNeighbors(emb.filter(col("vec_id") =!= 0), key, 10)
         .select(col("vec_id"), col("label"), round(col("distCol"), 6).as("dist"))
         .orderBy("dist", "vec_id")
+    }),
+
+    // SEMANTIC dedup: collapse the corpus onto deterministic centroid
+    // cells and keep one representative per cell — the embedding-space
+    // analog of the text near-dup collapse (q_dedup_near keeps pairwise
+    // candidates; this keeps ONE doc per semantic neighborhood, the form a
+    // training pipeline applies). Cells reuse the IVF coarse quantizer
+    // (per-label mean = deterministic codebook); representative = argmin
+    // squared distance to the centroid, vec_id tiebreak. At scale the
+    // argmin is a map-side-combinable min(struct(dist, id)) per cell, not
+    // a window sort — the cell table stays small and broadcastable.
+    "q_dedup_semantic" -> ((s, sf) => {
+      graft.functions.GraftFunctions.register(s)
+      Tables.embeddings(s, sf).createOrReplaceTempView("embeddings")
+      s.sql(semanticDedupSql(dot,
+        explodeCte = "SELECT label, posexplode(embedding) AS (pos, v) FROM embeddings",
+        assemble = "transform(array_sort(collect_list(struct(pos, mv))), s -> CAST(s.mv AS FLOAT))"))
+    }),
+
+    // Int8 scalar quantization (the storage/bandwidth lever for embedding
+    // corpora — 4x smaller than float32): per-vector symmetric scale
+    // 127/max|x|, elementwise floor(x*scale+0.5) clamped to [-127,127]
+    // (floor(x+0.5), NOT round(): both engines floor identically while
+    // banker's-vs-away rounding of exact .5 doubles differs), plus the
+    // reconstruction error and saturation count. Everything is per-row
+    // expression work over one scan — embarrassingly parallel; the fold
+    // order of the error sum matches the oracle element order exactly.
+    "q_vec_quantize" -> ((s, sf) => {
+      Tables.embeddings(s, sf).createOrReplaceTempView("embeddings")
+      s.sql(
+        """WITH sc AS (
+          |  SELECT vec_id, label, embedding,
+          |    127.0 / array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
+          |  FROM embeddings),
+          |q AS (SELECT vec_id, label, embedding, scale,
+          |        transform(embedding, x ->
+          |          least(greatest(floor(CAST(x AS DOUBLE) * scale + 0.5D), -127.0D), 127.0D)) AS qv
+          |      FROM sc)
+          |SELECT vec_id, label,
+          |  round(scale, 6) AS scale_r,
+          |  round(sqrt(aggregate(zip_with(embedding, qv, (x, qq) ->
+          |          (CAST(x AS DOUBLE) - qq / scale) * (CAST(x AS DOUBLE) - qq / scale)),
+          |        CAST(0.0 AS DOUBLE), (acc, e) -> acc + e)), 6) AS rmse,
+          |  CAST(size(filter(qv, qq -> abs(qq) = 127.0D)) AS BIGINT) AS n_sat
+          |FROM q ORDER BY vec_id""".stripMargin)
     })
   )
 
@@ -268,6 +344,28 @@ object VectorOps {
       odot,
       explodeCte = "SELECT label, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS v FROM embeddings",
       assemble = "list_transform(list(mv ORDER BY pos), x -> CAST(x AS FLOAT))"),
+
+    "q_dedup_semantic" -> semanticDedupSql(
+      odot,
+      explodeCte = "SELECT label, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS v FROM embeddings",
+      assemble = "list_transform(list(mv ORDER BY pos), x -> CAST(x AS FLOAT))"),
+
+    "q_vec_quantize" ->
+      """WITH sc AS (
+        |  SELECT vec_id, label, embedding,
+        |    127.0 / list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max') AS scale
+        |  FROM embeddings),
+        |q AS (SELECT vec_id, label, embedding, scale,
+        |        list_transform(embedding, x ->
+        |          least(greatest(floor(CAST(x AS DOUBLE) * scale + 0.5), -127.0), 127.0)) AS qv
+        |      FROM sc)
+        |SELECT vec_id, label,
+        |  round(scale, 6) AS scale_r,
+        |  round(sqrt(list_reduce(list_transform(list_zip(embedding, qv), p ->
+        |          (CAST(p[1] AS DOUBLE) - p[2] / scale) * (CAST(p[1] AS DOUBLE) - p[2] / scale)),
+        |        (acc, e) -> acc + e)), 6) AS rmse,
+        |  CAST(len(list_filter(qv, qq -> abs(qq) = 127.0)) AS BIGINT) AS n_sat
+        |FROM q ORDER BY vec_id""".stripMargin,
 
     "q_vec_pairs_threshold" -> pairSqlDuck(0.25, "vec_a", "vec_b"),
 

@@ -484,6 +484,45 @@ class OperatorSpec extends AnyFunSuite with SparkSessionTest {
     assert(viaOrc.toSeq == direct.toSeq)
   }
 
+  test("semantic dedup covers every vector with one representative per cell") {
+    val cells = SparkEntry.queries("q_dedup_semantic")(spark, sf0001).collect()
+    assert(cells.map(_.getLong(1)).sum == Tables.embeddings(spark, sf0001).count())
+    assert(cells.map(_.get(0)).distinct.length == cells.length) // one row per cell
+    assert(cells.forall(_.getDouble(3) >= 0.0))                     // rep distance
+  }
+
+  test("int8 quantization saturates the max element and bounds error") {
+    val q = SparkEntry.queries("q_vec_quantize")(spark, sf0001).collect()
+    assert(q.nonEmpty)
+    // symmetric scaling maps the max-|x| element exactly to ±127
+    assert(q.forall(_.getLong(4) >= 1L))
+    assert(q.forall(r => r.getDouble(3) >= 0.0 && r.getDouble(2) > 0.0))
+  }
+
+  test("ip dissection is self-consistent") {
+    val rows = SparkEntry.queries("q_fn_ip")(spark, sf0001).limit(500).collect()
+    rows.foreach { r =>
+      val ip = r.getString(1); val num = r.getLong(2)
+      val o = ip.split("\\.").map(_.toLong)
+      assert(num == o(0) * 16777216L + o(1) * 65536L + o(2) * 256L + o(3))
+      assert(r.getString(4) == s"${o(0)}.${o(1)}.${o(2)}.0/24")
+      val priv = o(0) == 10L || (o(0) == 172L && o(1) >= 16L && o(1) <= 31L) ||
+        (o(0) == 192L && o(1) == 168L)
+      assert(r.getBoolean(3) == priv)
+    }
+  }
+
+  test("pii masking redacts every detected span and only those") {
+    val rows = SparkEntry.queries("q_text_pii_mask")(spark, sf0001)
+      .orderBy("line_id").collect()
+    assert(rows.length == 5)
+    val masked = rows.map(_.getString(4))
+    assert(!masked.exists(_.contains("@")))                       // emails gone
+    assert(masked(2) == "no pii here just ordinary words and numbers 42") // untouched
+    assert(rows(4).getLong(1) == 2L)                              // two emails counted
+    assert(rows(3).getLong(2) == 1L && rows(3).getLong(3) == 1L)  // ip + phone
+  }
+
   test("frame sampling strides and bounds frames") {
     val f = SparkEntry.queries("q_mm_framesample")(spark, sf0001).collect()
     assert(f.nonEmpty)
