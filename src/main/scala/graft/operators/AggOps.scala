@@ -312,6 +312,34 @@ object AggOps {
           |ORDER BY cohort_week, week_offset""".stripMargin)
     }),
 
+    // Count-min sketch: the mergeable frequency sketch (point-lookup
+    // "how often did key X occur" without storing keys) — per-type
+    // sketches over user_id with a FIXED seed, so the binary is
+    // deterministic and the rows-only gate is stable. Estimates for three
+    // probe users are decoded from the sketch bytes via
+    // CountMinSketch.readFrom inside a scalar UDF (Spark SQL exposes the
+    // build side `count_min_sketch(...)` but no SQL-side reader). Same
+    // pre-aggregate/merge contract as the HLL sketch: per-partition
+    // sketches merge associatively, raw ids never shuffle. Approximate →
+    // rows-only; ≥-exact and ε-bound asserted in OperatorSpec.
+    "q_agg_cms_sketch" -> ((s, sf) => {
+      registerEvents(s, sf)
+      val est = udf { (bytes: Array[Byte], key: Long) =>
+        org.apache.spark.util.sketch.CountMinSketch
+          .readFrom(new java.io.ByteArrayInputStream(bytes)).estimateCount(key)
+      }
+      val sk = s.sql(
+        """SELECT event_type, count_min_sketch(user_id, 0.001d, 0.99d, 42) AS sketch
+          |FROM events GROUP BY event_type""".stripMargin)
+      sk.select(
+          col("event_type"),
+          length(col("sketch")).cast(LongType).as("sketch_bytes"),
+          est(col("sketch"), lit(1L)).as("est_u1"),
+          est(col("sketch"), lit(2L)).as("est_u2"),
+          est(col("sketch"), lit(3L)).as("est_u3"))
+        .orderBy("event_type")
+    }),
+
     // Statistical anomaly detection: per-type z-score of `value`, flagging
     // |z| ≥ 2.5 — the per-severity outlier sweep a log monitor runs.
     // Moments come from exact decimal sums (order-independent, map-side

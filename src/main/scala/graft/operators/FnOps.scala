@@ -255,7 +255,25 @@ object FnOps {
             (col("o1") === 192L && col("o2") === 168L)).as("is_private"),
           concat(col("o1"), lit("."), col("o2"), lit("."), col("o3"), lit(".0/24"))
             .as("subnet24"))
-        .orderBy("event_id"))
+        .orderBy("event_id")),
+
+    // Data masking (`mask()`): the column-level redaction primitive —
+    // uppercase→X, lowercase→x, digit→n, punctuation kept — applied to
+    // name and phone. Complements q_text_pii_mask (regex span redaction)
+    // with the whole-column form a warehouse applies to restricted
+    // columns. Pure projection, one scan.
+    "q_fn_mask" -> ((s, sf) =>
+      Tables.customer(s, sf)
+        .withColumn("phone", concat(
+          pmod(col("c_custkey"), lit(90)) + lit(10), lit("-"),
+          lpad(pmod(col("c_custkey") * 7, lit(1000)).cast("string"), 3, "0"), lit("-"),
+          lpad(pmod(col("c_custkey") * 13, lit(10000)).cast("string"), 4, "0")))
+        .select(
+          col("c_custkey"),
+          mask(col("c_name")).as("name_masked"),
+          mask(col("phone")).as("phone_masked"),
+          mask(col("phone"), lit("X"), lit("x"), lit("#"), lit("-")).as("phone_hash"))
+        .orderBy("c_custkey"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -430,6 +448,22 @@ object FnOps {
         |    OR (o1 = 192 AND o2 = 168)) AS is_private,
         |  CAST(o1 AS VARCHAR) || '.' || CAST(o2 AS VARCHAR) || '.' ||
         |    CAST(o3 AS VARCHAR) || '.0/24' AS subnet24
-        |FROM ipt ORDER BY event_id""".stripMargin
+        |FROM ipt ORDER BY event_id""".stripMargin,
+
+    "q_fn_mask" ->
+      """WITH p AS (SELECT c_custkey, c_name,
+        |    CAST(c_custkey % 90 + 10 AS VARCHAR) || '-' ||
+        |    lpad(CAST((c_custkey * 7) % 1000 AS VARCHAR), 3, '0') || '-' ||
+        |    lpad(CAST((c_custkey * 13) % 10000 AS VARCHAR), 4, '0') AS phone
+        |  FROM customer)
+        |SELECT c_custkey,
+        |  regexp_replace(regexp_replace(regexp_replace(c_name,
+        |    '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g') AS name_masked,
+        |  regexp_replace(regexp_replace(regexp_replace(phone,
+        |    '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g') AS phone_masked,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(phone,
+        |    '[^A-Za-z0-9]', '-', 'g'),
+        |    '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', '#', 'g') AS phone_hash
+        |FROM p ORDER BY c_custkey""".stripMargin
   )
 }

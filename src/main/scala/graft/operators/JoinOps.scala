@@ -307,6 +307,27 @@ object JoinOps {
             .when(col("delta").isNull, "keep")
             .otherwise("update").as("action"))
         .orderBy("custkey")
+    }),
+
+    // NULL-safe equi-join (`<=>` / IS NOT DISTINCT FROM): the join
+    // semantics where NULL keys MATCH each other instead of vanishing —
+    // what a log pipeline needs when "no session id" is itself a join key.
+    // Both sides aggregate BEFORE the join (count per key), so the
+    // NULL-key group joins as one row × one row instead of exploding
+    // n_null² pairs — the only shape that survives a null-heavy corpus at
+    // scale. Spark plans <=> as an ordinary hash join (null-safe keys
+    // still hash-partition); no BNL appears.
+    "q_join_null_safe" -> ((s, sf) => {
+      val e = Tables.events(s, sf)
+        .withColumn("k", nullif(pmod(col("user_id"), lit(7)), lit(0)))
+      val a = e.filter(col("event_type") === "click")
+        .groupBy("k").agg(count(lit(1)).as("n_click"))
+      val b = e.filter(col("event_type") === "purchase")
+        .groupBy("k").agg(count(lit(1)).as("n_purchase"))
+      a.join(b, a("k") <=> b("k"))
+        .select(a("k").as("k"), col("n_click"), col("n_purchase"),
+          (col("n_click") * col("n_purchase")).as("n_pairs"))
+        .orderBy(col("k").asc_nulls_first)
     })
   )
 
@@ -490,6 +511,16 @@ object JoinOps {
         |       WHEN delta IS NULL THEN 'keep'
         |       ELSE 'update' END AS action
         |FROM customer FULL JOIN src ON c_custkey = o_custkey
-        |ORDER BY custkey""".stripMargin
+        |ORDER BY custkey""".stripMargin,
+
+    "q_join_null_safe" ->
+      """WITH e AS (SELECT *, nullif(user_id % 7, 0) AS k FROM events),
+        |a AS (SELECT k, count(*) AS n_click FROM e
+        |      WHERE event_type = 'click' GROUP BY k),
+        |b AS (SELECT k, count(*) AS n_purchase FROM e
+        |      WHERE event_type = 'purchase' GROUP BY k)
+        |SELECT a.k AS k, n_click, n_purchase, n_click * n_purchase AS n_pairs
+        |FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+        |ORDER BY k NULLS FIRST""".stripMargin
   )
 }

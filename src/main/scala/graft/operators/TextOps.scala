@@ -402,7 +402,15 @@ object TextOps {
     "q_dedup_near_wide" -> ((s, sf) => {
       graft.functions.GraftFunctions.register(s)
       Tables.documents(s, sf).createOrReplaceTempView("documents")
-      s.sql(nearDupWideSpark)
+      // Materialize the encode stage ONCE: the pair stage reads enc twice
+      // (probe explodes the length band, build side doesn't), and Spark
+      // inlines multi-referenced CTEs, so the single-query form tokenizes
+      // and bitmap-encodes the corpus twice (measured 2.7 s vs 1.9 s at
+      // sf0.1). localCheckpoint truncates to the materialized rows — the
+      // same cache-the-build-side discipline a 100 TB run would apply.
+      val enc = s.sql(nearDupWideEncSpark).localCheckpoint()
+      enc.createOrReplaceTempView("enc_wide_ckpt")
+      s.sql(nearDupWidePairSpark("enc_wide_ckpt"))
     }),
 
     // n-gram (bigram) Jaccard, estimated by MinHash signature overlap and

@@ -523,6 +523,42 @@ class OperatorSpec extends AnyFunSuite with SparkSessionTest {
     assert(rows(3).getLong(2) == 1L && rows(3).getLong(3) == 1L)  // ip + phone
   }
 
+  test("null-safe join matches null keys and agrees with plain join off-null") {
+    val rows = SparkEntry.queries("q_join_null_safe")(spark, sf0001).collect()
+    assert(rows.exists(_.isNullAt(0)))               // NULL<=>NULL matched
+    assert(rows.forall(r => r.getLong(3) == r.getLong(1) * r.getLong(2)))
+    // non-null groups identical to a plain equi-join of the same aggregates
+    val e = Tables.events(spark, sf0001)
+      .withColumn("k", nullif(pmod(col("user_id"), lit(7)), lit(0)))
+    val a = e.filter(col("event_type") === "click").groupBy("k").count()
+    val b = e.filter(col("event_type") === "purchase").groupBy("k").count()
+    val plain = a.join(b, "k").count()
+    assert(rows.count(!_.isNullAt(0)) == plain)
+  }
+
+  test("mask() golden shapes") {
+    val r = SparkEntry.queries("q_fn_mask")(spark, sf0001)
+      .orderBy("c_custkey").head()
+    assert(r.getString(1).matches("Xxxxxxxx#n+"))       // Customer#000000001
+    assert(r.getString(2).matches("[n-]+"))             // digits masked, dashes kept
+    assert(r.getString(3).matches("[#-]+"))             // digits→#, others→-
+  }
+
+  test("count-min sketch estimates dominate exact counts within epsilon") {
+    val est = SparkEntry.queries("q_agg_cms_sketch")(spark, sf0001).collect()
+      .map(r => r.getString(0) -> Seq(r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val exact = Tables.events(spark, sf0001)
+      .filter(col("user_id").isin(1L, 2L, 3L))
+      .groupBy("event_type", "user_id").count().collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val total = Tables.events(spark, sf0001).count()
+    for ((t, ests) <- est; (e, i) <- ests.zipWithIndex) {
+      val ex = exact.getOrElse((t, i + 1L), 0L)
+      assert(e >= ex, s"$t u${i + 1}")                  // CMS never undercounts
+      assert(e <= ex + math.ceil(0.001 * total).toLong + 1, s"$t u${i + 1} overshoot")
+    }
+  }
+
   test("frame sampling strides and bounds frames") {
     val f = SparkEntry.queries("q_mm_framesample")(spark, sf0001).collect()
     assert(f.nonEmpty)
