@@ -231,6 +231,22 @@ object WindowOps {
           min(col("event_id")).as("first_event_id"))
         .orderBy("user_id", "run_id")),
 
+    // Batch-mode tumbling window(): the SAME `window(ts, '15 minutes')`
+    // primitive Structured Streaming aggregates on, run over the batch
+    // corpus — one groupBy on the derived window struct, with start/end
+    // emitted. Proves batch/stream unification: this plan and the
+    // streaming tumbling count share the grouping expression; only the
+    // source differs. Oracle mirrors the epoch-floor bucketing rule.
+    "q_win_tumbling_batch" -> ((s, sf) =>
+      Tables.events(s, sf)
+        .groupBy(window(col("ts"), "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(
+          col("window.start").as("w_start"),
+          col("window.end").as("w_end"),
+          col("event_type"), col("n_events"))
+        .orderBy("w_start", "event_type")),
+
     // Event-rate series with first differences: per-minute global counts,
     // then delta vs the previous minute (lag over the aggregated series).
     // The unpartitioned window is safe BECAUSE it runs over the aggregate,
@@ -426,6 +442,16 @@ object WindowOps {
          |FROM r
          |GROUP BY user_id, run_id, event_type
          |ORDER BY user_id, run_id""".stripMargin,
+
+    "q_win_tumbling_batch" ->
+      """WITH b AS (
+        |  SELECT CAST(to_timestamp(floor(epoch(ts) / 900) * 900) AS TIMESTAMP) AS w_start,
+        |    event_type
+        |  FROM events)
+        |SELECT w_start, w_start + INTERVAL 15 MINUTE AS w_end,
+        |  event_type, count(*) AS n_events
+        |FROM b GROUP BY w_start, event_type
+        |ORDER BY w_start, event_type""".stripMargin,
 
     "q_events_rate" ->
       """WITH m AS (

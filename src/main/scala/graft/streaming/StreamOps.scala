@@ -3,8 +3,8 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout,
-  ListState, MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues,
-  ValueState}
+  ListState, MapState, OutputMode, StatefulProcessor, StatefulProcessorWithInitialState,
+  TTLConfig, TimeMode, TimerValues, ValueState}
 import java.sql.Timestamp
 
 /** T11 — Structured Streaming over `events`-shaped data (SURVEY §2 T11).
@@ -194,6 +194,43 @@ object StreamOps {
     events
       .groupByKey(_.user_id)
       .transformWithState(new RunningCountProcessor, TimeMode.None(), OutputMode.Update())
+  }
+
+  case class CountSeed(user_id: Long, n: Long)
+
+  /** Batch-bootstrap for streaming state: the running-count processor
+    * seeded from a BATCH aggregate via `StatefulProcessorWithInitialState`
+    * — the operational pattern for standing up a new streaming job against
+    * 100 TB of history: backfill per-key state with one batch groupBy
+    * (`handleInitialState`, called once per key before any stream batch),
+    * then the stream increments from there instead of replaying the
+    * archive through the stream path. */
+  class SeededCountProcessor
+      extends StatefulProcessorWithInitialState[Long, Event, UserCount, CountSeed] {
+    @transient private var count: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      count = getHandle.getValueState[Long]("count", Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInitialState(key: Long, seed: CountSeed,
+                                    timerValues: TimerValues): Unit =
+      count.update(seed.n)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+                                 timerValues: TimerValues): Iterator[UserCount] = {
+      val n = (if (count.exists()) count.get() else 0L) + rows.size
+      count.update(n)
+      Iterator.single(UserCount(key, n))
+    }
+  }
+
+  /** Running counts continuing FROM the batch-computed seed. */
+  def statefulRunningCountSeeded(s: SparkSession, events: Dataset[Event],
+                                 seed: Dataset[CountSeed]): Dataset[UserCount] = {
+    import s.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new SeededCountProcessor, TimeMode.None(), OutputMode.Update(),
+        seed.groupByKey(_.user_id))
   }
 
   case class UserDigest(user_id: Long, kind: String, n_types: Long, recent: Seq[Double])

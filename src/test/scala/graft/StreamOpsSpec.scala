@@ -261,6 +261,31 @@ class StreamOpsSpec extends AnyFunSuite with SparkSessionTest {
     }
   }
 
+  test("transformWithState seeds state from a batch aggregate (initial state)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // batch-side backfill: user 1 has 5 historical events, user 2 has 2
+    val seed = Seq(StreamOps.CountSeed(1L, 5L), StreamOps.CountSeed(2L, 2L)).toDS()
+    val ms = MemoryStream[Event]
+    val q = StreamOps.statefulRunningCountSeeded(spark, ms.toDS(), seed)
+      .writeStream.format("memory").queryName("t_seeded").outputMode("update").start()
+    try {
+      ms.addData(ev(1, "2024-01-01 10:00:00", u = 1), ev(2, "2024-01-01 10:00:05", u = 1),
+        ev(3, "2024-01-01 10:00:10", u = 3))
+      q.processAllAvailable()
+      val counts = spark.table("t_seeded").groupBy("user_id")
+        .agg(max("n_events").as("n")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(counts(1L) == 7L) // 5 seeded + 2 streamed
+      assert(counts(3L) == 1L) // unseeded key starts from zero
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("transformWithState list/map state + event-time timer finalization") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
