@@ -340,6 +340,26 @@ object AggOps {
         .orderBy("event_type")
     }),
 
+    // Exact distinct counting via BITMAPS (Spark 3.5 bitmap_* family):
+    // user ids map to (bucket, bit position), per-bucket bitmaps OR
+    // together (map-side combinable fixed-size byte arrays), and the
+    // distinct count is the popcount sum — exact like count(DISTINCT) but
+    // without ever shuffling raw ids, memory bounded by id-range/32k per
+    // group. This is the exact-path complement to the HLL sketch; being
+    // exact, it hash-checks against DuckDB's plain count(DISTINCT).
+    "q_agg_bitmap_distinct" -> ((s, sf) => {
+      registerEvents(s, sf)
+      s.sql(
+        """WITH b AS (
+          |  SELECT event_type, bitmap_bucket_number(user_id) AS bucket,
+          |    bitmap_construct_agg(bitmap_bit_position(user_id)) AS bm
+          |  FROM events GROUP BY event_type, bitmap_bucket_number(user_id))
+          |SELECT event_type,
+          |  CAST(sum(bitmap_count(bm)) AS BIGINT) AS n_users
+          |FROM b GROUP BY event_type
+          |ORDER BY event_type""".stripMargin)
+    }),
+
     // Statistical anomaly detection: per-type z-score of `value`, flagging
     // |z| ≥ 2.5 — the per-severity outlier sweep a log monitor runs.
     // Moments come from exact decimal sums (order-independent, map-side
@@ -515,6 +535,11 @@ object AggOps {
         |FROM a JOIN f ON a.user_id = f.user_id
         |GROUP BY f.cohort, date_diff('day', f.cohort, a.w) // 7
         |ORDER BY cohort_week, week_offset""".stripMargin,
+
+    "q_agg_bitmap_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     "q_anomaly_zscore" ->
       """WITH m0 AS (

@@ -273,7 +273,26 @@ object FnOps {
           mask(col("c_name")).as("name_masked"),
           mask(col("phone")).as("phone_masked"),
           mask(col("phone"), lit("X"), lit("x"), lit("#"), lit("-")).as("phone_hash"))
-        .orderBy("c_custkey"))
+        .orderBy("c_custkey")),
+
+    // The try_* ANSI-safe family: Spark 4 runs ANSI mode, where division
+    // by zero / bad casts / long overflow THROW — at 100 TB one malformed
+    // row must not kill a 6-hour job, so production arithmetic uses the
+    // try_ forms that yield NULL instead. DuckDB's native semantics
+    // (NULL on div-0, TRY_CAST, out-of-range list_extract, try_strptime)
+    // mirror each column exactly; the overflow column's oracle states the
+    // only non-overflowing case directly.
+    "q_fn_try" -> ((s, sf) =>
+      Tables.events(s, sf)
+        .select(
+          col("event_id"),
+          expr("try_divide(CAST(user_id AS BIGINT), CAST(user_id % 5 AS BIGINT))").as("safe_div"),
+          expr("try_cast(event_type AS INT)").as("bad_int"),
+          expr("try_element_at(split(event_type, '_'), 1)").as("seg1"),
+          expr("try_element_at(split(event_type, '_'), 5)").as("seg_oob"),
+          expr("try_to_timestamp(event_type, 'yyyy-MM-dd')").as("bad_ts"),
+          expr("try_add(9223372036854775807L, event_id)").as("ovf"))
+        .orderBy("event_id"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -464,6 +483,16 @@ object FnOps {
         |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(phone,
         |    '[^A-Za-z0-9]', '-', 'g'),
         |    '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', '#', 'g') AS phone_hash
-        |FROM p ORDER BY c_custkey""".stripMargin
+        |FROM p ORDER BY c_custkey""".stripMargin,
+
+    "q_fn_try" ->
+      """SELECT event_id,
+        |  CAST(user_id AS BIGINT) / CAST(user_id % 5 AS BIGINT) AS safe_div,
+        |  TRY_CAST(event_type AS INT) AS bad_int,
+        |  list_extract(string_split(event_type, '_'), 1) AS seg1,
+        |  list_extract(string_split(event_type, '_'), 5) AS seg_oob,
+        |  try_strptime(event_type, '%Y-%m-%d') AS bad_ts,
+        |  CASE WHEN event_id = 0 THEN CAST(9223372036854775807 AS BIGINT) END AS ovf
+        |FROM events ORDER BY event_id""".stripMargin
   )
 }

@@ -559,6 +559,15 @@ class OperatorSpec extends AnyFunSuite with SparkSessionTest {
     }
   }
 
+  test("bitmap distinct equals countDistinct exactly") {
+    val bm = SparkEntry.queries("q_agg_bitmap_distinct")(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.events(spark, sf0001)
+      .groupBy("event_type").agg(countDistinct("user_id").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bm == exact)
+  }
+
   test("frame sampling strides and bounds frames") {
     val f = SparkEntry.queries("q_mm_framesample")(spark, sf0001).collect()
     assert(f.nonEmpty)
