@@ -578,6 +578,32 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // Triangle counting over the near-dup candidate graph — the graph
+    // statistic that separates "chain" components (low transitivity, LSH
+    // banding artifacts) from true duplicate cliques. Uses the standard
+    // ORIENTED enumeration: every stored edge already has a < b, so a
+    // triangle is counted exactly once as (a<b<c) via two equi-joins —
+    // never the 6-fold undirected blowup, and at scale both joins shuffle
+    // on a vertex key like any edge-table self-join (degree-based
+    // orientation is the further skew fix when hub vertices appear).
+    "q_graph_triangles" -> ((s, sf) => {
+      Tables.documentsPar(s, sf).createOrReplaceTempView("documents")
+      s.sql(
+        s"""$lshBandPairsCtesSpark,
+          |e AS (SELECT DISTINCT lang, doc_id AS a, doc_id_b AS b FROM pairs),
+          |tri AS (SELECT e1.lang AS lang
+          |        FROM e e1
+          |        JOIN e e2 ON e1.lang = e2.lang AND e1.b = e2.a
+          |        JOIN e e3 ON e3.lang = e1.lang AND e3.a = e1.a AND e3.b = e2.b),
+          |vstat AS (SELECT lang, count(*) AS n_edges FROM e GROUP BY lang)
+          |SELECT v.lang AS lang, v.n_edges,
+          |  coalesce(t.n_triangles, CAST(0 AS BIGINT)) AS n_triangles
+          |FROM vstat v
+          |LEFT JOIN (SELECT lang, count(*) AS n_triangles FROM tri GROUP BY lang) t
+          |  ON v.lang = t.lang
+          |ORDER BY lang""".stripMargin)
+    }),
+
     // Rolling-hash document fingerprinting (Rabin–Karp over the token
     // stream, winnowing-style signature): each 5-token window gets the
     // polynomial hash fold h = Σ cᵢ·131^(4-i) mod 1e9+7 over per-token
@@ -761,6 +787,21 @@ object TextOps {
       .mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q_graph_triangles" ->
+      s"""WITH ${lshBandPairsCtesDuck},
+         |e AS (SELECT DISTINCT lang, doc_id AS a, doc_id_b AS b FROM pairs),
+         |tri AS (SELECT e1.lang AS lang
+         |        FROM e e1
+         |        JOIN e e2 ON e1.lang = e2.lang AND e1.b = e2.a
+         |        JOIN e e3 ON e3.lang = e1.lang AND e3.a = e1.a AND e3.b = e2.b),
+         |vstat AS (SELECT lang, count(*) AS n_edges FROM e GROUP BY lang)
+         |SELECT v.lang AS lang, v.n_edges,
+         |  coalesce(t.n_triangles, CAST(0 AS BIGINT)) AS n_triangles
+         |FROM vstat v
+         |LEFT JOIN (SELECT lang, count(*) AS n_triangles FROM tri GROUP BY lang) t
+         |  ON v.lang = t.lang
+         |ORDER BY lang""".stripMargin,
+
     "q_text_pii_mask" ->
       s"""SELECT line_id,
          |  CAST(len(regexp_extract_all(line, '$piiEmailPat')) AS BIGINT) AS n_email,

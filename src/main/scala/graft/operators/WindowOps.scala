@@ -247,6 +247,34 @@ object WindowOps {
           col("event_type"), col("n_events"))
         .orderBy("w_start", "event_type")),
 
+    // Threshold alerting with interval merge (gaps-and-islands): flag
+    // 5-minute windows whose error count exceeds the threshold, then
+    // merge ADJACENT hot windows into one alert interval — the
+    // "condition persisted from t0 to t1" output a monitor pages on, not
+    // one row per window. Islands come from the classic bucket−row_number
+    // group key; everything after the tiny windowed aggregate runs on the
+    // aggregated series (distinct 5-min buckets), so the unpartitioned
+    // windows are bounded exactly like q_events_rate.
+    "q_alert_intervals" -> ((s, sf) => {
+      Tables.events(s, sf).createOrReplaceTempView("events_alert")
+      s.sql(
+        """WITH w AS (
+          |  SELECT CAST(floor(unix_timestamp(ts) / 300) AS BIGINT) AS b,
+          |    count(*) AS n_err
+          |  FROM events_alert WHERE event_type = 'error'
+          |  GROUP BY 1),
+          |hot AS (SELECT b, n_err FROM w WHERE n_err >= 3),
+          |isl AS (SELECT b, n_err,
+          |          b - row_number() OVER (ORDER BY b) AS grp
+          |        FROM hot)
+          |SELECT CAST(to_timestamp(min(b) * 300) AS TIMESTAMP) AS alert_start,
+          |  CAST(to_timestamp((max(b) + 1) * 300) AS TIMESTAMP) AS alert_end,
+          |  CAST(count(*) AS BIGINT) AS n_windows,
+          |  CAST(sum(n_err) AS BIGINT) AS total_errors
+          |FROM isl GROUP BY grp
+          |ORDER BY alert_start""".stripMargin)
+    }),
+
     // Event-rate series with first differences: per-minute global counts,
     // then delta vs the previous minute (lag over the aggregated series).
     // The unpartitioned window is safe BECAUSE it runs over the aggregate,
@@ -452,6 +480,23 @@ object WindowOps {
         |  event_type, count(*) AS n_events
         |FROM b GROUP BY w_start, event_type
         |ORDER BY w_start, event_type""".stripMargin,
+
+    "q_alert_intervals" ->
+      """WITH w AS (
+        |  SELECT CAST(floor(epoch(ts) / 300) AS BIGINT) AS b,
+        |    count(*) AS n_err
+        |  FROM events WHERE event_type = 'error'
+        |  GROUP BY 1),
+        |hot AS (SELECT b, n_err FROM w WHERE n_err >= 3),
+        |isl AS (SELECT b, n_err,
+        |          b - row_number() OVER (ORDER BY b) AS grp
+        |        FROM hot)
+        |SELECT CAST(to_timestamp(min(b) * 300) AS TIMESTAMP) AS alert_start,
+        |  CAST(to_timestamp((max(b) + 1) * 300) AS TIMESTAMP) AS alert_end,
+        |  count(*) AS n_windows,
+        |  CAST(sum(n_err) AS BIGINT) AS total_errors
+        |FROM isl GROUP BY grp
+        |ORDER BY alert_start""".stripMargin,
 
     "q_events_rate" ->
       """WITH m AS (

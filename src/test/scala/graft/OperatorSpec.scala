@@ -568,6 +568,36 @@ class OperatorSpec extends AnyFunSuite with SparkSessionTest {
     assert(bm == exact)
   }
 
+  test("alert intervals are disjoint merged islands above threshold") {
+    val a = SparkEntry.queries("q_alert_intervals")(spark, sf0001).collect()
+    a.foreach { r =>
+      assert(r.getLong(2) >= 1L)                    // windows per alert
+      assert(r.getLong(3) >= 3L * r.getLong(2))     // every window was hot
+      assert(r.getTimestamp(1).after(r.getTimestamp(0)))
+    }
+    // merged: consecutive alerts never touch (else they'd be one island)
+    a.sliding(2).foreach {
+      case Array(x, y) => assert(y.getTimestamp(0).after(x.getTimestamp(1)))
+      case _ =>
+    }
+  }
+
+  test("triangle count matches a naive in-memory enumeration") {
+    val pairs = SparkEntry.queries("q_dedup_lsh_bands")(spark, sf0001)
+      .select("lang", "doc_id", "doc_id_b").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byLang = pairs.groupBy(_._1)
+    val naive = byLang.map { case (lang, es) =>
+      val set = es.map(e => (e._2, e._3)).toSet
+      lang -> set.toSeq.map { case (a, b) =>
+        set.count { case (b2, c) => b2 == b && set((a, c)) }.toLong
+      }.sum
+    }
+    val got = SparkEntry.queries("q_graph_triangles")(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    naive.foreach { case (lang, n) => assert(got.getOrElse(lang, 0L) == n, lang) }
+  }
+
   test("frame sampling strides and bounds frames") {
     val f = SparkEntry.queries("q_mm_framesample")(spark, sf0001).collect()
     assert(f.nonEmpty)
