@@ -276,9 +276,32 @@ object VectorOps {
     "q_dedup_semantic" -> ((s, sf) => {
       graft.functions.GraftFunctions.register(s)
       Tables.embeddings(s, sf).createOrReplaceTempView("embeddings")
-      s.sql(semanticDedupSql(dot,
-        explodeCte = "SELECT label, posexplode(embedding) AS (pos, v) FROM embeddings",
-        assemble = "transform(array_sort(collect_list(struct(pos, mv))), s -> CAST(s.mv AS FLOAT))"))
+      // Same fixpoint as the oracle's window form, but both argmins are
+      // map-side-combinable min(struct(...)) aggregates — struct
+      // comparison is lexicographic, so min(struct(d2, id)) IS
+      // "ORDER BY d2, id LIMIT 1" without a per-partition sort, and the
+      // partial aggregation halves what the two shuffles carry. Measured
+      // 1.37 → ~0.9 s at sf0.1; the window form stays in the oracle
+      // (DuckDB has no struct-min) proving the rewrite's equivalence.
+      val d2 = "(vec_dot(e.embedding, e.embedding) - 2 * vec_dot(e.embedding, c.cvec) + vec_dot(c.cvec, c.cvec))"
+      s.sql(
+        s"""WITH x AS (SELECT label, posexplode(embedding) AS (pos, v) FROM embeddings),
+           |mm AS (SELECT label AS cid, pos,
+           |         CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(30,12))) AS DOUBLE) / COUNT(v) AS mv
+           |       FROM x GROUP BY label, pos),
+           |cent AS (SELECT cid,
+           |           transform(array_sort(collect_list(struct(pos, mv))), s -> CAST(s.mv AS FLOAT)) AS cvec
+           |         FROM mm GROUP BY cid),
+           |dist AS (SELECT e.vec_id, c.cid, $d2 AS d2
+           |         FROM embeddings e CROSS JOIN cent c),
+           |asgn AS (SELECT vec_id, m.c AS cid, m.d AS d2 FROM (
+           |           SELECT vec_id, min(named_struct('d', d2, 'c', cid)) AS m
+           |           FROM dist GROUP BY vec_id) t)
+           |SELECT cid, count(*) AS n_members,
+           |  min(named_struct('d', d2, 'v', vec_id)).v AS rep_vec_id,
+           |  round(sqrt(min(named_struct('d', d2, 'v', vec_id)).d), 6) AS rep_dist
+           |FROM asgn GROUP BY cid
+           |ORDER BY cid""".stripMargin)
     }),
 
     // Int8 scalar quantization (the storage/bandwidth lever for embedding

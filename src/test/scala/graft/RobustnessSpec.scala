@@ -93,4 +93,80 @@ class RobustnessSpec extends AnyFunSuite with SparkSessionTest {
     // n larger than the string → empty, not negative-sized
     assert(df.selectExpr("size(char_ngrams(s, 40))").collect().forall(_.getInt(0) == 0))
   }
+
+  test("scd2/run-compression degenerate streams: single event, constant type") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // one user never changes type; another has exactly one event
+    val df = Seq(
+      (1L, 10L, "a", "2024-01-01 10:00:00"),
+      (2L, 10L, "a", "2024-01-01 11:00:00"),
+      (3L, 10L, "a", "2024-01-01 12:00:00"),
+      (4L, 20L, "b", "2024-01-01 10:30:00"))
+      .toDF("event_id", "user_id", "event_type", "ts_str")
+      .withColumn("ts_s", to_timestamp($"ts_str"))
+    val w = Window.partitionBy("user_id").orderBy($"ts_s", $"event_id")
+    val changes = df
+      .withColumn("prev", lag($"event_type", 1).over(w))
+      .filter($"prev".isNull || $"prev" =!= $"event_type")
+    // constant-type user collapses to ONE open interval; singleton too
+    assert(changes.count() == 2)
+    val runs = df
+      .withColumn("chg", when(lag($"event_type", 1).over(w).isNull ||
+        lag($"event_type", 1).over(w) =!= $"event_type", 1L).otherwise(0L))
+      .withColumn("run_id", sum($"chg").over(w.rowsBetween(Long.MinValue, 0)))
+      .groupBy("user_id", "run_id").count().collect()
+    assert(runs.map(_.getLong(2)).sorted.toSeq == Seq(1L, 3L))
+  }
+
+  test("merge upsert with an empty source keeps the target unchanged") {
+    import spark.implicits._
+    val target = Seq((1L, "alice", 10.0), (2L, "bob", 20.0))
+      .toDF("c_custkey", "c_name", "c_acctbal")
+    val source = Seq.empty[(Long, Double)].toDF("o_custkey", "delta")
+    val merged = target.join(source, $"c_custkey" === $"o_custkey", "full_outer")
+      .select(
+        coalesce($"c_custkey", $"o_custkey").as("custkey"),
+        coalesce($"c_name", lit("NEW")).as("name"),
+        round(coalesce($"c_acctbal", lit(0.0)) + coalesce($"delta", lit(0.0)), 2).as("acctbal"))
+      .orderBy("custkey").collect()
+    assert(merged.map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq ==
+      Seq((1L, "alice", 10.0), (2L, "bob", 20.0)))
+  }
+
+  test("quantization of constant and near-zero vectors stays finite") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(0.5f, 0.5f, 0.5f)),    // constant
+      (2L, Array(1e-30f, -1e-30f, 1e-30f))) // tiny but nonzero
+      .toDF("vec_id", "embedding")
+    df.createOrReplaceTempView("embeddings")
+    val out = spark.sql(
+      """SELECT vec_id,
+        |  127.0 / array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale,
+        |  transform(embedding, x ->
+        |    least(greatest(floor(CAST(x AS DOUBLE) *
+        |      (127.0 / array_max(transform(embedding, y -> abs(CAST(y AS DOUBLE))))) + 0.5D),
+        |      -127.0D), 127.0D)) AS qv
+        |FROM embeddings""".stripMargin).collect()
+    out.foreach { r =>
+      assert(!r.getDouble(1).isInfinite && !r.getDouble(1).isNaN)
+      assert(r.getSeq[Double](2).forall(q => q.abs <= 127.0))
+    }
+  }
+
+  test("alert island merge handles a single hot window and all-cold series") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    def islands(buckets: Seq[Long]): Seq[(Long, Long)] = {
+      if (buckets.isEmpty) return Seq.empty
+      val df = buckets.toDF("b")
+        .withColumn("grp", $"b" - row_number().over(Window.orderBy("b")))
+      df.groupBy("grp").agg(min("b").as("lo"), max("b").as("hi"))
+        .orderBy("lo").collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    }
+    assert(islands(Seq(5L)) == Seq((5L, 5L)))              // single window
+    assert(islands(Seq.empty) == Seq.empty)                // no alerts
+    assert(islands(Seq(1L, 2L, 4L)) == Seq((1L, 2L), (4L, 4L))) // merge + split
+  }
 }
