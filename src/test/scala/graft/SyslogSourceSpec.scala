@@ -64,4 +64,53 @@ class SyslogSourceSpec extends AnyFunSuite with SparkSessionTest {
       .filter(col("proc") === "nonexistent").count()
     assert(nPushed == 0)
   }
+
+  private val sinkFmt = "graft.sources.SyslogSinkDataSource"
+
+  test("sink round-trips parsed rows through the two-phase commit") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_syslog_sink").toString
+    val rows = Seq(
+      ("Mar 12 14:02:11", "web01", "sshd", 4721, "Accepted password for root"),
+      ("Mar 12 14:02:13", "web01", "cron", 901, "job started"),
+      ("Mar 12 14:05:00", "db01", "postgres", 222, "checkpoint complete"))
+      .toDF("ts_raw", "host", "proc", "pid", "msg")
+    rows.repartition(2).write.format(sinkFmt).mode("append").save(out)
+    // staging fully cleaned, only published part files remain
+    val files = java.nio.file.Files.list(java.nio.file.Paths.get(out))
+      .iterator()
+    val names = new scala.collection.mutable.ArrayBuffer[String]
+    while (files.hasNext) names += files.next().getFileName.toString
+    assert(names.forall(_.endsWith(".log")), names.mkString(","))
+    assert(!names.contains("_staging"))
+    // read back through the SOURCE: byte-level line format reparses
+    val back = spark.read.format(fmt).load(out)
+    assert(back.count() == 3)
+    val got = back.select("ts_raw", "host", "proc", "pid", "msg")
+      .collect().map(_.toSeq).toSet
+    assert(got == rows.collect().map(_.toSeq).toSet)
+  }
+
+  test("sink overwrite truncates atomically at commit") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_syslog_ow").toString
+    def df(n: Int) = (1 to n).map(i =>
+        ("Mar 12 14:02:11", "h", "p", i, s"m$i"))
+      .toDF("ts_raw", "host", "proc", "pid", "msg")
+    df(5).write.format(sinkFmt).mode("append").save(out)
+    df(2).write.format(sinkFmt).mode("overwrite").save(out)
+    assert(spark.read.format(fmt).load(out).count() == 2)
+  }
+
+  test("sink serializes unparsed rows as their raw line (null fields)") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_syslog_null").toString
+    val rows = Seq(
+      (Option.empty[String], Option.empty[String], Option.empty[String],
+        Option.empty[Int], "totally raw line"))
+      .toDF("ts_raw", "host", "proc", "pid", "msg")
+    rows.write.format(sinkFmt).mode("append").save(out)
+    val back = spark.read.format(fmt).load(out).head()
+    assert(back.isNullAt(1) && back.getString(4) == "totally raw line")
+  }
 }
