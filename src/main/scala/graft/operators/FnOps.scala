@@ -292,7 +292,44 @@ object FnOps {
           expr("try_element_at(split(event_type, '_'), 5)").as("seg_oob"),
           expr("try_to_timestamp(event_type, 'yyyy-MM-dd')").as("bad_ts"),
           expr("try_add(9223372036854775807L, event_id)").as("ovf"))
-        .orderBy("event_id"))
+        .orderBy("event_id")),
+
+    // The remaining GENERATOR surface in one normalized (key, value)
+    // union: stack() row-expansion, inline() over an array of structs,
+    // explode(str_to_map(...)) for string-encoded attribute bags, and
+    // LATERAL VIEW OUTER explode — the null-preserving variant that keeps
+    // parent rows whose array is empty (the outer-join of generators).
+    // Spark allows one generator per select, hence the UNION ALL shape;
+    // each branch is an embarrassingly-parallel row expansion.
+    "q_fn_generators" -> ((s, sf) => {
+      Tables.orders(s, sf).filter(col("o_orderkey") % 100 === 0)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .createOrReplaceTempView("orders_gen")
+      s.sql(
+        """SELECT o_orderkey, 'stack' AS src, k, v FROM (
+          |  SELECT o_orderkey,
+          |    stack(2, 'price', CAST(round(o_totalprice, 2) AS STRING),
+          |             'status', o_orderstatus) AS (k, v)
+          |  FROM orders_gen)
+          |UNION ALL
+          |SELECT o_orderkey, 'inline' AS src, k, v FROM (
+          |  SELECT o_orderkey, inline(array(
+          |    named_struct('k', 'bucket', 'v', CAST(o_orderkey div 1000 AS STRING)),
+          |    named_struct('k', 'parity', 'v', CAST(o_orderkey % 2 AS STRING)))) AS (k, v)
+          |  FROM orders_gen)
+          |UNION ALL
+          |SELECT o_orderkey, 'map' AS src, k, v FROM (
+          |  SELECT o_orderkey, explode(str_to_map(
+          |    concat('id:', o_orderkey, ',st:', o_orderstatus), ',', ':')) AS (k, v)
+          |  FROM orders_gen)
+          |UNION ALL
+          |SELECT o_orderkey, 'outer' AS src, CAST(x AS STRING) AS k, 'seen' AS v
+          |FROM orders_gen
+          |LATERAL VIEW OUTER explode(
+          |  CASE WHEN o_orderstatus = 'O' THEN array()
+          |       ELSE array(1, 2) END) t AS x
+          |ORDER BY o_orderkey, src, k, v""".stripMargin)
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -493,6 +530,30 @@ object FnOps {
         |  list_extract(string_split(event_type, '_'), 5) AS seg_oob,
         |  try_strptime(event_type, '%Y-%m-%d') AS bad_ts,
         |  CASE WHEN event_id = 0 THEN CAST(9223372036854775807 AS BIGINT) END AS ovf
-        |FROM events ORDER BY event_id""".stripMargin
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_fn_generators" ->
+      """WITH og AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+        |            FROM orders WHERE o_orderkey % 100 = 0),
+        |u AS (
+        |  SELECT o_orderkey, 'stack' AS src, 'price' AS k,
+        |    CAST(round(o_totalprice, 2) AS VARCHAR) AS v FROM og
+        |  UNION ALL
+        |  SELECT o_orderkey, 'stack', 'status', o_orderstatus FROM og
+        |  UNION ALL
+        |  SELECT o_orderkey, 'inline', 'bucket', CAST(o_orderkey // 1000 AS VARCHAR) FROM og
+        |  UNION ALL
+        |  SELECT o_orderkey, 'inline', 'parity', CAST(o_orderkey % 2 AS VARCHAR) FROM og
+        |  UNION ALL
+        |  SELECT o_orderkey, 'map', 'id', CAST(o_orderkey AS VARCHAR) FROM og
+        |  UNION ALL
+        |  SELECT o_orderkey, 'map', 'st', o_orderstatus FROM og
+        |  UNION ALL
+        |  SELECT o_orderkey, 'outer', NULL, 'seen' FROM og WHERE o_orderstatus = 'O'
+        |  UNION ALL
+        |  SELECT o_orderkey, 'outer', CAST(x AS VARCHAR), 'seen'
+        |  FROM og, unnest([1, 2]) AS t(x) WHERE o_orderstatus <> 'O')
+        |SELECT o_orderkey, src, k, v FROM u
+        |ORDER BY o_orderkey, src, k, v""".stripMargin
   )
 }

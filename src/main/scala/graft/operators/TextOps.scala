@@ -713,6 +713,23 @@ object TextOps {
           |WHERE rn <= 20 ORDER BY lang, rn""".stripMargin)
     }),
 
+    // Hash-threshold Bernoulli sampling: keep a doc iff the first 8 hex
+    // of md5(doc_id) land under p·16^8 — the engine-portable seeded
+    // TABLESAMPLE. Unlike rand()-based sampling it is reproducible across
+    // engines, partitionings, AND reruns (the sample is a pure function
+    // of the key), which is what makes sampled pipelines auditable; it's
+    // also a pure per-row filter, so it pushes to the scan and costs no
+    // shuffle at any scale. p = 0.25 here.
+    "q_sample_bernoulli" -> ((s, sf) => {
+      Tables.documents(s, sf).createOrReplaceTempView("documents")
+      s.sql(
+        """SELECT doc_id, lang, n_chars
+          |FROM documents
+          |WHERE conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10)
+          |      < CAST(0.25 * 4294967296 AS BIGINT)
+          |ORDER BY doc_id""".stripMargin)
+    }),
+
     // End-to-end corpus-cleaning pipeline — the composition the individual
     // operators exist FOR: quality gate (length + type/token ratio) →
     // exact dedup on normalized text → MinHash near-dup collapse (keep
@@ -1009,6 +1026,13 @@ object TextOps {
         |FROM (SELECT doc_id FROM documents WHERE length(text) >= 3) docs
         |LEFT JOIN best b USING (doc_id) CROSS JOIN minl
         |ORDER BY docs.doc_id""".stripMargin,
+
+    "q_sample_bernoulli" ->
+      """SELECT doc_id, lang, n_chars
+        |FROM documents
+        |WHERE CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |      < CAST(0.25 * 4294967296 AS BIGINT)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_sample_stratified" ->
       """SELECT lang, doc_id, n_chars, rn FROM (
