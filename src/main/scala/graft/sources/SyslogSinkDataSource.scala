@@ -132,7 +132,10 @@ class SyslogDataWriter(path: String, jobId: String, partitionId: Int, taskId: Lo
       else
         s"${row.getUTF8String(0)} ${row.getUTF8String(1)} " +
           s"${row.getUTF8String(2)}[${row.getInt(3)}]: ${row.getUTF8String(4)}"
-    out.write(line)
+    // a line-oriented format cannot represent embedded newlines: escape
+    // them (RFC-3164 practice) rather than silently splitting one record
+    // into two corrupt ones
+    out.write(line.replace("\r", "\\r").replace("\n", "\\n"))
     out.write("\n")
   }
 

@@ -92,4 +92,32 @@ class PropertySpec extends AnyFunSuite with SparkSessionTest {
       }
     }
   }
+
+  test("int8 quantization error is bounded by half a step, per element (generative)") {
+    import spark.implicits._
+    val vecGen = Gen.chooseNum(2, 16).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-10.0f, 10.0f).suchThat(v => !v.isNaN)))
+    for ((vec, id) <- samples(vecGen, 40).zipWithIndex if vec.exists(_ != 0.0f)) {
+      val df = Seq((id.toLong, vec.toArray)).toDF("vec_id", "embedding")
+      df.createOrReplaceTempView("embeddings")
+      val r = spark.sql(
+        """SELECT
+          |  127.0 / array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale,
+          |  transform(embedding, x ->
+          |    least(greatest(floor(CAST(x AS DOUBLE) *
+          |      (127.0 / array_max(transform(embedding, y -> abs(CAST(y AS DOUBLE))))) + 0.5D),
+          |      -127.0D), 127.0D)) AS qv
+          |FROM embeddings""".stripMargin).head()
+      val scale = r.getDouble(0)
+      val qv = r.getSeq[Double](1)
+      vec.zip(qv).foreach { case (x, q) =>
+        // |x - q/scale| <= 0.5/scale: floor(x*scale+0.5) is within half a
+        // quantization step, and clamping never engages because the max
+        // element maps exactly to +/-127
+        assert(math.abs(x.toDouble - q / scale) <= 0.5 / scale + 1e-12,
+          s"x=$x q=$q scale=$scale")
+      }
+      assert(qv.exists(q => math.abs(q) == 127.0)) // max element saturates
+    }
+  }
 }

@@ -113,4 +113,15 @@ class SyslogSourceSpec extends AnyFunSuite with SparkSessionTest {
     val back = spark.read.format(fmt).load(out).head()
     assert(back.isNullAt(1) && back.getString(4) == "totally raw line")
   }
+
+  test("sink escapes embedded newlines instead of splitting records") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_syslog_nl").toString
+    val rows = Seq(("Mar 12 14:02:11", "h", "p", 1, "line one\nline two"))
+      .toDF("ts_raw", "host", "proc", "pid", "msg")
+    rows.write.format(sinkFmt).mode("append").save(out)
+    val back = spark.read.format(fmt).load(out).collect()
+    assert(back.length == 1)                       // ONE record, not two
+    assert(back(0).getString(4) == "line one\\nline two") // escaped form
+  }
 }
