@@ -294,6 +294,27 @@ object FnOps {
           expr("try_add(9223372036854775807L, event_id)").as("ovf"))
         .orderBy("event_id")),
 
+    // Calendar arithmetic beyond q_fn_date's basics: end-of-month
+    // clamping add_months, whole-month months_between (computed on
+    // month-truncated dates so the fractional-day term is zero and the
+    // DuckDB datediff('month') twin is exact), last_day, next_day
+    // (stated in the oracle via the isodow offset formula), quarter and
+    // ISO week/day-of-year. All per-row projection on one scan.
+    "q_fn_date_arith" -> ((s, sf) =>
+      Tables.orders(s, sf)
+        .withColumn("d", to_date(col("o_orderdate")))
+        .select(
+          col("o_orderkey"), col("d"),
+          add_months(col("d"), 3).as("plus3m"),
+          months_between(trunc(col("d"), "MM"), lit("1995-01-01").cast("date"))
+            .as("months_since_95"),
+          last_day(col("d")).as("eom"),
+          next_day(col("d"), "Monday").as("next_mon"),
+          quarter(col("d")).as("qtr"),
+          dayofyear(col("d")).as("doy"),
+          weekofyear(col("d")).as("woy"))
+        .orderBy("o_orderkey")),
+
     // The remaining GENERATOR surface in one normalized (key, value)
     // union: stack() row-expansion, inline() over an array of structs,
     // explode(str_to_map(...)) for string-encoded attribute bags, and
@@ -531,6 +552,20 @@ object FnOps {
         |  try_strptime(event_type, '%Y-%m-%d') AS bad_ts,
         |  CASE WHEN event_id = 0 THEN CAST(9223372036854775807 AS BIGINT) END AS ovf
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_fn_date_arith" ->
+      """WITH b AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d FROM orders)
+        |SELECT o_orderkey, d,
+        |  CAST(d + INTERVAL 3 MONTH AS DATE) AS plus3m,
+        |  CAST(datediff('month', DATE '1995-01-01', date_trunc('month', d)) AS DOUBLE)
+        |    AS months_since_95,
+        |  last_day(d) AS eom,
+        |  d + CAST(CASE WHEN (8 - isodow(d)) % 7 = 0 THEN 7
+        |                ELSE (8 - isodow(d)) % 7 END AS INT) AS next_mon,
+        |  CAST(quarter(d) AS INT) AS qtr,
+        |  CAST(dayofyear(d) AS INT) AS doy,
+        |  CAST(weekofyear(d) AS INT) AS woy
+        |FROM b ORDER BY o_orderkey""".stripMargin,
 
     "q_fn_generators" ->
       """WITH og AS (SELECT o_orderkey, o_orderstatus, o_totalprice

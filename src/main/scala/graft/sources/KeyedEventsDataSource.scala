@@ -5,6 +5,8 @@ import java.util
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import java.util.OptionalLong
+
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
 import org.apache.spark.sql.types._
@@ -62,9 +64,22 @@ class KeyedEventsTable(nkeys: Int, rowsPerKey: Int, tag: String)
 }
 
 class KeyedEventsScan(nkeys: Int, rowsPerKey: Int, tag: String)
-    extends Scan with Batch with SupportsReportPartitioning {
+    extends Scan with Batch with SupportsReportPartitioning
+    with SupportsReportStatistics {
   override def readSchema(): StructType = KeyedEventsDataSource.schema
   override def toBatch: Batch = this
+
+  // Exact statistics (the generator knows its cardinality): without
+  // these a V2 relation defaults to "unknown = huge" and Catalyst will
+  // NEVER auto-broadcast it — reporting size/rows is what lets the
+  // planner pick a broadcast join for a small V2 table the same way
+  // parquet stats do (KeyedSourceSpec proves it, no hint involved).
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val rows = nkeys.toLong * rowsPerKey
+    override def sizeInBytes(): OptionalLong =
+      OptionalLong.of(rows * (8L + 8L + tag.length + 16L))
+    override def numRows(): OptionalLong = OptionalLong.of(rows)
+  }
 
   // The SPJ contract: clustering expression + partition count. Join keys
   // covering `k` + matching partition values on the other side ⇒ Spark

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 import org.scalatest.funsuite.AnyFunSuite
@@ -56,6 +57,20 @@ class KeyedSourceSpec extends AnyFunSuite with SparkSessionTest
       assert(shuffles(j) == 2, "without SPJ the same join shuffles both sides")
       assert(j.count() == 96) // 8 keys x 4 x 3 — results identical either way
     }
+  }
+
+  test("reported V2 statistics let Catalyst auto-broadcast the small side") {
+    // big parquet fact table joined to the tiny V2 table, NO hint: the
+    // broadcast can only come from the scan's estimateStatistics()
+    val fact = Tables.lineitem(spark, sf0001)
+      .select((col("l_orderkey") % 8).as("k"), col("l_extendedprice"))
+    val dim = keyed("a", 2)
+    val j = fact.join(dim, "k")
+    j.collect()
+    val bcasts = collect(j.queryExecution.executedPlan) {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }
+    assert(bcasts.nonEmpty, "V2 stats should drive an automatic broadcast")
   }
 
   private def withConf(kvs: (String, String)*)(f: => Unit): Unit = {
