@@ -231,6 +231,25 @@ object WindowOps {
           min(col("event_id")).as("first_event_id"))
         .orderBy("user_id", "run_id")),
 
+    // IGNORE NULLS window semantics: carry-forward (last_value) and
+    // previous-non-null (lag) over a sparsely-observed column — the
+    // sensor-reading/sparse-attribute pattern where plain lag/last_value
+    // would return the adjacent NULL instead of the last observation.
+    // Null positions are derived deterministically (event_id % 3) so both
+    // engines see the same sparsity.
+    "q_win_ignore_nulls" -> ((s, sf) =>
+      eventsTs(s, sf)
+        .withColumn("obs", when(col("event_id") % 3 === 0, lit(null).cast(DoubleType))
+          .otherwise(col("value")))
+        .select(
+          col("user_id"), col("event_id"), col("obs"),
+          last(col("obs"), ignoreNulls = true)
+            .over(byUserTime.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("carried"),
+          lag(col("obs"), 1, null, ignoreNulls = true).over(byUserTime)
+            .as("prev_obs"))
+        .orderBy("user_id", "event_id")),
+
     // Batch-mode tumbling window(): the SAME `window(ts, '15 minutes')`
     // primitive Structured Streaming aggregates on, run over the batch
     // corpus — one groupBy on the derived window struct, with start/end
@@ -470,6 +489,19 @@ object WindowOps {
          |FROM r
          |GROUP BY user_id, run_id, event_type
          |ORDER BY user_id, run_id""".stripMargin,
+
+    "q_win_ignore_nulls" ->
+      s"""WITH o AS (
+         |  SELECT user_id, event_id, $oracleTs AS ts_s,
+         |    CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS obs
+         |  FROM events)
+         |SELECT user_id, event_id, obs,
+         |  last_value(obs IGNORE NULLS) OVER (PARTITION BY user_id
+         |    ORDER BY ts_s, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried,
+         |  lag(obs IGNORE NULLS) OVER (PARTITION BY user_id
+         |    ORDER BY ts_s, event_id) AS prev_obs
+         |FROM o ORDER BY user_id, event_id""".stripMargin,
 
     "q_win_tumbling_batch" ->
       """WITH b AS (

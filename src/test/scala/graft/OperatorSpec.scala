@@ -598,6 +598,21 @@ class OperatorSpec extends AnyFunSuite with SparkSessionTest {
     naive.foreach { case (lang, n) => assert(got.getOrElse(lang, 0L) == n, lang) }
   }
 
+  test("rows-only queries are run-to-run deterministic (their only gate)") {
+    // these six have no DuckDB oracle (approximate/seeded operators), so
+    // the driver only checks row counts — self-determinism across two
+    // fresh executions is the strongest property we can pin for them
+    val rowsOnly = Seq("q_agg_approx_distinct", "q_agg_approx_percentile",
+      "q_agg_approx_topk", "q_agg_hll_sketch", "q_agg_cms_sketch", "q_vec_ann_lsh")
+    rowsOnly.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      val a = fn(spark, sf0001).collect().map(_.toString).sorted.toSeq
+      val b = fn(spark, sf0001).collect().map(_.toString).sorted.toSeq
+      assert(a == b, s"$name not deterministic across runs")
+      assert(a.nonEmpty, name)
+    }
+  }
+
   test("frame sampling strides and bounds frames") {
     val f = SparkEntry.queries("q_mm_framesample")(spark, sf0001).collect()
     assert(f.nonEmpty)
