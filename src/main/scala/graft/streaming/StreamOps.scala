@@ -110,6 +110,26 @@ object StreamOps {
         col("p.event_id").as("purchase_id"),
         col("c.user_id").as("user_id"))
 
+  /** CHAINED stateful operators in one streaming query (Spark 4 lifts the
+    * old one-stateful-op limit): the stream-stream interval join feeds a
+    * tumbling event-time aggregation downstream — conversion counts per
+    * minute, end to end in a single query. Both operators keep watermark-
+    * bounded state; the engine tracks a per-operator watermark so the
+    * aggregation only finalizes windows the JOIN can no longer add rows
+    * to. This is the shape that replaces join-to-kafka-to-second-job
+    * pipelines at scale. Requires the join's event-time column to flow
+    * through (c.ts survives the select). */
+  def clickToPurchaseRate(clicks: DataFrame, purchases: DataFrame): DataFrame =
+    clicks.withWatermark("ts", "10 minutes").alias("c")
+      .join(
+        purchases.withWatermark("ts", "10 minutes").alias("p"),
+        expr("""c.user_id = p.user_id AND
+                p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTES"""))
+      .select(col("c.ts").as("ts"), col("c.user_id").as("user_id"))
+      .groupBy(window(col("ts"), "1 minute"))
+      .agg(count(lit(1)).as("n_conversions"))
+      .select(col("window.start").as("w_start"), col("n_conversions"))
+
   /** Micro-batch sink via foreachBatch: append each batch as parquet.
     * The (batchId, data) contract is where exactly-once sinks hook in. */
   def sinkForeachBatch(df: DataFrame, path: String) =

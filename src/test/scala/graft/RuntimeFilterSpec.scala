@@ -88,4 +88,23 @@ class RuntimeFilterSpec extends AnyFunSuite with SparkSessionTest
       assert(joined.count() === expected && expected > 0)
     }
   }
+
+  test("AQE coalesces small shuffle partitions below the configured count") {
+    // 32 shuffle partitions configured, but a tiny aggregate's shuffle
+    // carries a few KB — AQE folds the reducers down so task-launch
+    // overhead doesn't dominate. The same mechanism right-sizes reducer
+    // counts at 100 TB where static tuning is impossible; asserting it
+    // here pins that graft sessions leave AQE coalescing enabled.
+    val agg = Tables.events(spark, sf0001)
+      .groupBy("event_type").count()
+    val rows = agg.collect()
+    assert(rows.length == 5)
+    val finalShuffleReaders = collect(agg.queryExecution.executedPlan) {
+      case r: org.apache.spark.sql.execution.adaptive.AQEShuffleReadExec => r
+    }
+    assert(finalShuffleReaders.nonEmpty, "AQE shuffle read missing")
+    assert(finalShuffleReaders.head.partitionSpecs.length <
+      spark.conf.get("spark.sql.shuffle.partitions").toInt,
+      "tiny shuffle should coalesce below the configured partition count")
+  }
 }

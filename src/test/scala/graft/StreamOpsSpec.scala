@@ -130,6 +130,34 @@ class StreamOpsSpec extends AnyFunSuite with SparkSessionTest {
     } finally q.stop()
   }
 
+  test("chained stateful operators: interval join feeding a windowed aggregation") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val q = StreamOps.clickToPurchaseRate(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("t_chain").outputMode("append").start()
+    try {
+      // two converting clicks in the 10:00 minute, one in 10:01
+      clicks.addData(ev(1, "2024-01-01 10:00:05"), ev(2, "2024-01-01 10:00:40", u = 2),
+        ev(3, "2024-01-01 10:01:10", u = 3))
+      purchases.addData(
+        ev(50, "2024-01-01 10:05:00", typ = "purchase"),
+        ev(51, "2024-01-01 10:06:00", u = 2, typ = "purchase"),
+        ev(52, "2024-01-01 10:07:00", u = 3, typ = "purchase"))
+      q.processAllAvailable()
+      // advance both watermarks far enough that the join can emit and the
+      // downstream windows finalize (append mode emits only closed windows)
+      clicks.addData(ev(9, "2024-01-01 12:00:00", u = 99))
+      purchases.addData(ev(99, "2024-01-01 12:00:00", u = 98, typ = "purchase"))
+      q.processAllAvailable()
+      val rows = spark.table("t_chain").collect()
+        .map(r => r.getTimestamp(0).toString -> r.getLong(1)).toMap
+      assert(rows("2024-01-01 10:00:00.0") == 2L)
+      assert(rows("2024-01-01 10:01:00.0") == 1L)
+    } finally q.stop()
+  }
+
   test("stream-stream left-outer join null-extends once the watermark proves no match") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
