@@ -294,6 +294,29 @@ object FnOps {
           expr("try_add(9223372036854775807L, event_id)").as("ovf"))
         .orderBy("event_id")),
 
+    // Spark 4 COLLATIONS: case-insensitive grouping via the UTF8_LCASE
+    // collation instead of lower()-normalizing — collation-aware
+    // comparison keeps the ORIGINAL strings (display, downstream joins)
+    // while grouping/equality ignore case, and under codegen it avoids
+    // materializing a lowered copy of a 100 TB column. The group key is
+    // emitted as min(original) because the collated key itself would pick
+    // an arbitrary case representative; the oracle states the equivalent
+    // lower()-keyed aggregation.
+    "q_fn_collate" -> ((s, sf) => {
+      Tables.events(s, sf).createOrReplaceTempView("events_coll")
+      s.sql(
+        """WITH m AS (
+          |  SELECT event_id,
+          |    CASE WHEN event_id % 2 = 0 THEN upper(event_type)
+          |         ELSE event_type END AS et
+          |  FROM events_coll)
+          |SELECT min(et) AS et_repr, count(*) AS n,
+          |  CAST(count(IF(et = collate('click', 'UTF8_LCASE'), 1, NULL)) AS BIGINT)
+          |    AS n_click_ci
+          |FROM m GROUP BY collate(et, 'UTF8_LCASE')
+          |ORDER BY et_repr""".stripMargin)
+    }),
+
     // Calendar arithmetic beyond q_fn_date's basics: end-of-month
     // clamping add_months, whole-month months_between (computed on
     // month-truncated dates so the fractional-day term is zero and the
@@ -552,6 +575,18 @@ object FnOps {
         |  try_strptime(event_type, '%Y-%m-%d') AS bad_ts,
         |  CASE WHEN event_id = 0 THEN CAST(9223372036854775807 AS BIGINT) END AS ovf
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_fn_collate" ->
+      """WITH m AS (
+        |  SELECT event_id,
+        |    CASE WHEN event_id % 2 = 0 THEN upper(event_type)
+        |         ELSE event_type END AS et
+        |  FROM events)
+        |SELECT min(et) AS et_repr, count(*) AS n,
+        |  CAST(count(CASE WHEN lower(et) = 'click' THEN 1 END) AS BIGINT)
+        |    AS n_click_ci
+        |FROM m GROUP BY lower(et)
+        |ORDER BY et_repr""".stripMargin,
 
     "q_fn_date_arith" ->
       """WITH b AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d FROM orders)
