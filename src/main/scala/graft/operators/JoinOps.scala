@@ -328,6 +328,31 @@ object JoinOps {
         .select(a("k").as("k"), col("n_click"), col("n_purchase"),
           (col("n_click") * col("n_purchase")).as("n_pairs"))
         .orderBy(col("k").asc_nulls_first)
+    }),
+
+    // Explicit bloom-prefiltered semi join — the APPLICATION-LEVEL twin of
+    // the optimizer-injected runtime bloom filter (RuntimeFilterSpec):
+    // build a bloom over the selective build side's keys (~600 orders at
+    // sf0.01 → a few KB), ship it task-side, and kill non-matching fact
+    // rows AT THE SCAN, before they pay the shuffle; the exact semi join
+    // then removes the bloom's false positives, so the result is
+    // bit-identical to plain EXISTS (which is the oracle). At 100 TB this
+    // is the difference between shuffling the full fact table and
+    // shuffling ~the matching slice — and unlike the optimizer rewrite it
+    // works across pipeline stages (e.g. filter today's scan with
+    // yesterday's key set). The udf is codegen-opaque but O(1)/row over a
+    // broadcast-sized sketch; the driver-side build is `df.stat
+    // .bloomFilter` (one aggregate job, merged per-partition sketches).
+    "q_join_bloom_prefilter" -> ((s, sf) => {
+      val sel = Tables.orders(s, sf)
+        .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 400000.0)
+      val bf = sel.stat.bloomFilter("o_orderkey", math.max(sel.count(), 1L), 0.001)
+      val mightContain = udf((k: Long) => bf.mightContain(k))
+      val li = Tables.lineitem(s, sf)
+      li.filter(mightContain(col("l_orderkey")))
+        .join(sel.select("o_orderkey"), col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
     })
   )
 
@@ -521,6 +546,15 @@ object JoinOps {
         |      WHERE event_type = 'purchase' GROUP BY k)
         |SELECT a.k AS k, n_click, n_purchase, n_click * n_purchase AS n_pairs
         |FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
-        |ORDER BY k NULLS FIRST""".stripMargin
+        |ORDER BY k NULLS FIRST""".stripMargin,
+
+    "q_join_bloom_prefilter" ->
+      """SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice
+        |FROM lineitem l
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_orderkey = l.l_orderkey
+        |                AND o.o_orderpriority = '1-URGENT'
+        |                AND o.o_totalprice > 400000.0)
+        |ORDER BY l_orderkey, l_partkey, l_quantity, l_extendedprice""".stripMargin
   )
 }

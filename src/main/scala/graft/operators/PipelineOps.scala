@@ -1,0 +1,178 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Training-data pipeline operators over `documents` (SURVEY §2 T9 mandate:
+  * "the operations a large-scale training-data pipeline would need") —
+  * round-3 continuation wave: the dataset-management ops that sit AROUND the
+  * dedup/quality ladder already in [[TextOps]]:
+  *
+  *  - deterministic hash split (train/validation/test assignment);
+  *  - benchmark-contamination scan (n-gram overlap vs an eval set);
+  *  - contiguous sequence packing (token-budget binning per shard);
+  *  - dataset-card rollup (per source × lang stats incl. duplicate rate).
+  *
+  * All four are expressed as portable SQL run through `spark.sql` with a
+  * DuckDB oracle twin, engine differences confined to spelled-out casts and
+  * list-function names.
+  *
+  * Portability note on hashing: there is no common integer hash between
+  * Spark and DuckDB, so anything "randomized but reproducible" is built on
+  * `md5` hex (identical in both) and the hex digits are int-ified with
+  * `instr('0123456789abcdef', digit) - 1` arithmetic — both engines have
+  * `instr` with the same (haystack, needle) argument order. The same
+  * md5-keyed discipline as q_sample_stratified / q_sample_bernoulli.
+  */
+object PipelineOps {
+
+  /** First 4 hex digits of md5(doc_id) as an INT in [0, 65535] — the
+    * portable split key. `cast` is the engine's string-type name. */
+  private def md5Hex4(cast: String): String = {
+    val h = s"md5(CAST(doc_id AS $cast))"
+    (0 until 4).map { i =>
+      val mult = 1 << (4 * (3 - i))
+      s"(instr('0123456789abcdef', substring($h, ${i + 1}, 1)) - 1) * $mult"
+    }.mkString(" + ")
+  }
+
+  /** Shared SQL skeleton for the hash split: bucket in [0,1000) from the
+    * md5 key; 80/10/10 → train/validation/test. The assignment is a pure
+    * function of doc_id: narrow (no shuffle), reproducible across engines,
+    * partitionings and reruns, and stable under corpus growth (a doc's
+    * split never changes when other docs are added — the property that
+    * keeps eval sets uncontaminated across dataset versions). The only
+    * shuffle is the final tiny (split × lang) rollup. */
+  private def splitSql(cast: String): String =
+    s"""WITH b AS (SELECT lang, n_chars, (${md5Hex4(cast)}) % 1000 AS bucket
+       |           FROM documents)
+       |SELECT CASE WHEN bucket < 800 THEN 'train'
+       |            WHEN bucket < 900 THEN 'validation'
+       |            ELSE 'test' END AS split,
+       |       lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+       |FROM b
+       |GROUP BY 1, lang
+       |ORDER BY split, lang""".stripMargin
+
+  /** Contamination scan: word 3-grams here play the role the usual 8–13
+    * grams play on real text (the corpus vocabulary is ~20 tokens, so
+    * 3-grams already give a realistic collision rate; the shape is
+    * n-size-agnostic). Benchmark set = docs with doc_id % 50 = 0.
+    *
+    * Scale shape: the per-doc distinct-gram fan-out is the big relation;
+    * the benchmark gram set is tiny by construction (eval sets are) and
+    * broadcasts, so the overlap join never shuffles the corpus side. The
+    * per-doc hit count is a map-side-combinable hash aggregate. At 100 TB
+    * you'd hash the grams (metric unchanged) to shrink the join key — kept
+    * as raw strings here so the oracle stays cast-free. */
+  private val contaminationSparkSql =
+    """WITH d AS (SELECT doc_id, split(text, ' ') AS t FROM documents
+      |           WHERE size(split(text, ' ')) >= 3),
+      |g AS (SELECT doc_id, gram
+      |      FROM d LATERAL VIEW explode(array_distinct(transform(
+      |             sequence(1, size(t) - 2),
+      |             i -> concat_ws(' ', slice(t, i, 3))))) gx AS gram),
+      |bg AS (SELECT gram, doc_id FROM g WHERE doc_id % 50 = 0),
+      |hits AS (SELECT c.doc_id, count(DISTINCT c.gram) AS n_hit
+      |         FROM g c JOIN bg ON c.gram = bg.gram AND bg.doc_id <> c.doc_id
+      |         GROUP BY c.doc_id),
+      |tot AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id)
+      |SELECT t.doc_id, t.n_grams, h.n_hit,
+      |       round(h.n_hit / t.n_grams, 6) AS score
+      |FROM tot t JOIN hits h ON t.doc_id = h.doc_id
+      |ORDER BY t.doc_id""".stripMargin
+
+  private val contaminationDuckSql =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |           WHERE len(string_split(text, ' ')) >= 3),
+      |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+      |        generate_series(1, CAST(len(t) AS INT) - 2),
+      |        i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS gram
+      |      FROM d),
+      |bg AS (SELECT gram, doc_id FROM g WHERE doc_id % 50 = 0),
+      |hits AS (SELECT c.doc_id, count(DISTINCT c.gram) AS n_hit
+      |         FROM g c JOIN bg ON c.gram = bg.gram AND bg.doc_id <> c.doc_id
+      |         GROUP BY c.doc_id),
+      |tot AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id)
+      |SELECT t.doc_id, t.n_grams, h.n_hit,
+      |       round(h.n_hit / t.n_grams, 6) AS score
+      |FROM tot t JOIN hits h ON t.doc_id = h.doc_id
+      |ORDER BY t.doc_id""".stripMargin
+
+  /** Contiguous sequence packing: walk each source shard in doc_id order,
+    * close a 512-token bin whenever the running total crosses the budget
+    * (bin id = tokens-before-this-doc div 512 — documents are never split,
+    * so a bin can overflow by at most one document; that bounded overflow
+    * is the standard price of document-boundary packing).
+    *
+    * Scale shape: the running sum is windowed PARTITION BY source — each
+    * shard packs independently and in parallel, which is how packing is
+    * actually run (per input shard), instead of a single global ordered
+    * window that would serialize 100 TB through one task. */
+  private def packSql(nTok: String, intDiv: String): String =
+    s"""WITH d AS (SELECT source, doc_id, $nTok AS n_tok
+       |           FROM documents),
+       |c AS (SELECT source, doc_id, n_tok,
+       |        coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+       |      FROM d)
+       |SELECT source, CAST(cum_before $intDiv 512 AS BIGINT) AS bin,
+       |       count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS bin_tokens,
+       |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM c
+       |GROUP BY source, 2
+       |ORDER BY source, bin""".stripMargin
+
+  private val packSparkSql =
+    packSql("CAST(size(split(text, ' ')) AS BIGINT)", "div")
+  private val packDuckSql =
+    packSql("CAST(len(string_split(text, ' ')) AS BIGINT)", "//")
+
+  /** Dataset-card rollup: doc/token/char volumes and exact duplicate rate
+    * (1 − distinct normalized texts / docs) at (source × lang), per-source
+    * and global grains in ONE pass via GROUPING SETS — the summary table a
+    * dataset release ships. The normalized-key distinct under grouping
+    * sets is the expensive part (Spark expands to one repartition per
+    * grain); volumes are plain map-side-combinable sums. NULL grouping
+    * slots are coalesced to 'ALL' so the ORDER BY never depends on the
+    * engines' (different) default NULL placement. */
+  private def cardSql(splitLen: String, norm: String): String =
+    s"""WITH d AS (SELECT source, lang, n_chars, $splitLen AS n_tok,
+       |             $norm AS norm
+       |           FROM documents)
+       |SELECT coalesce(source, 'ALL') AS src, coalesce(lang, 'ALL') AS lng,
+       |       count(*) AS n_docs,
+       |       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       |       round(avg(n_chars), 2) AS avg_chars,
+       |       count(DISTINCT norm) AS n_uniq,
+       |       round(1.0 - count(DISTINCT norm) / count(*), 6) AS dup_rate
+       |FROM d
+       |GROUP BY GROUPING SETS ((source, lang), (source), ())
+       |ORDER BY src, lng""".stripMargin
+
+  private val cardSparkSql = cardSql(
+    "CAST(size(split(text, ' ')) AS BIGINT)",
+    "array_join(sort_array(split(text, ' ')), ' ')")
+  private val cardDuckSql = cardSql(
+    "CAST(len(string_split(text, ' ')) AS BIGINT)",
+    "array_to_string(list_sort(string_split(text, ' ')), ' ')")
+
+  private def run(s: SparkSession, sf: String, sql: String): DataFrame = {
+    Tables.documents(s, sf).createOrReplaceTempView("documents")
+    s.sql(sql)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pipeline_split" -> ((s, sf) => run(s, sf, splitSql("STRING"))),
+    "q_text_contamination" -> ((s, sf) => run(s, sf, contaminationSparkSql)),
+    "q_pipeline_pack" -> ((s, sf) => run(s, sf, packSparkSql)),
+    "q_pipeline_dataset_card" -> ((s, sf) => run(s, sf, cardSparkSql))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_pipeline_split" -> splitSql("VARCHAR"),
+    "q_text_contamination" -> contaminationDuckSql,
+    "q_pipeline_pack" -> packDuckSql,
+    "q_pipeline_dataset_card" -> cardDuckSql
+  )
+}

@@ -622,4 +622,82 @@ class OperatorSpec extends AnyFunSuite with SparkSessionTest {
     val docs = Tables.documents(spark, sf0001).count()
     assert(f.count(_.getInt(1) == 0) == docs)
   }
+
+  test("hash split partitions the corpus, roughly 80/10/10, and is stable") {
+    val out = SparkEntry.queries("q_pipeline_split")(spark, sf0001).collect()
+    val docs = Tables.documents(spark, sf0001).count()
+    val bySplit = out.groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(2)).sum).toMap
+    assert(bySplit.values.sum == docs) // every doc lands in exactly one split
+    assert(bySplit.keySet == Set("train", "validation", "test"))
+    // loose binomial bounds at n=500: p=0.8 within ±0.1, p=0.1 within ±0.06
+    val train = bySplit("train").toDouble / docs
+    assert(train > 0.70 && train < 0.90, s"train share $train")
+    assert(bySplit("test").toDouble / docs < 0.16)
+    // stability: re-run is bit-identical (assignment is a pure fn of doc_id)
+    val again = SparkEntry.queries("q_pipeline_split")(spark, sf0001).collect()
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  test("contamination scores are valid ratios and benchmark docs self-excluded") {
+    val out = SparkEntry.queries("q_text_contamination")(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (nGrams, nHit, score) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(nHit >= 1 && nHit <= nGrams, r.toString)
+      assert(score > 0.0 && score <= 1.0, r.toString)
+      assert(math.abs(score - nHit.toDouble / nGrams) < 1e-5, r.toString)
+    }
+    // a benchmark doc's own grams must not count as hits: a doc whose
+    // grams exist ONLY in itself must be absent. Build one such check by
+    // verifying at least that not every benchmark doc scores 1.0
+    val bench = out.filter(r => r.getLong(0) % 50 == 0)
+    assert(bench.isEmpty || !bench.forall(_.getDouble(3) == 1.0))
+  }
+
+  test("sequence packing conserves tokens and bounds bin overflow per shard") {
+    import spark.implicits._
+    val out = SparkEntry.queries("q_pipeline_pack")(spark, sf0001).collect()
+    val toks = Tables.documents(spark, sf0001)
+      .select(size(split(col("text"), " ")).cast("long").as("n"), col("source"))
+    val total = toks.agg(sum($"n")).head().getLong(0)
+    assert(out.map(_.getLong(3)).sum == total) // no doc lost or split
+    val maxDoc = toks.agg(max($"n")).head().getLong(0)
+    // a bin holds <512 before its last doc was added → bound 512+maxDoc
+    assert(out.forall(_.getLong(3) < 512 + maxDoc))
+    // bins are contiguous doc ranges per source: sorted by bin, doc ranges
+    // must be strictly increasing and non-overlapping
+    out.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getLong(1))
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a.getLong(5) < b.getLong(4), s"$a / $b")
+        case _ =>
+      }
+    }
+  }
+
+  test("dataset card grains are mutually consistent") {
+    val out = SparkEntry.queries("q_pipeline_dataset_card")(spark, sf0001).collect()
+    val global = out.filter(r => r.getString(0) == "ALL" && r.getString(1) == "ALL")
+    assert(global.length == 1)
+    val docs = Tables.documents(spark, sf0001).count()
+    assert(global.head.getLong(2) == docs)
+    // per-source rows sum to the global grain (docs and tokens)
+    val perSource = out.filter(r => r.getString(0) != "ALL" && r.getString(1) == "ALL")
+    assert(perSource.map(_.getLong(2)).sum == docs)
+    assert(perSource.map(_.getLong(3)).sum == global.head.getLong(3))
+    // duplicate rate is a valid ratio everywhere
+    assert(out.forall(r => r.getDouble(6) >= 0.0 && r.getDouble(6) < 1.0))
+  }
+
+  test("bloom prefilter is semantically transparent vs the plain semi join") {
+    val got = SparkEntry.queries("q_join_bloom_prefilter")(spark, sf0001).collect()
+    val sel = Tables.orders(spark, sf0001)
+      .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 400000.0)
+    val want = Tables.lineitem(spark, sf0001)
+      .join(sel.select("o_orderkey"), col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+      .orderBy("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+      .collect()
+    assert(got.map(_.toString).toSeq == want.map(_.toString).toSeq && got.nonEmpty)
+  }
 }
