@@ -167,6 +167,74 @@ object PipelineOps {
     "CAST(len(string_split(text, ' ')) AS BIGINT)",
     "array_to_string(list_sort(string_split(text, ' ')), ' ')")
 
+  /** Unigram log-probability quality score (the perplexity-filter proxy:
+    * score each doc by the average log corpus-frequency of its tokens —
+    * low scorers are gibberish / out-of-domain, the CCNet-style quality
+    * gate). The unigram "model" is the corpus itself: freq(tok)/N.
+    *
+    * Determinism: each per-token ln term is quantized to DECIMAL(30,6)
+    * before the exact decimal sum (the [[graft.Det]] discipline — a plain
+    * double sum would be partial-aggregation-order dependent), and the
+    * perplexity exponentiates the ROUNDED average so both engines feed
+    * `exp` the identical double.
+    *
+    * Scale shape: the frequency table is vocabulary-sized (tiny next to
+    * the corpus even for a real 100k-token vocab) → broadcast join; the
+    * per-doc aggregate is map-side combinable. The token explode feeds two
+    * consumers (freq build + scoring join), so the Spark entry
+    * materializes it once via localCheckpoint, same as the contamination
+    * gram stage. */
+  private val logprobTokSparkSql =
+    """SELECT doc_id, t AS tok FROM documents
+      |LATERAL VIEW explode(split(text, ' ')) x AS t""".stripMargin
+
+  private def logprobRestSql(tokRef: String): String =
+    s"""WITH freq AS (SELECT tok, count(*) AS c FROM $tokRef GROUP BY tok),
+       |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM freq),
+       |sc AS (SELECT doc_id, count(*) AS n_tok,
+       |         CAST(sum(CAST(ln(c / n) AS DECIMAL(30,6))) AS DOUBLE) AS slp
+       |       FROM $tokRef tk JOIN freq USING (tok) CROSS JOIN tot
+       |       GROUP BY doc_id)
+       |SELECT doc_id, n_tok, round(slp / n_tok, 6) AS avg_logprob,
+       |       round(exp(-round(slp / n_tok, 6)), 4) AS ppl
+       |FROM sc ORDER BY doc_id""".stripMargin
+
+  private val logprobDuckSql = {
+    val tok =
+      """(SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)"""
+    logprobRestSql(tok)
+  }
+
+  /** Temperature-scaled language mixing (the multilingual sampling rule:
+    * resampling weights ∝ share^α / share with α = 0.3, so low-resource
+    * languages are up-sampled without letting them dominate). Emits per
+    * language the observed token share, the α-temperature target share,
+    * and the resulting sampling weight. Intermediate `pow` values are
+    * quantized to DECIMAL(30,8) and the normalizer is an exact decimal sum
+    * (5-row double sums are still partial-order-dependent), then all
+    * divisions happen in double (decimal÷decimal scale rules differ across
+    * engines — SURVEY §2.3). One tiny aggregate over a lang-grouped scan:
+    * the 100 TB side never does more than one map-side-combinable pass. */
+  private def mixSql(nTok: String): String =
+    s"""WITH s AS (SELECT lang, count(*) AS n_docs,
+       |             CAST(sum($nTok) AS BIGINT) AS n_tokens
+       |           FROM documents GROUP BY lang),
+       |t AS (SELECT CAST(sum(CAST(n_tokens AS DECIMAL(30,0))) AS DOUBLE) AS total
+       |      FROM s),
+       |p AS (SELECT lang, n_docs, n_tokens, n_tokens / total AS share,
+       |        CAST(CAST(pow(n_tokens / total, 0.3) AS DECIMAL(30,8)) AS DOUBLE) AS pa
+       |      FROM s CROSS JOIN t),
+       |q AS (SELECT CAST(sum(CAST(pa AS DECIMAL(30,8))) AS DOUBLE) AS z FROM p)
+       |SELECT lang, n_docs, n_tokens,
+       |       round(share, 6) AS actual_share,
+       |       round(pa / z, 6) AS target_share,
+       |       round((pa / z) / share, 6) AS weight
+       |FROM p CROSS JOIN q
+       |ORDER BY lang""".stripMargin
+
+  private val mixSparkSql = mixSql("CAST(size(split(text, ' ')) AS BIGINT)")
+  private val mixDuckSql = mixSql("CAST(len(string_split(text, ' ')) AS BIGINT)")
+
   private def run(s: SparkSession, sf: String, sql: String): DataFrame = {
     Tables.documents(s, sf).createOrReplaceTempView("documents")
     s.sql(sql)
@@ -181,13 +249,22 @@ object PipelineOps {
       s.sql(contaminationRestSparkSql)
     }),
     "q_pipeline_pack" -> ((s, sf) => run(s, sf, packSparkSql)),
-    "q_pipeline_dataset_card" -> ((s, sf) => run(s, sf, cardSparkSql))
+    "q_pipeline_dataset_card" -> ((s, sf) => run(s, sf, cardSparkSql)),
+    "q_text_unigram_logprob" -> ((s, sf) => {
+      Tables.documents(s, sf).createOrReplaceTempView("documents")
+      s.sql(logprobTokSparkSql).localCheckpoint()
+        .createOrReplaceTempView("lp_tok")
+      s.sql(logprobRestSql("lp_tok"))
+    }),
+    "q_pipeline_mix" -> ((s, sf) => run(s, sf, mixSparkSql))
   )
 
   val oracle: Map[String, String] = Map(
     "q_pipeline_split" -> splitSql("VARCHAR"),
     "q_text_contamination" -> contaminationDuckSql,
     "q_pipeline_pack" -> packDuckSql,
-    "q_pipeline_dataset_card" -> cardDuckSql
+    "q_pipeline_dataset_card" -> cardDuckSql,
+    "q_text_unigram_logprob" -> logprobDuckSql,
+    "q_pipeline_mix" -> mixDuckSql
   )
 }

@@ -189,6 +189,29 @@ object ScanOps {
         .agg(count(lit(1)).as("n_orders"),
           sum(col("o_totalprice").cast(DecimalType(30, 2))).cast(DoubleType).as("total"))
         .orderBy("o_orderstatus")
+    }),
+
+    // Hive-layout partitioned sink + pruned read-back: write events
+    // partitioned by event_type (the classic log-table layout: partition on
+    // the filter key), then read the table back with a partition predicate.
+    // The read-back plan lists ONLY the matching directory — the filter
+    // shows up as PartitionFilters with zero data filters, no footer of any
+    // other partition is opened (asserted in ScanOps' spec). At 100 TB this
+    // layout + predicate shape is what turns "scan the month" into "scan
+    // one type's directories". The oracle runs the same filter over the
+    // original table — proving partition-column round-trip fidelity.
+    "q_sink_partitioned" -> ((s, sf) => {
+      val dir = s"/tmp/graft_part_rt/${sf.replaceAll("[^A-Za-z0-9]", "_")}"
+      Tables.events(s, sf)
+        .select(col("event_id"), col("user_id"), col("value"),
+          to_date(col("ts")).as("day"), col("event_type"))
+        .write.mode("overwrite").partitionBy("event_type").parquet(dir)
+      s.read.parquet(dir)
+        .filter(col("event_type") === "error")
+        .groupBy("day")
+        .agg(count(lit(1)).as("n_errors"),
+          sum(col("value").cast(DecimalType(30, 6))).cast(DoubleType).as("sum_value"))
+        .orderBy("day")
     })
   )
 
@@ -309,6 +332,14 @@ object ScanOps {
         |FROM orders
         |WHERE o_orderstatus <> 'P'
         |GROUP BY o_orderstatus
-        |ORDER BY o_orderstatus""".stripMargin
+        |ORDER BY o_orderstatus""".stripMargin,
+
+    "q_sink_partitioned" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS n_errors,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE event_type = 'error'
+        |GROUP BY 1
+        |ORDER BY day""".stripMargin
   )
 }

@@ -309,8 +309,44 @@ object WindowOps {
         .select(col("minute"), col("n_events"),
           (col("n_events") - coalesce(lag(col("n_events"), 1).over(w), lit(0L))).as("delta"))
         .orderBy("minute")
+    }),
+
+    // Windowed exponentially-weighted moving average (decay 0.9 over the
+    // last 20 rows) per user — the standard log-metric smoother for burst /
+    // drift detection. Exact EWMA is a sequential recurrence (y_t depends
+    // on y_{t-1}), which doesn't distribute; the bounded-window form is the
+    // scalable equivalent (the weight tail beyond 20 rows is 0.9^20 ≈ 0.12
+    // of one row's weight) and is what metric pipelines actually ship.
+    // All 20 lag terms share ONE window spec → a single Window operator,
+    // one shuffle on user_id. Determinism: the decay weights are Scala
+    // double literals rendered at full precision (no engine libm pow
+    // drift), and the term order is fixed in the generated expression, so
+    // both engines evaluate the identical IEEE expression tree.
+    "q_win_ewma" -> ((s, sf) => {
+      val terms = (0 until ewmaK).map { k =>
+        val v = if (k == 0) col("value") else lag(col("value"), k).over(byUserTime)
+        val wt = lit(ewmaW(k))
+        (coalesce(v * wt, lit(0.0)), when(v.isNotNull, wt).otherwise(lit(0.0)))
+      }
+      val num = terms.map(_._1).reduce(_ + _)
+      val den = terms.map(_._2).reduce(_ + _)
+      eventsTs(s, sf)
+        .select(col("user_id"), col("event_id"), col("value"),
+          round(num / den, 6).as("ewma"))
+        .orderBy("user_id", "event_id")
     })
   )
+
+  /** Decay weights 0.9^k as full-precision literals — shared by the Spark
+    * expression tree and the oracle SQL so both engines see bit-identical
+    * constants instead of calling their own `pow`. */
+  private val ewmaK = 20
+  private val ewmaW: IndexedSeq[Double] =
+    (0 until ewmaK).map(k => math.pow(0.9, k))
+  private def ewmaLit(d: Double): String = {
+    val s = java.math.BigDecimal.valueOf(d).toPlainString
+    if (s.contains('.')) s else s + ".0"
+  }
 
   private val oracleTs = "CAST(date_trunc('second', ts) AS TIMESTAMP)"
 
@@ -537,6 +573,22 @@ object WindowOps {
         |  FROM events GROUP BY 1)
         |SELECT minute, n_events,
         |  n_events - coalesce(lag(n_events, 1) OVER (ORDER BY minute), 0) AS delta
-        |FROM m ORDER BY minute""".stripMargin
+        |FROM m ORDER BY minute""".stripMargin,
+
+    "q_win_ewma" -> {
+      val num = (0 until ewmaK).map { k =>
+        val v = if (k == 0) "value" else s"lag(value, $k) OVER w"
+        s"coalesce($v * ${ewmaLit(ewmaW(k))}, 0.0)"
+      }.mkString(" + ")
+      val den = (0 until ewmaK).map { k =>
+        val v = if (k == 0) "value" else s"lag(value, $k) OVER w"
+        s"CASE WHEN $v IS NOT NULL THEN ${ewmaLit(ewmaW(k))} ELSE 0.0 END"
+      }.mkString(" + ")
+      s"""SELECT user_id, event_id, value,
+         |  round(($num) / ($den), 6) AS ewma
+         |FROM events
+         |WINDOW w AS (PARTITION BY user_id ORDER BY $oracleTs, event_id)
+         |ORDER BY user_id, event_id""".stripMargin
+    }
   )
 }

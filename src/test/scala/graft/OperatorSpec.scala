@@ -7,7 +7,8 @@ import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Per-operator golden + property tests (SURVEY §5.2 layer 3). */
-class OperatorSpec extends AnyFunSuite with SparkSessionTest {
+class OperatorSpec extends AnyFunSuite with SparkSessionTest
+    with org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {
 
   test("entry flagship returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
@@ -687,6 +688,63 @@ class OperatorSpec extends AnyFunSuite with SparkSessionTest {
     assert(perSource.map(_.getLong(3)).sum == global.head.getLong(3))
     // duplicate rate is a valid ratio everywhere
     assert(out.forall(r => r.getDouble(6) >= 0.0 && r.getDouble(6) < 1.0))
+  }
+
+  test("ewma golden on a hand-computed series and head-of-series identity") {
+    val out = SparkEntry.queries("q_win_ewma")(spark, sf0001).collect()
+    val events = Tables.events(spark, sf0001).count()
+    assert(out.length == events)
+    // first event per user: ewma == value (only the k=0 term exists)
+    val firstPerUser = out.groupBy(_.getLong(0)).values.map(_.minBy(_.getLong(1)))
+    firstPerUser.foreach { r =>
+      assert(math.abs(r.getDouble(3) - r.getDouble(2)) < 1e-6, r.toString)
+    }
+    // convexity: ewma lies within [min, max] of the user's values
+    out.groupBy(_.getLong(0)).values.foreach { rows =>
+      val vs = rows.map(_.getDouble(2))
+      val (lo, hi) = (vs.min - 1e-6, vs.max + 1e-6)
+      rows.foreach(r => assert(r.getDouble(3) >= lo && r.getDouble(3) <= hi))
+    }
+  }
+
+  test("partitioned sink read-back prunes to partition filters only") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val df = SparkEntry.queries("q_sink_partitioned")(spark, sf0001)
+    df.collect()
+    // AdaptiveSparkPlanHelper.collect descends through AQE query stages
+    val scans = collect(df.queryExecution.executedPlan) {
+      case f: FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    val s = scans.head
+    // the event_type predicate must be a partition filter, not a data filter
+    assert(s.partitionFilters.exists(_.toString.contains("event_type")),
+      s.partitionFilters.mkString(";"))
+    assert(!s.dataFilters.exists(_.toString.contains("event_type")),
+      s.dataFilters.mkString(";"))
+  }
+
+  test("unigram logprob scores are negative log-likelihoods with sane perplexity") {
+    val out = SparkEntry.queries("q_text_unigram_logprob")(spark, sf0001).collect()
+    val docs = Tables.documents(spark, sf0001).count()
+    assert(out.length == docs) // every doc scored
+    out.foreach { r =>
+      val (avgLp, ppl) = (r.getDouble(2), r.getDouble(3))
+      assert(avgLp < 0.0, r.toString)            // unigram probs < 1
+      assert(ppl > 1.0 && ppl < 1000.0, r.toString)
+      assert(math.abs(ppl - math.exp(-avgLp)) < 1e-3 * ppl, r.toString)
+    }
+  }
+
+  test("temperature mix up-weights low-resource languages and normalizes") {
+    val out = SparkEntry.queries("q_pipeline_mix")(spark, sf0001).collect()
+    assert(out.length == 5) // one row per language
+    assert(math.abs(out.map(_.getDouble(4)).sum - 1.0) < 1e-4) // target shares sum to 1
+    assert(math.abs(out.map(_.getDouble(3)).sum - 1.0) < 1e-4) // actual shares too
+    // α < 1 temperature: the ordering of weights is opposite the ordering
+    // of shares (smaller share → larger up-sampling weight)
+    val byShare = out.sortBy(_.getDouble(3)).map(_.getDouble(5))
+    assert(byShare.zip(byShare.tail).forall { case (a, b) => a >= b }, byShare.mkString(","))
   }
 
   test("bloom prefilter is semantically transparent vs the plain semi join") {
