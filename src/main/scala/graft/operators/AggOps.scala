@@ -397,7 +397,34 @@ object AggOps {
           round(
             sum((col("l_extendedprice") * col("l_quantity")).cast(DecimalType(30, 4))).cast(DoubleType) /
               sum(col("l_quantity").cast(DecimalType(30, 6))).cast(DoubleType), 6).as("wavg_price"))
-        .orderBy("l_returnflag"))
+        .orderBy("l_returnflag")),
+
+    // Pre-aggregate RE-aggregation: weekly stats computed FROM a daily
+    // pre-aggregate table, not from raw events — the materialized-rollup
+    // pattern every 100 TB metrics pipeline runs on (store day grain once,
+    // serve coarser grains by merging partials). count/sum/min/max are
+    // re-aggregatable (sum of sums, min of mins); the ORACLE computes the
+    // weekly stats directly from raw events, so the correctness gate
+    // itself proves the two-level merge is lossless. Decimal sums keep the
+    // merge order-independent; avg is emitted as merged-sum / merged-count
+    // (avg-of-avgs would be wrong — that's WHY the daily table stores the
+    // sum, not the mean).
+    "q_agg_reaggregate" -> ((s, sf) => {
+      Tables.events(s, sf).createOrReplaceTempView("events")
+      s.sql(
+        """WITH daily AS (
+          |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+          |    count(*) AS n, sum(CAST(value AS DECIMAL(30,6))) AS sv,
+          |    min(value) AS mn, max(value) AS mx
+          |  FROM events GROUP BY 1, 2)
+          |SELECT CAST(date_trunc('week', day) AS DATE) AS week, event_type,
+          |  CAST(sum(n) AS BIGINT) AS n_events,
+          |  CAST(sum(sv) AS DOUBLE) AS sum_value,
+          |  min(mn) AS min_value, max(mx) AS max_value,
+          |  round(CAST(sum(sv) AS DOUBLE) / sum(n), 6) AS avg_value
+          |FROM daily GROUP BY 1, 2
+          |ORDER BY week, event_type""".stripMargin)
+    })
   )
 
   import OracleDet.{dsum => osum, davg => oavg}
@@ -563,6 +590,17 @@ object AggOps {
         |        CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE), 6) AS wavg_price
         |FROM lineitem
         |GROUP BY l_returnflag
-        |ORDER BY l_returnflag""".stripMargin
+        |ORDER BY l_returnflag""".stripMargin,
+
+    // Deliberately SINGLE-level (straight from raw events): passing the
+    // gate proves the Spark side's daily→weekly partial merge is lossless.
+    "q_agg_reaggregate" ->
+      """SELECT CAST(date_trunc('week', ts) AS DATE) AS week, event_type,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value,
+        |  min(value) AS min_value, max(value) AS max_value,
+        |  round(CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / count(*), 6) AS avg_value
+        |FROM events GROUP BY 1, 2
+        |ORDER BY week, event_type""".stripMargin
   )
 }

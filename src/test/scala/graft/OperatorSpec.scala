@@ -747,6 +747,35 @@ class OperatorSpec extends AnyFunSuite with SparkSessionTest
     assert(byShare.zip(byShare.tail).forall { case (a, b) => a >= b }, byShare.mkString(","))
   }
 
+  test("ann recall equals the manual intersection of exact and ivf top-10") {
+    val r = SparkEntry.queries("q_vec_ann_recall")(spark, sf0001).head()
+    val exact = SparkEntry.queries("q_vec_knn_cosine")(spark, sf0001)
+      .collect().map(_.getLong(0)).toSet
+    val ivf = SparkEntry.queries("q_vec_ann_ivf")(spark, sf0001)
+      .collect().map(_.getLong(0)).toSet
+    val overlap = (exact intersect ivf).size
+    assert(r.getLong(0) == overlap)
+    assert(exact.size == 10 && ivf.size == 10)
+  }
+
+  test("weekly reaggregate of the daily pre-aggregate matches raw-grain aggregation") {
+    import org.apache.spark.sql.types.DecimalType
+    val got = SparkEntry.queries("q_agg_reaggregate")(spark, sf0001).collect()
+    val want = Tables.events(spark, sf0001)
+      .groupBy(to_date(date_trunc("week", col("ts"))).as("week"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(30, 6))).cast("double").as("sum_value"),
+        min("value"), max("value"))
+      .orderBy("week", "event_type").collect()
+    assert(got.length == want.length && got.nonEmpty)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.getDate(0) == w.getDate(0) && g.getString(1) == w.getString(1))
+      assert(g.getLong(2) == w.getLong(2))
+      assert(g.getDouble(3) == w.getDouble(3)) // decimal merge is exact
+      assert(g.getDouble(4) == w.getDouble(4) && g.getDouble(5) == w.getDouble(5))
+    }
+  }
+
   test("bloom prefilter is semantically transparent vs the plain semi join") {
     val got = SparkEntry.queries("q_join_bloom_prefilter")(spark, sf0001).collect()
     val sel = Tables.orders(spark, sf0001)
