@@ -190,7 +190,7 @@ object PipelineOps {
 
   private def logprobRestSql(tokRef: String): String =
     s"""WITH freq AS (SELECT tok, count(*) AS c FROM $tokRef GROUP BY tok),
-       |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM freq),
+       |tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM $tokRef),
        |sc AS (SELECT doc_id, count(*) AS n_tok,
        |         CAST(sum(CAST(ln(c / n) AS DECIMAL(30,6))) AS DOUBLE) AS slp
        |       FROM $tokRef tk JOIN freq USING (tok) CROSS JOIN tot
