@@ -43,7 +43,7 @@ object PipelineOps {
     * split never changes when other docs are added — the property that
     * keeps eval sets uncontaminated across dataset versions). The only
     * shuffle is the final tiny (split × lang) rollup. */
-  private def splitSql(cast: String): String =
+  private[graft] def splitSql(cast: String): String =
     s"""WITH b AS (SELECT lang, n_chars, (${md5Hex4(cast)}) % 1000 AS bucket
        |           FROM documents)
        |SELECT CASE WHEN bucket < 800 THEN 'train'
@@ -73,7 +73,7 @@ object PipelineOps {
     * (doc_id, gram) pass for two recomputes — at 100 TB that is also the
     * natural persistence boundary (the gram table is what you'd write out
     * and reuse across many eval sets anyway). */
-  private val contaminationGramSparkSql =
+  private[graft] val contaminationGramSparkSql =
     """SELECT doc_id, gram
       |FROM (SELECT doc_id, split(text, ' ') AS t FROM documents
       |      WHERE size(split(text, ' ')) >= 3) d
@@ -81,7 +81,7 @@ object PipelineOps {
       |  sequence(1, size(t) - 2),
       |  i -> concat_ws(' ', slice(t, i, 3))))) gx AS gram""".stripMargin
 
-  private val contaminationRestSparkSql =
+  private[graft] val contaminationRestSparkSql =
     """WITH bg AS (SELECT gram, doc_id FROM g WHERE doc_id % 50 = 0),
       |hits AS (SELECT c.doc_id, count(DISTINCT c.gram) AS n_hit
       |         FROM g c JOIN bg ON c.gram = bg.gram AND bg.doc_id <> c.doc_id
@@ -133,7 +133,7 @@ object PipelineOps {
        |GROUP BY source, 2
        |ORDER BY source, bin""".stripMargin
 
-  private val packSparkSql =
+  private[graft] val packSparkSql =
     packSql("CAST(size(split(text, ' ')) AS BIGINT)", "div")
   private val packDuckSql =
     packSql("CAST(len(string_split(text, ' ')) AS BIGINT)", "//")

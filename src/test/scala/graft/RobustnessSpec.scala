@@ -169,4 +169,59 @@ class RobustnessSpec extends AnyFunSuite with SparkSessionTest {
     assert(islands(Seq.empty) == Seq.empty)                // no alerts
     assert(islands(Seq(1L, 2L, 4L)) == Seq((1L, 2L), (4L, 4L))) // merge + split
   }
+
+  test("sequence packing: an over-budget document still owns a bin and advances the cursor") {
+    import spark.implicits._
+    import graft.operators.PipelineOps
+    // doc 1 alone exceeds the 512 budget (2000 tokens): it lands in bin 0
+    // and the next doc starts at bin floor(2000/512)=3 — bounded overflow,
+    // never a lost or split document
+    val text2000 = Seq.fill(2000)("w").mkString(" ")
+    val text100 = Seq.fill(100)("w").mkString(" ")
+    Seq((1L, "s0", text2000), (2L, "s0", text100))
+      .toDF("doc_id", "source", "text")
+      .createOrReplaceTempView("documents")
+    val out = spark.sql(PipelineOps.packSparkSql).collect()
+    assert(out.map(r => (r.getLong(1), r.getLong(3))).toSeq ==
+      Seq((0L, 2000L), (3L, 100L)))
+  }
+
+  test("hash split output is partitioning-invariant") {
+    import spark.implicits._
+    import graft.operators.PipelineOps
+    val docs = (0L until 300L).map(i => (i, s"lang${i % 3}", 10L + i % 7))
+      .toDF("doc_id", "lang", "n_chars")
+    val runs = Seq(1, 7).map { p =>
+      docs.repartition(p).createOrReplaceTempView("documents")
+      spark.sql(PipelineOps.splitSql("STRING")).collect().map(_.toString).toSeq
+    }
+    assert(runs.head == runs.last && runs.head.nonEmpty)
+  }
+
+  test("contamination with an empty benchmark set returns no rows, not an error") {
+    import spark.implicits._
+    import graft.operators.PipelineOps
+    // doc_ids chosen so none satisfies doc_id % 50 = 0 → benchmark empty
+    Seq((1L, "a b c d"), (2L, "b c d e"))
+      .toDF("doc_id", "text").createOrReplaceTempView("documents")
+    spark.sql(PipelineOps.contaminationGramSparkSql).localCheckpoint()
+      .createOrReplaceTempView("g")
+    assert(spark.sql(PipelineOps.contaminationRestSparkSql).count() == 0)
+  }
+
+  test("ewma oracle SQL golden on a hand-computed three-event series") {
+    import spark.implicits._
+    // the DuckDB oracle string is engine-portable SQL; running it in Spark
+    // cross-validates the generated expression against hand arithmetic:
+    // r1 = 1, r2 = (2 + 0.9)/1.9, r3 = (3 + 1.8 + 0.81)/2.71
+    Seq((1L, 7L, "2024-01-01 10:00:00", 1.0),
+        (2L, 7L, "2024-01-01 10:01:00", 2.0),
+        (3L, 7L, "2024-01-01 10:02:00", 3.0))
+      .toDF("event_id", "user_id", "ts_str", "value")
+      .withColumn("ts", to_timestamp($"ts_str"))
+      .createOrReplaceTempView("events")
+    val out = spark.sql(graft.operators.WindowOps.oracle("q_win_ewma"))
+      .collect().map(_.getDouble(3)).toSeq
+    assert(out == Seq(1.0, 1.526316, 2.070111), out.mkString(","))
+  }
 }
