@@ -388,6 +388,9 @@ object TextOps {
     // subtree at the physical level — measured FASTER than an explicit
     // persist()+count() of enc (materialization breaks whole-stage
     // pipelining and adds a job): 6.4 s vs 9.0 s first-run at sf0.1.
+    // localCheckpoint of the encode also measured FLAT warm (~1.3 s either
+    // way, sf0.1 local[4]): unlike near_wide's heavy bigram encode, this
+    // 4-word encode is cheap — the cost is the band-probe pair join.
     "q_dedup_near" -> ((s, sf) => {
       Tables.documents(s, sf).createOrReplaceTempView("documents")
       s.sql(nearDupSql(
