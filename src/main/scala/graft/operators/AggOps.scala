@@ -424,6 +424,28 @@ object AggOps {
           |  round(CAST(sum(sv) AS DOUBLE) / sum(n), 6) AS avg_value
           |FROM daily GROUP BY 1, 2
           |ORDER BY week, event_type""".stripMargin)
+    }),
+
+    // EQUI-DEPTH histogram (quantile bins): deciles of `value` per event
+    // type via ntile over a unique order — the complement of the
+    // equi-WIDTH q_report_value_histogram. Partitioned by event_type, so
+    // each type's sort runs in parallel; a single GLOBAL ntile would
+    // serialize 100 TB through one task — at that scale the exact form
+    // runs per partition key (as here), and global quantiles come from
+    // approx_percentile (q_agg_approx_percentile is that twin). ntile's
+    // leftover distribution (first buckets get the extra rows) is
+    // identical in both engines given the unique (value, event_id) order.
+    "q_agg_hist_equidepth" -> ((s, sf) => {
+      Tables.events(s, sf).createOrReplaceTempView("events")
+      s.sql(
+        """WITH t AS (SELECT event_type, value,
+          |             ntile(10) OVER (PARTITION BY event_type
+          |               ORDER BY value, event_id) AS decile
+          |           FROM events)
+          |SELECT event_type, decile, count(*) AS n,
+          |  round(min(value), 6) AS lo, round(max(value), 6) AS hi
+          |FROM t GROUP BY event_type, decile
+          |ORDER BY event_type, decile""".stripMargin)
     })
   )
 
@@ -601,6 +623,16 @@ object AggOps {
         |  min(value) AS min_value, max(value) AS max_value,
         |  round(CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / count(*), 6) AS avg_value
         |FROM events GROUP BY 1, 2
-        |ORDER BY week, event_type""".stripMargin
+        |ORDER BY week, event_type""".stripMargin,
+
+    "q_agg_hist_equidepth" ->
+      """WITH t AS (SELECT event_type, value,
+        |             ntile(10) OVER (PARTITION BY event_type
+        |               ORDER BY value, event_id) AS decile
+        |           FROM events)
+        |SELECT event_type, decile, count(*) AS n,
+        |  round(min(value), 6) AS lo, round(max(value), 6) AS hi
+        |FROM t GROUP BY event_type, decile
+        |ORDER BY event_type, decile""".stripMargin
   )
 }

@@ -373,6 +373,27 @@ object FnOps {
           |  CASE WHEN o_orderstatus = 'O' THEN array()
           |       ELSE array(1, 2) END) t AS x
           |ORDER BY o_orderkey, src, k, v""".stripMargin)
+    }),
+
+    // printf-style formatting + character-level string surface. Spark's
+    // format_string and DuckDB's printf share the C format-spec language;
+    // %.3f on arbitrary doubles agrees because a binary double essentially
+    // never sits exactly on a decimal half-ulp tie (verified corpus-wide
+    // at all three SFs by the gate). translate/repeat/reverse/left/right/
+    // ascii/chr are name-and-semantics identical. Pure per-row projection:
+    // narrow, codegen'd, embarrassingly parallel at any scale.
+    "q_fn_format" -> ((s, sf) => {
+      Tables.events(s, sf).createOrReplaceTempView("events")
+      s.sql(
+        """SELECT event_id,
+          |  format_string('%05d|%.3f|%s', user_id, value, event_type) AS fmt,
+          |  translate(event_type, 'aeiou', 'AEIOU') AS tr,
+          |  repeat(substring(event_type, 1, 2), 3) AS rep,
+          |  reverse(event_type) AS rev,
+          |  ascii(event_type) AS ascii_c,
+          |  chr(65 + CAST(user_id % 26 AS INT)) AS ch,
+          |  left(event_type, 3) AS l3, right(event_type, 3) AS r3
+          |FROM events ORDER BY event_id""".stripMargin)
     })
   )
 
@@ -624,6 +645,17 @@ object FnOps {
         |  SELECT o_orderkey, 'outer', CAST(x AS VARCHAR), 'seen'
         |  FROM og, unnest([1, 2]) AS t(x) WHERE o_orderstatus <> 'O')
         |SELECT o_orderkey, src, k, v FROM u
-        |ORDER BY o_orderkey, src, k, v""".stripMargin
+        |ORDER BY o_orderkey, src, k, v""".stripMargin,
+
+    "q_fn_format" ->
+      """SELECT event_id,
+        |  printf('%05d|%.3f|%s', user_id, value, event_type) AS fmt,
+        |  translate(event_type, 'aeiou', 'AEIOU') AS tr,
+        |  repeat(substring(event_type, 1, 2), 3) AS rep,
+        |  reverse(event_type) AS rev,
+        |  ascii(event_type) AS ascii_c,
+        |  chr(65 + CAST(user_id % 26 AS INT)) AS ch,
+        |  left(event_type, 3) AS l3, right(event_type, 3) AS r3
+        |FROM events ORDER BY event_id""".stripMargin
   )
 }

@@ -776,6 +776,33 @@ class OperatorSpec extends AnyFunSuite with SparkSessionTest
     }
   }
 
+  test("equi-depth deciles balance counts within one row and tile the value range") {
+    val out = SparkEntry.queries("q_agg_hist_equidepth")(spark, sf0001).collect()
+    val events = Tables.events(spark, sf0001).count()
+    assert(out.map(_.getLong(2)).sum == events)
+    out.groupBy(_.getString(0)).values.foreach { rows =>
+      val ns = rows.map(_.getLong(2))
+      assert(ns.max - ns.min <= 1, ns.mkString(",")) // equi-depth balance
+      val sorted = rows.sortBy(_.getInt(1))
+      // decile ranges are ordered and non-overlapping (hi_k <= lo_{k+1})
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a.getDouble(4) <= b.getDouble(3) + 1e-9)
+        case _ =>
+      }
+    }
+  }
+
+  test("printf formatting golden shapes") {
+    val out = SparkEntry.queries("q_fn_format")(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    val fmtRe = """\d{5}\|-?\d+\.\d{3}\|[a-z]+""".r
+    out.foreach { r =>
+      assert(fmtRe.matches(r.getString(1)), r.getString(1))
+      assert(r.getString(6).length == 1 && r.getString(6).head.isLetter)
+      assert(r.getString(7).length <= 3 && r.getString(8).length <= 3)
+    }
+  }
+
   test("bloom prefilter is semantically transparent vs the plain semi join") {
     val got = SparkEntry.queries("q_join_bloom_prefilter")(spark, sf0001).collect()
     val sel = Tables.orders(spark, sf0001)
