@@ -113,6 +113,49 @@ object Multimodal {
       .toDF()
   }
 
+  /** Perceptual hash of one media payload. */
+  case class PHash(doc_id: Long, phash: String)
+
+  /** Average-hash (aHash) perceptual fingerprint: bucket the payload into
+    * 64 equal byte cells (the fake stand-in for an 8×8 grayscale
+    * downsample), set bit c when cell c's mean exceeds the global mean,
+    * emit the 64-char bit string. Identical-looking media collide —
+    * perceptual dedup for image/video corpora; the real version swaps the
+    * byte cells for decoded luma, the hash and grouping are unchanged. */
+  def perceptualHash(r: MediaRecord): PHash = {
+    val n = r.payload.length
+    val cellLen = math.max(1, math.ceil(n / 64.0).toInt)
+    val sums = new Array[Long](64)
+    val lens = new Array[Int](64)
+    var total = 0L
+    var i = 0
+    while (i < n) {
+      val c = i / cellLen
+      val b = r.payload(i) & 0xff
+      sums(c) += b; lens(c) += 1; total += b
+      i += 1
+    }
+    val gmean = total.toDouble / n
+    val sb = new StringBuilder(64)
+    var c = 0
+    while (c < 64) {
+      sb.append(if (lens(c) > 0 && sums(c).toDouble / lens(c) >= gmean) '1' else '0')
+      c += 1
+    }
+    PHash(r.doc_id, sb.toString)
+  }
+
+  /** Per-doc perceptual hash + dup-group size (a window over the hash). */
+  def phashDedup(s: SparkSession, sf: String): DataFrame = {
+    import s.implicits._
+    val hashed = mediaTable(s, sf).as[MediaRecord]
+      .mapPartitions(_.map(perceptualHash)).toDF()
+    hashed.select(col("doc_id"), col("phash"),
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("phash"))
+          .as("n_same"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mm_decode" -> ((s, sf) =>
       decodeFeatures(s, sf)
@@ -122,7 +165,9 @@ object Multimodal {
     "q_mm_framesample" -> ((s, sf) =>
       sampleFrames(s, sf)
         .select("doc_id", "frame_idx", "frame_len", "frame_sum")
-        .orderBy("doc_id", "frame_idx"))
+        .orderBy("doc_id", "frame_idx")),
+
+    "q_mm_phash_dedup" -> ((s, sf) => phashDedup(s, sf))
   )
 
   /** The documents corpus is ASCII, so byte values equal `ascii()` codes and
@@ -157,6 +202,28 @@ object Multimodal {
         |SELECT doc_id, frame_idx, CAST(length(fb) AS INTEGER) AS frame_len,
         |  CAST(list_aggregate(list_transform(range(1, length(fb) + 1),
         |    i -> ascii(substring(fb, i, 1))), 'sum') AS BIGINT) AS frame_sum
-        |FROM fr ORDER BY doc_id, frame_idx""".stripMargin
+        |FROM fr ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "q_mm_phash_dedup" ->
+      """WITH m AS (SELECT doc_id, text, length(text) AS n,
+        |             greatest(1, CAST(ceil(length(text) / 64.0) AS INT)) AS cl
+        |           FROM documents),
+        |cells AS (SELECT doc_id, n, c,
+        |            substring(text, c * cl + 1, cl) AS cb
+        |          FROM m, (SELECT unnest(range(0, 64)) AS c) cx),
+        |cs AS (SELECT doc_id, n, c, length(cb) AS l,
+        |         coalesce(CAST(list_aggregate(list_transform(range(1, length(cb) + 1),
+        |           i -> ascii(substring(cb, i, 1))), 'sum') AS BIGINT), 0) AS s
+        |       FROM cells),
+        |g AS (SELECT doc_id, CAST(sum(s) AS DOUBLE) / max(n) AS gmean
+        |      FROM cs GROUP BY doc_id),
+        |bits AS (SELECT cs.doc_id, cs.c,
+        |           CASE WHEN cs.l > 0 AND CAST(cs.s AS DOUBLE) / cs.l >= g.gmean
+        |                THEN '1' ELSE '0' END AS b
+        |         FROM cs JOIN g ON cs.doc_id = g.doc_id),
+        |ph AS (SELECT doc_id, string_agg(b, '' ORDER BY c) AS phash
+        |       FROM bits GROUP BY doc_id)
+        |SELECT doc_id, phash, count(*) OVER (PARTITION BY phash) AS n_same
+        |FROM ph ORDER BY doc_id""".stripMargin
   )
 }

@@ -803,6 +803,22 @@ class OperatorSpec extends AnyFunSuite with SparkSessionTest
     }
   }
 
+  test("perceptual hash is a 64-bit string with consistent dup-group sizes") {
+    val out = SparkEntry.queries("q_mm_phash_dedup")(spark, sf0001).collect()
+    val docs = Tables.documents(spark, sf0001).count()
+    assert(out.length == docs)
+    out.foreach(r => assert(r.getString(1).matches("[01]{64}"), r.getString(1)))
+    // n_same equals the actual multiplicity of the hash
+    val mult = out.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    out.foreach(r => assert(r.getLong(2) == mult(r.getString(1))))
+    // kernel golden: a constant payload has every non-empty cell at the
+    // global mean, so all bits for occupied cells are 1
+    val rec = graft.multimodal.Multimodal.MediaRecord(1L, "t", 1, 1,
+      Array.fill[Byte](128)(7))
+    val h = graft.multimodal.Multimodal.perceptualHash(rec).phash
+    assert(h == "1" * 64) // 128 bytes / cell 2 → all 64 cells occupied
+  }
+
   test("bloom prefilter is semantically transparent vs the plain semi join") {
     val got = SparkEntry.queries("q_join_bloom_prefilter")(spark, sf0001).collect()
     val sel = Tables.orders(spark, sf0001)
