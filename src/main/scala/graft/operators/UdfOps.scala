@@ -59,6 +59,30 @@ object UdfOps {
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), round(varUdaf(col("value")), 6).as("var_value"))
         .orderBy("event_type")
+    }),
+
+    // SQL-DEFINED scalar functions (Spark 4 `CREATE FUNCTION … RETURN
+    // expr`): unlike the JVM-closure q_udf_scalar above, the body is a SQL
+    // expression Catalyst INLINES into the caller's plan — it folds,
+    // pushes down, and stays inside whole-stage codegen, so this is the
+    // UDF form that scales (the closure UDF is the opaque last resort).
+    // Same severity semantics as q_udf_scalar plus a net-of-tax amount fn;
+    // the oracle writes the bodies inline, which is exactly what the plan
+    // compiles to.
+    "q_udf_sql" -> ((s, sf) => {
+      Tables.events(s, sf).createOrReplaceTempView("events")
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_sev(v DOUBLE)
+              |RETURNS STRING
+              |RETURN CASE WHEN v < 50.0 THEN 'low'
+              |            WHEN v < 200.0 THEN 'mid'
+              |            ELSE 'high' END""".stripMargin)
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_net(v DOUBLE, pct DOUBLE)
+              |RETURNS DOUBLE
+              |RETURN round(v * (1.0 - pct / 100.0), 6)""".stripMargin)
+      s.sql(
+        """SELECT event_id, graft_sev(value) AS sev,
+          |  graft_net(value, 17.5) AS net
+          |FROM events ORDER BY event_id""".stripMargin)
     })
   )
 
@@ -77,6 +101,14 @@ object UdfOps {
         |    CAST(SUM(CAST(value * value AS DECIMAL(30,8))) AS DOUBLE) AS s2
         |  FROM events GROUP BY event_type)
         |SELECT event_type, n, round((s2 - s1 * s1 / n) / (n - 1), 6) AS var_value
-        |FROM m ORDER BY event_type""".stripMargin
+        |FROM m ORDER BY event_type""".stripMargin,
+
+    "q_udf_sql" ->
+      """SELECT event_id,
+        |  CASE WHEN value < 50.0 THEN 'low'
+        |       WHEN value < 200.0 THEN 'mid'
+        |       ELSE 'high' END AS sev,
+        |  round(value * (1.0 - 17.5 / 100.0), 6) AS net
+        |FROM events ORDER BY event_id""".stripMargin
   )
 }

@@ -819,6 +819,17 @@ class OperatorSpec extends AnyFunSuite with SparkSessionTest
     assert(h == "1" * 64) // 128 bytes / cell 2 → all 64 cells occupied
   }
 
+  test("sql-defined functions inline into the plan; closure UDFs stay opaque") {
+    val sqlPlan = SparkEntry.queries("q_udf_sql")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    // the body compiled to the raw CASE expression — no UDF call survives
+    assert(!sqlPlan.contains("UDF"), sqlPlan.take(500))
+    assert(sqlPlan.contains("CASE WHEN"), sqlPlan.take(500))
+    val scalaPlan = SparkEntry.queries("q_udf_scalar")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(scalaPlan.contains("UDF"), scalaPlan.take(500))
+  }
+
   test("bloom prefilter is semantically transparent vs the plain semi join") {
     val got = SparkEntry.queries("q_join_bloom_prefilter")(spark, sf0001).collect()
     val sel = Tables.orders(spark, sf0001)
