@@ -334,6 +334,47 @@ object WindowOps {
         .select(col("user_id"), col("event_id"), col("value"),
           round(num / den, 6).as("ewma"))
         .orderBy("user_id", "event_id")
+    }),
+
+    // First-order Markov transition matrix over the per-user event stream
+    // (lead + pair counts + row-normalized probabilities) — the classic
+    // "what follows what" user-behavior / log-sequence model. One window
+    // shuffle on user_id for the lead, one tiny (from, to) aggregate, and
+    // the normalizer is a window over the 25-row result — nothing touches
+    // the corpus twice.
+    "q_events_markov" -> ((s, sf) => {
+      eventsTs(s, sf).createOrReplaceTempView("ev")
+      s.sql(
+        """WITH st AS (SELECT user_id, event_type,
+          |              lead(event_type) OVER (PARTITION BY user_id
+          |                ORDER BY ts_s, event_id) AS next_type
+          |            FROM ev)
+          |SELECT event_type AS from_type, next_type AS to_type,
+          |  count(*) AS n,
+          |  round(count(*) / sum(count(*)) OVER (PARTITION BY event_type), 6) AS p
+          |FROM st WHERE next_type IS NOT NULL
+          |GROUP BY event_type, next_type
+          |ORDER BY from_type, to_type""".stripMargin)
+    }),
+
+    // Exact sliding MEDIAN over the trailing 11 rows — the robust
+    // (outlier-immune) twin of the sliding mean in q_win_sliding_frame.
+    // Exact small-window medians via a sorted frame collect are the
+    // per-key scalable form (the frame is O(11)); global/large-window
+    // medians go through approx_percentile instead. The median is an
+    // actual input element (lower median for even frames in BOTH
+    // engines), so no float arithmetic or rounding is involved at all.
+    "q_win_median_sliding" -> ((s, sf) => {
+      eventsTs(s, sf).createOrReplaceTempView("ev")
+      s.sql(
+        """WITH a AS (SELECT user_id, event_id, value,
+          |             sort_array(collect_list(value) OVER (PARTITION BY user_id
+          |               ORDER BY ts_s, event_id
+          |               ROWS BETWEEN 10 PRECEDING AND CURRENT ROW)) AS arr
+          |           FROM ev)
+          |SELECT user_id, event_id, value,
+          |  element_at(arr, CAST((size(arr) + 1) div 2 AS INT)) AS med
+          |FROM a ORDER BY user_id, event_id""".stripMargin)
     })
   )
 
@@ -589,6 +630,28 @@ object WindowOps {
          |FROM events
          |WINDOW w AS (PARTITION BY user_id ORDER BY $oracleTs, event_id)
          |ORDER BY user_id, event_id""".stripMargin
-    }
+    },
+
+    "q_events_markov" ->
+      s"""WITH st AS (SELECT user_id, event_type,
+         |              lead(event_type) OVER (PARTITION BY user_id
+         |                ORDER BY $oracleTs, event_id) AS next_type
+         |            FROM events)
+         |SELECT event_type AS from_type, next_type AS to_type,
+         |  count(*) AS n,
+         |  round(count(*) / sum(count(*)) OVER (PARTITION BY event_type), 6) AS p
+         |FROM st WHERE next_type IS NOT NULL
+         |GROUP BY event_type, next_type
+         |ORDER BY from_type, to_type""".stripMargin,
+
+    "q_win_median_sliding" ->
+      s"""WITH a AS (SELECT user_id, event_id, value,
+         |             list_sort(list(value) OVER (PARTITION BY user_id
+         |               ORDER BY $oracleTs, event_id
+         |               ROWS BETWEEN 10 PRECEDING AND CURRENT ROW)) AS arr
+         |           FROM events)
+         |SELECT user_id, event_id, value,
+         |  arr[(len(arr) + 1) // 2] AS med
+         |FROM a ORDER BY user_id, event_id""".stripMargin
   )
 }

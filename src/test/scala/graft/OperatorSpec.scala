@@ -830,6 +830,28 @@ class OperatorSpec extends AnyFunSuite with SparkSessionTest
     assert(scalaPlan.contains("UDF"), scalaPlan.take(500))
   }
 
+  test("markov transitions row-normalize and conserve event pairs") {
+    val out = SparkEntry.queries("q_events_markov")(spark, sf0001).collect()
+    // per from_type the probabilities sum to 1 (within rounding of 25 cells)
+    out.groupBy(_.getString(0)).values.foreach { rows =>
+      assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-4)
+    }
+    // every user contributes (events_u - 1) pairs
+    val events = Tables.events(spark, sf0001).count()
+    val users = Tables.events(spark, sf0001).select("user_id").distinct().count()
+    assert(out.map(_.getLong(2)).sum == events - users)
+  }
+
+  test("sliding median emits an actual trailing-window element") {
+    val out = SparkEntry.queries("q_win_median_sliding")(spark, sf0001).collect()
+    val events = Tables.events(spark, sf0001).count()
+    assert(out.length == events)
+    // the median is drawn from the user's own values
+    val byUser = out.groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getDouble(2)).toSet).toMap
+    out.foreach(r => assert(byUser(r.getLong(0)).contains(r.getDouble(3))))
+  }
+
   test("bloom prefilter is semantically transparent vs the plain semi join") {
     val got = SparkEntry.queries("q_join_bloom_prefilter")(spark, sf0001).collect()
     val sel = Tables.orders(spark, sf0001)
