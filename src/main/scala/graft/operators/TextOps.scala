@@ -461,6 +461,59 @@ object TextOps {
           |ORDER BY lang, doc_id, doc_id_b""".stripMargin)
     }),
 
+    // Operating curve FOR the threshold above: pair counts by shared
+    // minhash count (2..8) with the cumulative pairs-at-or-above series —
+    // what you inspect to pick the dedup threshold (shared/k estimates
+    // Jaccard). Same inverted-index candidate generation as q_dedup_ngram,
+    // one extra 7-row window pass on the result.
+    "q_dedup_threshold_sweep" -> ((s, sf) => {
+      Tables.documentsPar(s, sf).createOrReplaceTempView("documents")
+      s.sql(
+        """WITH d AS (SELECT doc_id, lang, split(text, ' ') AS toks FROM documents),
+          |sig AS (SELECT doc_id, lang,
+          |          explode(slice(sort_array(transform(array_distinct(
+          |            zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1),
+          |                     (x, y) -> concat(x, ' ', y))), b -> md5(b))), 1, 8)) AS h
+          |        FROM d),
+          |p AS (SELECT /*+ MERGE(a) */ a.lang AS lang, a.doc_id AS doc_id,
+          |        b.doc_id AS doc_id_b, count(*) AS shared
+          |      FROM sig a JOIN sig b
+          |        ON a.lang = b.lang AND a.h = b.h AND a.doc_id < b.doc_id
+          |      GROUP BY a.lang, a.doc_id, b.doc_id
+          |      HAVING count(*) >= 2)
+          |SELECT shared, count(*) AS n_pairs,
+          |  round(CAST(shared AS DOUBLE) / 8, 6) AS est_jaccard,
+          |  CAST(sum(count(*)) OVER (ORDER BY shared DESC) AS BIGINT) AS n_at_or_above
+          |FROM p GROUP BY shared ORDER BY shared""".stripMargin)
+    }),
+
+    // Pipeline yield accounting: classify every doc by the FIRST filter
+    // rule it fails (length → exact-dup → lexical diversity), report the
+    // funnel. The per-rule attribution is what a data pipeline publishes
+    // with each release (why did we lose N% of the crawl?); one window for
+    // the dup rank + one tiny aggregate.
+    "q_pipeline_filter_funnel" -> ((s, sf) => {
+      Tables.documents(s, sf).createOrReplaceTempView("documents")
+      s.sql(
+        """WITH d AS (SELECT doc_id, split(text, ' ') AS toks,
+          |             array_join(sort_array(split(text, ' ')), ' ') AS norm
+          |           FROM documents),
+          |r AS (SELECT doc_id,
+          |        row_number() OVER (PARTITION BY norm ORDER BY doc_id) AS rn,
+          |        size(toks) AS n_tok,
+          |        size(array_distinct(toks)) / size(toks) AS diversity
+          |      FROM d),
+          |c AS (SELECT doc_id,
+          |        CASE WHEN n_tok < 10 THEN '1_too_short'
+          |             WHEN rn > 1 THEN '2_duplicate'
+          |             WHEN diversity < 0.3 THEN '3_low_diversity'
+          |             ELSE '4_accepted' END AS stage
+          |      FROM r)
+          |SELECT stage, count(*) AS n_docs,
+          |  round(count(*) / sum(count(*)) OVER (), 6) AS share
+          |FROM c GROUP BY stage ORDER BY stage""".stripMargin)
+    }),
+
     // Textbook MinHash LSH banding (shingle → minhash → band → bucket-join):
     // 8 min-hashes per doc (8 overlapping 8-hex slices of ONE md5 per
     // token — one hash invocation per token instead of eight, ~8× less
@@ -965,6 +1018,44 @@ object TextOps {
         |GROUP BY a.lang, a.doc_id, b.doc_id
         |HAVING count(*) >= 6
         |ORDER BY lang, doc_id, doc_id_b""".stripMargin,
+
+    "q_dedup_threshold_sweep" ->
+      """WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+        |sig AS (SELECT doc_id, lang,
+        |          unnest(list_slice(list_sort(list_transform(list_distinct(
+        |            list_transform(list_zip(list_slice(toks, 1, len(toks) - 1),
+        |                                    list_slice(toks, 2, len(toks))),
+        |                           p -> p[1] || ' ' || p[2])), b -> md5(b))), 1, 8)) AS h
+        |        FROM d),
+        |p AS (SELECT a.lang AS lang, a.doc_id AS doc_id,
+        |        b.doc_id AS doc_id_b, count(*) AS shared
+        |      FROM sig a JOIN sig b
+        |        ON a.lang = b.lang AND a.h = b.h AND a.doc_id < b.doc_id
+        |      GROUP BY a.lang, a.doc_id, b.doc_id
+        |      HAVING count(*) >= 2)
+        |SELECT shared, count(*) AS n_pairs,
+        |  round(CAST(shared AS DOUBLE) / 8, 6) AS est_jaccard,
+        |  CAST(sum(count(*)) OVER (ORDER BY shared DESC) AS BIGINT) AS n_at_or_above
+        |FROM p GROUP BY shared ORDER BY shared""".stripMargin,
+
+    "q_pipeline_filter_funnel" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks,
+        |             array_to_string(list_sort(string_split(text, ' ')), ' ') AS norm
+        |           FROM documents),
+        |r AS (SELECT doc_id,
+        |        row_number() OVER (PARTITION BY norm ORDER BY doc_id) AS rn,
+        |        len(toks) AS n_tok,
+        |        len(list_distinct(toks)) / len(toks) AS diversity
+        |      FROM d),
+        |c AS (SELECT doc_id,
+        |        CASE WHEN n_tok < 10 THEN '1_too_short'
+        |             WHEN rn > 1 THEN '2_duplicate'
+        |             WHEN diversity < 0.3 THEN '3_low_diversity'
+        |             ELSE '4_accepted' END AS stage
+        |      FROM r)
+        |SELECT stage, count(*) AS n_docs,
+        |  round(count(*) / sum(count(*)) OVER (), 6) AS share
+        |FROM c GROUP BY stage ORDER BY stage""".stripMargin,
 
     "q_dedup_lsh_bands" ->
       s"""WITH $lshBandPairsCtesDuck

@@ -852,6 +852,28 @@ class OperatorSpec extends AnyFunSuite with SparkSessionTest
     out.foreach(r => assert(byUser(r.getLong(0)).contains(r.getDouble(3))))
   }
 
+  test("threshold sweep cumulative counts decrease and match per-level sums") {
+    val out = SparkEntry.queries("q_dedup_threshold_sweep")(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    val sorted = out.sortBy(_.getLong(0))
+    sorted.foreach { r =>
+      assert(math.abs(r.getDouble(2) - r.getLong(0) / 8.0) < 1e-9)
+    }
+    // n_at_or_above(s) = Σ n_pairs over shared >= s
+    sorted.foreach { r =>
+      val expect = sorted.filter(_.getLong(0) >= r.getLong(0)).map(_.getLong(1)).sum
+      assert(r.getLong(3) == expect, r.toString)
+    }
+  }
+
+  test("filter funnel partitions the corpus with shares summing to one") {
+    val out = SparkEntry.queries("q_pipeline_filter_funnel")(spark, sf0001).collect()
+    val docs = Tables.documents(spark, sf0001).count()
+    assert(out.map(_.getLong(1)).sum == docs)
+    assert(math.abs(out.map(_.getDouble(2)).sum - 1.0) < 1e-4)
+    assert(out.exists(_.getString(0) == "4_accepted"))
+  }
+
   test("bloom prefilter is semantically transparent vs the plain semi join") {
     val got = SparkEntry.queries("q_join_bloom_prefilter")(spark, sf0001).collect()
     val sel = Tables.orders(spark, sf0001)
