@@ -435,6 +435,38 @@ object AggOps {
     // approx_percentile (q_agg_approx_percentile is that twin). ntile's
     // leftover distribution (first buckets get the extra rows) is
     // identical in both engines given the unique (value, event_id) order.
+    // Robust (median/MAD) anomaly flags — the outlier-immune twin of
+    // q_anomaly_zscore: on this right-skewed value distribution the mean/
+    // stddev gate drags toward the tail it's hunting, while median ±
+    // 1.4826·MAD doesn't move. Both medians are exact lower-medians by
+    // rank selection (the q_agg_median recipe — no interpolation, no
+    // cross-engine float drift). Two windowed selections + one broadcast
+    // join back; the corpus is scanned twice (raw + deviations), which is
+    // the irreducible cost of exact two-level order statistics — the
+    // approximate path at 100 TB swaps them for approx_percentile.
+    "q_anomaly_mad" -> ((s, sf) => {
+      registerEvents(s, sf)
+      s.sql(
+        """WITH med AS (SELECT event_type, value AS med FROM (
+          |    SELECT event_type, value,
+          |      row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+          |      count(*) OVER (PARTITION BY event_type) AS n
+          |    FROM events) t WHERE rn = (n + 1) DIV 2),
+          |ad AS (SELECT e.event_type, e.event_id, e.value, m.med,
+          |         abs(e.value - m.med) AS adev
+          |       FROM events e JOIN med m ON e.event_type = m.event_type),
+          |madt AS (SELECT event_type, adev AS mad FROM (
+          |    SELECT event_type, adev, event_id,
+          |      row_number() OVER (PARTITION BY event_type ORDER BY adev, event_id) AS rn,
+          |      count(*) OVER (PARTITION BY event_type) AS n
+          |    FROM ad) t WHERE rn = (n + 1) DIV 2)
+          |SELECT a.event_type, a.event_id, a.value,
+          |  round((a.value - a.med) / (1.4826 * d.mad), 4) AS robust_z
+          |FROM ad a JOIN madt d ON a.event_type = d.event_type
+          |WHERE abs((a.value - a.med) / (1.4826 * d.mad)) > 3.5
+          |ORDER BY a.event_type, a.event_id""".stripMargin)
+    }),
+
     "q_agg_hist_equidepth" -> ((s, sf) => {
       Tables.events(s, sf).createOrReplaceTempView("events")
       s.sql(
@@ -624,6 +656,26 @@ object AggOps {
         |  round(CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / count(*), 6) AS avg_value
         |FROM events GROUP BY 1, 2
         |ORDER BY week, event_type""".stripMargin,
+
+    "q_anomaly_mad" ->
+      """WITH med AS (SELECT event_type, value AS med FROM (
+        |    SELECT event_type, value,
+        |      row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+        |      count(*) OVER (PARTITION BY event_type) AS n
+        |    FROM events) t WHERE rn = (n + 1) // 2),
+        |ad AS (SELECT e.event_type, e.event_id, e.value, m.med,
+        |         abs(e.value - m.med) AS adev
+        |       FROM events e JOIN med m ON e.event_type = m.event_type),
+        |madt AS (SELECT event_type, adev AS mad FROM (
+        |    SELECT event_type, adev, event_id,
+        |      row_number() OVER (PARTITION BY event_type ORDER BY adev, event_id) AS rn,
+        |      count(*) OVER (PARTITION BY event_type) AS n
+        |    FROM ad) t WHERE rn = (n + 1) // 2)
+        |SELECT a.event_type, a.event_id, a.value,
+        |  round((a.value - a.med) / (1.4826 * d.mad), 4) AS robust_z
+        |FROM ad a JOIN madt d ON a.event_type = d.event_type
+        |WHERE abs((a.value - a.med) / (1.4826 * d.mad)) > 3.5
+        |ORDER BY a.event_type, a.event_id""".stripMargin,
 
     "q_agg_hist_equidepth" ->
       """WITH t AS (SELECT event_type, value,

@@ -874,6 +874,16 @@ class OperatorSpec extends AnyFunSuite with SparkSessionTest
     assert(out.exists(_.getString(0) == "4_accepted"))
   }
 
+  test("mad anomaly flags exceed the robust threshold and beat stddev masking") {
+    val out = SparkEntry.queries("q_anomaly_mad")(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(math.abs(r.getDouble(3)) > 3.5, r.toString))
+    // right-skewed corpus: the robust gate flags MORE tail points than the
+    // mean/stddev gate, whose sigma is inflated by the very outliers it hunts
+    val zs = SparkEntry.queries("q_anomaly_zscore")(spark, sf0001).collect()
+    assert(out.length >= zs.length)
+  }
+
   test("bloom prefilter is semantically transparent vs the plain semi join") {
     val got = SparkEntry.queries("q_join_bloom_prefilter")(spark, sf0001).collect()
     val sel = Tables.orders(spark, sf0001)
