@@ -236,6 +236,42 @@ object VectorOps {
       s.sql(ivfSparkSql)
     }),
 
+    // Embedding DRIFT monitor: split the corpus into two cohorts (vec_id
+    // parity stands in for old/new ingest batches), compare per-label
+    // centroids across cohorts by cosine — the dashboard number that says
+    // "the new batch's geometry moved". Per-position means go through
+    // exact decimals (partial-agg order independence); the 64-element
+    // centroid dot/norm sums are decimal-quantized the same way. Cost: one
+    // explode + two tiny aggregates — the corpus is touched once.
+    "q_vec_centroid_drift" -> ((s, sf) => {
+      Tables.embeddings(s, sf).createOrReplaceTempView("embeddings")
+      s.sql(
+        """WITH h AS (SELECT vec_id, label, embedding,
+          |             CAST(vec_id % 2 AS INT) AS half FROM embeddings),
+          |x AS (SELECT label, half, pos, v
+          |      FROM h LATERAL VIEW posexplode(embedding) t AS pos, v),
+          |m AS (SELECT label, half, pos,
+          |        CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(30,12))) AS DOUBLE)
+          |          / COUNT(v) AS mv
+          |      FROM x GROUP BY label, half, pos),
+          |p AS (SELECT a.label AS label,
+          |        CAST(SUM(CAST(a.mv * b.mv AS DECIMAL(38,18))) AS DOUBLE) AS dp,
+          |        CAST(SUM(CAST(a.mv * a.mv AS DECIMAL(38,18))) AS DOUBLE) AS na,
+          |        CAST(SUM(CAST(b.mv * b.mv AS DECIMAL(38,18))) AS DOUBLE) AS nb
+          |      FROM m a JOIN m b
+          |        ON a.label = b.label AND a.pos = b.pos
+          |       AND a.half = 0 AND b.half = 1
+          |      GROUP BY a.label),
+          |c AS (SELECT label,
+          |        CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
+          |        CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+          |      FROM h GROUP BY label)
+          |SELECT c.label AS label, c.n_old, c.n_new,
+          |  round(p.dp / (sqrt(p.na) * sqrt(p.nb)), 6) AS centroid_cos
+          |FROM c JOIN p ON c.label = p.label
+          |ORDER BY label""".stripMargin)
+    }),
+
     // ANN quality evaluation as a query: recall@10 of the IVF probe search
     // against the exact brute-force top-10 — the metric an embedding
     // pipeline monitors when it trades exactness for the inverted-file
@@ -401,6 +437,33 @@ object VectorOps {
     "q_vec_ann_ivf" -> ivfDuckSql,
 
     "q_vec_ann_recall" -> recallSql(knnDuckSql, ivfDuckSql),
+
+    "q_vec_centroid_drift" ->
+      """WITH h AS (SELECT vec_id, label, embedding,
+        |             CAST(vec_id % 2 AS INT) AS half FROM embeddings),
+        |x AS (SELECT label, half, generate_subscripts(embedding, 1) AS pos,
+        |        unnest(embedding) AS v
+        |      FROM h),
+        |m AS (SELECT label, half, pos,
+        |        CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(30,12))) AS DOUBLE)
+        |          / COUNT(v) AS mv
+        |      FROM x GROUP BY label, half, pos),
+        |p AS (SELECT a.label AS label,
+        |        CAST(SUM(CAST(a.mv * b.mv AS DECIMAL(38,18))) AS DOUBLE) AS dp,
+        |        CAST(SUM(CAST(a.mv * a.mv AS DECIMAL(38,18))) AS DOUBLE) AS na,
+        |        CAST(SUM(CAST(b.mv * b.mv AS DECIMAL(38,18))) AS DOUBLE) AS nb
+        |      FROM m a JOIN m b
+        |        ON a.label = b.label AND a.pos = b.pos
+        |       AND a.half = 0 AND b.half = 1
+        |      GROUP BY a.label),
+        |c AS (SELECT label,
+        |        CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
+        |        CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+        |      FROM h GROUP BY label)
+        |SELECT c.label AS label, c.n_old, c.n_new,
+        |  round(p.dp / (sqrt(p.na) * sqrt(p.nb)), 6) AS centroid_cos
+        |FROM c JOIN p ON c.label = p.label
+        |ORDER BY label""".stripMargin,
 
     "q_dedup_semantic" -> semanticDedupSql(
       odot,

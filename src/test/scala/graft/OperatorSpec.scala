@@ -884,6 +884,15 @@ class OperatorSpec extends AnyFunSuite with SparkSessionTest
     assert(out.length >= zs.length)
   }
 
+  test("centroid drift covers every label and splits the cohorts exactly") {
+    val out = SparkEntry.queries("q_vec_centroid_drift")(spark, sf0001).collect()
+    assert(out.length == 10) // one row per label
+    val vecs = Tables.embeddings(spark, sf0001).count()
+    assert(out.map(r => r.getLong(1) + r.getLong(2)).sum == vecs)
+    // cosine of two mean vectors over the same distribution is bounded
+    out.foreach(r => assert(math.abs(r.getDouble(3)) <= 1.0 + 1e-9, r.toString))
+  }
+
   test("bloom prefilter is semantically transparent vs the plain semi join") {
     val got = SparkEntry.queries("q_join_bloom_prefilter")(spark, sf0001).collect()
     val sel = Tables.orders(spark, sf0001)
