@@ -435,6 +435,18 @@ object AggOps {
     // approx_percentile (q_agg_approx_percentile is that twin). ntile's
     // leftover distribution (first buckets get the extra rows) is
     // identical in both engines given the unique (value, event_id) order.
+    // A/B experiment readout with a DETERMINISTIC variant assignment (md5
+    // of user_id, the engine-portable bucketing used by q_pipeline_split):
+    // per-variant user counts, purchase conversion, lift, and the pooled
+    // two-proportion z statistic — all derived from integer counts, so the
+    // whole readout is bit-stable. Shape: one distinct-users pass, one
+    // per-user conversion aggregate, then a 2-row pivot into the 1-row
+    // report; nothing quadratic, nothing order-dependent.
+    "q_events_ab_lift" -> ((s, sf) => {
+      registerEvents(s, sf)
+      s.sql(abLiftSql("STRING"))
+    }),
+
     // Robust (median/MAD) anomaly flags — the outlier-immune twin of
     // q_anomaly_zscore: on this right-skewed value distribution the mean/
     // stddev gate drags toward the tail it's hunting, while median ±
@@ -482,6 +494,35 @@ object AggOps {
   )
 
   import OracleDet.{dsum => osum, davg => oavg}
+
+  /** Shared A/B readout SQL; `cast` is the engine's string-type name. */
+  private def abLiftSql(cast: String): String =
+    s"""WITH conv AS (SELECT user_id,
+       |                CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 15
+       |                     THEN 1 ELSE 0 END AS converted
+       |              FROM events GROUP BY user_id),
+       |v AS (SELECT user_id, converted,
+       |        CASE WHEN (instr('0123456789abcdef',
+       |               substring(md5(CAST(user_id AS $cast)), 1, 1)) - 1) % 2 = 0
+       |             THEN 'A' ELSE 'B' END AS variant
+       |      FROM conv),
+       |st AS (SELECT variant, count(*) AS n, CAST(sum(converted) AS BIGINT) AS c
+       |       FROM v GROUP BY variant),
+       |w AS (SELECT
+       |        max(CASE WHEN variant = 'A' THEN n END) AS n_a,
+       |        max(CASE WHEN variant = 'B' THEN n END) AS n_b,
+       |        max(CASE WHEN variant = 'A' THEN c END) AS c_a,
+       |        max(CASE WHEN variant = 'B' THEN c END) AS c_b
+       |      FROM st)
+       |SELECT n_a, n_b, c_a, c_b,
+       |  round(CAST(c_a AS DOUBLE) / n_a, 6) AS rate_a,
+       |  round(CAST(c_b AS DOUBLE) / n_b, 6) AS rate_b,
+       |  round(CAST(c_b AS DOUBLE) / n_b - CAST(c_a AS DOUBLE) / n_a, 6) AS lift,
+       |  round((CAST(c_b AS DOUBLE) / n_b - CAST(c_a AS DOUBLE) / n_a) /
+       |    nullif(sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+       |         * (1 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+       |         * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b)), 0.0), 4) AS z
+       |FROM w""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q_agg_global" ->
@@ -656,6 +697,8 @@ object AggOps {
         |  round(CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / count(*), 6) AS avg_value
         |FROM events GROUP BY 1, 2
         |ORDER BY week, event_type""".stripMargin,
+
+    "q_events_ab_lift" -> abLiftSql("VARCHAR"),
 
     "q_anomaly_mad" ->
       """WITH med AS (SELECT event_type, value AS med FROM (

@@ -893,6 +893,18 @@ class OperatorSpec extends AnyFunSuite with SparkSessionTest
     out.foreach(r => assert(math.abs(r.getDouble(3)) <= 1.0 + 1e-9, r.toString))
   }
 
+  test("ab lift readout partitions users and derives consistent statistics") {
+    val r = SparkEntry.queries("q_events_ab_lift")(spark, sf0001).head()
+    val users = Tables.events(spark, sf0001).select("user_id").distinct().count()
+    val (nA, nB, cA, cB) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(nA + nB == users)
+    assert(cA <= nA && cB <= nB)
+    assert(math.abs(r.getDouble(6) - (r.getDouble(5) - r.getDouble(4))) < 1e-5)
+    // variant assignment is a pure fn of user_id → stable across runs
+    val again = SparkEntry.queries("q_events_ab_lift")(spark, sf0001).head()
+    assert(r.toString == again.toString)
+  }
+
   test("bloom prefilter is semantically transparent vs the plain semi join") {
     val got = SparkEntry.queries("q_join_bloom_prefilter")(spark, sf0001).collect()
     val sel = Tables.orders(spark, sf0001)
