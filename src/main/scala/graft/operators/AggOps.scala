@@ -472,7 +472,7 @@ object AggOps {
           |      row_number() OVER (PARTITION BY event_type ORDER BY adev, event_id) AS rn,
           |      count(*) OVER (PARTITION BY event_type) AS n
           |    FROM ad) t WHERE rn = (n + 1) DIV 2)
-          |SELECT a.event_type, a.event_id, a.value,
+          |SELECT /*+ BROADCAST(d) */ a.event_type, a.event_id, a.value,
           |  round((a.value - a.med) / (1.4826 * d.mad), 4) AS robust_z
           |FROM ad a JOIN madt d ON a.event_type = d.event_type
           |WHERE abs((a.value - a.med) / (1.4826 * d.mad)) > 3.5
