@@ -435,6 +435,26 @@ object AggOps {
     // approx_percentile (q_agg_approx_percentile is that twin). ntile's
     // leftover distribution (first buckets get the extra rows) is
     // identical in both engines given the unique (value, event_id) order.
+    // Concentration report: share of total value held by the top decile of
+    // events per type (the Pareto/"how skewed is this metric" number). The
+    // decile comes from the same partitioned ntile as q_agg_hist_equidepth;
+    // the share divides two exact decimal sums once.
+    "q_agg_topn_share" -> ((s, sf) => {
+      registerEvents(s, sf)
+      s.sql(
+        """WITH t AS (SELECT event_type, value,
+          |             ntile(10) OVER (PARTITION BY event_type
+          |               ORDER BY value DESC, event_id) AS d
+          |           FROM events)
+          |SELECT event_type, count(*) AS n_events,
+          |  CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value,
+          |  round(CAST(sum(CASE WHEN d = 1 THEN CAST(value AS DECIMAL(30,6))
+          |                      ELSE CAST(0 AS DECIMAL(30,6)) END) AS DOUBLE)
+          |        / CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE), 6) AS top_decile_share
+          |FROM t GROUP BY event_type
+          |ORDER BY event_type""".stripMargin)
+    }),
+
     // A/B experiment readout with a DETERMINISTIC variant assignment (md5
     // of user_id, the engine-portable bucketing used by q_pipeline_split):
     // per-variant user counts, purchase conversion, lift, and the pooled
@@ -699,6 +719,19 @@ object AggOps {
         |ORDER BY week, event_type""".stripMargin,
 
     "q_events_ab_lift" -> abLiftSql("VARCHAR"),
+
+    "q_agg_topn_share" ->
+      """WITH t AS (SELECT event_type, value,
+        |             ntile(10) OVER (PARTITION BY event_type
+        |               ORDER BY value DESC, event_id) AS d
+        |           FROM events)
+        |SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value,
+        |  round(CAST(sum(CASE WHEN d = 1 THEN CAST(value AS DECIMAL(30,6))
+        |                      ELSE CAST(0 AS DECIMAL(30,6)) END) AS DOUBLE)
+        |        / CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE), 6) AS top_decile_share
+        |FROM t GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     "q_anomaly_mad" ->
       """WITH med AS (SELECT event_type, value AS med FROM (

@@ -487,6 +487,39 @@ object TextOps {
           |FROM p GROUP BY shared ORDER BY shared""".stripMargin)
     }),
 
+    // Zipf rank–frequency fit over the corpus vocabulary: OLS slope /
+    // intercept / r² of ln(freq) on ln(rank) — the classic corpus sanity
+    // check (natural text slopes ≈ −1; synthetic/near-uniform vocabularies
+    // flatten toward 0, which is exactly what this corpus shows). The
+    // regression is computed from decimal-quantized moment sums (n, Σx,
+    // Σy, Σxy, Σx², Σy²), not the engines' regr_* aggregates, whose
+    // double accumulators are partial-aggregation-order dependent; squares
+    // are spelled x*x (no libm pow). Word counting is the usual explode +
+    // hash aggregate; the regression input is vocabulary-sized.
+    "q_text_zipf" -> ((s, sf) => {
+      Tables.documents(s, sf).createOrReplaceTempView("documents")
+      s.sql(
+        """WITH wf AS (SELECT tok, count(*) AS f
+          |            FROM (SELECT explode(split(text, ' ')) AS tok FROM documents) x
+          |            GROUP BY tok),
+          |r AS (SELECT ln(CAST(row_number() OVER (ORDER BY f DESC, tok) AS DOUBLE)) AS lx,
+          |        ln(CAST(f AS DOUBLE)) AS ly
+          |      FROM wf),
+          |m AS (SELECT count(*) AS n,
+          |        CAST(SUM(CAST(lx AS DECIMAL(30,10))) AS DOUBLE) AS sx,
+          |        CAST(SUM(CAST(ly AS DECIMAL(30,10))) AS DOUBLE) AS sy,
+          |        CAST(SUM(CAST(lx * ly AS DECIMAL(30,10))) AS DOUBLE) AS sxy,
+          |        CAST(SUM(CAST(lx * lx AS DECIMAL(30,10))) AS DOUBLE) AS sxx,
+          |        CAST(SUM(CAST(ly * ly AS DECIMAL(30,10))) AS DOUBLE) AS syy
+          |      FROM r)
+          |SELECT n AS vocab,
+          |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS zipf_slope,
+          |  round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 4) AS intercept,
+          |  round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+          |        / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) AS r2
+          |FROM m""".stripMargin)
+    }),
+
     // Pipeline yield accounting: classify every doc by the FIRST filter
     // rule it fails (length → exact-dup → lexical diversity), report the
     // funnel. The per-rule attribution is what a data pipeline publishes
@@ -1037,6 +1070,27 @@ object TextOps {
         |  round(CAST(shared AS DOUBLE) / 8, 6) AS est_jaccard,
         |  CAST(sum(count(*)) OVER (ORDER BY shared DESC) AS BIGINT) AS n_at_or_above
         |FROM p GROUP BY shared ORDER BY shared""".stripMargin,
+
+    "q_text_zipf" ->
+      """WITH wf AS (SELECT tok, count(*) AS f
+        |            FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) x
+        |            GROUP BY tok),
+        |r AS (SELECT ln(CAST(row_number() OVER (ORDER BY f DESC, tok) AS DOUBLE)) AS lx,
+        |        ln(CAST(f AS DOUBLE)) AS ly
+        |      FROM wf),
+        |m AS (SELECT count(*) AS n,
+        |        CAST(SUM(CAST(lx AS DECIMAL(30,10))) AS DOUBLE) AS sx,
+        |        CAST(SUM(CAST(ly AS DECIMAL(30,10))) AS DOUBLE) AS sy,
+        |        CAST(SUM(CAST(lx * ly AS DECIMAL(30,10))) AS DOUBLE) AS sxy,
+        |        CAST(SUM(CAST(lx * lx AS DECIMAL(30,10))) AS DOUBLE) AS sxx,
+        |        CAST(SUM(CAST(ly * ly AS DECIMAL(30,10))) AS DOUBLE) AS syy
+        |      FROM r)
+        |SELECT n AS vocab,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS zipf_slope,
+        |  round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 4) AS intercept,
+        |  round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+        |        / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) AS r2
+        |FROM m""".stripMargin,
 
     "q_pipeline_filter_funnel" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks,

@@ -905,6 +905,28 @@ class OperatorSpec extends AnyFunSuite with SparkSessionTest
     assert(r.toString == again.toString)
   }
 
+  test("top-decile share is at least proportional and totals reconcile") {
+    import org.apache.spark.sql.types.DecimalType
+    val out = SparkEntry.queries("q_agg_topn_share")(spark, sf0001).collect()
+    // the top decile of a DESC ordering cannot hold less than 1/10 of value
+    out.foreach { r =>
+      val share = r.getDouble(3)
+      assert(share >= 0.1 - 1e-6 && share <= 1.0 + 1e-9, r.toString)
+    }
+    val total = Tables.events(spark, sf0001)
+      .agg(sum(col("value").cast(DecimalType(30, 6))).cast("double")).head().getDouble(0)
+    assert(math.abs(out.map(_.getDouble(2)).sum - total) < 1e-6)
+  }
+
+  test("zipf fit reports the full vocabulary and a negative slope") {
+    val r = SparkEntry.queries("q_text_zipf")(spark, sf0001).head()
+    val vocab = Tables.documents(spark, sf0001)
+      .select(explode(split(col("text"), " ")).as("t")).distinct().count()
+    assert(r.getLong(0) == vocab)
+    assert(r.getDouble(1) < 0.0) // frequency decreases with rank
+    assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+  }
+
   test("bloom prefilter is semantically transparent vs the plain semi join") {
     val got = SparkEntry.queries("q_join_bloom_prefilter")(spark, sf0001).collect()
     val sel = Tables.orders(spark, sf0001)
