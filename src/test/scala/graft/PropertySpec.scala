@@ -120,4 +120,24 @@ class PropertySpec extends AnyFunSuite with SparkSessionTest {
       assert(qv.exists(q => math.abs(q) == 127.0)) // max element saturates
     }
   }
+
+  test("portable md5 hex arithmetic equals direct base-16 parsing (generative)") {
+    // the instr('0123456789abcdef', digit)-1 positional arithmetic behind
+    // q_pipeline_split / q_events_ab_lift must equal parseInt(hex, 16)
+    import spark.implicits._
+    for (ids <- samples(Gen.listOfN(64, Gen.chooseNum(Long.MinValue, Long.MaxValue)), 3)) {
+      ids.toDF("doc_id").createOrReplaceTempView("documents")
+      val h = "md5(CAST(doc_id AS STRING))"
+      val arith = (0 until 4).map { i =>
+        val mult = 1 << (4 * (3 - i))
+        s"(instr('0123456789abcdef', substring($h, ${i + 1}, 1)) - 1) * $mult"
+      }.mkString(" + ")
+      val rows = spark.sql(
+        s"SELECT doc_id, $h AS hex, ($arith) AS v FROM documents").collect()
+      rows.foreach { r =>
+        val expect = Integer.parseInt(r.getString(1).substring(0, 4), 16)
+        assert(r.getInt(2) == expect, s"${r.getLong(0)} ${r.getString(1)}")
+      }
+    }
+  }
 }
