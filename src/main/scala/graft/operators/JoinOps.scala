@@ -245,6 +245,23 @@ object JoinOps {
         .orderBy("event_id")
     }),
 
+    // NEAREST-match as-of: each event takes the order with the smallest
+    // |orderdate − ts| in EITHER direction (sensor/log alignment where the
+    // closest reading wins), ties broken by larger o_orderkey like the
+    // rest of the family. Same map-side-combinable max(struct) shape as
+    // the backward as-of — max of (−distance, okey) picks the nearest,
+    // then largest key — so the per-event argmin never materializes the
+    // candidate set past the partial aggregate. The oracle keeps the
+    // window-rank form (DuckDB has no struct-max), proving equivalence.
+    // On THIS corpus every orderdate precedes every event, so the output
+    // coincides with the backward as-of's matches (with distances instead
+    // of dates); the forward/tie behavior is pinned by a fixture spec.
+    "q_join_asof_nearest" -> ((s, sf) => {
+      eventsTs(s, sf).createOrReplaceTempView("ev")
+      Tables.orders(s, sf).createOrReplaceTempView("orders")
+      s.sql(asofNearestSparkSql)
+    }),
+
     // As-of over STRING keys and DATE times — exercises the generalized
     // interpreted-ordering merge (the operator accepts any orderable
     // atomic type; keys here are 'c<custkey>' strings, times are days).
@@ -355,6 +372,20 @@ object JoinOps {
         .orderBy("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
     })
   )
+
+  /** Nearest-as-of over temp views `ev(event_id, user_id, ts_s)` and
+    * `orders(o_orderkey, o_custkey, o_orderdate)` — shared with the
+    * fixture spec that pins the forward and tie cases. */
+  private[graft] val asofNearestSparkSql =
+    """WITH j AS (SELECT e.event_id, e.user_id,
+      |             -abs(unix_timestamp(e.ts_s) - unix_timestamp(o.o_orderdate)) AS nd,
+      |             o.o_orderkey AS okey
+      |           FROM ev e JOIN orders o ON o.o_custkey = e.user_id)
+      |SELECT event_id, user_id, m.okey AS o_orderkey, -m.nd AS dist_s FROM (
+      |  SELECT event_id, user_id,
+      |    max(named_struct('nd', nd, 'okey', okey)) AS m
+      |  FROM j GROUP BY event_id, user_id) t
+      |ORDER BY event_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q_join_inner_hash" ->
@@ -482,6 +513,19 @@ object JoinOps {
         |  JOIN orders o ON o.o_custkey = e.user_id
         |               AND o.o_orderdate <= CAST(date_trunc('second', e.ts) AS TIMESTAMP)
         |) t WHERE rn = 1
+        |ORDER BY event_id""".stripMargin,
+
+    "q_join_asof_nearest" ->
+      """SELECT event_id, user_id, o_orderkey, dist_s FROM (
+        |  SELECT e.event_id, e.user_id, o.o_orderkey,
+        |    abs(CAST(epoch(CAST(date_trunc('second', e.ts) AS TIMESTAMP)) AS BIGINT)
+        |        - CAST(epoch(o.o_orderdate) AS BIGINT)) AS dist_s,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |      ORDER BY abs(CAST(epoch(CAST(date_trunc('second', e.ts) AS TIMESTAMP)) AS BIGINT)
+        |                   - CAST(epoch(o.o_orderdate) AS BIGINT)) ASC,
+        |               o.o_orderkey DESC) AS rn
+        |  FROM events e JOIN orders o ON o.o_custkey = e.user_id) t
+        |WHERE rn = 1
         |ORDER BY event_id""".stripMargin,
 
     "q_join_asof_typed" ->

@@ -927,6 +927,22 @@ class OperatorSpec extends AnyFunSuite with SparkSessionTest
     assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
   }
 
+  test("nearest as-of picks the forward match and breaks ties by larger key") {
+    import spark.implicits._
+    Seq((1L, 7L, "2024-01-01 00:01:40"), (2L, 7L, "2024-01-01 00:10:00"))
+      .toDF("event_id", "user_id", "ts_str")
+      .withColumn("ts_s", to_timestamp($"ts_str")).createOrReplaceTempView("ev")
+    Seq( // event 1 at t=100s: order 1 at 90 (10 away), order 2 at 105 (5 away, FORWARD)
+         // event 2 at t=600s: orders at 595 and 605 — both 5 away → larger key 4
+      (1L, 7L, "2024-01-01 00:01:30"), (2L, 7L, "2024-01-01 00:01:45"),
+      (3L, 7L, "2024-01-01 00:09:55"), (4L, 7L, "2024-01-01 00:10:05"))
+      .toDF("o_orderkey", "o_custkey", "od_str")
+      .withColumn("o_orderdate", to_timestamp($"od_str")).createOrReplaceTempView("orders")
+    val out = spark.sql(graft.operators.JoinOps.asofNearestSparkSql).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, 2L, 5L), (2L, 4L, 5L)), out.mkString(","))
+  }
+
   test("bloom prefilter is semantically transparent vs the plain semi join") {
     val got = SparkEntry.queries("q_join_bloom_prefilter")(spark, sf0001).collect()
     val sel = Tables.orders(spark, sf0001)
