@@ -455,6 +455,27 @@ object AggOps {
           |ORDER BY event_type""".stripMargin)
     }),
 
+    // Gini coefficient per type from the sorted-rank identity
+    // G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n — the canonical inequality measure
+    // next to q_agg_topn_share's top-decile share. One ranking window and
+    // one aggregate; the rank-weighted sum is decimal-quantized so the
+    // partial aggregation is order-independent.
+    "q_agg_gini" -> ((s, sf) => {
+      registerEvents(s, sf)
+      s.sql(
+        """WITH r AS (SELECT event_type, value,
+          |             row_number() OVER (PARTITION BY event_type
+          |               ORDER BY value, event_id) AS i
+          |           FROM events),
+          |m AS (SELECT event_type, count(*) AS n,
+          |        CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sx,
+          |        CAST(sum(CAST(i * value AS DECIMAL(38,6))) AS DOUBLE) AS six
+          |      FROM r GROUP BY event_type)
+          |SELECT event_type, n AS n_events,
+          |  round(2 * six / (n * sx) - (n + 1) / CAST(n AS DOUBLE), 6) AS gini
+          |FROM m ORDER BY event_type""".stripMargin)
+    }),
+
     // A/B experiment readout with a DETERMINISTIC variant assignment (md5
     // of user_id, the engine-portable bucketing used by q_pipeline_split):
     // per-variant user counts, purchase conversion, lift, and the pooled
@@ -719,6 +740,19 @@ object AggOps {
         |ORDER BY week, event_type""".stripMargin,
 
     "q_events_ab_lift" -> abLiftSql("VARCHAR"),
+
+    "q_agg_gini" ->
+      """WITH r AS (SELECT event_type, value,
+        |             row_number() OVER (PARTITION BY event_type
+        |               ORDER BY value, event_id) AS i
+        |           FROM events),
+        |m AS (SELECT event_type, count(*) AS n,
+        |        CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sx,
+        |        CAST(sum(CAST(i * value AS DECIMAL(38,6))) AS DOUBLE) AS six
+        |      FROM r GROUP BY event_type)
+        |SELECT event_type, n AS n_events,
+        |  round(2 * six / (n * sx) - (n + 1) / CAST(n AS DOUBLE), 6) AS gini
+        |FROM m ORDER BY event_type""".stripMargin,
 
     "q_agg_topn_share" ->
       """WITH t AS (SELECT event_type, value,

@@ -943,6 +943,16 @@ class OperatorSpec extends AnyFunSuite with SparkSessionTest
     assert(out.toSeq == Seq((1L, 2L, 5L), (2L, 4L, 5L)), out.mkString(","))
   }
 
+  test("gini sits at the exponential-distribution value on this corpus") {
+    val out = SparkEntry.queries("q_agg_gini")(spark, sf0001).collect()
+    assert(out.length == 5)
+    // value ~ Exp(λ) per type → theoretical Gini = 0.5; loose bounds at n≈200
+    out.foreach { r =>
+      val g = r.getDouble(2)
+      assert(g > 0.4 && g < 0.6, r.toString)
+    }
+  }
+
   test("bloom prefilter is semantically transparent vs the plain semi join") {
     val got = SparkEntry.queries("q_join_bloom_prefilter")(spark, sf0001).collect()
     val sel = Tables.orders(spark, sf0001)
