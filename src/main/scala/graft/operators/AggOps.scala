@@ -455,6 +455,27 @@ object AggOps {
           |ORDER BY event_type""".stripMargin)
     }),
 
+    // Per-user behavioral ENTROPY: Shannon H over the user's event-type
+    // distribution, plus the ln(5)-normalized form — the "how varied is
+    // this user/host" score a log pipeline uses for bot/monoculture
+    // detection. Each −p·ln p term is decimal-quantized before the sum
+    // (order independence); two tiny aggregates over one corpus pass.
+    "q_agg_entropy" -> ((s, sf) => {
+      registerEvents(s, sf)
+      s.sql(
+        """WITH c AS (SELECT user_id, event_type, count(*) AS c
+          |           FROM events GROUP BY user_id, event_type),
+          |t AS (SELECT user_id, CAST(sum(c) AS DOUBLE) AS n FROM c GROUP BY user_id),
+          |e AS (SELECT c.user_id, t.n,
+          |        CAST(sum(CAST(-(c / n) * ln(c / n) AS DECIMAL(30,10))) AS DOUBLE) AS h
+          |      FROM c JOIN t ON c.user_id = t.user_id
+          |      GROUP BY c.user_id, t.n)
+          |SELECT user_id, CAST(n AS BIGINT) AS n_events,
+          |  round(h, 6) AS entropy,
+          |  round(h / ln(5.0), 6) AS entropy_norm
+          |FROM e ORDER BY user_id""".stripMargin)
+    }),
+
     // Gini coefficient per type from the sorted-rank identity
     // G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n — the canonical inequality measure
     // next to q_agg_topn_share's top-decile share. One ranking window and
@@ -740,6 +761,19 @@ object AggOps {
         |ORDER BY week, event_type""".stripMargin,
 
     "q_events_ab_lift" -> abLiftSql("VARCHAR"),
+
+    "q_agg_entropy" ->
+      """WITH c AS (SELECT user_id, event_type, count(*) AS c
+        |           FROM events GROUP BY user_id, event_type),
+        |t AS (SELECT user_id, CAST(sum(c) AS DOUBLE) AS n FROM c GROUP BY user_id),
+        |e AS (SELECT c.user_id, t.n,
+        |        CAST(sum(CAST(-(c / n) * ln(c / n) AS DECIMAL(30,10))) AS DOUBLE) AS h
+        |      FROM c JOIN t ON c.user_id = t.user_id
+        |      GROUP BY c.user_id, t.n)
+        |SELECT user_id, CAST(n AS BIGINT) AS n_events,
+        |  round(h, 6) AS entropy,
+        |  round(h / ln(5.0), 6) AS entropy_norm
+        |FROM e ORDER BY user_id""".stripMargin,
 
     "q_agg_gini" ->
       """WITH r AS (SELECT event_type, value,

@@ -357,6 +357,26 @@ object WindowOps {
           |ORDER BY from_type, to_type""".stripMargin)
     }),
 
+    // Clickstream PATHING: top 3-step event sequences across all users
+    // (the "what journeys happen most" report; the 3-gram big sibling of
+    // q_events_markov's 1-step matrix). Two leads share the markov window;
+    // the path space is |types|³ = 125, so the aggregate is tiny and the
+    // top-15 is a TakeOrdered, not a full sort.
+    "q_events_pathing" -> ((s, sf) => {
+      eventsTs(s, sf).createOrReplaceTempView("ev")
+      s.sql(
+        """WITH s AS (SELECT user_id, event_type AS e1,
+          |             lead(event_type, 1) OVER w AS e2,
+          |             lead(event_type, 2) OVER w AS e3
+          |           FROM ev
+          |           WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id))
+          |SELECT concat_ws(' > ', e1, e2, e3) AS path, count(*) AS n
+          |FROM s WHERE e3 IS NOT NULL
+          |GROUP BY 1
+          |ORDER BY n DESC, path
+          |LIMIT 15""".stripMargin)
+    }),
+
     // Exact sliding MEDIAN over the trailing 11 rows — the robust
     // (outlier-immune) twin of the sliding mean in q_win_sliding_frame.
     // Exact small-window medians via a sorted frame collect are the
@@ -643,6 +663,18 @@ object WindowOps {
          |FROM st WHERE next_type IS NOT NULL
          |GROUP BY event_type, next_type
          |ORDER BY from_type, to_type""".stripMargin,
+
+    "q_events_pathing" ->
+      s"""WITH s AS (SELECT user_id, event_type AS e1,
+         |             lead(event_type, 1) OVER w AS e2,
+         |             lead(event_type, 2) OVER w AS e3
+         |           FROM events
+         |           WINDOW w AS (PARTITION BY user_id ORDER BY $oracleTs, event_id))
+         |SELECT concat_ws(' > ', e1, e2, e3) AS path, count(*) AS n
+         |FROM s WHERE e3 IS NOT NULL
+         |GROUP BY 1
+         |ORDER BY n DESC, path
+         |LIMIT 15""".stripMargin,
 
     "q_win_median_sliding" ->
       s"""WITH a AS (SELECT user_id, event_id, value,

@@ -953,6 +953,29 @@ class OperatorSpec extends AnyFunSuite with SparkSessionTest
     }
   }
 
+  test("entropy is bounded by ln(5) and counts reconcile with the corpus") {
+    val out = SparkEntry.queries("q_agg_entropy")(spark, sf0001).collect()
+    val events = Tables.events(spark, sf0001).count()
+    assert(out.map(_.getLong(1)).sum == events)
+    out.foreach { r =>
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= math.log(5.0) + 1e-9)
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0 + 1e-9)
+    }
+  }
+
+  test("pathing counts conserve the 3-step windows it ranks") {
+    val out = SparkEntry.queries("q_events_pathing")(spark, sf0001).collect()
+    assert(out.length == 15)
+    // descending count order with the path tiebreak
+    out.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getLong(1) > b.getLong(1) ||
+          (a.getLong(1) == b.getLong(1) && a.getString(0) < b.getString(0)))
+      case _ =>
+    }
+    out.foreach(r => assert(r.getString(0).split(" > ").length == 3))
+  }
+
   test("bloom prefilter is semantically transparent vs the plain semi join") {
     val got = SparkEntry.queries("q_join_bloom_prefilter")(spark, sf0001).collect()
     val sel = Tables.orders(spark, sf0001)
