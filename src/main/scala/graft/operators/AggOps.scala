@@ -455,6 +455,20 @@ object AggOps {
           |ORDER BY event_type""".stripMargin)
     }),
 
+    // Activity heatmap backing table: ISO-weekday × hour counts — the
+    // matrix behind every log dashboard's "when does traffic happen"
+    // panel. ISO day numbering (Monday=1) is the cross-engine-stable
+    // choice (Spark's default dayofweek() is Sunday=1, DuckDB's is
+    // Sunday=0 — isodow agrees everywhere). Plain two-key hash aggregate.
+    "q_report_heatmap" -> ((s, sf) => {
+      registerEvents(s, sf)
+      s.sql(
+        """SELECT CAST(extract(DAYOFWEEK_ISO FROM ts) AS BIGINT) AS dow,
+          |  CAST(hour(ts) AS BIGINT) AS hr, count(*) AS n
+          |FROM events GROUP BY 1, 2
+          |ORDER BY dow, hr""".stripMargin)
+    }),
+
     // Per-user behavioral ENTROPY: Shannon H over the user's event-type
     // distribution, plus the ln(5)-normalized form — the "how varied is
     // this user/host" score a log pipeline uses for bot/monoculture
@@ -761,6 +775,12 @@ object AggOps {
         |ORDER BY week, event_type""".stripMargin,
 
     "q_events_ab_lift" -> abLiftSql("VARCHAR"),
+
+    "q_report_heatmap" ->
+      """SELECT CAST(isodow(ts) AS BIGINT) AS dow,
+        |  CAST(hour(ts) AS BIGINT) AS hr, count(*) AS n
+        |FROM events GROUP BY 1, 2
+        |ORDER BY dow, hr""".stripMargin,
 
     "q_agg_entropy" ->
       """WITH c AS (SELECT user_id, event_type, count(*) AS c

@@ -487,6 +487,33 @@ object TextOps {
           |FROM p GROUP BY shared ORDER BY shared""".stripMargin)
     }),
 
+    // Token co-occurrence PMI (pointwise mutual information over per-doc
+    // distinct token pairs) — the statistic word-vector preprocessing
+    // (GloVe/PPMI matrices) is built from. Pair fan-out is bounded by
+    // distinct-tokens-per-doc² per document (not corpus²), and the output
+    // is vocabulary²-bounded, so both sides stay small however big the
+    // corpus gets; document frequencies broadcast into the scoring join.
+    "q_text_pmi" -> ((s, sf) => {
+      Tables.documents(s, sf).createOrReplaceTempView("documents")
+      s.sql(
+        """WITH d AS (SELECT doc_id, array_distinct(split(text, ' ')) AS toks
+          |           FROM documents),
+          |n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM d),
+          |u AS (SELECT doc_id, explode(toks) AS tok FROM d),
+          |f AS (SELECT tok, count(*) AS df FROM u GROUP BY tok),
+          |cp AS (SELECT a.tok AS ta, b.tok AS tb, count(*) AS cdf
+          |       FROM u a JOIN u b ON a.doc_id = b.doc_id AND a.tok < b.tok
+          |       GROUP BY a.tok, b.tok),
+          |s AS (SELECT ta, tb, cdf,
+          |        ln((cdf / nd) / ((fa.df / nd) * (fb.df / nd))) AS pmi
+          |      FROM cp JOIN f fa ON cp.ta = fa.tok
+          |              JOIN f fb ON cp.tb = fb.tok
+          |              CROSS JOIN n
+          |      WHERE cdf >= 5)
+          |SELECT ta, tb, cdf, round(pmi, 6) AS pmi
+          |FROM s ORDER BY ta, tb""".stripMargin)
+    }),
+
     // Zipf rank–frequency fit over the corpus vocabulary: OLS slope /
     // intercept / r² of ln(freq) on ln(rank) — the classic corpus sanity
     // check (natural text slopes ≈ −1; synthetic/near-uniform vocabularies
@@ -1070,6 +1097,24 @@ object TextOps {
         |  round(CAST(shared AS DOUBLE) / 8, 6) AS est_jaccard,
         |  CAST(sum(count(*)) OVER (ORDER BY shared DESC) AS BIGINT) AS n_at_or_above
         |FROM p GROUP BY shared ORDER BY shared""".stripMargin,
+
+    "q_text_pmi" ->
+      """WITH d AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+        |           FROM documents),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM d),
+        |u AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+        |f AS (SELECT tok, count(*) AS df FROM u GROUP BY tok),
+        |cp AS (SELECT a.tok AS ta, b.tok AS tb, count(*) AS cdf
+        |       FROM u a JOIN u b ON a.doc_id = b.doc_id AND a.tok < b.tok
+        |       GROUP BY a.tok, b.tok),
+        |s AS (SELECT ta, tb, cdf,
+        |        ln((cdf / nd) / ((fa.df / nd) * (fb.df / nd))) AS pmi
+        |      FROM cp JOIN f fa ON cp.ta = fa.tok
+        |              JOIN f fb ON cp.tb = fb.tok
+        |              CROSS JOIN n
+        |      WHERE cdf >= 5)
+        |SELECT ta, tb, cdf, round(pmi, 6) AS pmi
+        |FROM s ORDER BY ta, tb""".stripMargin,
 
     "q_text_zipf" ->
       """WITH wf AS (SELECT tok, count(*) AS f

@@ -976,6 +976,44 @@ class OperatorSpec extends AnyFunSuite with SparkSessionTest
     out.foreach(r => assert(r.getString(0).split(" > ").length == 3))
   }
 
+  test("heatmap covers the grid and conserves events") {
+    val out = SparkEntry.queries("q_report_heatmap")(spark, sf0001).collect()
+    val events = Tables.events(spark, sf0001).count()
+    assert(out.map(_.getLong(2)).sum == events)
+    out.foreach { r =>
+      assert(r.getLong(0) >= 1 && r.getLong(0) <= 7)
+      assert(r.getLong(1) >= 0 && r.getLong(1) <= 23)
+    }
+  }
+
+  test("pmi golden on a constructed co-occurrence corpus") {
+    import spark.implicits._
+    // a&b always co-occur (10 docs), c co-occurs with a in 5 of 10 docs
+    val docs = (0 until 10).map { i =>
+      (i.toLong, if (i < 5) "a b c" else "a b")
+    }
+    docs.toDF("doc_id", "text").createOrReplaceTempView("documents")
+    val out = spark.sql(
+      """WITH d AS (SELECT doc_id, array_distinct(split(text, ' ')) AS toks
+        |           FROM documents),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM d),
+        |u AS (SELECT doc_id, explode(toks) AS tok FROM d),
+        |f AS (SELECT tok, count(*) AS df FROM u GROUP BY tok),
+        |cp AS (SELECT a.tok AS ta, b.tok AS tb, count(*) AS cdf
+        |       FROM u a JOIN u b ON a.doc_id = b.doc_id AND a.tok < b.tok
+        |       GROUP BY a.tok, b.tok),
+        |s AS (SELECT ta, tb, cdf,
+        |        ln((cdf / nd) / ((fa.df / nd) * (fb.df / nd))) AS pmi
+        |      FROM cp JOIN f fa ON cp.ta = fa.tok
+        |              JOIN f fb ON cp.tb = fb.tok CROSS JOIN n
+        |      WHERE cdf >= 5)
+        |SELECT ta, tb, cdf, round(pmi, 6) AS pmi FROM s ORDER BY ta, tb""".stripMargin)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getDouble(3))).toMap
+    assert(math.abs(out(("a", "b")) - 0.0) < 1e-9)          // perfect co-occurrence, both df=10
+    assert(math.abs(out(("a", "c")) - 0.0) < 1e-9)          // c ⊂ a docs: p(ac)=p(c)
+    assert(math.abs(out(("b", "c")) - 0.0) < 1e-9)
+  }
+
   test("bloom prefilter is semantically transparent vs the plain semi join") {
     val got = SparkEntry.queries("q_join_bloom_prefilter")(spark, sf0001).collect()
     val sel = Tables.orders(spark, sf0001)
