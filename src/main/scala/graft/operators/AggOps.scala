@@ -455,6 +455,28 @@ object AggOps {
           |ORDER BY event_type""".stripMargin)
     }),
 
+    // Growth accounting: daily active users, new users, and CUMULATIVE
+    // unique users per day. The cumulative distinct is the first-touch
+    // trick — min(first_day) per user, then a running sum of new-user
+    // counts — which scales as two small aggregates instead of a running
+    // distinct set (the naive form would re-deduplicate the whole history
+    // per day; see q_win_distinct_running for the windowed variant).
+    "q_report_growth" -> ((s, sf) => {
+      registerEvents(s, sf)
+      s.sql(
+        """WITH fd AS (SELECT user_id, min(CAST(date_trunc('day', ts) AS DATE)) AS first_day
+          |            FROM events GROUP BY user_id),
+          |dau AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+          |          count(DISTINCT user_id) AS dau
+          |        FROM events GROUP BY 1),
+          |nu AS (SELECT first_day AS day, count(*) AS new_users FROM fd GROUP BY 1)
+          |SELECT d.day, d.dau,
+          |  CAST(coalesce(nu.new_users, 0) AS BIGINT) AS new_users,
+          |  CAST(sum(coalesce(nu.new_users, 0)) OVER (ORDER BY d.day) AS BIGINT) AS cum_users
+          |FROM dau d LEFT JOIN nu ON d.day = nu.day
+          |ORDER BY d.day""".stripMargin)
+    }),
+
     // Activity heatmap backing table: ISO-weekday × hour counts — the
     // matrix behind every log dashboard's "when does traffic happen"
     // panel. ISO day numbering (Monday=1) is the cross-engine-stable
@@ -775,6 +797,19 @@ object AggOps {
         |ORDER BY week, event_type""".stripMargin,
 
     "q_events_ab_lift" -> abLiftSql("VARCHAR"),
+
+    "q_report_growth" ->
+      """WITH fd AS (SELECT user_id, min(CAST(date_trunc('day', ts) AS DATE)) AS first_day
+        |            FROM events GROUP BY user_id),
+        |dau AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |          count(DISTINCT user_id) AS dau
+        |        FROM events GROUP BY 1),
+        |nu AS (SELECT first_day AS day, count(*) AS new_users FROM fd GROUP BY 1)
+        |SELECT d.day, d.dau,
+        |  CAST(coalesce(nu.new_users, 0) AS BIGINT) AS new_users,
+        |  CAST(sum(coalesce(nu.new_users, 0)) OVER (ORDER BY d.day) AS BIGINT) AS cum_users
+        |FROM dau d LEFT JOIN nu ON d.day = nu.day
+        |ORDER BY d.day""".stripMargin,
 
     "q_report_heatmap" ->
       """SELECT CAST(isodow(ts) AS BIGINT) AS dow,

@@ -272,6 +272,40 @@ object VectorOps {
           |ORDER BY label""".stripMargin)
     }),
 
+    // Embedding QC: flag the 5% of vectors farthest from their own label
+    // centroid — mislabeled/corrupt-embedding detection. Distance uses the
+    // ||x||² − 2x·c + ||c||² identity over the fused vec_dot kernel; the
+    // per-label 95th-percentile threshold is an exact rank selection (the
+    // q_agg_median recipe), so no interpolation drift. Centroids are tiny
+    // and broadcast; the corpus is scanned once for distances and once
+    // more ranked within labels.
+    "q_vec_outlier_centroid" -> ((s, sf) => {
+      graft.functions.GraftFunctions.register(s)
+      Tables.embeddings(s, sf).createOrReplaceTempView("embeddings")
+      s.sql(
+        """WITH x AS (SELECT label, posexplode(embedding) AS (pos, v) FROM embeddings),
+          |mm AS (SELECT label, pos,
+          |         CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(30,12))) AS DOUBLE)
+          |           / COUNT(v) AS mv
+          |       FROM x GROUP BY label, pos),
+          |cent AS (SELECT label,
+          |           transform(array_sort(collect_list(struct(pos, mv))),
+          |                     s -> CAST(s.mv AS FLOAT)) AS cvec
+          |         FROM mm GROUP BY label),
+          |d AS (SELECT e.vec_id, e.label,
+          |        round(sqrt(vec_dot(e.embedding, e.embedding)
+          |          - 2 * vec_dot(e.embedding, c.cvec)
+          |          + vec_dot(c.cvec, c.cvec)), 6) AS dist
+          |      FROM embeddings e JOIN cent c ON e.label = c.label),
+          |r AS (SELECT vec_id, label, dist,
+          |        row_number() OVER (PARTITION BY label ORDER BY dist DESC, vec_id) AS rn,
+          |        count(*) OVER (PARTITION BY label) AS n
+          |      FROM d)
+          |SELECT label, vec_id, dist
+          |FROM r WHERE rn * 20 <= n
+          |ORDER BY label, vec_id""".stripMargin)
+    }),
+
     // ANN quality evaluation as a query: recall@10 of the IVF probe search
     // against the exact brute-force top-10 — the metric an embedding
     // pipeline monitors when it trades exactness for the inverted-file
@@ -437,6 +471,30 @@ object VectorOps {
     "q_vec_ann_ivf" -> ivfDuckSql,
 
     "q_vec_ann_recall" -> recallSql(knnDuckSql, ivfDuckSql),
+
+    "q_vec_outlier_centroid" ->
+      s"""WITH x AS (SELECT label, generate_subscripts(embedding, 1) AS pos,
+         |             unnest(embedding) AS v
+         |           FROM embeddings),
+         |mm AS (SELECT label, pos,
+         |         CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(30,12))) AS DOUBLE)
+         |           / COUNT(v) AS mv
+         |       FROM x GROUP BY label, pos),
+         |cent AS (SELECT label,
+         |           list_transform(list(mv ORDER BY pos), x -> CAST(x AS FLOAT)) AS cvec
+         |         FROM mm GROUP BY label),
+         |d AS (SELECT e.vec_id, e.label,
+         |        round(sqrt(${odot("e.embedding", "e.embedding")}
+         |          - 2 * ${odot("e.embedding", "c.cvec")}
+         |          + ${odot("c.cvec", "c.cvec")}), 6) AS dist
+         |      FROM embeddings e JOIN cent c ON e.label = c.label),
+         |r AS (SELECT vec_id, label, dist,
+         |        row_number() OVER (PARTITION BY label ORDER BY dist DESC, vec_id) AS rn,
+         |        count(*) OVER (PARTITION BY label) AS n
+         |      FROM d)
+         |SELECT label, vec_id, dist
+         |FROM r WHERE rn * 20 <= n
+         |ORDER BY label, vec_id""".stripMargin,
 
     "q_vec_centroid_drift" ->
       """WITH h AS (SELECT vec_id, label, embedding,

@@ -1014,6 +1014,28 @@ class OperatorSpec extends AnyFunSuite with SparkSessionTest
     assert(math.abs(out(("b", "c")) - 0.0) < 1e-9)
   }
 
+  test("centroid outliers flag at most 5 percent per label, the farthest first") {
+    val out = SparkEntry.queries("q_vec_outlier_centroid")(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    val perLabel = Tables.embeddings(spark, sf0001)
+      .groupBy("label").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    out.groupBy(_.getInt(0)).foreach { case (label, rows) =>
+      assert(rows.length * 20 <= perLabel(label), s"label $label")
+    }
+  }
+
+  test("growth accounting reconciles dau, new users, and the cumulative series") {
+    val out = SparkEntry.queries("q_report_growth")(spark, sf0001).collect()
+    val users = Tables.events(spark, sf0001).select("user_id").distinct().count()
+    assert(out.last.getLong(3) == users)            // cumulative ends at total uniques
+    assert(out.map(_.getLong(2)).sum == users)      // every user is new exactly once
+    out.foreach(r => assert(r.getLong(2) <= r.getLong(1))) // new ⊆ active that day
+    // cumulative is the prefix sum of new users
+    var cum = 0L
+    out.foreach { r => cum += r.getLong(2); assert(r.getLong(3) == cum) }
+  }
+
   test("bloom prefilter is semantically transparent vs the plain semi join") {
     val got = SparkEntry.queries("q_join_bloom_prefilter")(spark, sf0001).collect()
     val sel = Tables.orders(spark, sf0001)
