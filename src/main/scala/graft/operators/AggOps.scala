@@ -455,6 +455,29 @@ object AggOps {
           |ORDER BY event_type""".stripMargin)
     }),
 
+    // Latency-style percentile BANDS per type (p50/p90/p99 in one pass) —
+    // the SLO report every log analyzer ships. All three quantiles come
+    // from ONE ranking window via conditional aggregation at the exact
+    // lower-quantile ranks (ceil(q·n)) — no interpolation, no second scan,
+    // engine-identical by construction. The 100 TB twin is
+    // approx_percentile (q_agg_approx_percentile); this is the exact form
+    // you run per bounded partition.
+    "q_agg_percentile_bands" -> ((s, sf) => {
+      registerEvents(s, sf)
+      s.sql(
+        """WITH r AS (SELECT event_type, value,
+          |             row_number() OVER (PARTITION BY event_type
+          |               ORDER BY value, event_id) AS rn,
+          |             count(*) OVER (PARTITION BY event_type) AS n
+          |           FROM events)
+          |SELECT event_type, max(n) AS n_events,
+          |  max(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT) THEN value END) AS p50,
+          |  max(CASE WHEN rn = CAST(ceil(0.90 * n) AS BIGINT) THEN value END) AS p90,
+          |  max(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN value END) AS p99
+          |FROM r GROUP BY event_type
+          |ORDER BY event_type""".stripMargin)
+    }),
+
     // Growth accounting: daily active users, new users, and CUMULATIVE
     // unique users per day. The cumulative distinct is the first-touch
     // trick — min(first_day) per user, then a running sum of new-user
@@ -797,6 +820,19 @@ object AggOps {
         |ORDER BY week, event_type""".stripMargin,
 
     "q_events_ab_lift" -> abLiftSql("VARCHAR"),
+
+    "q_agg_percentile_bands" ->
+      """WITH r AS (SELECT event_type, value,
+        |             row_number() OVER (PARTITION BY event_type
+        |               ORDER BY value, event_id) AS rn,
+        |             count(*) OVER (PARTITION BY event_type) AS n
+        |           FROM events)
+        |SELECT event_type, max(n) AS n_events,
+        |  max(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT) THEN value END) AS p50,
+        |  max(CASE WHEN rn = CAST(ceil(0.90 * n) AS BIGINT) THEN value END) AS p90,
+        |  max(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN value END) AS p99
+        |FROM r GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     "q_report_growth" ->
       """WITH fd AS (SELECT user_id, min(CAST(date_trunc('day', ts) AS DATE)) AS first_day

@@ -357,6 +357,26 @@ object WindowOps {
           |ORDER BY from_type, to_type""".stripMargin)
     }),
 
+    // Longest consecutive-day activity streak per user — gaps-and-islands
+    // on the day grain keyed by (day_number − row_number), the constant-
+    // per-run identity. Two small aggregates after the distinct; the
+    // per-user sort is bounded by days, not events.
+    "q_win_streaks" -> ((s, sf) => {
+      Tables.events(s, sf).createOrReplaceTempView("events")
+      s.sql(
+        """WITH d AS (SELECT DISTINCT user_id,
+          |             CAST(date_trunc('day', ts) AS DATE) AS day
+          |           FROM events),
+          |g AS (SELECT user_id, day,
+          |        datediff(day, DATE '2024-01-01')
+          |          - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+          |      FROM d),
+          |s AS (SELECT user_id, grp, count(*) AS len FROM g GROUP BY user_id, grp)
+          |SELECT user_id, max(len) AS max_streak, count(*) AS n_streaks
+          |FROM s GROUP BY user_id
+          |ORDER BY user_id""".stripMargin)
+    }),
+
     // Clickstream PATHING: top 3-step event sequences across all users
     // (the "what journeys happen most" report; the 3-gram big sibling of
     // q_events_markov's 1-step matrix). Two leads share the markov window;
@@ -663,6 +683,19 @@ object WindowOps {
          |FROM st WHERE next_type IS NOT NULL
          |GROUP BY event_type, next_type
          |ORDER BY from_type, to_type""".stripMargin,
+
+    "q_win_streaks" ->
+      """WITH d AS (SELECT DISTINCT user_id,
+        |             CAST(date_trunc('day', ts) AS DATE) AS day
+        |           FROM events),
+        |g AS (SELECT user_id, day,
+        |        datediff('day', DATE '2024-01-01', day)
+        |          - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+        |      FROM d),
+        |s AS (SELECT user_id, grp, count(*) AS len FROM g GROUP BY user_id, grp)
+        |SELECT user_id, max(len) AS max_streak, count(*) AS n_streaks
+        |FROM s GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
 
     "q_events_pathing" ->
       s"""WITH s AS (SELECT user_id, event_type AS e1,

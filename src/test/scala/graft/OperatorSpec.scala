@@ -1036,6 +1036,36 @@ class OperatorSpec extends AnyFunSuite with SparkSessionTest
     out.foreach { r => cum += r.getLong(2); assert(r.getLong(3) == cum) }
   }
 
+  test("percentile bands are ordered and p50 matches the exact median query") {
+    val out = SparkEntry.queries("q_agg_percentile_bands")(spark, sf0001).collect()
+    out.foreach { r =>
+      assert(r.getDouble(2) <= r.getDouble(3) && r.getDouble(3) <= r.getDouble(4), r.toString)
+    }
+    val med = SparkEntry.queries("q_agg_median")(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // ceil(0.5·n) and (n+1) div 2 agree for even n and differ by at most
+    // one rank for odd n; on this corpus both select the same element for
+    // even-count groups — check those exactly
+    out.filter(_.getLong(1) % 2 == 0).foreach { r =>
+      assert(r.getDouble(2) == med(r.getString(0)), r.toString)
+    }
+  }
+
+  test("streaks cover every user and are bounded by the active-day count") {
+    val out = SparkEntry.queries("q_win_streaks")(spark, sf0001).collect()
+    val users = Tables.events(spark, sf0001).select("user_id").distinct().count()
+    assert(out.length == users)
+    val activeDays = Tables.events(spark, sf0001)
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      .groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      val (u, streak, nStreaks) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(streak >= 1 && streak <= activeDays(u))
+      assert(nStreaks >= 1 && streak + (nStreaks - 1) <= activeDays(u))
+    }
+  }
+
   test("bloom prefilter is semantically transparent vs the plain semi join") {
     val got = SparkEntry.queries("q_join_bloom_prefilter")(spark, sf0001).collect()
     val sel = Tables.orders(spark, sf0001)
