@@ -216,6 +216,48 @@ object StreamOps {
       .transformWithState(new RunningCountProcessor, TimeMode.None(), OutputMode.Update())
   }
 
+  case class TtlCounts(user_id: Long, n_ttl: Long, n_forever: Long)
+
+  /** State TTL (Spark 4): the same running count kept twice — once under a
+    * processing-time TTL and once without. TTL'd state variables silently
+    * disappear after the configured duration (the store filters expired
+    * values at read), which is the zero-code retention mechanism for
+    * "recent activity" state: no timers to manage, no manual cleanup, and
+    * state size stays bounded by the active-key window instead of growing
+    * with every key ever seen — the difference between a bounded and an
+    * unbounded state store at 100 TB. TTL requires
+    * `TimeMode.ProcessingTime`; the untouched twin proves expiry is
+    * per-variable, not per-key. */
+  class TtlCountProcessor(ttl: java.time.Duration)
+      extends StatefulProcessor[Long, Event, TtlCounts] {
+    @transient private var recent: ValueState[Long] = _
+    @transient private var forever: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      recent = getHandle.getValueState[Long]("recent", Encoders.scalaLong, TTLConfig(ttl))
+      forever = getHandle.getValueState[Long]("forever", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+                                 timerValues: TimerValues): Iterator[TtlCounts] = {
+      val batch = rows.size
+      val r = (if (recent.exists()) recent.get() else 0L) + batch
+      val f = (if (forever.exists()) forever.get() else 0L) + batch
+      recent.update(r)
+      forever.update(f)
+      Iterator.single(TtlCounts(key, r, f))
+    }
+  }
+
+  /** Running counts with a TTL'd twin via [[TtlCountProcessor]]. */
+  def statefulTtlCount(s: SparkSession, events: Dataset[Event],
+                       ttl: java.time.Duration): Dataset[TtlCounts] = {
+    import s.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new TtlCountProcessor(ttl), TimeMode.ProcessingTime(),
+        OutputMode.Update())
+  }
+
   case class CountSeed(user_id: Long, n: Long)
 
   /** Batch-bootstrap for streaming state: the running-count processor

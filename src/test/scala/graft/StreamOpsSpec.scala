@@ -289,6 +289,47 @@ class StreamOpsSpec extends AnyFunSuite with SparkSessionTest {
     }
   }
 
+  test("transformWithState state TTL expires the ttl'd variable but not its twin") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // AvailableNow + checkpoint restarts: TimeMode.ProcessingTime keeps a
+    // continuously-running query scheduling batches (processAllAvailable
+    // never quiesces), so each phase drains and terminates instead
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ttl_ck").toString
+    val ms = MemoryStream[Event]
+    // the memory sink refuses checkpoint recovery; a foreachBatch
+    // collector supports it and sees exactly the update-mode emissions
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]
+    def runOnce(): Unit = {
+      val q = StreamOps.statefulTtlCount(spark, ms.toDS(), java.time.Duration.ofMillis(50))
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[StreamOps.TtlCounts], _: Long) =>
+          df.collect().foreach(c => got.add((c.n_ttl, c.n_forever)))
+        }
+        .start()
+      q.awaitTermination(60000)
+      q.stop()
+    }
+    try {
+      ms.addData(ev(1, "2024-01-01 10:00:00", u = 1), ev(2, "2024-01-01 10:00:01", u = 1))
+      runOnce()
+      import scala.jdk.CollectionConverters._
+      assert(got.asScala.toSeq == Seq((2L, 2L)), got) // both counters see batch 1
+      Thread.sleep(500) // well past the 50ms TTL
+      ms.addData(ev(3, "2024-01-01 10:00:02", u = 1))
+      runOnce()
+      // ttl'd state expired → restarts at 1; the NONE twin kept its total → 3
+      assert(got.asScala.toSeq == Seq((2L, 2L), (1L, 3L)), got)
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("transformWithState seeds state from a batch aggregate (initial state)") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
