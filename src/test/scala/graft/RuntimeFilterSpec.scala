@@ -107,4 +107,39 @@ class RuntimeFilterSpec extends AnyFunSuite with SparkSessionTest
       spark.conf.get("spark.sql.shuffle.partitions").toInt,
       "tiny shuffle should coalesce below the configured partition count")
   }
+
+  test("AQE splits a skewed join partition at runtime (skew=true)") {
+    // One hot key dominates the left side; with broadcast off the join is
+    // an SMJ whose hot partition dwarfs the median. AQE's skew handling
+    // splits that partition into subpartitions at runtime — the automatic
+    // twin of Skew.saltedJoin's manual salting, and the mechanism that
+    // keeps one 100 GB key from serializing a 1000-executor join.
+    // Thresholds are lowered so the corpus-sized fixture trips the same
+    // code path a TB-scale skew would.
+    withConfs(Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      // keep coalescing from merging everything back into one partition
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "1KB")) {
+      import spark.implicits._
+      val left = spark.range(0, 60000)
+        .select((when($"id" % 20 === 0, $"id" % 3 + 1).otherwise(0L)).as("k"),
+          concat(lit("payload_payload_payload_"), $"id").as("pad"))
+      val right = Seq((0L, "hot"), (1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "name")
+      val joined = left.join(right, "k")
+      // materialize THIS plan (count() would execute a different one and
+      // leave joined's AdaptiveSparkPlan unevaluated)
+      assert(joined.collect().length == 60000)
+      val smjs = collect(joined.queryExecution.executedPlan) {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      }
+      assert(smjs.nonEmpty, joined.queryExecution.executedPlan.toString.take(400))
+      assert(smjs.exists(_.isSkewJoin),
+        "expected AQE to mark the hot partition skew=true:\n" +
+          joined.queryExecution.executedPlan.toString.take(600))
+    }
+  }
 }
