@@ -235,6 +235,25 @@ object PipelineOps {
   private val mixSparkSql = mixSql("CAST(size(split(text, ' ')) AS BIGINT)")
   private val mixDuckSql = mixSql("CAST(len(string_split(text, ' ')) AS BIGINT)")
 
+  /** Deterministic source-interleaved training order: docs are md5-
+    * shuffled WITHIN each source, then sources are round-robin-interleaved
+    * by taking rank-1 of every source, then rank-2, … — the standard
+    * "shuffle shards, interleave sources" ordering that keeps any window
+    * of the training stream source-balanced. Fully reproducible (md5
+    * discipline), and at scale the total order is materialized per output
+    * shard via range partitioning on (rank, source), never through one
+    * task. Emits the first 100 positions as the checkable prefix. */
+  private def interleaveSql(cast: String): String =
+    s"""WITH r AS (SELECT doc_id, source,
+       |             row_number() OVER (PARTITION BY source
+       |               ORDER BY md5(CAST(doc_id AS $cast)), doc_id) AS rk
+       |           FROM documents)
+       |SELECT row_number() OVER (ORDER BY rk, source) AS pos,
+       |       doc_id, source, rk
+       |FROM r
+       |ORDER BY pos
+       |LIMIT 100""".stripMargin
+
   private def run(s: SparkSession, sf: String, sql: String): DataFrame = {
     Tables.documents(s, sf).createOrReplaceTempView("documents")
     s.sql(sql)
@@ -256,7 +275,8 @@ object PipelineOps {
         .createOrReplaceTempView("lp_tok")
       s.sql(logprobRestSql("lp_tok"))
     }),
-    "q_pipeline_mix" -> ((s, sf) => run(s, sf, mixSparkSql))
+    "q_pipeline_mix" -> ((s, sf) => run(s, sf, mixSparkSql)),
+    "q_pipeline_interleave" -> ((s, sf) => run(s, sf, interleaveSql("STRING")))
   )
 
   val oracle: Map[String, String] = Map(
@@ -265,6 +285,7 @@ object PipelineOps {
     "q_pipeline_pack" -> packDuckSql,
     "q_pipeline_dataset_card" -> cardDuckSql,
     "q_text_unigram_logprob" -> logprobDuckSql,
-    "q_pipeline_mix" -> mixDuckSql
+    "q_pipeline_mix" -> mixDuckSql,
+    "q_pipeline_interleave" -> interleaveSql("VARCHAR")
   )
 }

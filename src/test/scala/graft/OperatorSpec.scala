@@ -1066,6 +1066,20 @@ class OperatorSpec extends AnyFunSuite with SparkSessionTest
     }
   }
 
+  test("interleave round-robins sources so any prefix is source-balanced") {
+    val out = SparkEntry.queries("q_pipeline_interleave")(spark, sf0001).collect()
+    assert(out.length == 100)
+    assert(out.map(_.getInt(0).toLong).toSeq == (1L to 100L)) // dense positions
+    val nSources = Tables.documents(spark, sf0001)
+      .select("source").distinct().count().toInt
+    // within the first full round every source appears exactly once
+    val firstRound = out.take(nSources).map(_.getString(2))
+    assert(firstRound.toSet.size == nSources, firstRound.mkString(","))
+    // positions are (rank, source)-ordered: rank is non-decreasing
+    val rks = out.map(_.getInt(3))
+    assert(rks.zip(rks.tail).forall { case (a, b) => a <= b })
+  }
+
   test("bloom prefilter is semantically transparent vs the plain semi join") {
     val got = SparkEntry.queries("q_join_bloom_prefilter")(spark, sf0001).collect()
     val sel = Tables.orders(spark, sf0001)
