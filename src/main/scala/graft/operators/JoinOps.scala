@@ -363,10 +363,18 @@ object JoinOps {
     "q_join_bloom_prefilter" -> ((s, sf) => {
       val sel = Tables.orders(s, sf)
         .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 400000.0)
-      val bf = sel.stat.bloomFilter("o_orderkey", math.max(sel.count(), 1L), 0.001)
-      val mightContain = udf((k: Long) => bf.mightContain(k))
+      // empty build side → `stat.bloomFilter` returns a bufferless sketch
+      // whose mightContain NPEs (found by EmptyCorpusSpec); an always-false
+      // prefilter is the exact semantics (semi join with an empty side)
+      val n = sel.count()
+      val prefilter =
+        if (n == 0) lit(false)
+        else {
+          val bf = sel.stat.bloomFilter("o_orderkey", n, 0.001)
+          udf((k: Long) => bf.mightContain(k)).apply(col("l_orderkey"))
+        }
       val li = Tables.lineitem(s, sf)
-      li.filter(mightContain(col("l_orderkey")))
+      li.filter(prefilter)
         .join(sel.select("o_orderkey"), col("l_orderkey") === col("o_orderkey"), "left_semi")
         .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
         .orderBy("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")

@@ -202,11 +202,14 @@ object ScanOps {
     // original table — proving partition-column round-trip fidelity.
     "q_sink_partitioned" -> ((s, sf) => {
       val dir = s"/tmp/graft_part_rt/${sf.replaceAll("[^A-Za-z0-9]", "_")}"
-      Tables.events(s, sf)
+      val written = Tables.events(s, sf)
         .select(col("event_id"), col("user_id"), col("value"),
           to_date(col("ts")).as("day"), col("event_type"))
-        .write.mode("overwrite").partitionBy("event_type").parquet(dir)
-      s.read.parquet(dir)
+      written.write.mode("overwrite").partitionBy("event_type").parquet(dir)
+      // schema-pinned read-back: an empty write leaves no files to infer
+      // from (found by EmptyCorpusSpec), and pinning is the right contract
+      // for any production table read anyway (SURVEY §1.2)
+      s.read.schema(written.schema).parquet(dir)
         .filter(col("event_type") === "error")
         .groupBy("day")
         .agg(count(lit(1)).as("n_errors"),
