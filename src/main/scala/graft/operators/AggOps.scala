@@ -377,7 +377,12 @@ object AggOps {
           sum((col("value") * col("value")).cast(DecimalType(30, 8))).cast(DoubleType).as("s2"))
         .select(col("event_type"),
           (col("s1") / col("n")).as("mean_v"),
-          sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1)).as("std_v"))
+          // nullif: a single-row group has no sample variance — under ANSI
+          // the bare (n-1) divisor is a job-killing DIVIDE_BY_ZERO (found
+          // by the one-row corpus sweep); a NULL std_v drops the row at
+          // the |z| filter, which is the only defensible answer for n=1
+          sqrt((col("s2") - col("s1") * col("s1") / col("n")) /
+            nullif((col("n") - 1).cast(DoubleType), lit(0.0))).as("std_v"))
       e.join(broadcast(m), "event_type")
         .select(col("event_id"), col("event_type"), col("value"),
           round((col("value") - col("mean_v")) / col("std_v"), 6).as("z"))
@@ -594,9 +599,9 @@ object AggOps {
           |      count(*) OVER (PARTITION BY event_type) AS n
           |    FROM ad) t WHERE rn = (n + 1) DIV 2)
           |SELECT /*+ BROADCAST(d) */ a.event_type, a.event_id, a.value,
-          |  round((a.value - a.med) / (1.4826 * d.mad), 4) AS robust_z
+          |  round((a.value - a.med) / nullif(1.4826 * d.mad, 0.0), 4) AS robust_z
           |FROM ad a JOIN madt d ON a.event_type = d.event_type
-          |WHERE abs((a.value - a.med) / (1.4826 * d.mad)) > 3.5
+          |WHERE abs((a.value - a.med) / nullif(1.4826 * d.mad, 0.0)) > 3.5
           |ORDER BY a.event_type, a.event_id""".stripMargin)
     }),
 
@@ -907,9 +912,9 @@ object AggOps {
         |      count(*) OVER (PARTITION BY event_type) AS n
         |    FROM ad) t WHERE rn = (n + 1) // 2)
         |SELECT a.event_type, a.event_id, a.value,
-        |  round((a.value - a.med) / (1.4826 * d.mad), 4) AS robust_z
+        |  round((a.value - a.med) / nullif(1.4826 * d.mad, 0.0), 4) AS robust_z
         |FROM ad a JOIN madt d ON a.event_type = d.event_type
-        |WHERE abs((a.value - a.med) / (1.4826 * d.mad)) > 3.5
+        |WHERE abs((a.value - a.med) / nullif(1.4826 * d.mad, 0.0)) > 3.5
         |ORDER BY a.event_type, a.event_id""".stripMargin,
 
     "q_agg_hist_equidepth" ->

@@ -26,13 +26,26 @@ class EmptyCorpusSpec extends AnyFunSuite with SparkSessionTest {
     * gracefully (empty probe → empty result) and stay in the sweep. */
   private val requiresData = Set("q_vec_ann_lsh")
 
-  test("every registered query executes on a zero-row corpus") {
-    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, _) if requiresData(name) => None
+  private def sweep(sfDir: String, skip: Set[String]): Seq[String] =
+    SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, _) if skip(name) => None
       case (name, fn) =>
-        try { fn(spark, emptySf).count(); None }
+        try { fn(spark, sfDir).count(); None }
         catch { case e: Throwable => Some(s"$name: ${e.getClass.getSimpleName} ${String.valueOf(e.getMessage).take(120)}") }
     }
+
+  test("every registered query executes on a zero-row corpus") {
+    val failures = sweep(emptySf, requiresData)
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("every registered query executes on a one-row corpus") {
+    // one row per table: the degenerate-but-nonempty case — single-element
+    // groups (n−1 = 0 in variance denominators), one-vector labels,
+    // single-token documents; doubles go NaN/Infinity (fine), nothing may
+    // throw. The MLlib LSH fits on one vector, so it stays in this sweep.
+    val tinySf = getClass.getResource("/tiny_sf").getPath
+    val failures = sweep(tinySf, Set.empty)
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 }
