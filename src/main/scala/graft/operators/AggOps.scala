@@ -483,6 +483,30 @@ object AggOps {
           |ORDER BY event_type""".stripMargin)
     }),
 
+    // Seasonality chi-square: per type, the goodness-of-fit statistic of
+    // hourly activity against a flat 24-hour profile — "is this event
+    // type time-of-day dependent" as one number (dof = 23; >> 35 ⇒ yes at
+    // any usual significance). Each (obs − exp)²/exp term is decimal-
+    // quantized before the sum, so the 24-term reduction is order-
+    // independent; two tiny aggregates over one corpus pass.
+    "q_agg_chi2_hourly" -> ((s, sf) => {
+      registerEvents(s, sf)
+      s.sql(
+        """WITH h AS (SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr,
+          |             count(*) AS obs
+          |           FROM events GROUP BY event_type, 2),
+          |t AS (SELECT event_type, CAST(sum(obs) AS DOUBLE) / 24 AS exp_n
+          |      FROM h GROUP BY event_type)
+          |SELECT h.event_type, CAST(sum(obs) AS BIGINT) AS n_events,
+          |  round(CAST(sum(CAST((obs - exp_n) * (obs - exp_n) / exp_n
+          |                      AS DECIMAL(30,8))) AS DOUBLE)
+          |        + (24 - count(*)) * min(exp_n), 4) AS chi2,
+          |  23 AS dof
+          |FROM h JOIN t ON h.event_type = t.event_type
+          |GROUP BY h.event_type
+          |ORDER BY h.event_type""".stripMargin)
+    }),
+
     // Growth accounting: daily active users, new users, and CUMULATIVE
     // unique users per day. The cumulative distinct is the first-touch
     // trick — min(first_day) per user, then a running sum of new-user
@@ -838,6 +862,21 @@ object AggOps {
         |  max(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN value END) AS p99
         |FROM r GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+
+    "q_agg_chi2_hourly" ->
+      """WITH h AS (SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr,
+        |             count(*) AS obs
+        |           FROM events GROUP BY event_type, 2),
+        |t AS (SELECT event_type, CAST(sum(obs) AS DOUBLE) / 24 AS exp_n
+        |      FROM h GROUP BY event_type)
+        |SELECT h.event_type, CAST(sum(obs) AS BIGINT) AS n_events,
+        |  round(CAST(sum(CAST((obs - exp_n) * (obs - exp_n) / exp_n
+        |                      AS DECIMAL(30,8))) AS DOUBLE)
+        |        + (24 - count(*)) * min(exp_n), 4) AS chi2,
+        |  23 AS dof
+        |FROM h JOIN t ON h.event_type = t.event_type
+        |GROUP BY h.event_type
+        |ORDER BY h.event_type""".stripMargin,
 
     "q_report_growth" ->
       """WITH fd AS (SELECT user_id, min(CAST(date_trunc('day', ts) AS DATE)) AS first_day

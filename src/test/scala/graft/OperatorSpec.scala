@@ -1080,6 +1080,18 @@ class OperatorSpec extends AnyFunSuite with SparkSessionTest
     assert(rks.zip(rks.tail).forall { case (a, b) => a <= b })
   }
 
+  test("hourly chi-square reconciles counts and sits near its dof on uniform data") {
+    val out = SparkEntry.queries("q_agg_chi2_hourly")(spark, sf0001).collect()
+    val events = Tables.events(spark, sf0001).count()
+    assert(out.map(_.getLong(1)).sum == events)
+    out.foreach { r =>
+      assert(r.getDouble(2) >= 0.0)
+      // E[chi2] = dof = 23 for the uniform generator; generous band
+      assert(r.getDouble(2) < 120.0, r.toString)
+      assert(r.getInt(3) == 23)
+    }
+  }
+
   test("bloom prefilter is semantically transparent vs the plain semi join") {
     val got = SparkEntry.queries("q_join_bloom_prefilter")(spark, sf0001).collect()
     val sel = Tables.orders(spark, sf0001)
