@@ -306,6 +306,15 @@ object VectorOps {
           |ORDER BY label, vec_id""".stripMargin)
     }),
 
+    // Top principal component (eigenvalue, variance-explained share, and
+    // leading loadings) via SQL power iteration — see pcaSql. The
+    // ||C·b||-after-normalize norm IS the eigenvalue estimate.
+    "q_vec_pca_power" -> ((s, sf) => {
+      Tables.embeddings(s, sf).createOrReplaceTempView("embeddings")
+      s.sql(pcaSql(
+        "SELECT vec_id, posexplode(embedding) AS (pos, v) FROM embeddings"))
+    }),
+
     // ANN quality evaluation as a query: recall@10 of the IVF probe search
     // against the exact brute-force top-10 — the metric an embedding
     // pipeline monitors when it trades exactness for the inverted-file
@@ -439,6 +448,58 @@ object VectorOps {
     explodeCte = "SELECT label, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS v FROM embeddings",
     assemble = "list_transform(list(mv ORDER BY pos), x -> CAST(x AS FLOAT))")
 
+  /** Top principal component by THREE unrolled power-iteration steps over
+    * the 64×64 covariance matrix, all in SQL: explode to (vec_id, pos, v),
+    * broadcast the per-position means, self-join on vec_id for the
+    * centered cross-products (the one big stage: N·64² terms, one shuffle,
+    * then a 4096-row matrix), and iterate b ← normalize(C·b) from the
+    * all-ones start. Every reduction (covariance cells, matvec sums,
+    * norms) quantizes its terms to exact decimals before summing, so the
+    * whole pipeline is partial-aggregation-order independent and
+    * bit-identical across engines — which is what lets an iterative
+    * numerical method sit under a hash-compared oracle at all. `explodePos`
+    * is the engine's (vec_id, pos, v) spelling. */
+  private def pcaSql(explodePos: String): String = {
+    def matvec(bTab: String, out: String): String =
+      s"""$out AS (SELECT c.i AS i,
+         |  CAST(SUM(CAST(c.cv * b.w AS DECIMAL(38,14))) AS DOUBLE) AS w
+         |FROM cov c JOIN $bTab b ON c.j = b.i GROUP BY c.i)""".stripMargin
+    def normalize(raw: String, out: String): String =
+      s"""${raw}_n AS (SELECT sqrt(CAST(SUM(CAST(w * w AS DECIMAL(38,14))) AS DOUBLE)) AS nrm
+         |FROM $raw),
+         |$out AS (SELECT i, w / nullif(nrm, 0.0) AS w FROM $raw CROSS JOIN ${raw}_n)""".stripMargin
+    s"""WITH x AS ($explodePos),
+       |mu AS (SELECT pos,
+       |         CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(30,12))) AS DOUBLE)
+       |           / COUNT(v) AS m
+       |       FROM x GROUP BY pos),
+       |cx AS (SELECT x.vec_id, x.pos, CAST(x.v AS DOUBLE) - mu.m AS cv
+       |       FROM x JOIN mu ON x.pos = mu.pos),
+       |n AS (SELECT CAST(count(DISTINCT vec_id) AS DOUBLE) AS nv FROM cx),
+       |cov AS (SELECT a.pos AS i, b.pos AS j,
+       |          CAST(SUM(CAST(a.cv * b.cv AS DECIMAL(38,14))) AS DOUBLE)
+       |            / (SELECT nv FROM n) AS cv
+       |        FROM cx a JOIN cx b ON a.vec_id = b.vec_id
+       |        GROUP BY a.pos, b.pos),
+       |b0 AS (SELECT DISTINCT i AS i, CAST(0.125 AS DOUBLE) AS w FROM cov),
+       |${matvec("b0", "r1")},
+       |${normalize("r1", "b1")},
+       |${matvec("b1", "r2")},
+       |${normalize("r2", "b2")},
+       |${matvec("b2", "r3")},
+       |${normalize("r3", "b3")},
+       |tr AS (SELECT CAST(SUM(CAST(cv AS DECIMAL(38,14))) AS DOUBLE) AS t
+       |       FROM cov WHERE i = j)
+       |SELECT round(r3_n.nrm, 6) AS eigval,
+       |  round(r3_n.nrm / nullif(tr.t, 0.0), 6) AS var_explained,
+       |  round(max(CASE WHEN b3.i = 0 THEN b3.w END), 6) AS c0,
+       |  round(max(CASE WHEN b3.i = 1 THEN b3.w END), 6) AS c1,
+       |  round(max(CASE WHEN b3.i = 2 THEN b3.w END), 6) AS c2,
+       |  round(max(CASE WHEN b3.i = 3 THEN b3.w END), 6) AS c3
+       |FROM b3 CROSS JOIN r3_n CROSS JOIN tr
+       |GROUP BY r3_n.nrm, tr.t""".stripMargin
+  }
+
   /** recall@10: overlap of the approximate and exact top-10 id sets. */
   private def recallSql(knn: String, ivf: String): String =
     s"""SELECT count(*) AS n_overlap, round(count(*) / 10.0, 2) AS recall_at_10
@@ -471,6 +532,9 @@ object VectorOps {
     "q_vec_ann_ivf" -> ivfDuckSql,
 
     "q_vec_ann_recall" -> recallSql(knnDuckSql, ivfDuckSql),
+
+    "q_vec_pca_power" -> pcaSql(
+      "SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos, unnest(embedding) AS v FROM embeddings"),
 
     "q_vec_outlier_centroid" ->
       s"""WITH x AS (SELECT label, generate_subscripts(embedding, 1) AS pos,

@@ -1092,6 +1092,18 @@ class OperatorSpec extends AnyFunSuite with SparkSessionTest
     }
   }
 
+  test("pca power iteration yields a valid spectral estimate") {
+    val r = SparkEntry.queries("q_vec_pca_power")(spark, sf0001).head()
+    val (eig, share) = (r.getDouble(0), r.getDouble(1))
+    assert(eig > 0.0)
+    assert(share > 0.0 && share <= 1.0)
+    // components of a unit vector
+    (2 to 5).foreach(i => assert(math.abs(r.getDouble(i)) <= 1.0 + 1e-9))
+    // near-isotropic random embeddings: the top-PC share must stay small
+    // (a spiked spectrum would push it toward 1)
+    assert(share < 0.2, s"share $share")
+  }
+
   test("bloom prefilter is semantically transparent vs the plain semi join") {
     val got = SparkEntry.queries("q_join_bloom_prefilter")(spark, sf0001).collect()
     val sel = Tables.orders(spark, sf0001)
