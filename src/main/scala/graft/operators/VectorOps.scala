@@ -311,8 +311,29 @@ object VectorOps {
     // ||C·b||-after-normalize norm IS the eigenvalue estimate.
     "q_vec_pca_power" -> ((s, sf) => {
       Tables.embeddings(s, sf).createOrReplaceTempView("embeddings")
-      s.sql(pcaSql(
+      // Iterate in Scala over a MATERIALIZED matrix: under CTE inlining
+      // each normalize references its matvec twice, so the one-query plan
+      // tree grows exponentially in iterations (337 physical nodes, the
+      // covariance stage re-executed dozens of times — ~14 s at sf0.1).
+      // The 64×64 covariance is a driver-sized object, so collect it and
+      // re-parallelize (the standard distributed-to-BLAS handoff; cheaper
+      // than localCheckpoint, whose non-adaptive RDD materialization
+      // measured 12 s by itself). Full query: ~14 → ~1.5 s warm at sf0.1;
+      // the numeric path is identical to the oracle's one-query form.
+      val cov = s.sql(pcaCovSql(
         "SELECT vec_id, posexplode(embedding) AS (pos, v) FROM embeddings"))
+      s.createDataFrame(
+          java.util.Arrays.asList(cov.collect(): _*), cov.schema)
+        .createOrReplaceTempView("pca_cov")
+      val b0 = s.sql("SELECT DISTINCT i AS i, CAST(0.125 AS DOUBLE) AS w FROM pca_cov")
+      var b = s.createDataFrame(java.util.Arrays.asList(b0.collect(): _*), b0.schema)
+      (1 to 2).foreach { _ =>
+        b.createOrReplaceTempView("pca_b")
+        val nb = s.sql(pcaStepSql)
+        b = s.createDataFrame(java.util.Arrays.asList(nb.collect(): _*), nb.schema)
+      }
+      b.createOrReplaceTempView("pca_b")
+      s.sql(pcaFinalSql)
     }),
 
     // ANN quality evaluation as a query: recall@10 of the IVF probe search
@@ -458,16 +479,20 @@ object VectorOps {
     * whole pipeline is partial-aggregation-order independent and
     * bit-identical across engines — which is what lets an iterative
     * numerical method sit under a hash-compared oracle at all. `explodePos`
-    * is the engine's (vec_id, pos, v) spelling. */
-  private def pcaSql(explodePos: String): String = {
-    def matvec(bTab: String, out: String): String =
-      s"""$out AS (SELECT c.i AS i,
-         |  CAST(SUM(CAST(c.cv * b.w AS DECIMAL(38,14))) AS DOUBLE) AS w
-         |FROM cov c JOIN $bTab b ON c.j = b.i GROUP BY c.i)""".stripMargin
-    def normalize(raw: String, out: String): String =
-      s"""${raw}_n AS (SELECT sqrt(CAST(SUM(CAST(w * w AS DECIMAL(38,14))) AS DOUBLE)) AS nrm
-         |FROM $raw),
-         |$out AS (SELECT i, w / nullif(nrm, 0.0) AS w FROM $raw CROSS JOIN ${raw}_n)""".stripMargin
+    * is the engine's (vec_id, pos, v) spelling.
+    *
+    * The covariance matrix feeds FIVE consumers (b0, three matvecs, the
+    * trace), so the Spark entry materializes it once via localCheckpoint
+    * (measured 14 s → ~1 s warm at sf0.1 — the full N·64² stage was being
+    * recomputed five times under CTE inlining); the DuckDB oracle keeps
+    * the one-query composition. */
+  /** The covariance stage of [[pcaSql]]: (i, j, cv) over centered data.
+    * The N·64² reduction quantizes each term to BIGINT picounits via
+    * floor(x·1e12 + 0.5) — portable rounding (identical in both engines,
+    * same as q_vec_quantize) and exact order-independent integer sums,
+    * but ~10× cheaper than per-term double→Decimal conversion, which
+    * measured ~1 µs/row (12 s over the 8.2M-term stage at sf0.1). */
+  private def pcaCovSql(explodePos: String): String =
     s"""WITH x AS ($explodePos),
        |mu AS (SELECT pos,
        |         CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(30,12))) AS DOUBLE)
@@ -475,12 +500,24 @@ object VectorOps {
        |       FROM x GROUP BY pos),
        |cx AS (SELECT x.vec_id, x.pos, CAST(x.v AS DOUBLE) - mu.m AS cv
        |       FROM x JOIN mu ON x.pos = mu.pos),
-       |n AS (SELECT CAST(count(DISTINCT vec_id) AS DOUBLE) AS nv FROM cx),
-       |cov AS (SELECT a.pos AS i, b.pos AS j,
-       |          CAST(SUM(CAST(a.cv * b.cv AS DECIMAL(38,14))) AS DOUBLE)
-       |            / (SELECT nv FROM n) AS cv
-       |        FROM cx a JOIN cx b ON a.vec_id = b.vec_id
-       |        GROUP BY a.pos, b.pos),
+       |n AS (SELECT CAST(count(DISTINCT vec_id) AS DOUBLE) AS nv FROM cx)
+       |SELECT a.pos AS i, b.pos AS j,
+       |  CAST(SUM(CAST(floor(a.cv * b.cv * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+       |    / 1000000000000.0 / (SELECT nv FROM n) AS cv
+       |FROM cx a JOIN cx b ON a.vec_id = b.vec_id
+       |GROUP BY a.pos, b.pos""".stripMargin
+
+  /** The iteration stage of [[pcaSql]] over a covariance relation. */
+  private def pcaIterSql(covRef: String): String = {
+    def matvec(bTab: String, out: String): String =
+      s"""$out AS (SELECT c.i AS i,
+         |  CAST(SUM(CAST(c.cv * b.w AS DECIMAL(18,12))) AS DOUBLE) AS w
+         |FROM cov c JOIN $bTab b ON c.j = b.i GROUP BY c.i)""".stripMargin
+    def normalize(raw: String, out: String): String =
+      s"""${raw}_n AS (SELECT sqrt(CAST(SUM(CAST(w * w AS DECIMAL(18,12))) AS DOUBLE)) AS nrm
+         |FROM $raw),
+         |$out AS (SELECT i, w / nullif(nrm, 0.0) AS w FROM $raw CROSS JOIN ${raw}_n)""".stripMargin
+    s"""WITH cov AS (SELECT * FROM $covRef),
        |b0 AS (SELECT DISTINCT i AS i, CAST(0.125 AS DOUBLE) AS w FROM cov),
        |${matvec("b0", "r1")},
        |${normalize("r1", "b1")},
@@ -488,7 +525,7 @@ object VectorOps {
        |${normalize("r2", "b2")},
        |${matvec("b2", "r3")},
        |${normalize("r3", "b3")},
-       |tr AS (SELECT CAST(SUM(CAST(cv AS DECIMAL(38,14))) AS DOUBLE) AS t
+       |tr AS (SELECT CAST(SUM(CAST(cv AS DECIMAL(18,12))) AS DOUBLE) AS t
        |       FROM cov WHERE i = j)
        |SELECT round(r3_n.nrm, 6) AS eigval,
        |  round(r3_n.nrm / nullif(tr.t, 0.0), 6) AS var_explained,
@@ -499,6 +536,41 @@ object VectorOps {
        |FROM b3 CROSS JOIN r3_n CROSS JOIN tr
        |GROUP BY r3_n.nrm, tr.t""".stripMargin
   }
+
+  /** One-query composition (the DuckDB oracle form). */
+  private def pcaSql(explodePos: String): String =
+    pcaIterSql(s"(${pcaCovSql(explodePos)})")
+
+  /** One Spark-side power step over checkpointed views `pca_cov` and
+    * `pca_b`: normalize(C·b). Identical quantization/order to the oracle's
+    * matvec+normalize CTE pair. */
+  private val pcaStepSql =
+    """WITH r AS (SELECT c.i AS i,
+      |  CAST(SUM(CAST(c.cv * b.w AS DECIMAL(18,12))) AS DOUBLE) AS w
+      |FROM pca_cov c JOIN pca_b b ON c.j = b.i GROUP BY c.i),
+      |n AS (SELECT sqrt(CAST(SUM(CAST(w * w AS DECIMAL(18,12))) AS DOUBLE)) AS nrm
+      |      FROM r)
+      |SELECT i, w / nullif(nrm, 0.0) AS w FROM r CROSS JOIN n""".stripMargin
+
+  /** Final Spark-side step: the third matvec, its norm (= the eigenvalue
+    * estimate), the trace, and the report row. */
+  private val pcaFinalSql =
+    """WITH r3 AS (SELECT c.i AS i,
+      |  CAST(SUM(CAST(c.cv * b.w AS DECIMAL(18,12))) AS DOUBLE) AS w
+      |FROM pca_cov c JOIN pca_b b ON c.j = b.i GROUP BY c.i),
+      |r3_n AS (SELECT sqrt(CAST(SUM(CAST(w * w AS DECIMAL(18,12))) AS DOUBLE)) AS nrm
+      |         FROM r3),
+      |b3 AS (SELECT i, w / nullif(nrm, 0.0) AS w FROM r3 CROSS JOIN r3_n),
+      |tr AS (SELECT CAST(SUM(CAST(cv AS DECIMAL(18,12))) AS DOUBLE) AS t
+      |       FROM pca_cov WHERE i = j)
+      |SELECT round(r3_n.nrm, 6) AS eigval,
+      |  round(r3_n.nrm / nullif(tr.t, 0.0), 6) AS var_explained,
+      |  round(max(CASE WHEN b3.i = 0 THEN b3.w END), 6) AS c0,
+      |  round(max(CASE WHEN b3.i = 1 THEN b3.w END), 6) AS c1,
+      |  round(max(CASE WHEN b3.i = 2 THEN b3.w END), 6) AS c2,
+      |  round(max(CASE WHEN b3.i = 3 THEN b3.w END), 6) AS c3
+      |FROM b3 CROSS JOIN r3_n CROSS JOIN tr
+      |GROUP BY r3_n.nrm, tr.t""".stripMargin
 
   /** recall@10: overlap of the approximate and exact top-10 id sets. */
   private def recallSql(knn: String, ivf: String): String =
