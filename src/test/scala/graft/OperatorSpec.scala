@@ -756,6 +756,9 @@ class OperatorSpec extends AnyFunSuite with SparkSessionTest
     val overlap = (exact intersect ivf).size
     assert(r.getLong(0) == overlap)
     assert(exact.size == 10 && ivf.size == 10)
+    // The geometry-trained codebook (k-means, K=16, nprobe=6) must beat a
+    // random partition of the corpus by a wide margin: recall@10 ≥ 0.6.
+    assert(r.getDouble(1) >= 0.6, s"recall_at_10 = ${r.getDouble(1)}")
   }
 
   test("weekly reaggregate of the daily pre-aggregate matches raw-grain aggregation") {
