@@ -376,17 +376,21 @@ object FnOps {
     }),
 
     // printf-style formatting + character-level string surface. Spark's
-    // format_string and DuckDB's printf share the C format-spec language;
-    // %.3f on arbitrary doubles agrees because a binary double essentially
-    // never sits exactly on a decimal half-ulp tie (verified corpus-wide
-    // at all three SFs by the gate). translate/repeat/reverse/left/right/
-    // ascii/chr are name-and-semantics identical. Pure per-row projection:
-    // narrow, codegen'd, embarrassingly parallel at any scale.
+    // format_string and DuckDB's printf share the C format-spec language,
+    // but their tie-break modes differ (Java Formatter HALF_UP vs fmt's
+    // round-half-even), so %.3f is fed a PRE-QUANTIZED value: the portable
+    // fixed-point floor(x·1000 + 0.5)/1000 (pure IEEE ops, identical in
+    // both engines) snaps the double onto the millis grid, and a double
+    // that close to a 3-decimal value is never at a formatting tie — the
+    // formatter's rounding mode becomes unobservable. translate/repeat/
+    // reverse/left/right/ascii/chr are name-and-semantics identical. Pure
+    // per-row projection: narrow, codegen'd, parallel at any scale.
     "q_fn_format" -> ((s, sf) => {
       Tables.events(s, sf).createOrReplaceTempView("events")
       s.sql(
         """SELECT event_id,
-          |  format_string('%05d|%.3f|%s', user_id, value, event_type) AS fmt,
+          |  format_string('%05d|%.3f|%s', user_id,
+          |                floor(value * 1000 + 0.5) / 1000, event_type) AS fmt,
           |  translate(event_type, 'aeiou', 'AEIOU') AS tr,
           |  repeat(substring(event_type, 1, 2), 3) AS rep,
           |  reverse(event_type) AS rev,
@@ -649,7 +653,8 @@ object FnOps {
 
     "q_fn_format" ->
       """SELECT event_id,
-        |  printf('%05d|%.3f|%s', user_id, value, event_type) AS fmt,
+        |  printf('%05d|%.3f|%s', user_id,
+        |         floor(value * 1000 + 0.5) / 1000, event_type) AS fmt,
         |  translate(event_type, 'aeiou', 'AEIOU') AS tr,
         |  repeat(substring(event_type, 1, 2), 3) AS rep,
         |  reverse(event_type) AS rev,

@@ -179,7 +179,7 @@ object ScanOps {
     // exercised by Sinks (BucketingSpec) so this stays a single-file
     // contract check.
     "q_ingest_orc" -> ((s, sf) => {
-      val dir = s"/tmp/graft_orc_rt/${sf.replaceAll("[^A-Za-z0-9]", "_")}"
+      val dir = rtDir(s, "graft_orc_rt", sf)
       Tables.orders(s, sf)
         .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
         .write.mode("overwrite").orc(dir)
@@ -201,7 +201,7 @@ object ScanOps {
     // one type's directories". The oracle runs the same filter over the
     // original table — proving partition-column round-trip fidelity.
     "q_sink_partitioned" -> ((s, sf) => {
-      val dir = s"/tmp/graft_part_rt/${sf.replaceAll("[^A-Za-z0-9]", "_")}"
+      val dir = rtDir(s, "graft_part_rt", sf)
       val written = Tables.events(s, sf)
         .select(col("event_id"), col("user_id"), col("value"),
           to_date(col("ts")).as("day"), col("event_type"))
@@ -217,6 +217,13 @@ object ScanOps {
         .orderBy("day")
     })
   )
+
+  /** Round-trip sink directory, unique per Spark application: two
+    * concurrent runs (parallel test/bench invocations on the same SF)
+    * writing mode=overwrite into one fixed path would clobber each other
+    * mid-write; keying on applicationId isolates them. */
+  private def rtDir(s: SparkSession, kind: String, sf: String): String =
+    s"/tmp/$kind/${s.sparkContext.applicationId}/${sf.replaceAll("[^A-Za-z0-9]", "_")}"
 
   private val jsonlLines: Seq[String] = Seq(
     """{"host": "web01", "status": 200, "bytes": 512}""",

@@ -493,6 +493,10 @@ object TextOps {
     // distinct-tokens-per-doc² per document (not corpus²), and the output
     // is vocabulary²-bounded, so both sides stay small however big the
     // corpus gets; document frequencies broadcast into the scoring join.
+    // The ln() term is quantized through DECIMAL(30,10) before the final
+    // round (the [[graft.Det]] discipline the entropy/zipf/logprob
+    // siblings use) so a last-ulp libm difference between the JVM and the
+    // oracle can't flip a value sitting on a 1e-6 rounding boundary.
     "q_text_pmi" -> ((s, sf) => {
       Tables.documents(s, sf).createOrReplaceTempView("documents")
       s.sql(
@@ -505,7 +509,8 @@ object TextOps {
           |       FROM u a JOIN u b ON a.doc_id = b.doc_id AND a.tok < b.tok
           |       GROUP BY a.tok, b.tok),
           |s AS (SELECT ta, tb, cdf,
-          |        ln((cdf / nd) / ((fa.df / nd) * (fb.df / nd))) AS pmi
+          |        CAST(CAST(ln((cdf / nd) / ((fa.df / nd) * (fb.df / nd)))
+          |             AS DECIMAL(30,10)) AS DOUBLE) AS pmi
           |      FROM cp JOIN f fa ON cp.ta = fa.tok
           |              JOIN f fb ON cp.tb = fb.tok
           |              CROSS JOIN n
@@ -1108,7 +1113,8 @@ object TextOps {
         |       FROM u a JOIN u b ON a.doc_id = b.doc_id AND a.tok < b.tok
         |       GROUP BY a.tok, b.tok),
         |s AS (SELECT ta, tb, cdf,
-        |        ln((cdf / nd) / ((fa.df / nd) * (fb.df / nd))) AS pmi
+        |        CAST(CAST(ln((cdf / nd) / ((fa.df / nd) * (fb.df / nd)))
+        |             AS DECIMAL(30,10)) AS DOUBLE) AS pmi
         |      FROM cp JOIN f fa ON cp.ta = fa.tok
         |              JOIN f fb ON cp.tb = fb.tok
         |              CROSS JOIN n

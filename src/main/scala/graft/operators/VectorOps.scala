@@ -333,9 +333,9 @@ object VectorOps {
           |                     s -> CAST(s.mv AS FLOAT)) AS cvec
           |         FROM mm GROUP BY label),
           |d AS (SELECT e.vec_id, e.label,
-          |        round(sqrt(vec_dot(e.embedding, e.embedding)
+          |        round(sqrt(greatest(vec_dot(e.embedding, e.embedding)
           |          - 2 * vec_dot(e.embedding, c.cvec)
-          |          + vec_dot(c.cvec, c.cvec)), 6) AS dist
+          |          + vec_dot(c.cvec, c.cvec), 0.0)), 6) AS dist
           |      FROM embeddings e JOIN cent c ON e.label = c.label),
           |r AS (SELECT vec_id, label, dist,
           |        row_number() OVER (PARTITION BY label ORDER BY dist DESC, vec_id) AS rn,
@@ -679,9 +679,9 @@ object VectorOps {
          |           list_transform(list(mv ORDER BY pos), x -> CAST(x AS FLOAT)) AS cvec
          |         FROM mm GROUP BY label),
          |d AS (SELECT e.vec_id, e.label,
-         |        round(sqrt(${odot("e.embedding", "e.embedding")}
+         |        round(sqrt(greatest(${odot("e.embedding", "e.embedding")}
          |          - 2 * ${odot("e.embedding", "c.cvec")}
-         |          + ${odot("c.cvec", "c.cvec")}), 6) AS dist
+         |          + ${odot("c.cvec", "c.cvec")}, 0.0)), 6) AS dist
          |      FROM embeddings e JOIN cent c ON e.label = c.label),
          |r AS (SELECT vec_id, label, dist,
          |        row_number() OVER (PARTITION BY label ORDER BY dist DESC, vec_id) AS rn,
