@@ -360,8 +360,7 @@ object VectorOps {
       // than localCheckpoint, whose non-adaptive RDD materialization
       // measured 12 s by itself). Full query: ~14 → ~1.5 s warm at sf0.1;
       // the numeric path is identical to the oracle's one-query form.
-      val cov = s.sql(pcaCovSql(
-        "SELECT vec_id, posexplode(embedding) AS (pos, v) FROM embeddings"))
+      val cov = s.sql(pcaCovSparkSql)
       s.createDataFrame(
           java.util.Arrays.asList(cov.collect(): _*), cov.schema)
         .createOrReplaceTempView("pca_cov")
@@ -546,6 +545,38 @@ object VectorOps {
        |    / 1000000000000.0 / (SELECT nv FROM n) AS cv
        |FROM cx a JOIN cx b ON a.vec_id = b.vec_id
        |GROUP BY a.pos, b.pos""".stripMargin
+
+  /** Map-side-combinable covariance for the Spark entry. The oracle form
+    * ([[pcaCovSql]]) self-joins the exploded (vec_id, pos, v) relation, so
+    * all N·64² multiply terms flow through a shuffle keyed on vec_id
+    * (8.2 M rows at sf0.1 → ~0.8 B at 100×) before the (i,j) aggregate.
+    * Here each row is centered into an array (the 64 per-pos means travel
+    * as ONE broadcast row), the outer-product terms are generated by two
+    * LATERAL VIEW posexplodes of that array, and partial hash aggregation
+    * collapses them to ≤4096 (i,j) groups inside each map task — the only
+    * shuffle in the stage carries 4096-cell per-task partials, never the
+    * data. Terms are the identical fixed-point picounit longs summed with
+    * the same order-independent integer SUM, so the result is bit-equal
+    * to the oracle's (the gate proves it every run). */
+  private[graft] val pcaCovSparkSql: String =
+    s"""WITH x AS (SELECT vec_id, posexplode(embedding) AS (pos, v) FROM embeddings),
+       |mu AS (SELECT pos,
+       |         CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(30,12))) AS DOUBLE)
+       |           / COUNT(v) AS m
+       |       FROM x GROUP BY pos),
+       |ma AS (SELECT transform(array_sort(collect_list(struct(pos, m))), s -> s.m) AS mv
+       |       FROM mu),
+       |cx AS (SELECT transform(e.embedding,
+       |                        (v, p) -> CAST(v AS DOUBLE) - element_at(ma.mv, p + 1)) AS ca
+       |       FROM embeddings e CROSS JOIN ma),
+       |n AS (SELECT CAST(count(DISTINCT vec_id) AS DOUBLE) AS nv FROM embeddings)
+       |SELECT i, j,
+       |  CAST(SUM(CAST(floor(ci * cj * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+       |    / 1000000000000.0 / (SELECT nv FROM n) AS cv
+       |FROM cx
+       |LATERAL VIEW posexplode(ca) a AS i, ci
+       |LATERAL VIEW posexplode(ca) b AS j, cj
+       |GROUP BY i, j""".stripMargin
 
   /** The iteration stage of [[pcaSql]] over a covariance relation. */
   private def pcaIterSql(covRef: String): String = {
