@@ -600,33 +600,40 @@ object AggOps {
     // Robust (median/MAD) anomaly flags — the outlier-immune twin of
     // q_anomaly_zscore: on this right-skewed value distribution the mean/
     // stddev gate drags toward the tail it's hunting, while median ±
-    // 1.4826·MAD doesn't move. Both medians are exact lower-medians by
-    // rank selection (the q_agg_median recipe — no interpolation, no
-    // cross-engine float drift). Two windowed selections + one broadcast
-    // join back; the corpus is scanned twice (raw + deviations), which is
-    // the irreducible cost of exact two-level order statistics — the
-    // approximate path at 100 TB swaps them for approx_percentile.
+    // 1.4826·MAD doesn't move. Both medians are exact lower-medians, but
+    // computed by DISTRIBUTED bucketed rank selection ([[medSelCtes]]) —
+    // no per-type full sort anywhere in the plan, so there is no "one
+    // task sorts a hot type's 20% of the corpus" straggler at 100 TB.
+    // The oracle keeps the window-sort spelling of the same rank, proving
+    // the selection equivalent on every run.
     "q_anomaly_mad" -> ((s, sf) => {
       registerEvents(s, sf)
+      // Each 5-row median table is collected and re-parallelized (the
+      // PCA-style driver handoff): under CTE inlining the deviation
+      // relation would otherwise recompute once per reference, and a
+      // driver-sized literal is cheaper than any checkpoint. The final
+      // pass is then ONE scan of events with two broadcast joins.
+      def lit(df: org.apache.spark.sql.DataFrame) =
+        s.createDataFrame(java.util.Arrays.asList(df.collect(): _*), df.schema)
+      lit(s.sql(
+        s"""WITH ev AS (SELECT event_type, value AS v FROM events),
+           |${medSelCtes("m1", "ev")}
+           |SELECT event_type, med FROM m1m""".stripMargin))
+        .createOrReplaceTempView("mad_med")
+      lit(s.sql(
+        s"""WITH adv AS (SELECT /*+ BROADCAST(m) */ e.event_type,
+           |               abs(e.value - m.med) AS v
+           |             FROM events e JOIN mad_med m ON e.event_type = m.event_type),
+           |${medSelCtes("m2", "adv")}
+           |SELECT event_type, med FROM m2m""".stripMargin))
+        .createOrReplaceTempView("mad_mad")
       s.sql(
-        """WITH med AS (SELECT event_type, value AS med FROM (
-          |    SELECT event_type, value,
-          |      row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
-          |      count(*) OVER (PARTITION BY event_type) AS n
-          |    FROM events) t WHERE rn = (n + 1) DIV 2),
-          |ad AS (SELECT e.event_type, e.event_id, e.value, m.med,
-          |         abs(e.value - m.med) AS adev
-          |       FROM events e JOIN med m ON e.event_type = m.event_type),
-          |madt AS (SELECT event_type, adev AS mad FROM (
-          |    SELECT event_type, adev, event_id,
-          |      row_number() OVER (PARTITION BY event_type ORDER BY adev, event_id) AS rn,
-          |      count(*) OVER (PARTITION BY event_type) AS n
-          |    FROM ad) t WHERE rn = (n + 1) DIV 2)
-          |SELECT /*+ BROADCAST(d) */ a.event_type, a.event_id, a.value,
-          |  round((a.value - a.med) / nullif(1.4826 * d.mad, 0.0), 4) AS robust_z
-          |FROM ad a JOIN madt d ON a.event_type = d.event_type
-          |WHERE abs((a.value - a.med) / nullif(1.4826 * d.mad, 0.0)) > 3.5
-          |ORDER BY a.event_type, a.event_id""".stripMargin)
+        """SELECT /*+ BROADCAST(m), BROADCAST(d) */ e.event_type, e.event_id, e.value,
+          |  round((e.value - m.med) / nullif(1.4826 * d.med, 0.0), 4) AS robust_z
+          |FROM events e JOIN mad_med m ON e.event_type = m.event_type
+          |JOIN mad_mad d ON e.event_type = d.event_type
+          |WHERE abs((e.value - m.med) / nullif(1.4826 * d.med, 0.0)) > 3.5
+          |ORDER BY e.event_type, e.event_id""".stripMargin)
     }),
 
     "q_agg_hist_equidepth" -> ((s, sf) => {
@@ -642,6 +649,51 @@ object AggOps {
           |ORDER BY event_type, decile""".stripMargin)
     })
   )
+
+  /** Exact lower-median (rank (n+1) DIV 2 in multiset order) of column `v`
+    * per event_type WITHOUT a per-type full sort — distributed rank
+    * selection in two passes over `src`:
+    *   1. per-type min/max/count (one map-side-combinable aggregate);
+    *   2. per-(type, bucket) counts over 1024 value-range buckets — the
+    *      shuffle carries ≤1025 rows per type; a cumulative sum over that
+    *      TINY bucket table locates the bucket holding the target rank
+    *      and how many rows sit strictly below it;
+    *   3. rank within the selected bucket's residents only (~n/1024 rows).
+    * The bucket map is monotonic in v, so the (k − below)-th smallest
+    * value inside the bucket IS the global k-th multiset value — exactly
+    * the value the window-sort form selects (its event_id tie-break only
+    * chooses among equal values), which is why the oracle can keep the
+    * window spelling and the hash gate proves the rewrite each run.
+    * Worst case (every value equal → one bucket) degrades to the sort it
+    * replaces; any spread at all bounds the sorted set by n/1024.
+    * `p` prefixes the CTE names so two selections compose in one query;
+    * the result relation is `<p>m(event_type, med)`. */
+  private[graft] def medSelCtes(p: String, src: String): String = {
+    def bk(v: String, lo: String, hi: String): String =
+      s"coalesce(least(CAST(floor(($v - $lo) / nullif($hi - $lo, CAST(0.0 AS DOUBLE)) * 1024) AS INT), 1023), 0)"
+    s"""${p}s AS (SELECT event_type, min(v) AS lo, max(v) AS hi,
+       |            (count(*) + 1) DIV 2 AS k
+       |          FROM $src GROUP BY event_type),
+       |${p}bc AS (SELECT /*+ BROADCAST(s) */ x.event_type,
+       |             ${bk("x.v", "s.lo", "s.hi")} AS bk, count(*) AS c
+       |           FROM $src x JOIN ${p}s s ON x.event_type = s.event_type
+       |           GROUP BY x.event_type, ${bk("x.v", "s.lo", "s.hi")}),
+       |${p}sel AS (SELECT c.event_type, c.bk, c.cum - c.c AS below, s.k
+       |           FROM (SELECT event_type, bk, c,
+       |                   sum(c) OVER (PARTITION BY event_type ORDER BY bk) AS cum
+       |                 FROM ${p}bc) c
+       |           JOIN ${p}s s ON c.event_type = s.event_type
+       |           WHERE c.cum >= s.k AND c.cum - c.c < s.k),
+       |${p}m AS (SELECT event_type, v AS med FROM (
+       |    SELECT /*+ BROADCAST(s), BROADCAST(t) */ x.event_type, x.v,
+       |      row_number() OVER (PARTITION BY x.event_type ORDER BY x.v)
+       |        + t.below AS rnk, t.k AS k
+       |    FROM $src x
+       |    JOIN ${p}s s ON x.event_type = s.event_type
+       |    JOIN ${p}sel t ON x.event_type = t.event_type
+       |     AND ${bk("x.v", "s.lo", "s.hi")} = t.bk) z
+       |  WHERE rnk = k)""".stripMargin
+  }
 
   import OracleDet.{dsum => osum, davg => oavg}
 
