@@ -27,14 +27,20 @@ object StreamOps {
   case class SessionState(start: Timestamp, last: Timestamp, n: Long)
   case class SessionOut(user_id: Long, session_start: Timestamp, session_end: Timestamp, n_events: Long)
 
-  /** File-source ingest: same schema-first discipline as the batch loaders. */
-  def ingest(s: SparkSession, dir: String): DataFrame = {
+  /** File-source ingest: same schema-first discipline as the batch loaders.
+    * `maxFilesPerTrigger` bounds each micro-batch (the standard throttle
+    * for backfills/replays — without it an AvailableNow catch-up over a
+    * deep archive becomes one giant batch sized by the backlog, not the
+    * cluster). */
+  def ingest(s: SparkSession, dir: String, maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.types._
     val sch = StructType(Seq(
       StructField("event_id", LongType), StructField("ts", TimestampType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType)))
-    s.readStream.schema(sch).parquet(dir)
+    val r = s.readStream.schema(sch)
+    maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
+    r.parquet(dir)
   }
 
   /** Per-minute tumbling event counts (event time). */

@@ -392,4 +392,58 @@ class StreamOpsSpec extends AnyFunSuite with SparkSessionTest {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
+
+  // ---- batch/stream parity over the REAL corpus ------------------------
+  // The unification claim ("each operator is a pure DataFrame→DataFrame
+  // transform, so the same code runs batch and streaming") is proven, not
+  // asserted: the sf0.001 events table is replayed through the streaming
+  // file source under Trigger.AvailableNow and the drained result must
+  // equal — row for row — the SAME transform run as a batch plan over the
+  // same rows.
+
+  /** Replay the sf0.001 events through `transform` as a stream (file
+    * source, AvailableNow) and as a batch plan; return (streamed, batch)
+    * row multisets, canonicalized to sorted string lines. */
+  private def replayParity(name: String,
+                           transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+      : (Seq[String], Seq[String]) = {
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
+    val batchEvents = Tables.events(spark, sf0001)
+      .select(cols.map(col): _*)
+    val dir = java.nio.file.Files.createTempDirectory(s"graft_parity_$name").toString
+    // 8 files + maxFilesPerTrigger=1 → the AvailableNow drain runs 8
+    // micro-batches, so parity exercises cross-batch state merge, not a
+    // single-batch replay that would hold trivially.
+    batchEvents.repartition(8).write.mode("overwrite").parquet(dir)
+    val q = transform(StreamOps.ingest(spark, dir, maxFilesPerTrigger = Some(1)))
+      .writeStream.format("memory").queryName(s"parity_$name")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+      val names = df.columns.sorted.toSeq
+      df.select(names.map(col): _*).collect()
+        .map(_.toSeq.map(String.valueOf).mkString("|")).toSeq.sorted
+    }
+    (canon(spark.table(s"parity_$name")), canon(transform(batchEvents)))
+  }
+
+  test("parity: streamed tumbling counts equal the batch window() plan on sf0.001") {
+    val (streamed, batch) = replayParity("tumbling", StreamOps.tumblingCounts)
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
+  test("parity: streamed session windows equal the batch session_window() plan on sf0.001") {
+    val (streamed, batch) = replayParity("session", StreamOps.sessionCounts)
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
+  test("parity: streamed sliding counts equal the batch sliding window() plan on sf0.001") {
+    val (streamed, batch) = replayParity("sliding", StreamOps.slidingCounts)
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
 }
