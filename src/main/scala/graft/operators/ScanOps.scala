@@ -77,6 +77,17 @@ object ScanOps {
         .orderBy("line_id")
     }),
 
+    // Format-plural syslog ingest: the fixture mixes RFC 3164 (with and
+    // without PRI), RFC 5424 (nil fields, structured data), stack-trace
+    // continuation lines, and a corrupt line; ONE statement frames records
+    // (running-max attach of continuations — window over the literal
+    // relation, no self-join), classifies each header, and extracts the
+    // full 5424 surface (pri→severity/facility split, version, msgid, SD).
+    // The V2 SyslogDataSource implements the same rules imperatively for
+    // real files (plus journald blocks, which line-id SQL can't frame);
+    // this query pins the FORMAT SEMANTICS cross-engine via the oracle.
+    "q_ingest_syslog_multi" -> ((s, sf) => s.sql(syslogMultiSparkSql)),
+
     "q_ingest_json_events" -> ((s, sf) =>
       Tables.events(s, sf)
         .select(
@@ -218,6 +229,108 @@ object ScanOps {
     })
   )
 
+  /** Mixed-format ingest fixture: RFC 3164 (with and without PRI),
+    * RFC 5424 (structured data, nil fields), a stack trace whose
+    * continuation lines must join onto the raw header, and a corrupt line.
+    * (journald export blocks are blank-line-framed, which a line-id VALUES
+    * relation can't express — that format is covered by the V2 source and
+    * SyslogSourceSpec.) */
+  private val syslogMultiLines: Seq[String] = Seq(
+    "Jan  5 03:22:01 web01 sshd[4321]: Failed password for root from 10.0.0.5 port 22 ssh2",
+    "<34>1 2026-01-05T03:22:07.000Z web01 sshd 4321 ID47 " +
+      "[exampleSDID@32473 iut=\"3\" eventSource=\"app\"] Failed password for root",
+    "<165>1 2026-01-05T03:23:11.000Z db01 app - ID11 - Application started",
+    "java.lang.RuntimeException: boom",
+    "\tat com.example.Main.run(Main.java:42)",
+    "\tat com.example.Main.main(Main.java:7)",
+    "<13>Jan  6 11:09:42 app02 nginx[2201]: GET /healthz 200",
+    "totally not a log line")
+
+  // Scala-level single-backslash patterns (the DuckDB spelling; the Spark
+  // SQL spelling doubles them — see sqlEsc).
+  private val multiP5424 =
+    "^<(\\d{1,3})>(\\d+) (\\S+) (\\S+) (\\S+) (\\S+) (\\S+) (-|(?:\\[[^\\]]*\\])+)(?: (.*))?$"
+  private val multiP3164 =
+    "^(?:<(\\d{1,3})>)?(\\w{3} +\\d+ \\d+:\\d+:\\d+) (\\S+) ([A-Za-z0-9_.-]+)\\[(\\d+)\\]: (.*)$"
+
+  private val syslogMultiValues: String =
+    syslogMultiLines.zipWithIndex
+      .map { case (l, i) => s"($i, '${l.replace("'", "''")}')" }
+      .mkString(", ")
+
+  /** The multi-format parse as ONE SQL statement, shared shape between
+    * engines (see [[SyslogDataSource]] for the record-framing rules it
+    * restates): continuation lines attach to the nearest preceding header
+    * via a running max (no self-join), records group on that id, and the
+    * header is then classified and field-extracted per format. Engine
+    * differences are parameterized: regex escaping, regex-match syntax,
+    * ordered string aggregation, and integer division. */
+  private def syslogMultiSql(esc: String => String,
+                             rx: (String, String) => String,
+                             contAgg: String, idiv: String): String = {
+    val P5 = esc(multiP5424); val P3 = esc(multiP3164)
+    def re(e: String, p: String, g: Int) = s"coalesce(regexp_extract($e, '$p', $g), '')"
+    val priS = re("hdr", P5, 1); val pri3 = re("hdr", P3, 1)
+    s"""WITH l AS (SELECT line_id, line FROM (VALUES $syslogMultiValues) AS t(line_id, line)),
+       |g AS (SELECT line_id, line,
+       |        CASE WHEN ${rx("line", esc("^[ \\t]"))} THEN 1 ELSE 0 END AS is_cont
+       |      FROM l),
+       |r AS (SELECT line_id, line, is_cont,
+       |        max(CASE WHEN is_cont = 0 THEN line_id END)
+       |          OVER (ORDER BY line_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rec_id
+       |      FROM g),
+       |rec AS (SELECT rec_id AS line_id,
+       |          max(CASE WHEN line_id = rec_id THEN line END) AS hdr,
+       |          $contAgg AS cont
+       |        FROM r GROUP BY rec_id),
+       |p AS (SELECT line_id, hdr, cont,
+       |        CASE WHEN ${rx("hdr", P5)} THEN 'rfc5424'
+       |             WHEN ${rx("hdr", P3)} THEN 'rfc3164'
+       |             ELSE 'raw' END AS fmt
+       |      FROM rec)
+       |SELECT line_id, fmt,
+       |  CASE WHEN fmt = 'rfc5424' THEN nullif(${re("hdr", P5, 3)}, '-')
+       |       WHEN fmt = 'rfc3164' THEN ${re("hdr", P3, 2)} END AS ts_raw,
+       |  CASE WHEN fmt = 'rfc5424' THEN nullif(${re("hdr", P5, 4)}, '-')
+       |       WHEN fmt = 'rfc3164' THEN ${re("hdr", P3, 3)} END AS host,
+       |  CASE WHEN fmt = 'rfc5424' THEN nullif(${re("hdr", P5, 5)}, '-')
+       |       WHEN fmt = 'rfc3164' THEN ${re("hdr", P3, 4)} END AS proc,
+       |  CASE WHEN fmt = 'rfc5424' AND ${rx(re("hdr", P5, 6), esc("^\\d+$"))}
+       |         THEN CAST(${re("hdr", P5, 6)} AS INTEGER)
+       |       WHEN fmt = 'rfc3164' THEN CAST(${re("hdr", P3, 5)} AS INTEGER) END AS pid,
+       |  CASE WHEN fmt = 'rfc5424' THEN CAST($priS AS INTEGER)
+       |       WHEN fmt = 'rfc3164' AND $pri3 <> '' THEN CAST($pri3 AS INTEGER) END AS pri,
+       |  CASE WHEN fmt = 'rfc5424' THEN CAST($priS AS INTEGER) % 8
+       |       WHEN fmt = 'rfc3164' AND $pri3 <> '' THEN CAST($pri3 AS INTEGER) % 8 END AS severity,
+       |  CASE WHEN fmt = 'rfc5424' THEN CAST($priS AS INTEGER) $idiv 8
+       |       WHEN fmt = 'rfc3164' AND $pri3 <> '' THEN CAST($pri3 AS INTEGER) $idiv 8 END AS facility,
+       |  CASE WHEN fmt = 'rfc5424' THEN CAST(${re("hdr", P5, 2)} AS INTEGER) END AS version,
+       |  CASE WHEN fmt = 'rfc5424' THEN nullif(${re("hdr", P5, 7)}, '-') END AS msgid,
+       |  CASE WHEN fmt = 'rfc5424' THEN nullif(${re("hdr", P5, 8)}, '-') END AS sd,
+       |  CASE WHEN cont = '' THEN
+       |         CASE WHEN fmt = 'rfc5424' THEN ${re("hdr", P5, 9)}
+       |              WHEN fmt = 'rfc3164' THEN ${re("hdr", P3, 6)} ELSE hdr END
+       |       ELSE
+       |         (CASE WHEN fmt = 'rfc5424' THEN ${re("hdr", P5, 9)}
+       |               WHEN fmt = 'rfc3164' THEN ${re("hdr", P3, 6)} ELSE hdr END)
+       |           || chr(10) || cont END AS msg
+       |FROM p ORDER BY line_id""".stripMargin
+  }
+
+  private val syslogMultiSparkSql: String = syslogMultiSql(
+    esc = _.replace("\\", "\\\\"),
+    rx = (e, p) => s"$e RLIKE '$p'",
+    contAgg = "array_join(transform(array_sort(collect_list(" +
+      "CASE WHEN is_cont = 1 THEN struct(line_id, line) END)), x -> x.line), chr(10))",
+    idiv = "DIV")
+
+  private val syslogMultiDuckSql: String = syslogMultiSql(
+    esc = identity,
+    rx = (e, p) => s"regexp_matches($e, '$p')",
+    contAgg = "coalesce(string_agg(line, chr(10) ORDER BY line_id) " +
+      "FILTER (WHERE is_cont = 1), '')",
+    idiv = "//")
+
   /** Round-trip sink directory, unique per Spark application: two
     * concurrent runs (parallel test/bench invocations on the same SF)
     * writing mode=overwrite into one fixed path would clobber each other
@@ -281,6 +394,8 @@ object ScanOps {
          |       ELSE 'notice' END AS severity
          |FROM (VALUES $syslogValues) AS t(line_id, line)
          |ORDER BY line_id""".stripMargin,
+
+    "q_ingest_syslog_multi" -> syslogMultiDuckSql,
 
     "q_ingest_json_events" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k

@@ -10,19 +10,30 @@ import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
-/** DataSource V2: RFC-3164-style syslog lines as a first-class Spark
-  * source — `spark.read.format("graft.sources.SyslogDataSource")
-  * .load(path)` yields typed columns (ts_raw, host, proc, pid, msg).
+/** DataSource V2: syslog-family log lines as a first-class Spark source —
+  * `spark.read.format("graft.sources.SyslogDataSource").load(path)` yields
+  * typed columns. Format plurality is the point: a real log analyzer's
+  * corpus mixes
+  *   - RFC 3164 (`Mmm dd hh:mm:ss host proc[pid]: msg`, optional `<PRI>`),
+  *   - RFC 5424 (`<PRI>VERSION ts host app procid msgid SD [msg]`, with
+  *     nil `-` fields and one-or-more `[sd-element ...]` blocks),
+  *   - journald export blocks (`FIELD=value` lines, blank-line-terminated),
+  *   - multi-line continuations (whitespace-led lines — Java stack traces —
+  *     joined onto the preceding record's msg),
+  * and the reader classifies per RECORD, not per file, so one directory of
+  * heterogeneous logs reads as one table (`fmt` says what each row was).
   *
   * The design is the standard V2 ladder: [[TableProvider]] →
   * [[SyslogTable]] (BATCH_READ) → [[SyslogScanBuilder]] (column pruning
   * via SupportsPushDownRequiredColumns — a pruned read materializes only
-  * the requested fields, so `select(host)` never regex-captures the
+  * the requested fields, so `select(host)` never materializes the
   * message) → one [[InputPartition]] PER FILE (the parallelism unit: a
   * directory of log files fans out across executors; a single huge file
-  * would instead be range-split like Spark's text source). Unparseable
-  * lines yield null fields with the raw line preserved in `msg` —
-  * flag-and-continue, same discipline as q_ingest_json_corrupt.
+  * would instead be range-split like Spark's text source — and per-file
+  * framing is what makes continuation/block joins safe to do in the
+  * reader: records never span files). Unparseable lines yield null fields
+  * with the raw line preserved in `msg` — flag-and-continue, same
+  * discipline as q_ingest_json_corrupt.
   */
 class SyslogDataSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -36,24 +47,128 @@ class SyslogDataSource extends TableProvider {
 }
 
 object SyslogDataSource {
+  /** First five fields are the classic RFC-3164 projection (stable
+    * positions for existing consumers); the tail carries the RFC-5424 /
+    * journald breadth. All tail fields are null where a format lacks them. */
   val schema: StructType = StructType(Seq(
     StructField("ts_raw", StringType),
     StructField("host", StringType),
     StructField("proc", StringType),
     StructField("pid", IntegerType),
-    StructField("msg", StringType)))
+    StructField("msg", StringType),
+    StructField("pri", IntegerType),
+    StructField("severity", IntegerType),
+    StructField("facility", IntegerType),
+    StructField("version", IntegerType),
+    StructField("msgid", StringType),
+    StructField("sd", StringType),
+    StructField("fmt", StringType)))
 
-  private[sources] val pattern =
-    "^(\\w{3} +\\d+ \\d+:\\d+:\\d+) (\\S+) ([A-Za-z0-9_.-]+)\\[(\\d+)\\]: (.*)$".r
+  /** The classic 5-field RFC-3164 projection — the sink's WRITE contract
+    * (a line-oriented sink can only serialize what a line can carry). */
+  val coreSchema: StructType = StructType(schema.fields.take(5))
 
-  /** Parse one line into the FULL 5-field form; callers prune after. */
-  private[sources] def parse(line: String): Array[Any] = line match {
-    case pattern(ts, host, proc, pid, msg) =>
-      Array(UTF8String.fromString(ts), UTF8String.fromString(host),
-        UTF8String.fromString(proc), pid.toInt, UTF8String.fromString(msg))
-    case _ =>
-      Array(null, null, null, null, UTF8String.fromString(line))
+  private[sources] val pattern3164 =
+    "^(?:<(\\d{1,3})>)?(\\w{3} +\\d+ \\d+:\\d+:\\d+) (\\S+) ([A-Za-z0-9_.-]+)\\[(\\d+)\\]: (.*)$".r
+  private[sources] val pattern5424 =
+    "^<(\\d{1,3})>(\\d+) (\\S+) (\\S+) (\\S+) (\\S+) (\\S+) (-|(?:\\[[^\\]]*\\])+)(?: (.*))?$".r
+  private val journaldField = "^([A-Z_][A-Z0-9_]*)=(.*)$".r
+
+  private def utf(s: String): UTF8String = UTF8String.fromString(s)
+  private def nilable(s: String): Any = if (s == null || s == "-") null else utf(s)
+  private def intOrNull(s: String): Any =
+    if (s != null && s.nonEmpty && s.forall(_.isDigit)) s.toInt else null
+
+  private def row(tsRaw: Any = null, host: Any = null, proc: Any = null,
+                  pid: Any = null, msg: Any = null, pri: Any = null,
+                  severity: Any = null, facility: Any = null,
+                  version: Any = null, msgid: Any = null, sd: Any = null,
+                  fmt: String): Array[Any] =
+    Array(tsRaw, host, proc, pid, msg, pri, severity, facility, version,
+      msgid, sd, utf(fmt))
+
+  /** One header line + its continuation lines → full 12-field row. */
+  private def parseRecord(header: String, conts: Seq[String]): Array[Any] = {
+    def withConts(base: String): UTF8String =
+      utf(if (conts.isEmpty) base else (base +: conts).mkString("\n"))
+    header match {
+      case pattern5424(pri, ver, ts, host, app, procid, msgid, sd, msg) =>
+        val p = pri.toInt
+        row(tsRaw = nilable(ts), host = nilable(host), proc = nilable(app),
+          pid = intOrNull(procid), msg = withConts(Option(msg).getOrElse("")),
+          pri = p, severity = p % 8, facility = p / 8, version = ver.toInt,
+          msgid = nilable(msgid), sd = nilable(sd), fmt = "rfc5424")
+      case pattern3164(priOpt, ts, host, proc, pid, msg) =>
+        val pri = Option(priOpt).map(_.toInt)
+        row(tsRaw = utf(ts), host = utf(host), proc = utf(proc),
+          pid = pid.toInt, msg = withConts(msg),
+          pri = pri.map(Integer.valueOf).orNull,
+          severity = pri.map(p => Integer.valueOf(p % 8)).orNull,
+          facility = pri.map(p => Integer.valueOf(p / 8)).orNull,
+          fmt = "rfc3164")
+      case _ =>
+        row(msg = withConts(header), fmt = "raw")
+    }
   }
+
+  /** One journald export block (FIELD=value lines) → row. PRIORITY is the
+    * severity; SYSLOG_FACILITY (when present) restores the full PRI. */
+  private def parseJournald(kv: Map[String, String]): Array[Any] = {
+    val sev = kv.get("PRIORITY").flatMap(v => v.toIntOption)
+    val fac = kv.get("SYSLOG_FACILITY").flatMap(v => v.toIntOption)
+    row(
+      tsRaw = kv.get("__REALTIME_TIMESTAMP").map(utf).orNull,
+      host = kv.get("_HOSTNAME").map(utf).orNull,
+      proc = kv.get("SYSLOG_IDENTIFIER").orElse(kv.get("_COMM")).map(utf).orNull,
+      pid = kv.get("_PID").map(intOrNull).orNull,
+      msg = kv.get("MESSAGE").map(utf).orNull,
+      pri = (sev, fac) match {
+        case (Some(s), Some(f)) => Integer.valueOf(f * 8 + s)
+        case _                  => null
+      },
+      severity = sev.map(Integer.valueOf).orNull,
+      facility = fac.map(Integer.valueOf).orNull,
+      fmt = "journald")
+  }
+
+  private def isJournaldField(line: String): Boolean =
+    journaldField.pattern.matcher(line).matches()
+
+  private def isContinuation(line: String): Boolean =
+    line.nonEmpty && (line.charAt(0) == ' ' || line.charAt(0) == '\t')
+
+  /** Assemble records from raw lines: journald blocks (blank-terminated),
+    * header+continuation groups, raw fallbacks. Blank lines between
+    * records are skipped. */
+  private[sources] def parseRecords(lines: Iterator[String]): Iterator[Array[Any]] =
+    new Iterator[Array[Any]] {
+      private val it = lines.buffered
+      private def skipBlank(): Unit =
+        while (it.hasNext && it.head.isEmpty) it.next()
+      skipBlank()
+      override def hasNext: Boolean = it.hasNext
+      override def next(): Array[Any] = {
+        val first = it.next()
+        val rec =
+          if (isJournaldField(first)) {
+            val kv = scala.collection.mutable.LinkedHashMap.empty[String, String]
+            def add(l: String): Unit = l match {
+              case journaldField(k, v) => kv.update(k, v)
+              case _                   => ()
+            }
+            add(first)
+            while (it.hasNext && it.head.nonEmpty && isJournaldField(it.head))
+              add(it.next())
+            parseJournald(kv.toMap)
+          } else {
+            val conts = scala.collection.mutable.ArrayBuffer.empty[String]
+            while (it.hasNext && isContinuation(it.head)) conts += it.next()
+            parseRecord(first, conts.toSeq)
+          }
+        skipBlank()
+        rec
+      }
+    }
 }
 
 class SyslogTable(path: String) extends Table with SupportsRead {
@@ -129,12 +244,14 @@ class SyslogReaderFactory(required: StructType,
       (SyslogDataSource.schema.fieldIndex(a), UTF8String.fromString(v))
     }
     new PartitionReader[InternalRow] {
-      private val lines = java.nio.file.Files.readAllLines(
-        java.nio.file.Paths.get(file)).iterator()
+      import scala.jdk.CollectionConverters._
+      private val records = SyslogDataSource.parseRecords(
+        java.nio.file.Files.readAllLines(
+          java.nio.file.Paths.get(file)).iterator().asScala)
       private var row: InternalRow = _
       override def next(): Boolean = {
-        while (lines.hasNext) {
-          val full = SyslogDataSource.parse(lines.next())
+        while (records.hasNext) {
+          val full = records.next()
           if (filterIdx.forall { case (i, v) => v == full(i) }) {
             row = InternalRow.fromSeq(idx.toSeq.map(full(_)))
             return true

@@ -38,7 +38,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   */
 class SyslogSinkDataSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    SyslogDataSource.schema
+    SyslogDataSource.coreSchema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
@@ -49,7 +49,7 @@ class SyslogSinkDataSource extends TableProvider {
 
 class SyslogSinkTable(path: String) extends Table with SupportsWrite {
   override def name(): String = s"syslog-sink($path)"
-  override def schema(): StructType = SyslogDataSource.schema
+  override def schema(): StructType = SyslogDataSource.coreSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
 

@@ -27,7 +27,8 @@ class SyslogSourceSpec extends AnyFunSuite with SparkSessionTest {
   test("reads a directory of log files with typed columns") {
     val df = spark.read.format(fmt).load(writeLogs())
     assert(df.schema.fieldNames.toSeq ==
-      Seq("ts_raw", "host", "proc", "pid", "msg"))
+      Seq("ts_raw", "host", "proc", "pid", "msg",
+        "pri", "severity", "facility", "version", "msgid", "sd", "fmt"))
     val rows = df.orderBy("ts_raw").collect()
     assert(rows.length == 4)
     val parsed = df.filter(col("host").isNotNull)
@@ -63,6 +64,105 @@ class SyslogSourceSpec extends AnyFunSuite with SparkSessionTest {
     val nPushed = spark.read.format(fmt).load(writeLogs())
       .filter(col("proc") === "nonexistent").count()
     assert(nPushed == 0)
+  }
+
+  // ---- format plurality: RFC 5424 / journald / continuations ----------
+
+  private def writeOne(lines: Seq[String]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_syslog_fmt")
+    java.nio.file.Files.write(dir.resolve("mixed.log"),
+      String.join("\n", lines: _*).getBytes)
+    dir.toString
+  }
+
+  test("parses RFC 5424: PRI split, version, nil fields, structured data") {
+    val df = spark.read.format(fmt).load(writeOne(Seq(
+      "<34>1 2026-01-05T03:22:07.000Z web01 sshd 4321 ID47 " +
+        "[exampleSDID@32473 iut=\"3\" eventSource=\"app\"] Failed password for root",
+      "<165>1 2026-01-05T03:23:11.000Z db01 app - ID11 - Application started",
+      "<13>1 2026-01-05T03:24:00.000Z - - - - -")))
+    val rows = df.orderBy("ts_raw").collect()
+    assert(rows.length == 3)
+    val r0 = rows(0)
+    assert(r0.getString(1) == "web01" && r0.getString(2) == "sshd")
+    assert(r0.getInt(3) == 4321)
+    assert(r0.getString(4) == "Failed password for root")
+    assert(r0.getInt(5) == 34 && r0.getInt(6) == 2 && r0.getInt(7) == 4) // pri/sev/fac
+    assert(r0.getInt(8) == 1 && r0.getString(9) == "ID47")               // version/msgid
+    assert(r0.getString(10).startsWith("[exampleSDID@32473"))
+    assert(r0.getString(11) == "rfc5424")
+    val r1 = rows(1)
+    assert(r1.isNullAt(3) && r1.isNullAt(10))  // nil procid, nil SD
+    assert(r1.getString(4) == "Application started")
+    val r2 = rows(2)                            // all-nil header, no msg
+    assert(r2.isNullAt(1) && r2.isNullAt(2) && r2.getString(4) == "")
+  }
+
+  test("parses a journald export block into one record") {
+    val df = spark.read.format(fmt).load(writeOne(Seq(
+      "__REALTIME_TIMESTAMP=1704424921000000",
+      "_HOSTNAME=web01",
+      "SYSLOG_IDENTIFIER=sshd",
+      "_PID=4321",
+      "PRIORITY=3",
+      "SYSLOG_FACILITY=4",
+      "MESSAGE=Failed password for root from 10.0.0.5",
+      "",
+      "Mar 12 14:05:00 db01 postgres[222]: checkpoint complete")))
+    val rows = df.orderBy("fmt").collect()
+    assert(rows.length == 2)
+    val j = rows.find(_.getString(11) == "journald").get
+    assert(j.getString(0) == "1704424921000000")
+    assert(j.getString(1) == "web01" && j.getString(2) == "sshd")
+    assert(j.getInt(3) == 4321)
+    assert(j.getString(4) == "Failed password for root from 10.0.0.5")
+    assert(j.getInt(5) == 35 && j.getInt(6) == 3 && j.getInt(7) == 4)
+    assert(rows.exists(_.getString(11) == "rfc3164"))
+  }
+
+  test("joins whitespace-led continuation lines onto the preceding record") {
+    val df = spark.read.format(fmt).load(writeOne(Seq(
+      "Mar 12 14:02:11 app01 java[777]: request failed",
+      "\tjava.lang.RuntimeException: boom",
+      "\tat com.example.Main.run(Main.java:42)",
+      "Mar 12 14:02:12 app01 java[777]: recovered")))
+    val rows = df.orderBy("ts_raw").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getString(4) ==
+      "request failed\n\tjava.lang.RuntimeException: boom\n\tat com.example.Main.run(Main.java:42)")
+    assert(rows(1).getString(4) == "recovered")
+  }
+
+  test("RFC 3164 with a PRI prefix splits severity and facility") {
+    val df = spark.read.format(fmt).load(writeOne(Seq(
+      "<13>Jan  6 11:09:42 app02 nginx[2201]: GET /healthz 200")))
+    val r = df.head()
+    assert(r.getString(11) == "rfc3164")
+    assert(r.getInt(5) == 13 && r.getInt(6) == 5 && r.getInt(7) == 1)
+    assert(r.getString(1) == "app02" && r.getInt(3) == 2201)
+  }
+
+  test("property: arbitrary corrupt input never throws and never loses a line") {
+    import org.scalacheck.Gen
+    val junk = Gen.listOfN(40, Gen.oneOf(
+      Gen.alphaNumStr,
+      Gen.asciiPrintableStr.map(_.take(60)),
+      Gen.const("<999>not really"),
+      Gen.const("NOT_A_FIELD=but looks like one lowercase? no: must be upper"),
+      Gen.const("<34>1 bad"),
+      Gen.const("]" * 3), Gen.const("[" * 3)))
+    val lines = junk.sample.getOrElse(Nil)
+      .map(_.replace("\n", " ").replace("\r", " "))
+    val dir = writeOne(lines)
+    val out = spark.read.format(fmt).load(dir).collect()
+    // every record's msg content traces back to input; no exceptions; and
+    // every non-blank, non-continuation, non-journald-field line survives
+    // as its own record or as part of one
+    val nBlank = lines.count(_.isEmpty)
+    assert(out.length <= lines.length - nBlank)
+    val joined = out.flatMap(r => Option(if (r.isNullAt(4)) null else r.getString(4))).mkString("\n")
+    lines.filter(l => l.nonEmpty && !l.matches("^[A-Z_][A-Z0-9_]*=.*$"))
+      .foreach(l => assert(joined.contains(l.stripLineEnd), s"lost line: $l"))
   }
 
   private val sinkFmt = "graft.sources.SyslogSinkDataSource"
