@@ -18,8 +18,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.vecDotDescriptor)
     ext.injectFunction(GraftFunctions.maskAndCountDescriptor)
     ext.injectFunction(GraftFunctions.charNgramsDescriptor)
+    ext.injectFunction(GraftFunctions.asofTieDescriptor)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinBandRule)
+    // SQL ASOF JOIN: keyword accepted by the parser, marked join rewritten
+    // onto AsOfJoinPlan at resolution (before any predicate pushdown).
+    ext.injectResolutionRule(_ => graft.plans.AsofSqlRule)
+    ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
   }
 }
 
@@ -39,6 +44,11 @@ object GraftFunctions {
     CharNgrams(children.head, children(1))
   }
 
+  private def asofTieBuilder(children: Seq[Expression]): Expression = {
+    require(children.size == 1, s"asof_tie expects 1 argument, got ${children.size}")
+    graft.plans.AsofTie(children.head)
+  }
+
   val vecDotDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     new FunctionIdentifier("vec_dot"),
     new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
@@ -54,6 +64,11 @@ object GraftFunctions {
     new ExpressionInfo(classOf[CharNgrams].getName, "char_ngrams"),
     ngramsBuilder _)
 
+  val asofTieDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    new FunctionIdentifier("asof_tie"),
+    new ExpressionInfo(classOf[graft.plans.AsofTie].getName, "asof_tie"),
+    asofTieBuilder _)
+
   /** Idempotent registration into an already-running session. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry
@@ -62,5 +77,7 @@ object GraftFunctions {
       .createOrReplaceTempFunction("mask_and_count", macBuilder, "built-in")
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction("char_ngrams", ngramsBuilder, "built-in")
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction("asof_tie", asofTieBuilder, "built-in")
   }
 }

@@ -245,6 +245,33 @@ object JoinOps {
         .orderBy("event_id")
     }),
 
+    // The SQL spelling of the same operator (graft.plans.AsofSqlRule): a
+    // plain join whose ON clause carries the asof_tie(tiebreak) marker is
+    // rewritten onto AsOfJoinPlan at analysis. Extension-built sessions
+    // (spark.sql.extensions=graft.functions.GraftExtensions) get the
+    // DuckDB-style `ASOF JOIN` keyword and the rewrite natively from the
+    // injected parser + resolution rule (AsofSqlSpec proves it); on the
+    // harness's live session the rule is applied to the analyzed plan
+    // explicitly. Same oracle as q_join_asof_custom — three surfaces, one
+    // operator, one fixpoint.
+    "q_join_asof_sql" -> ((s, sf) => {
+      graft.functions.GraftFunctions.register(s)
+      org.apache.spark.sql.GraftBridge.addStrategy(s, graft.plans.AsOfJoinStrategy)
+      eventsTs(s, sf).select("event_id", "user_id", "ts_s")
+        .createOrReplaceTempView("asof_e")
+      Tables.orders(s, sf).select("o_orderkey", "o_custkey", "o_orderdate")
+        .createOrReplaceTempView("asof_o")
+      val df = s.sql(
+        """SELECT event_id, user_id, o_orderkey, o_orderdate
+          |FROM asof_e e JOIN asof_o o
+          |  ON e.user_id = o.o_custkey
+          | AND e.ts_s >= o.o_orderdate
+          | AND asof_tie(o.o_orderkey)
+          |ORDER BY event_id""".stripMargin)
+      org.apache.spark.sql.GraftBridge.ofRows(s,
+        graft.plans.AsofSqlRule.rewriteAnalyzed(df.queryExecution.analyzed))
+    }),
+
     // NEAREST-match as-of: each event takes the order with the smallest
     // |orderdate − ts| in EITHER direction (sensor/log alignment where the
     // closest reading wins), ties broken by larger o_orderkey like the
@@ -513,6 +540,17 @@ object JoinOps {
         |ORDER BY a.user_id""".stripMargin,
 
     "q_join_asof_custom" ->
+      """SELECT event_id, user_id, o_orderkey, o_orderdate FROM (
+        |  SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |                       ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM events e
+        |  JOIN orders o ON o.o_custkey = e.user_id
+        |               AND o.o_orderdate <= CAST(date_trunc('second', e.ts) AS TIMESTAMP)
+        |) t WHERE rn = 1
+        |ORDER BY event_id""".stripMargin,
+
+    "q_join_asof_sql" ->
       """SELECT event_id, user_id, o_orderkey, o_orderdate FROM (
         |  SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
         |    row_number() OVER (PARTITION BY e.event_id

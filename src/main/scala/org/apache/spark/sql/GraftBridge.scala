@@ -31,4 +31,16 @@ object GraftBridge {
       cs.experimental.extraStrategies = cs.experimental.extraStrategies :+ s
     }
   }
+
+  /** A sibling session on the same SparkContext with its own
+    * SparkSessionExtensions, loaded exactly the way a cluster loads them:
+    * the `spark.sql.extensions` conf names the extensions class and the
+    * session constructor instantiates+applies it. Needed because
+    * builder.getOrCreate ignores extensions once a session exists, and
+    * analyzer/parser extension points cannot be added post-hoc. */
+  def newSessionWithExtensions(spark: SparkSession, extClass: String): SparkSession = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    cs.sparkContext.conf.set("spark.sql.extensions", extClass)
+    new classic.SparkSession(cs.sparkContext, new java.util.HashMap[String, String]())
+  }
 }
