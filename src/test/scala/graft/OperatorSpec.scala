@@ -761,6 +761,20 @@ class OperatorSpec extends AnyFunSuite with SparkSessionTest
     assert(r.getDouble(1) >= 0.6, s"recall_at_10 = ${r.getDouble(1)}")
   }
 
+  test("pq recall equals the manual intersection of exact and pq top-10") {
+    val r = SparkEntry.queries("q_vec_pq_recall")(spark, sf0001).head()
+    val exact = SparkEntry.queries("q_vec_knn_cosine")(spark, sf0001)
+      .collect().map(_.getLong(0)).toSet
+    val pq = SparkEntry.queries("q_vec_ann_pq")(spark, sf0001)
+      .collect().map(_.getLong(0)).toSet
+    assert(r.getLong(0) == (exact intersect pq).size)
+    assert(exact.size == 10 && pq.size == 10)
+    // ADC shortlist (L=100) + exact rerank: the two-stage shape must hold
+    // real recall on this near-random geometry (measured 1.0 at sf0.001,
+    // 0.8 at sf0.01/0.1; pure ADC ranking measured 0.0-0.3).
+    assert(r.getDouble(1) >= 0.6, s"recall_at_10 = ${r.getDouble(1)}")
+  }
+
   test("weekly reaggregate of the daily pre-aggregate matches raw-grain aggregation") {
     import org.apache.spark.sql.types.DecimalType
     val got = SparkEntry.queries("q_agg_reaggregate")(spark, sf0001).collect()
