@@ -326,6 +326,48 @@ object TextOps {
           |FROM d ORDER BY doc_id""".stripMargin)
     }),
 
+    // Gopher-style within-document repetition signals — the quality-filter
+    // family the length/stopword heuristics (q_text_quality) don't cover:
+    // repetitive generations/boilerplate score normal on those but light
+    // up here. Per doc: duplicate-token fraction, duplicate-bigram
+    // fraction, the dominant bigram and its share (ties broken by the
+    // lexicographically smallest gram), and the composite repetitive
+    // flag. All signals are ratios of exact integer counts, so the flag
+    // thresholds compare bit-identical doubles in both engines. Scale
+    // shape: two explodes feeding per-(doc, gram) then per-doc hash
+    // aggregates — all map-side combinable on doc_id, nothing global;
+    // docs with <2 tokens have no bigram stats and are excluded (their
+    // repetition is undefined, not zero).
+    "q_text_repetition" -> ((s, sf) => {
+      docs(s, sf).createOrReplaceTempView("d")
+      s.sql(
+        """WITH b AS (SELECT doc_id,
+          |             transform(sequence(1, size(toks) - 1),
+          |                       i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))) AS grams
+          |           FROM d WHERE size(toks) >= 2),
+          |gc AS (SELECT doc_id, gram, count(*) AS c
+          |       FROM (SELECT doc_id, explode(grams) AS gram FROM b) g
+          |       GROUP BY doc_id, gram),
+          |gs AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+          |         CAST(count(*) AS BIGINT) AS n_distinct, CAST(max(c) AS BIGINT) AS max_c
+          |       FROM gc GROUP BY doc_id),
+          |top AS (SELECT gc.doc_id, min(gc.gram) AS top_bigram
+          |        FROM gc JOIN gs ON gc.doc_id = gs.doc_id AND gc.c = gs.max_c
+          |        GROUP BY gc.doc_id),
+          |t AS (SELECT doc_id, CAST(size(toks) AS BIGINT) AS n_tok,
+          |        CAST(size(array_distinct(toks)) AS BIGINT) AS n_utok FROM d)
+          |SELECT t.doc_id, t.n_tok,
+          |  round((t.n_tok - t.n_utok) / CAST(t.n_tok AS DOUBLE), 6) AS dup_tok_frac,
+          |  round((gs.n_grams - gs.n_distinct) / CAST(gs.n_grams AS DOUBLE), 6) AS dup_bigram_frac,
+          |  top.top_bigram,
+          |  round(gs.max_c / CAST(gs.n_grams AS DOUBLE), 6) AS top_bigram_share,
+          |  CAST(CASE WHEN (gs.n_grams - gs.n_distinct) / CAST(gs.n_grams AS DOUBLE) > 0.2
+          |             OR gs.max_c / CAST(gs.n_grams AS DOUBLE) > 0.18
+          |            THEN 1 ELSE 0 END AS BIGINT) AS flag_repetitive
+          |FROM t JOIN gs ON t.doc_id = gs.doc_id JOIN top ON t.doc_id = top.doc_id
+          |ORDER BY t.doc_id""".stripMargin)
+    }),
+
     "q_text_token_count" -> ((s, sf) =>
       docs(s, sf)
         .select(
@@ -1015,6 +1057,34 @@ object TextOps {
         |      + CAST(0.3 AS DOUBLE) * (CAST(1 AS DOUBLE) - len(list_filter(toks, t -> t IN ('the', 'a'))) / len(toks))
         |      + CAST(0.3 AS DOUBLE) * least(CAST(1 AS DOUBLE), len(toks) / CAST(100 AS DOUBLE)), 6) AS quality
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q_text_repetition" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |b AS (SELECT doc_id,
+        |        list_transform(range(1, len(toks)),
+        |                       i -> toks[i] || ' ' || toks[i + 1]) AS grams
+        |      FROM d WHERE len(toks) >= 2),
+        |gc AS (SELECT doc_id, gram, count(*) AS c
+        |       FROM (SELECT doc_id, unnest(grams) AS gram FROM b) g
+        |       GROUP BY doc_id, gram),
+        |gs AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+        |         CAST(count(*) AS BIGINT) AS n_distinct, CAST(max(c) AS BIGINT) AS max_c
+        |       FROM gc GROUP BY doc_id),
+        |top AS (SELECT gc.doc_id, min(gc.gram) AS top_bigram
+        |        FROM gc JOIN gs ON gc.doc_id = gs.doc_id AND gc.c = gs.max_c
+        |        GROUP BY gc.doc_id),
+        |t AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok,
+        |        CAST(len(list_distinct(toks)) AS BIGINT) AS n_utok FROM d)
+        |SELECT t.doc_id, t.n_tok,
+        |  round((t.n_tok - t.n_utok) / CAST(t.n_tok AS DOUBLE), 6) AS dup_tok_frac,
+        |  round((gs.n_grams - gs.n_distinct) / CAST(gs.n_grams AS DOUBLE), 6) AS dup_bigram_frac,
+        |  top.top_bigram,
+        |  round(gs.max_c / CAST(gs.n_grams AS DOUBLE), 6) AS top_bigram_share,
+        |  CAST(CASE WHEN (gs.n_grams - gs.n_distinct) / CAST(gs.n_grams AS DOUBLE) > 0.2
+        |             OR gs.max_c / CAST(gs.n_grams AS DOUBLE) > 0.18
+        |            THEN 1 ELSE 0 END AS BIGINT) AS flag_repetitive
+        |FROM t JOIN gs ON t.doc_id = gs.doc_id JOIN top ON t.doc_id = top.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
 
     "q_text_token_count" ->
       """SELECT doc_id,

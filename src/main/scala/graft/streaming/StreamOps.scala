@@ -301,6 +301,106 @@ object StreamOps {
         seed.groupByKey(_.user_id))
   }
 
+  // ---- stream-stream AS-OF join ---------------------------------------
+
+  /** Tagged union row for the streaming as-of join: `side` is 'L' (trade /
+    * probe row, identified by `id`) or 'R' (quote / reference row carrying
+    * `value`). */
+  case class AsofIn(key: Long, side: String, ts: Timestamp, id: Long, value: Double)
+  case class AsofOut(key: Long, left_id: Long, left_ts: Timestamp,
+                     right_ts: Option[Timestamp], right_value: Option[Double])
+
+  /** Streaming as-of join as a Spark 4 `transformWithState` processor —
+    * the operator Structured Streaming lacks natively (its stream-stream
+    * joins are interval equi-joins; "latest right at-or-before each left"
+    * needs order-aware per-key state). Semantics match the batch
+    * [[graft.plans.AsOf]] operator: for every left row, the single
+    * latest right row with the same key and `rt <= lt`, ties on time by
+    * the larger right id; left-outer (unmatched lefts null-extend).
+    *
+    * Correctness under out-of-order arrival is watermark-driven: a left
+    * row can only be FINALIZED once the watermark proves no earlier-or-
+    * equal right row can still arrive, so lefts buffer in state and drain
+    * when `lt <= watermark` (each batch, plus an event-time timer for
+    * keys that stop receiving input). Rights buffer too, compacted by the
+    * dominance rule that bounds state at 100 TB: any right older than the
+    * watermark is beaten by the LATEST right older than the watermark for
+    * every still-possible left (`lt > watermark ≥ rt`), so exactly one
+    * below-watermark right survives — state per key = pending lefts +
+    * not-yet-dominated rights, both watermark-bounded, NOT stream history.
+    */
+  class AsofJoinProcessor extends StatefulProcessor[Long, AsofIn, AsofOut] {
+    @transient private var lefts: ListState[(Long, Long)] = _            // (ts, id)
+    @transient private var rights: ListState[(Long, Long, Double)] = _   // (ts, id, value)
+    @transient private var armed: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      lefts = getHandle.getListState[(Long, Long)]("lefts",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), TTLConfig.NONE)
+      rights = getHandle.getListState[(Long, Long, Double)]("rights",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaDouble),
+        TTLConfig.NONE)
+      armed = getHandle.getValueState[Long]("armed", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    /** Drain every buffered left with ts <= watermark against the buffered
+      * rights; compact the rights; re-arm the timer for the rest. */
+    private def drain(key: Long, wm: Long): Iterator[AsofOut] = {
+      val ls = lefts.get().toArray.sortBy(l => (l._1, l._2))
+      val rs = rights.get().toArray.sortBy(r => (r._1, r._2))
+      val (ready, pending) = ls.partition(_._1 <= wm)
+      val out = ready.iterator.map { case (lt, lid) =>
+        val cand = rs.filter(_._1 <= lt)
+        if (cand.isEmpty) AsofOut(key, lid, new Timestamp(lt), None, None)
+        else {
+          val (rt, _, rv) = cand.maxBy(r => (r._1, r._2))
+          AsofOut(key, lid, new Timestamp(lt), Some(new Timestamp(rt)), Some(rv))
+        }
+      }.toArray
+      if (pending.isEmpty) lefts.clear() else lefts.put(pending)
+      // dominance compaction: keep rights above the watermark + the single
+      // latest right at-or-below it
+      val (below, above) = rs.partition(_._1 <= wm)
+      val keep = (if (below.isEmpty) above else below.maxBy(r => (r._1, r._2)) +: above)
+        .sortBy(r => (r._1, r._2))
+      if (keep.isEmpty) rights.clear() else rights.put(keep)
+      if (armed.exists()) { getHandle.deleteTimer(armed.get()); armed.clear() }
+      if (pending.nonEmpty) {
+        val t = pending.map(_._1).min
+        getHandle.registerTimer(t)
+        armed.update(t)
+      }
+      out.iterator
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[AsofIn],
+                                 timerValues: TimerValues): Iterator[AsofOut] = {
+      rows.foreach { r =>
+        if (r.side == "L") lefts.appendValue((r.ts.getTime, r.id))
+        else rights.appendValue((r.ts.getTime, r.id, r.value))
+      }
+      drain(key, timerValues.getCurrentWatermarkInMs())
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+                                    info: ExpiredTimerInfo): Iterator[AsofOut] = {
+      armed.clear()
+      drain(key, timerValues.getCurrentWatermarkInMs())
+    }
+  }
+
+  /** Stream-stream as-of join of `lefts` (trades: key, ts, id) with
+    * `rights` (quotes: key, ts, id, value): tagged union → one keyed
+    * stateful processor. Both inputs need the SAME watermark column (the
+    * union's event time). */
+  def streamingAsofJoin(s: SparkSession, tagged: Dataset[AsofIn]): Dataset[AsofOut] = {
+    import s.implicits._
+    tagged
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.key)
+      .transformWithState(new AsofJoinProcessor, TimeMode.EventTime(), OutputMode.Append())
+  }
+
   case class UserDigest(user_id: Long, kind: String, n_types: Long, recent: Seq[Double])
 
   /** Spark 4 stateful processor exercising the FULL typed-state surface:

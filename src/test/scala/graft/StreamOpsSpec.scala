@@ -393,6 +393,66 @@ class StreamOpsSpec extends AnyFunSuite with SparkSessionTest {
     }
   }
 
+  test("stream-stream as-of join: out-of-order rights, watermark finalization, batch parity") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.StreamOps.AsofIn
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    def in(key: Long, side: String, t: String, id: Long, v: Double = 0.0) =
+      AsofIn(key, side, ts(t), id, v)
+    val ms = MemoryStream[AsofIn]
+    val q = StreamOps.streamingAsofJoin(spark, ms.toDS())
+      .writeStream.format("memory").queryName("t_asof_stream").outputMode("append").start()
+    try {
+      // batch 1: a right at 10:00, then a LEFT at 10:05 — must NOT emit yet
+      // (watermark hasn't proven no earlier right can still arrive)
+      ms.addData(in(1, "R", "2024-01-01 10:00:00", 100, 1.0),
+        in(1, "L", "2024-01-01 10:05:00", 1))
+      q.processAllAvailable()
+      assert(spark.table("t_asof_stream").isEmpty)
+      // batch 2: an OUT-OF-ORDER right at 10:02 (newer candidate for the
+      // buffered left) plus a far-future row advancing the watermark
+      ms.addData(in(1, "R", "2024-01-01 10:02:00", 101, 2.0),
+        in(2, "L", "2024-01-01 11:00:00", 2))
+      q.processAllAvailable()
+      // batch 3: dummy traffic so the post-watermark-advance trigger runs
+      // key 1's timer; then push time past key 2's left too
+      ms.addData(in(2, "R", "2024-01-01 11:30:00", 200, 9.0))
+      q.processAllAvailable()
+      ms.addData(in(2, "R", "2024-01-01 11:45:00", 201, 9.5))
+      q.processAllAvailable()
+      val rows = spark.table("t_asof_stream")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(3)) null else r.getTimestamp(3),
+          if (r.isNullAt(4)) null else r.getDouble(4))).toSet
+      // the late-arriving 10:02 right won over the 10:00 one
+      assert(rows.contains((1L, 1L, ts("2024-01-01 10:02:00"), 2.0)), rows.toString)
+      // key 2's left finalized unmatched (its rights are all AFTER it)
+      assert(rows.contains((2L, 2L, null, null)), rows.toString)
+      assert(rows.size == 2)
+      // batch parity: the custom batch operator on the same data agrees
+      graft.functions.GraftFunctions.register(spark)
+      val l = Seq((1L, ts("2024-01-01 10:05:00"), 1L), (2L, ts("2024-01-01 11:00:00"), 2L))
+        .toDF("key", "lts", "lid")
+      val r = Seq((1L, ts("2024-01-01 10:00:00"), 100L, 1.0),
+        (1L, ts("2024-01-01 10:02:00"), 101L, 2.0),
+        (2L, ts("2024-01-01 11:30:00"), 200L, 9.0),
+        (2L, ts("2024-01-01 11:45:00"), 201L, 9.5))
+        .toDF("rkey", "rts", "rid", "rv")
+      val batch = graft.plans.AsOf.join(l, r, "key", "rkey", "lts", "rts", "rid",
+          leftOuter = true)
+        .select("key", "lid", "rts", "rv")
+        .collect().map(x => (x.getLong(0), x.getLong(1),
+          if (x.isNullAt(2)) null else x.getTimestamp(2),
+          if (x.isNullAt(3)) null else x.getDouble(3))).toSet
+      assert(batch == rows, s"batch=$batch stream=$rows")
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   // ---- batch/stream parity over the REAL corpus ------------------------
   // The unification claim ("each operator is a pure DataFrame→DataFrame
   // transform, so the same code runs batch and streaming") is proven, not
