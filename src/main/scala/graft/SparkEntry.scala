@@ -20,13 +20,13 @@ object SparkEntry {
     ScanOps.queries ++ FilterOps.queries ++ JoinOps.queries ++ AggOps.queries ++
       WindowOps.queries ++ SortOps.queries ++ SetOps.queries ++ FnOps.queries ++
       TextOps.queries ++ VectorOps.queries ++ UdfOps.queries ++
-      ReshapeOps.queries ++ PipelineOps.queries ++
+      ReshapeOps.queries ++ PipelineOps.queries ++ QualityOps.queries ++
       graft.multimodal.Multimodal.queries
 
   def oracleSql: Map[String, String] =
     ScanOps.oracle ++ FilterOps.oracle ++ JoinOps.oracle ++ AggOps.oracle ++
       WindowOps.oracle ++ SortOps.oracle ++ SetOps.oracle ++ FnOps.oracle ++
       TextOps.oracle ++ VectorOps.oracle ++ UdfOps.oracle ++
-      ReshapeOps.oracle ++ PipelineOps.oracle ++
+      ReshapeOps.oracle ++ PipelineOps.oracle ++ QualityOps.oracle ++
       graft.multimodal.Multimodal.oracle
 }

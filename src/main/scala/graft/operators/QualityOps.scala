@@ -1,0 +1,92 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Declarative data-quality gate (the Deequ-style check every
+  * production pipeline runs before data is allowed downstream), built the
+  * Spark-first way: ALL rule metrics compute in ONE aggregate pass over
+  * the table — one scan, one partial+final hash aggregate, however many
+  * rules — and the per-rule report rows are exploded from that single
+  * metrics row. Adding a rule adds an aggregate expression, never a scan.
+  *
+  * Rules are (name, metric, op, threshold) with metrics as exact
+  * count-ratios, so verdicts compare bit-identical doubles in both
+  * engines and the whole report is hash-oracle-checked. The fixture rule
+  * set intentionally contains a failing row (`accepted_event_type`
+  * excludes two real event types): a gate whose demo only ever passes
+  * proves nothing about its ability to fail.
+  */
+object QualityOps {
+
+  /** (rule, metric SQL over events, op, threshold) — the declarative rule
+    * table; metricsSql/reportSql compile it into the one-pass plan. */
+  private val rules: Seq[(String, String, String, Double)] = Seq(
+    ("rows_nonempty", "CAST(count(*) AS DOUBLE)", ">=", 1.0),
+    ("completeness_value",
+      "CAST(count(value) AS DOUBLE) / count(*)", ">=", 0.99),
+    ("uniqueness_event_id",
+      "CAST(count(DISTINCT event_id) AS DOUBLE) / count(*)", ">=", 1.0),
+    ("validity_value_nonneg",
+      "CAST(sum(CASE WHEN value >= 0 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)",
+      ">=", 0.5),
+    ("accepted_event_type",
+      "CAST(sum(CASE WHEN event_type IN ('click', 'view', 'purchase') THEN 1 ELSE 0 END) AS DOUBLE) / count(*)",
+      ">=", 0.99),
+    ("user_coverage",
+      "CAST(count(DISTINCT user_id) AS DOUBLE)", ">=", 10.0))
+
+  private def metricExprs: String =
+    rules.map { case (n, m, _, _) => s"$m AS m_$n" }.mkString(",\n  ")
+
+  private def verdict(metric: String, op: String, thr: String): String =
+    s"CAST(CASE WHEN ($op = '>=' AND $metric >= $thr) OR ($op = '=' AND $metric = $thr) THEN 1 ELSE 0 END AS BIGINT)"
+
+  /** Spark form: one aggregate row, report exploded from an inline array
+    * of rule structs — a single pass regardless of rule count. */
+  private val sparkSql: String = {
+    val ruleStructs = rules.map { case (n, _, op, thr) =>
+      s"named_struct('rule', '$n', 'metric', m_$n, 'op', '$op', 'threshold', CAST($thr AS DOUBLE))"
+    }.mkString(",\n    ")
+    s"""WITH m AS (SELECT
+       |  $metricExprs
+       |FROM events)
+       |SELECT r.rule, round(r.metric, 6) AS metric, r.op, r.threshold,
+       |  ${verdict("r.metric", "r.op", "r.threshold")} AS pass
+       |FROM m
+       |LATERAL VIEW explode(array(
+       |    $ruleStructs)) t AS r
+       |ORDER BY rule""".stripMargin
+  }
+
+  /** Oracle form: same metrics CTE (DuckDB materializes it once), report
+    * as a VALUES-driven join instead of Spark's explode-of-structs. */
+  private val duckSql: String = {
+    val values = rules.map { case (n, _, op, thr) =>
+      s"('$n', '$op', CAST($thr AS DOUBLE))"
+    }.mkString(",\n    ")
+    val metricCase = rules.map { case (n, _, _, _) =>
+      s"WHEN r.rule = '$n' THEN m.m_$n"
+    }.mkString("\n    ")
+    s"""WITH m AS (SELECT
+       |  $metricExprs
+       |FROM events),
+       |r AS (SELECT * FROM (VALUES
+       |    $values) AS t(rule, op, threshold)),
+       |j AS (SELECT r.rule, r.op, r.threshold,
+       |        CASE $metricCase END AS metric
+       |      FROM r CROSS JOIN m)
+       |SELECT rule, round(metric, 6) AS metric, op, threshold,
+       |  ${verdict("metric", "op", "threshold")} AS pass
+       |FROM j ORDER BY rule""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_quality_report" -> ((s, sf) => {
+      Tables.events(s, sf).createOrReplaceTempView("events")
+      s.sql(sparkSql)
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "q_quality_report" -> duckSql)
+}

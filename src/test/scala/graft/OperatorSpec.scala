@@ -775,6 +775,20 @@ class OperatorSpec extends AnyFunSuite with SparkSessionTest
     assert(r.getDouble(1) >= 0.6, s"recall_at_10 = ${r.getDouble(1)}")
   }
 
+  test("quality report: all rules in ONE scan, failing rule flagged") {
+    val df = SparkEntry.queries("q_quality_report")(spark, sf0001)
+    val rows = df.collect()
+    assert(rows.length == 6)
+    val pass = rows.map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(pass("accepted_event_type") == 0L) // the gate must be able to fail
+    assert(pass.values.sum == 5L)
+    // the defining property: N rules, ONE pass — adding a rule adds an
+    // aggregate expression, never a scan (sparkPlan, because the AQE
+    // toString prints initial+final and would double-count the one scan)
+    val plan = df.queryExecution.sparkPlan.toString
+    assert("FileScan parquet".r.findAllIn(plan).size == 1, plan)
+  }
+
   test("weekly reaggregate of the daily pre-aggregate matches raw-grain aggregation") {
     import org.apache.spark.sql.types.DecimalType
     val got = SparkEntry.queries("q_agg_reaggregate")(spark, sf0001).collect()
