@@ -87,6 +87,23 @@ object QualityOps {
       s.sql(sparkSql)
     }))
 
+  /** The zero-extra-pass twin of the gate: `observe()` piggybacks quality
+    * counters onto ANY query's existing execution — the metrics ride the
+    * rows the query was already processing (an AggregatingAccumulator on
+    * the observed node, merged task-side), so a pipeline gets row counts /
+    * null counts / domain violations for free on every run instead of
+    * paying a second scan for a separate audit query. Batch reads the
+    * result off [[org.apache.spark.sql.Observation]]; in streaming the
+    * same call surfaces per-batch via QueryProgress.observedMetrics. */
+  def observeQuality(df: DataFrame, obs: org.apache.spark.sql.Observation): DataFrame = {
+    import org.apache.spark.sql.functions._
+    df.observe(obs,
+      count(lit(1)).as("n_rows"),
+      sum(when(col("value").isNull, 1L).otherwise(0L)).as("n_null_value"),
+      sum(when(col("value") < 0, 1L).otherwise(0L)).as("n_negative_value"),
+      approx_count_distinct(col("user_id"), 0.02).as("n_users_approx"))
+  }
+
   val oracle: Map[String, String] = Map(
     "q_quality_report" -> duckSql)
 }

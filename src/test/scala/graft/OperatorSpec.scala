@@ -789,6 +789,25 @@ class OperatorSpec extends AnyFunSuite with SparkSessionTest
     assert("FileScan parquet".r.findAllIn(plan).size == 1, plan)
   }
 
+  test("observe() piggybacks quality metrics onto a query's own execution") {
+    import org.apache.spark.sql.Observation
+    import org.apache.spark.sql.functions._
+    val obs = Observation("q_obs")
+    val df = graft.operators.QualityOps.observeQuality(
+      Tables.events(spark, sf0001), obs)
+    // the downstream query the pipeline actually wanted
+    val nTypes = df.filter(col("value") >= 0).select("event_type").distinct().count()
+    assert(nTypes > 0)
+    val m = obs.get
+    // metrics describe the OBSERVED node's full input, not the filtered tail
+    assert(m("n_rows") == Tables.events(spark, sf0001).count())
+    assert(m("n_null_value") == 0L)
+    assert(m.contains("n_negative_value") && m.contains("n_users_approx"))
+    // and no second scan happened: the one plan carried both answers
+    val plan = df.filter(col("value") >= 0).queryExecution.sparkPlan.toString
+    assert("FileScan parquet".r.findAllIn(plan).size == 1)
+  }
+
   test("weekly reaggregate of the daily pre-aggregate matches raw-grain aggregation") {
     import org.apache.spark.sql.types.DecimalType
     val got = SparkEntry.queries("q_agg_reaggregate")(spark, sf0001).collect()

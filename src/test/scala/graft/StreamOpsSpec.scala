@@ -453,6 +453,79 @@ class StreamOpsSpec extends AnyFunSuite with SparkSessionTest {
     }
   }
 
+  test("incremental aggregate maintenance equals a full recompute") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val table = java.nio.file.Files.createTempDirectory("graft_incr").toString + "/daily"
+    val ms = MemoryStream[Event]
+    val q = StreamOps.maintainDailyCounts(ms.toDF(), table).start()
+    val fed = scala.collection.mutable.ArrayBuffer.empty[Event]
+    def feed(es: Event*): Unit = { fed ++= es; ms.addData(es: _*); q.processAllAvailable() }
+    try {
+      feed(ev(1, "2024-01-01 10:00:00", typ = "click"),
+        ev(2, "2024-01-01 11:00:00", typ = "view"))
+      feed(ev(3, "2024-01-02 09:00:00", typ = "click"))
+      // a LATE row for day 1: its running total must overwrite, not append
+      feed(ev(4, "2024-01-01 23:00:00", typ = "click"),
+        ev(5, "2024-01-02 10:00:00", typ = "click"))
+      val maintained = spark.read.parquet(table)
+        .collect().map(r => (r.getDate(0).toString, r.getString(1)) -> r.getLong(2)).toMap
+      val full = fed.toSeq.toDF()
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .collect().map(r => (r.getDate(0).toString, r.getString(1)) -> r.getLong(2)).toMap
+      assert(maintained == full, s"maintained=$maintained full=$full")
+      assert(maintained(("2024-01-01", "click")) == 2L) // late row folded in
+    } finally q.stop()
+  }
+
+  test("stream-stream as-of join survives a checkpoint restart with buffered state") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.StreamOps.{AsofIn, AsofOut}
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_asof_ck").toString
+    val ms = MemoryStream[AsofIn]
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[AsofOut]
+    def runOnce(): Unit = {
+      val q = StreamOps.streamingAsofJoin(spark, ms.toDS())
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[AsofOut], _: Long) =>
+          df.collect().foreach(got.add)
+        }
+        .start()
+      q.awaitTermination(60000)
+      q.stop()
+    }
+    def in(key: Long, side: String, t: String, id: Long, v: Double = 0.0) =
+      AsofIn(key, side, ts(t), id, v)
+    try {
+      // phase 1: a right + a left buffer in state, nothing finalizes
+      ms.addData(in(1, "R", "2024-01-01 10:00:00", 100, 1.0),
+        in(1, "L", "2024-01-01 10:05:00", 1))
+      runOnce()
+      assert(got.isEmpty, got)
+      // phase 2 AFTER RESTART: a better out-of-order right arrives, then
+      // watermark-advancing traffic — the pre-restart buffered left must
+      // still be there, and must match the post-restart right
+      ms.addData(in(1, "R", "2024-01-01 10:02:00", 101, 2.0),
+        in(2, "R", "2024-01-01 11:00:00", 200, 9.0))
+      runOnce()
+      ms.addData(in(2, "R", "2024-01-01 11:30:00", 201, 9.5))
+      runOnce()
+      import scala.jdk.CollectionConverters._
+      val rows = got.asScala.toSeq
+      assert(rows.map(o => (o.key, o.left_id, o.right_ts.map(_.toString), o.right_value)) ==
+        Seq((1L, 1L, Some("2024-01-01 10:02:00.0"), Some(2.0))), rows)
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   // ---- batch/stream parity over the REAL corpus ------------------------
   // The unification claim ("each operator is a pure DataFrame→DataFrame
   // transform, so the same code runs batch and streaming") is proven, not
