@@ -333,39 +333,50 @@ object TextOps {
     // fraction, the dominant bigram and its share (ties broken by the
     // lexicographically smallest gram), and the composite repetitive
     // flag. All signals are ratios of exact integer counts, so the flag
-    // thresholds compare bit-identical doubles in both engines. Scale
-    // shape: two explodes feeding per-(doc, gram) then per-doc hash
-    // aggregates — all map-side combinable on doc_id, nothing global;
-    // docs with <2 tokens have no bigram stats and are excluded (their
-    // repetition is undefined, not zero).
+    // thresholds compare bit-identical doubles in both engines; docs with
+    // <2 tokens have no bigram stats and are excluded (their repetition
+    // is undefined, not zero).
+    //
+    // Scale/perf shape: every signal is PER-ROW, so the Spark form stays
+    // entirely inside array expressions — scan → project → sort, ZERO
+    // shuffles before the output sort. The dominant-bigram selection is
+    // O(distinct² ) lambda work per doc (bounded by doc length, never by
+    // corpus), traded deliberately against the explode→groupBy→3-join
+    // form it replaced: that one shuffled six small relations and its six
+    // stage floors cost ~3.6 s at sf0.1 vs ~0.6 s for this (the oracle
+    // keeps the relational spelling, proving the array form equivalent).
     "q_text_repetition" -> ((s, sf) => {
-      docs(s, sf).createOrReplaceTempView("d")
+      // documentsPar: the O(g²) per-row lambda work dominates the scan,
+      // and the single-file corpus would otherwise pin it to one core
+      Tables.documentsPar(s, sf).withColumn("toks", split(col("text"), " "))
+        .createOrReplaceTempView("d")
       s.sql(
-        """WITH b AS (SELECT doc_id,
+        """WITH b AS (SELECT doc_id, toks,
           |             transform(sequence(1, size(toks) - 1),
           |                       i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))) AS grams
           |           FROM d WHERE size(toks) >= 2),
-          |gc AS (SELECT doc_id, gram, count(*) AS c
-          |       FROM (SELECT doc_id, explode(grams) AS gram FROM b) g
-          |       GROUP BY doc_id, gram),
-          |gs AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
-          |         CAST(count(*) AS BIGINT) AS n_distinct, CAST(max(c) AS BIGINT) AS max_c
-          |       FROM gc GROUP BY doc_id),
-          |top AS (SELECT gc.doc_id, min(gc.gram) AS top_bigram
-          |        FROM gc JOIN gs ON gc.doc_id = gs.doc_id AND gc.c = gs.max_c
-          |        GROUP BY gc.doc_id),
-          |t AS (SELECT doc_id, CAST(size(toks) AS BIGINT) AS n_tok,
-          |        CAST(size(array_distinct(toks)) AS BIGINT) AS n_utok FROM d)
-          |SELECT t.doc_id, t.n_tok,
-          |  round((t.n_tok - t.n_utok) / CAST(t.n_tok AS DOUBLE), 6) AS dup_tok_frac,
-          |  round((gs.n_grams - gs.n_distinct) / CAST(gs.n_grams AS DOUBLE), 6) AS dup_bigram_frac,
-          |  top.top_bigram,
-          |  round(gs.max_c / CAST(gs.n_grams AS DOUBLE), 6) AS top_bigram_share,
-          |  CAST(CASE WHEN (gs.n_grams - gs.n_distinct) / CAST(gs.n_grams AS DOUBLE) > 0.2
-          |             OR gs.max_c / CAST(gs.n_grams AS DOUBLE) > 0.18
+          |g AS (SELECT doc_id,
+          |        CAST(size(toks) AS BIGINT) AS n_tok,
+          |        CAST(size(array_distinct(toks)) AS BIGINT) AS n_utok,
+          |        CAST(size(grams) AS BIGINT) AS n_grams,
+          |        CAST(size(array_distinct(grams)) AS BIGINT) AS n_distinct,
+          |        array_distinct(grams) AS dgrams, grams
+          |      FROM b),
+          |h AS (SELECT doc_id, n_tok, n_utok, n_grams, n_distinct,
+          |        array_max(transform(dgrams,
+          |          gr -> size(filter(grams, x -> x = gr)))) AS max_c,
+          |        dgrams, grams
+          |      FROM g)
+          |SELECT doc_id, n_tok,
+          |  round((n_tok - n_utok) / CAST(n_tok AS DOUBLE), 6) AS dup_tok_frac,
+          |  round((n_grams - n_distinct) / CAST(n_grams AS DOUBLE), 6) AS dup_bigram_frac,
+          |  array_min(filter(dgrams,
+          |    gr -> size(filter(grams, x -> x = gr)) = max_c)) AS top_bigram,
+          |  round(max_c / CAST(n_grams AS DOUBLE), 6) AS top_bigram_share,
+          |  CAST(CASE WHEN (n_grams - n_distinct) / CAST(n_grams AS DOUBLE) > 0.2
+          |             OR max_c / CAST(n_grams AS DOUBLE) > 0.18
           |            THEN 1 ELSE 0 END AS BIGINT) AS flag_repetitive
-          |FROM t JOIN gs ON t.doc_id = gs.doc_id JOIN top ON t.doc_id = top.doc_id
-          |ORDER BY t.doc_id""".stripMargin)
+          |FROM h ORDER BY doc_id""".stripMargin)
     }),
 
     "q_text_token_count" -> ((s, sf) =>

@@ -164,12 +164,15 @@ object VectorOps {
   private val ivfK = 16
   private val ivfNProbe = 6
 
-  private def ivfSql(dotFn: (String, String) => String, md5Cast: String,
-                     explodeFrom: String => String, assemble: String,
-                     argmin: (String, String, String) => String): String = {
-    def dist2(e: String, c: String) =
-      s"(${dotFn(e, e)} - 2 * ${dotFn(e, c)} + ${dotFn(c, c)})"
-    s"""WITH seedbase AS (SELECT vec_id, embedding FROM embeddings
+  private def ivfDist2(dotFn: (String, String) => String)(e: String, c: String): String =
+    s"(${dotFn(e, e)} - 2 * ${dotFn(e, c)} + ${dotFn(c, c)})"
+
+  /** Codebook-training CTE chain, ending in `cent(cid, cvec)`. */
+  private def ivfCentCtes(dotFn: (String, String) => String, md5Cast: String,
+                          explodeFrom: String => String, assemble: String,
+                          argmin: (String, String, String) => String): String = {
+    val dist2 = ivfDist2(dotFn) _
+    s"""seedbase AS (SELECT vec_id, embedding FROM embeddings
        |                  ORDER BY md5(CAST(vec_id AS $md5Cast)), vec_id LIMIT $ivfK),
        |seed AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS $md5Cast)), vec_id) - 1 AS cid,
        |                embedding AS cvec
@@ -179,13 +182,19 @@ object VectorOps {
        |mm AS (SELECT cid, pos,
        |         CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(30,12))) AS DOUBLE) / COUNT(v) AS mv
        |       FROM x GROUP BY cid, pos),
-       |cent AS (SELECT cid, $assemble AS cvec FROM mm GROUP BY cid),
-       |asgn AS (${argmin("cent", dist2("e.embedding", "c.cvec"), "e.label, ")}),
+       |cent AS (SELECT cid, $assemble AS cvec FROM mm GROUP BY cid)""".stripMargin
+  }
+
+  /** Probe-serving pass over a codebook relation `centRef`. */
+  private def ivfServeSql(dotFn: (String, String) => String, centRef: String,
+                          argmin: (String, String, String) => String): String = {
+    val dist2 = ivfDist2(dotFn) _
+    s"""asgn AS (${argmin(centRef, dist2("e.embedding", "c.cvec"), "e.label, ")}),
        |probe AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0),
        |pcell AS (SELECT cid FROM (
        |    SELECT c.cid,
        |      row_number() OVER (ORDER BY ${dist2("p.pe", "c.cvec")}, c.cid) AS rn
-       |    FROM cent c CROSS JOIN probe p) t
+       |    FROM $centRef c CROSS JOIN probe p) t
        |  WHERE rn <= $ivfNProbe)
        |SELECT vec_id, label,
        |  round(${dotFn("embedding", "pe")} /
@@ -199,12 +208,12 @@ object VectorOps {
   /** Product quantization ANN — the fourth rung of the similarity ladder
     * (brute force → LSH buckets → IVF cells → PQ codes) and the memory
     * trick that fits billion-vector indexes in RAM at 100 TB: the 64-dim
-    * embedding splits into M=4 16-dim subspaces, each subspace trains
+    * embedding splits into M=16 4-dim subspaces, each subspace trains
     * K=16 centroids (the SAME deterministic md5-seeded k-means as the IVF
     * codebook: seed vectors' subvectors → one Lloyd refinement with
-    * exact-decimal means), and every vector is encoded as 4 centroid ids
-    * — 4×4 bits vs 64×32-bit floats, a 128× compression. The probe is
-    * answered by ASYMMETRIC DISTANCE COMPUTATION: one 4×16 lookup table
+    * exact-decimal means), and every vector is encoded as 16 centroid ids
+    * — 16×4 bits vs 64×32-bit floats, a 32× compression. The probe is
+    * answered by ASYMMETRIC DISTANCE COMPUTATION: one 16×16 lookup table
     * of probe-subvector↔centroid squared distances, after which each
     * vector's approximate distance is a 4-term sum of table entries — no
     * float vector is touched per candidate at query time, which is the
@@ -227,11 +236,12 @@ object VectorOps {
   private val pqK = 16
   private val pqShortlist = 100
 
-  private def pqSql(dotFn: (String, String) => String, md5Cast: String,
-                    subsrc: String, slice: (String, String) => String,
-                    explodeXFrom: String, assemble: String,
-                    argmin: (String, String) => String): String = {
-    s"""WITH sub AS ($subsrc),
+  /** Codebook-training CTE chain: ends in `cent(sub, cid, cvec)`. */
+  private def pqCentCtes(md5Cast: String, subsrc: String,
+                         slice: (String, String) => String,
+                         explodeXFrom: String, assemble: String,
+                         argmin: (String, String) => String): String =
+    s"""sub AS ($subsrc),
        |seedbase AS (SELECT vec_id, embedding FROM embeddings
        |             ORDER BY md5(CAST(vec_id AS $md5Cast)), vec_id LIMIT $pqK),
        |seed AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS $md5Cast)), vec_id) - 1 AS cid,
@@ -245,15 +255,28 @@ object VectorOps {
        |mm AS (SELECT sub, cid, pos,
        |         CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(30,12))) AS DOUBLE) / COUNT(v) AS mv
        |       FROM x GROUP BY sub, cid, pos),
-       |cent AS (SELECT sub, cid, $assemble AS cvec FROM mm GROUP BY sub, cid),
-       |enc AS (${argmin("cent", "c.cvec")}),
+       |cent AS (SELECT sub, cid, $assemble AS cvec FROM mm GROUP BY sub, cid)""".stripMargin
+
+  /** Serving pass over a codebook relation `centRef`: encode, ADC against
+    * the probe's lookup table, shortlist, exact rerank. */
+  private def pqServeSql(dotFn: (String, String) => String, subsrc: String,
+                         slice: (String, String) => String,
+                         argmin: (String, String) => String,
+                         centRef: String, defineBase: Boolean): String = {
+    val base = if (defineBase)
+      s"""sub AS ($subsrc),
+         |ev AS (SELECT e.vec_id, m.sub, ${slice("e.embedding", "m.sub")} AS svec
+         |       FROM embeddings e CROSS JOIN sub m),
+         |""".stripMargin
+    else ""
+    s"""$base|enc AS (${argmin(centRef, "c.cvec")}),
        |probe AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0),
        |psub AS (SELECT m.sub, ${slice("probe.pe", "m.sub")} AS pvec
        |         FROM probe CROSS JOIN sub m),
        |pd AS (SELECT c.sub, c.cid,
        |         (${dotFn("p.pvec", "p.pvec")} - 2 * ${dotFn("p.pvec", "c.cvec")}
        |          + ${dotFn("c.cvec", "c.cvec")}) AS d2
-       |       FROM cent c JOIN psub p ON c.sub = p.sub),
+       |       FROM $centRef c JOIN psub p ON c.sub = p.sub),
        |adc AS (SELECT enc.vec_id,
        |          CAST(SUM(CAST(pd.d2 AS DECIMAL(30,12))) AS DOUBLE) AS ad2
        |        FROM enc JOIN pd ON enc.sub = pd.sub AND enc.cid = pd.cid
@@ -268,8 +291,13 @@ object VectorOps {
        |LIMIT 10""".stripMargin
   }
 
+  /** Argmin objective: ||e−c||² MINUS the per-vector constant e·e — the
+    * constant shifts every candidate's value identically so the argmin
+    * (and its exact tie structure — both engines evaluate this same
+    * expression) is unchanged, and one of the three fold-dots per
+    * candidate disappears from the hot N·K loop. */
   private def pqD2(dotFn: (String, String) => String): String =
-    s"(${dotFn("e.svec", "e.svec")} - 2 * ${dotFn("e.svec", "c.cvec")} + ${dotFn("c.cvec", "c.cvec")})"
+    s"(${dotFn("c.cvec", "c.cvec")} - 2 * ${dotFn("e.svec", "c.cvec")})"
 
   /** Normalized subvector slice: PQ targets COSINE proximity (the metric
     * the exact KNN ranks by), so vectors are projected onto the unit
@@ -290,37 +318,60 @@ object VectorOps {
       s"v -> CAST(CAST(v AS DOUBLE) / (CASE WHEN $nrm = 0.0 THEN 1.0 ELSE $nrm END) AS FLOAT))"
   }
 
-  private val pqSparkSql: String = pqSql(
-    dot, md5Cast = "STRING",
-    subsrc = s"SELECT explode(sequence(0, ${pqM - 1})) AS sub",
-    slice = normSliceSpark,
-    explodeXFrom =
-      """SELECT a.sub, a.cid, pos, v
-        |      FROM a0 a JOIN ev e ON a.vec_id = e.vec_id AND a.sub = e.sub
-        |      LATERAL VIEW posexplode(e.svec) t AS pos, v""".stripMargin,
-    assemble = "transform(array_sort(collect_list(struct(pos, mv))), s -> CAST(s.mv AS FLOAT))",
-    argmin = (candTab, _) =>
-      s"""SELECT vec_id, sub, m.c AS cid FROM (
-         |    SELECT e.vec_id, e.sub,
-         |      min(named_struct('d', ${pqD2(dot)}, 'c', c.cid)) AS m
-         |    FROM ev e JOIN $candTab c ON e.sub = c.sub
-         |    GROUP BY e.vec_id, e.sub) t""".stripMargin)
+  private val pqSubsrcSpark = s"SELECT explode(sequence(0, ${pqM - 1})) AS sub"
+  private val pqSubsrcDuck = s"SELECT unnest([${(0 until pqM).mkString(", ")}]) AS sub"
 
-  private val pqDuckSql: String = pqSql(
-    odot, md5Cast = "VARCHAR",
-    subsrc = s"SELECT unnest([${(0 until pqM).mkString(", ")}]) AS sub",
-    slice = normSliceDuck,
-    explodeXFrom =
-      """SELECT a.sub, a.cid, generate_subscripts(e.svec, 1) AS pos, unnest(e.svec) AS v
-        |      FROM a0 a JOIN ev e ON a.vec_id = e.vec_id AND a.sub = e.sub""".stripMargin,
-    assemble = "list_transform(list(mv ORDER BY pos), x -> CAST(x AS FLOAT))",
-    argmin = (candTab, _) =>
-      s"""SELECT vec_id, sub, cid FROM (
-         |    SELECT e.vec_id, e.sub, c.cid,
-         |      row_number() OVER (PARTITION BY e.vec_id, e.sub
-         |                         ORDER BY ${pqD2(odot)}, c.cid) AS rn
-         |    FROM ev e JOIN $candTab c ON e.sub = c.sub) t
-         |  WHERE rn = 1""".stripMargin)
+  private val pqArgminSpark: (String, String) => String = (candTab, _) =>
+    s"""SELECT vec_id, sub, m.c AS cid FROM (
+       |    SELECT e.vec_id, e.sub,
+       |      min(named_struct('d', ${pqD2(dot)}, 'c', c.cid)) AS m
+       |    FROM ev e JOIN $candTab c ON e.sub = c.sub
+       |    GROUP BY e.vec_id, e.sub) t""".stripMargin
+
+  private val pqArgminDuck: (String, String) => String = (candTab, _) =>
+    s"""SELECT vec_id, sub, cid FROM (
+       |    SELECT e.vec_id, e.sub, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id, e.sub
+       |                         ORDER BY ${pqD2(odot)}, c.cid) AS rn
+       |    FROM ev e JOIN $candTab c ON e.sub = c.sub) t
+       |  WHERE rn = 1""".stripMargin
+
+  /** Spark statement 1: train the codebook (256 rows — driver-sized). */
+  private val pqCentSparkSql: String =
+    s"""WITH ${pqCentCtes("STRING", pqSubsrcSpark, normSliceSpark,
+         explodeXFrom =
+           """SELECT a.sub, a.cid, pos, v
+             |      FROM a0 a JOIN ev e ON a.vec_id = e.vec_id AND a.sub = e.sub
+             |      LATERAL VIEW posexplode(e.svec) t AS pos, v""".stripMargin,
+         assemble = "transform(array_sort(collect_list(struct(pos, mv))), s -> CAST(s.mv AS FLOAT))",
+         argmin = pqArgminSpark)}
+       |SELECT sub, cid, cvec FROM cent""".stripMargin
+
+  /** Spark statement 2: serve against the collected `pq_cent` literal —
+    * the PCA/MAD driver handoff: under CTE inlining the one-query form
+    * recomputed the training chain once per consumer (~3.4 s warm at
+    * sf0.1); with the 256-row codebook re-parallelized as a literal, the
+    * serve pass is one scan-side encode + broadcast lookup (~1 s). The
+    * oracle keeps the one-query composition, proving the split sound. */
+  private val pqServeSparkSql: String =
+    s"WITH ${pqServeSql(dot, pqSubsrcSpark, normSliceSpark, pqArgminSpark, "pq_cent", defineBase = true)}"
+
+  /** Registers the collected codebook as `pq_cent`. */
+  private def pqPrep(s: SparkSession): Unit = {
+    val cent = s.sql(pqCentSparkSql)
+    s.createDataFrame(java.util.Arrays.asList(cent.collect(): _*), cent.schema)
+      .createOrReplaceTempView("pq_cent")
+  }
+
+  /** Oracle: the one-query composition (DuckDB materializes CTEs). */
+  private val pqDuckSql: String =
+    s"""WITH ${pqCentCtes("VARCHAR", pqSubsrcDuck, normSliceDuck,
+         explodeXFrom =
+           """SELECT a.sub, a.cid, generate_subscripts(e.svec, 1) AS pos, unnest(e.svec) AS v
+             |      FROM a0 a JOIN ev e ON a.vec_id = e.vec_id AND a.sub = e.sub""".stripMargin,
+         assemble = "list_transform(list(mv ORDER BY pos), x -> CAST(x AS FLOAT))",
+         argmin = pqArgminDuck)},
+       |${pqServeSql(odot, pqSubsrcDuck, normSliceDuck, pqArgminDuck, "cent", defineBase = false)}""".stripMargin
 
   /** Spark argmin: partial-agg min over a (distance, cid) struct — the
     * N·K expansion collapses map-side; only one row per vector shuffles.
@@ -399,7 +450,8 @@ object VectorOps {
     "q_vec_ann_ivf" -> ((s, sf) => {
       graft.functions.GraftFunctions.register(s)
       Tables.embeddings(s, sf).createOrReplaceTempView("embeddings")
-      s.sql(ivfSparkSql)
+      ivfPrep(s)
+      s.sql(ivfServeSparkSql)
     }),
 
     // Embedding DRIFT monitor: split the corpus into two cohorts (vec_id
@@ -515,15 +567,19 @@ object VectorOps {
     "q_vec_ann_recall" -> ((s, sf) => {
       graft.functions.GraftFunctions.register(s)
       Tables.embeddings(s, sf).createOrReplaceTempView("embeddings")
+      ivfPrep(s)
       s.sql(recallSparkSql)
     }),
 
-    // PQ/ADC ANN (see pqSql): codes + one probe lookup table instead of
-    // float vectors at query time. Hash-oracle-checked like the IVF path.
+    // PQ/ADC ANN (see pqCentCtes/pqServeSql): codes + one probe lookup
+    // table instead of float vectors at query time. Train (statement 1) →
+    // collected 256-row codebook literal → serve (statement 2); the
+    // oracle runs the one-query composition. Hash-checked like IVF.
     "q_vec_ann_pq" -> ((s, sf) => {
       graft.functions.GraftFunctions.register(s)
       Tables.embeddings(s, sf).createOrReplaceTempView("embeddings")
-      s.sql(pqSparkSql)
+      pqPrep(s)
+      s.sql(pqServeSparkSql)
     }),
 
     // recall@10 of the PQ/ADC top-10 vs exact cosine — the quality metric
@@ -534,7 +590,8 @@ object VectorOps {
     "q_vec_pq_recall" -> ((s, sf) => {
       graft.functions.GraftFunctions.register(s)
       Tables.embeddings(s, sf).createOrReplaceTempView("embeddings")
-      s.sql(recallSql(knnSparkSql, pqSparkSql,
+      pqPrep(s)
+      s.sql(recallSql(knnSparkSql, pqServeSparkSql,
         collectSorted = "array_sort(collect_list(vec_id))",
         isect = (a, b) => s"size(array_intersect($a, $b))"))
     }),
@@ -643,17 +700,36 @@ object VectorOps {
        |ORDER BY cos_sim DESC, vec_id
        |LIMIT 10""".stripMargin
 
-  private val ivfSparkSql = ivfSql(
-    dot, md5Cast = "STRING",
-    explodeFrom = t => s"SELECT cid, posexplode(embedding) AS (pos, v) FROM $t",
-    assemble = "transform(array_sort(collect_list(struct(pos, mv))), s -> CAST(s.mv AS FLOAT))",
-    argmin = sparkArgmin)
+  /** Spark statement 1: train the 16-row codebook (driver-sized). */
+  private val ivfCentSparkSql: String =
+    s"""WITH ${ivfCentCtes(dot, md5Cast = "STRING",
+         explodeFrom = t => s"SELECT cid, posexplode(embedding) AS (pos, v) FROM $t",
+         assemble = "transform(array_sort(collect_list(struct(pos, mv))), s -> CAST(s.mv AS FLOAT))",
+         argmin = sparkArgmin)}
+       |SELECT cid, cvec FROM cent""".stripMargin
 
-  private val ivfDuckSql = ivfSql(
-    odot, md5Cast = "VARCHAR",
-    explodeFrom = t => s"SELECT cid, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS v FROM $t",
-    assemble = "list_transform(list(mv ORDER BY pos), x -> CAST(x AS FLOAT))",
-    argmin = duckArgmin)
+  /** Spark statement 2: probe-serve against the collected `ivf_cent`
+    * literal — same driver handoff as PQ/PCA/MAD: the one-query form
+    * recomputed the training chain under CTE inlining for each consumer
+    * (asgn + pcell); with the 16-row codebook re-parallelized, serving is
+    * one scan-side assignment + broadcast probe-cell filter. The oracle
+    * keeps the one-query composition, proving the split sound. */
+  private val ivfServeSparkSql: String =
+    s"WITH ${ivfServeSql(dot, "ivf_cent", sparkArgmin)}"
+
+  /** Registers the collected codebook as `ivf_cent`. */
+  private def ivfPrep(s: SparkSession): Unit = {
+    val cent = s.sql(ivfCentSparkSql)
+    s.createDataFrame(java.util.Arrays.asList(cent.collect(): _*), cent.schema)
+      .createOrReplaceTempView("ivf_cent")
+  }
+
+  private val ivfDuckSql: String =
+    s"""WITH ${ivfCentCtes(odot, md5Cast = "VARCHAR",
+         explodeFrom = t => s"SELECT cid, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS v FROM $t",
+         assemble = "list_transform(list(mv ORDER BY pos), x -> CAST(x AS FLOAT))",
+         argmin = duckArgmin)},
+       |${ivfServeSql(odot, "cent", duckArgmin)}""".stripMargin
 
   /** Top principal component by THREE unrolled power-iteration steps over
     * the 64×64 covariance matrix, all in SQL: explode to (vec_id, pos, v),
@@ -805,7 +881,7 @@ object VectorOps {
        |FROM ka CROSS JOIN ia""".stripMargin
 
   private def recallSparkSql: String =
-    recallSql(knnSparkSql, ivfSparkSql,
+    recallSql(knnSparkSql, ivfServeSparkSql,
       collectSorted = "array_sort(collect_list(vec_id))",
       isect = (a, b) => s"size(array_intersect($a, $b))")
 
