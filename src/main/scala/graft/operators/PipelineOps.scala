@@ -235,6 +235,45 @@ object PipelineOps {
   private val mixSparkSql = mixSql("CAST(size(split(text, ' ')) AS BIGINT)")
   private val mixDuckSql = mixSql("CAST(len(string_split(text, ' ')) AS BIGINT)")
 
+  /** Curriculum bucketing: docs land in ten FIXED-WIDTH quality buckets
+    * (the q_text_quality composite score is already in [0,1], so bucket =
+    * floor(score·10) — no global ntile sort, the construction a 100 TB
+    * corpus needs: bucket assignment is a pure per-row function and the
+    * output is 10 rows however big the corpus), then each bucket gets a
+    * curriculum sampling weight ∝ (b+1)² over the nonempty buckets —
+    * quality-skewed sampling for early training. Weights derive from
+    * integer bucket indices and counts only, so the whole report is
+    * bit-stable; per-bucket token sums are exact decimal. `tokExpr` is
+    * the engine's token-count spelling; `lenFn` its token-array length. */
+  private def curriculumSql(lenFn: String, distinctFn: String, filterFn: String,
+                            tokSplit: String): String =
+    s"""WITH d AS (SELECT doc_id, $tokSplit AS toks FROM documents),
+       |q AS (SELECT doc_id, $lenFn(toks) AS n_tok,
+       |        CAST(0.4 AS DOUBLE) * ($lenFn($distinctFn(toks)) / $lenFn(toks))
+       |          + CAST(0.3 AS DOUBLE) * (CAST(1 AS DOUBLE)
+       |              - $lenFn($filterFn) / $lenFn(toks))
+       |          + CAST(0.3 AS DOUBLE) * least(CAST(1 AS DOUBLE), $lenFn(toks) / CAST(100 AS DOUBLE)) AS score
+       |      FROM d),
+       |b AS (SELECT doc_id, n_tok, score,
+       |        CAST(least(floor(score * 10), 9) AS BIGINT) AS bucket
+       |      FROM q),
+       |g AS (SELECT bucket, count(*) AS n_docs,
+       |        CAST(sum(CAST(n_tok AS DECIMAL(30,0))) AS BIGINT) AS n_tokens,
+       |        round(CAST(sum(CAST(score AS DECIMAL(30,12))) AS DOUBLE) / count(*), 6) AS mean_score
+       |      FROM b GROUP BY bucket),
+       |w AS (SELECT CAST(sum((bucket + 1) * (bucket + 1)) AS DOUBLE) AS z FROM g)
+       |SELECT g.bucket, g.n_docs, g.n_tokens, g.mean_score,
+       |  round((g.bucket + 1) * (g.bucket + 1) / w.z, 6) AS sample_weight
+       |FROM g CROSS JOIN w
+       |ORDER BY g.bucket""".stripMargin
+
+  private val curriculumSparkSql = curriculumSql(
+    "size", "array_distinct", "filter(toks, t -> t IN ('the', 'a'))",
+    "split(text, ' ')")
+  private val curriculumDuckSql = curriculumSql(
+    "len", "list_distinct", "list_filter(toks, t -> t IN ('the', 'a'))",
+    "string_split(text, ' ')")
+
   /** Deterministic source-interleaved training order: docs are md5-
     * shuffled WITHIN each source, then sources are round-robin-interleaved
     * by taking rank-1 of every source, then rank-2, … — the standard
@@ -276,6 +315,7 @@ object PipelineOps {
       s.sql(logprobRestSql("lp_tok"))
     }),
     "q_pipeline_mix" -> ((s, sf) => run(s, sf, mixSparkSql)),
+    "q_pipeline_curriculum" -> ((s, sf) => run(s, sf, curriculumSparkSql)),
     "q_pipeline_interleave" -> ((s, sf) => run(s, sf, interleaveSql("STRING")))
   )
 
@@ -286,6 +326,7 @@ object PipelineOps {
     "q_pipeline_dataset_card" -> cardDuckSql,
     "q_text_unigram_logprob" -> logprobDuckSql,
     "q_pipeline_mix" -> mixDuckSql,
+    "q_pipeline_curriculum" -> curriculumDuckSql,
     "q_pipeline_interleave" -> interleaveSql("VARCHAR")
   )
 }
