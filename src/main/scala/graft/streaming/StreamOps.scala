@@ -320,6 +320,13 @@ object StreamOps {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val sp = batch.sparkSession
         val dir = java.nio.file.Paths.get(table)
+        val oldDir = java.nio.file.Paths.get(table + "_old")
+        // Crash recovery: if a previous batch died between "move current
+        // aside" and "move stage in", the table dir is missing but the
+        // _old copy is intact — restore it before merging, so history is
+        // never silently dropped.
+        if (!java.nio.file.Files.exists(dir) && java.nio.file.Files.exists(oldDir))
+          java.nio.file.Files.move(oldDir, dir)
         val merged =
           if (java.nio.file.Files.exists(dir)) {
             val existing = sp.read.parquet(table)
@@ -336,8 +343,16 @@ object StreamOps {
           java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
             .foreach(java.nio.file.Files.delete)
         }
-        rmTree(dir)
+        // Swap via rename-aside, not delete-then-move: the loss window is
+        // a single rename (between the two moves the table is briefly
+        // absent but both copies exist on disk — the recovery above heals
+        // it), instead of the old delete-first window where a crash after
+        // rmTree lost the only copy.
+        rmTree(oldDir)
+        if (java.nio.file.Files.exists(dir))
+          java.nio.file.Files.move(dir, oldDir)
         java.nio.file.Files.move(java.nio.file.Paths.get(stage), dir)
+        rmTree(oldDir)
         ()
       }
 

@@ -40,7 +40,16 @@ object GraftBridge {
     * analyzer/parser extension points cannot be added post-hoc. */
   def newSessionWithExtensions(spark: SparkSession, extClass: String): SparkSession = {
     val cs = spark.asInstanceOf[classic.SparkSession]
-    cs.sparkContext.conf.set("spark.sql.extensions", extClass)
-    new classic.SparkSession(cs.sparkContext, new java.util.HashMap[String, String]())
+    val conf = cs.sparkContext.conf
+    // The conf lives on the SHARED SparkContext: restore it after the
+    // constructor reads it, so sessions created later on the same context
+    // don't silently inherit these extensions.
+    val prev = conf.getOption("spark.sql.extensions")
+    conf.set("spark.sql.extensions", extClass)
+    try new classic.SparkSession(cs.sparkContext, new java.util.HashMap[String, String]())
+    finally prev match {
+      case Some(v) => conf.set("spark.sql.extensions", v)
+      case None    => conf.remove("spark.sql.extensions")
+    }
   }
 }

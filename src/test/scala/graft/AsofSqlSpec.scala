@@ -74,6 +74,35 @@ class AsofSqlSpec extends AnyFunSuite with SparkSessionTest {
     assert(e.getMessage.contains("asof_tie"))
   }
 
+  test("'asof join' inside a string literal or comment is data, not syntax") {
+    // Advisor scenario: the old regex lowering rewrote matches inside
+    // literals (corrupting the value) and counted them toward the marker
+    // requirement (spurious parse error). The lexer-aware scan must leave
+    // both untouched.
+    val lit = ext.sql(
+      "SELECT 'asof join pending' AS note FROM quotes LIMIT 1").collect()
+    assert(lit.head.getString(0) == "asof join pending")
+    val cmt = ext.sql(
+      """SELECT count(*) AS n FROM quotes -- asof join in a comment
+        |WHERE qk >= 0 /* and an asof left join in a block comment */""".stripMargin)
+      .collect()
+    assert(cmt.head.getLong(0) == 4L)
+  }
+
+  test("a marker in a DIFFERENT join's ON clause cannot satisfy an ASOF join") {
+    // Advisor scenario: global marker counting let one ASOF JOIN pass on
+    // the strength of an asof_tie placed in another plain join's ON
+    // clause — the plain join got rewritten, the ASOF one silently ran as
+    // an ordinary join. Per-join ON-region validation rejects it.
+    val e = intercept[org.apache.spark.sql.catalyst.parser.ParseException] {
+      ext.sql(
+        """SELECT * FROM trades t
+          |ASOF JOIN quotes q ON t.tk = q.qk AND t.tt >= q.qt
+          |JOIN quotes q2 ON t.tk = q2.qk AND asof_tie(q2.tag)""".stripMargin)
+    }
+    assert(e.getMessage.contains("its own ON clause"))
+  }
+
   test("asof_tie outside a join condition fails loudly instead of meaning true") {
     val err = intercept[Exception] {
       ext.sql("SELECT * FROM quotes WHERE asof_tie(tag)").collect()
