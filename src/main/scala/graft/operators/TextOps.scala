@@ -311,19 +311,49 @@ object TextOps {
           |FROM d ORDER BY doc_id""".stripMargin)
     }),
 
+    // Quality scoring, full Gopher-style rule set: alongside the original
+    // lexical signals (type-token ratio, stopword ratio, length-scaled
+    // composite), the published Gopher filter's remaining document rules —
+    // mean word length inside [3,10], symbol-to-word ratio (# / ellipsis
+    // tokens) ≤ 0.1, ≤ 90% of lines starting with a bullet, ≤ 30% of
+    // lines ending in an ellipsis — each emitted as its own ratio + 0/1
+    // gate plus the conjunction `flag_gopher` (the keep/drop bit a
+    // pipeline filters on; the within-doc repetition rules live in
+    // q_text_repetition). Every ratio is exact-integer-count / count, and
+    // every gate compares the ROUNDED ratio, so both engines threshold
+    // bit-identical doubles. Per-row array lambdas only — scan → project
+    // → sort, zero shuffles at any scale.
     "q_text_quality" -> ((s, sf) => {
       docs(s, sf).createOrReplaceTempView("d")
       s.sql(
-        """SELECT doc_id,
-          |  CAST(size(toks) AS BIGINT) AS n_toks,
-          |  CAST(size(array_distinct(toks)) AS BIGINT) AS n_uniq,
-          |  round(size(array_distinct(toks)) / size(toks), 6) AS ttr,
-          |  round(aggregate(transform(toks, t -> length(t)), 0, (a, x) -> a + x) / size(toks), 6) AS avg_tok_len,
-          |  round(size(filter(toks, t -> t IN ('the', 'a'))) / size(toks), 6) AS stop_ratio,
-          |  round(CAST(0.4 AS DOUBLE) * (size(array_distinct(toks)) / size(toks))
-          |      + CAST(0.3 AS DOUBLE) * (CAST(1 AS DOUBLE) - size(filter(toks, t -> t IN ('the', 'a'))) / size(toks))
-          |      + CAST(0.3 AS DOUBLE) * least(CAST(1 AS DOUBLE), size(toks) / CAST(100 AS DOUBLE)), 6) AS quality
-          |FROM d ORDER BY doc_id""".stripMargin)
+        """WITH q AS (
+          |  SELECT doc_id,
+          |    CAST(size(toks) AS BIGINT) AS n_toks,
+          |    CAST(size(array_distinct(toks)) AS BIGINT) AS n_uniq,
+          |    round(size(array_distinct(toks)) / size(toks), 6) AS ttr,
+          |    round(aggregate(transform(toks, t -> length(t)), 0, (a, x) -> a + x) / size(toks), 6) AS avg_tok_len,
+          |    round(size(filter(toks, t -> t IN ('the', 'a'))) / size(toks), 6) AS stop_ratio,
+          |    round(CAST(0.4 AS DOUBLE) * (size(array_distinct(toks)) / size(toks))
+          |        + CAST(0.3 AS DOUBLE) * (CAST(1 AS DOUBLE) - size(filter(toks, t -> t IN ('the', 'a'))) / size(toks))
+          |        + CAST(0.3 AS DOUBLE) * least(CAST(1 AS DOUBLE), size(toks) / CAST(100 AS DOUBLE)), 6) AS quality,
+          |    round(size(filter(toks, t -> contains(t, '#') OR contains(t, '…') OR contains(t, '...')))
+          |          / size(toks), 6) AS symbol_ratio,
+          |    CAST(size(lines) AS BIGINT) AS n_lines,
+          |    round(size(filter(lines, l -> left(ltrim(l), 1) IN ('-', '*', '•')))
+          |          / size(lines), 6) AS bullet_frac,
+          |    round(size(filter(lines, l -> right(rtrim(l), 3) = '...' OR right(rtrim(l), 1) = '…'))
+          |          / size(lines), 6) AS ellipsis_frac
+          |  FROM (SELECT doc_id, toks, split(text, '\n') AS lines FROM d) t)
+          |SELECT doc_id, n_toks, n_uniq, ttr, avg_tok_len, stop_ratio, quality,
+          |  symbol_ratio, n_lines, bullet_frac, ellipsis_frac,
+          |  CAST(CASE WHEN avg_tok_len >= 3 AND avg_tok_len <= 10 THEN 1 ELSE 0 END AS BIGINT) AS flag_word_len,
+          |  CAST(CASE WHEN symbol_ratio <= 0.1 THEN 1 ELSE 0 END AS BIGINT) AS flag_symbol,
+          |  CAST(CASE WHEN bullet_frac <= 0.9 THEN 1 ELSE 0 END AS BIGINT) AS flag_bullet,
+          |  CAST(CASE WHEN ellipsis_frac <= 0.3 THEN 1 ELSE 0 END AS BIGINT) AS flag_ellipsis,
+          |  CAST(CASE WHEN avg_tok_len >= 3 AND avg_tok_len <= 10 AND symbol_ratio <= 0.1
+          |              AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3
+          |       THEN 1 ELSE 0 END AS BIGINT) AS flag_gopher
+          |FROM q ORDER BY doc_id""".stripMargin)
     }),
 
     // Gopher-style within-document repetition signals — the quality-filter
@@ -939,6 +969,58 @@ object TextOps {
           |WHERE rn = 1 ORDER BY doc_id""".stripMargin)
     }),
 
+    // SUBSTRING-level cross-document dedup (the granularity below
+    // document/near-dup: public "Deduplicating Training Data" work removes
+    // repeated ≥W-token sequences that occur in MORE THAN ONE document —
+    // boilerplate, licenses, templated spans — even when the documents
+    // containing them are otherwise unique). Reuses q_text_rollhash's
+    // Rabin–Karp machinery: every 5-token window hashes to
+    // (doc_id, pos, h); a window is "repeated" when its hash occurs in
+    // ≥2 distinct docs. Per doc: window count, repeated-window count, and
+    // the fraction of TOKENS covered by at least one repeated window (the
+    // number a pipeline thresholds on to drop or trim a document).
+    //
+    // Scale shape: the repeated-hash table is built by one
+    // map-side-combinable (h → distinct docs) aggregate — never all-pairs
+    // — and the join back is a hash equi-join on h, co-partitioned with
+    // the window explode. Coverage is an explode of exactly 5 positions
+    // per REPEATED window (bounded by actual duplication, not corpus
+    // size) into a count-distinct per doc. At 100 TB every stage
+    // partitions by doc_id or h; nothing driver-sized, no skew beyond a
+    // pathological single hash (which the HAVING ≥2-docs filter leaves
+    // data-bounded). Hash collisions fold identically in both engines
+    // (same formula), so the metric is exactly oracle-checkable.
+    "q_dedup_substring" -> ((s, sf) => {
+      Tables.documentsPar(s, sf).createOrReplaceTempView("documents")
+      s.sql(
+        """WITH d AS (SELECT doc_id, split(text, ' ') AS toks FROM documents),
+          |c AS (SELECT doc_id,
+          |        transform(toks, t -> CAST(ascii(t) * 256 + length(t) AS BIGINT)) AS cs,
+          |        size(toks) AS n
+          |      FROM d),
+          |w AS (SELECT doc_id, n,
+          |        transform(sequence(1, n - 4), i ->
+          |          (((((((element_at(cs, i) * 131 + element_at(cs, i + 1)) % 1000000007) * 131
+          |            + element_at(cs, i + 2)) % 1000000007) * 131
+          |            + element_at(cs, i + 3)) % 1000000007) * 131
+          |            + element_at(cs, i + 4)) % 1000000007) AS hs
+          |      FROM c WHERE n >= 5),
+          |x AS (SELECT doc_id, posexplode(hs) AS (pos, h) FROM w),
+          |rep AS (SELECT h FROM x GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+          |rw AS (SELECT x.doc_id, x.pos FROM x JOIN rep ON x.h = rep.h),
+          |r AS (SELECT doc_id, count(*) AS n_rep_win FROM rw GROUP BY doc_id),
+          |cov AS (SELECT doc_id, count(DISTINCT p) AS n_cov
+          |        FROM (SELECT doc_id, explode(sequence(pos + 1, pos + 5)) AS p FROM rw)
+          |        GROUP BY doc_id)
+          |SELECT w.doc_id, CAST(w.n AS BIGINT) AS n_tok,
+          |  CAST(w.n - 4 AS BIGINT) AS n_win,
+          |  CAST(coalesce(r.n_rep_win, 0) AS BIGINT) AS n_rep_win,
+          |  round(coalesce(cov.n_cov, 0) / CAST(w.n AS DOUBLE), 6) AS rep_tok_frac
+          |FROM w LEFT JOIN r ON w.doc_id = r.doc_id
+          |LEFT JOIN cov ON w.doc_id = cov.doc_id
+          |ORDER BY w.doc_id""".stripMargin)
+    }),
+
     // PII detection + redaction (the compliance pass every training-data
     // pipeline runs before release): count and mask emails, IPv4s, and
     // NANP-style phone numbers with chained regexp_replace. Patterns stay
@@ -1057,17 +1139,37 @@ object TextOps {
         |FROM d ORDER BY doc_id""".stripMargin,
 
     "q_text_quality" ->
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
-        |SELECT doc_id,
-        |  len(toks) AS n_toks,
-        |  len(list_distinct(toks)) AS n_uniq,
-        |  round(len(list_distinct(toks)) / len(toks), 6) AS ttr,
-        |  round(list_aggregate(list_transform(toks, t -> length(t)), 'sum') / len(toks), 6) AS avg_tok_len,
-        |  round(len(list_filter(toks, t -> t IN ('the', 'a'))) / len(toks), 6) AS stop_ratio,
-        |  round(CAST(0.4 AS DOUBLE) * (len(list_distinct(toks)) / len(toks))
-        |      + CAST(0.3 AS DOUBLE) * (CAST(1 AS DOUBLE) - len(list_filter(toks, t -> t IN ('the', 'a'))) / len(toks))
-        |      + CAST(0.3 AS DOUBLE) * least(CAST(1 AS DOUBLE), len(toks) / CAST(100 AS DOUBLE)), 6) AS quality
-        |FROM d ORDER BY doc_id""".stripMargin,
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks,
+        |             string_split(text, chr(10)) AS lines
+        |           FROM documents),
+        |q AS (
+        |  SELECT doc_id,
+        |    len(toks) AS n_toks,
+        |    len(list_distinct(toks)) AS n_uniq,
+        |    round(len(list_distinct(toks)) / len(toks), 6) AS ttr,
+        |    round(list_aggregate(list_transform(toks, t -> length(t)), 'sum') / len(toks), 6) AS avg_tok_len,
+        |    round(len(list_filter(toks, t -> t IN ('the', 'a'))) / len(toks), 6) AS stop_ratio,
+        |    round(CAST(0.4 AS DOUBLE) * (len(list_distinct(toks)) / len(toks))
+        |        + CAST(0.3 AS DOUBLE) * (CAST(1 AS DOUBLE) - len(list_filter(toks, t -> t IN ('the', 'a'))) / len(toks))
+        |        + CAST(0.3 AS DOUBLE) * least(CAST(1 AS DOUBLE), len(toks) / CAST(100 AS DOUBLE)), 6) AS quality,
+        |    round(len(list_filter(toks, t -> contains(t, '#') OR contains(t, '…') OR contains(t, '...')))
+        |          / len(toks), 6) AS symbol_ratio,
+        |    len(lines) AS n_lines,
+        |    round(len(list_filter(lines, l -> left(ltrim(l), 1) IN ('-', '*', '•')))
+        |          / len(lines), 6) AS bullet_frac,
+        |    round(len(list_filter(lines, l -> right(rtrim(l), 3) = '...' OR right(rtrim(l), 1) = '…'))
+        |          / len(lines), 6) AS ellipsis_frac
+        |  FROM d)
+        |SELECT doc_id, n_toks, n_uniq, ttr, avg_tok_len, stop_ratio, quality,
+        |  symbol_ratio, n_lines, bullet_frac, ellipsis_frac,
+        |  CAST(CASE WHEN avg_tok_len >= 3 AND avg_tok_len <= 10 THEN 1 ELSE 0 END AS BIGINT) AS flag_word_len,
+        |  CAST(CASE WHEN symbol_ratio <= 0.1 THEN 1 ELSE 0 END AS BIGINT) AS flag_symbol,
+        |  CAST(CASE WHEN bullet_frac <= 0.9 THEN 1 ELSE 0 END AS BIGINT) AS flag_bullet,
+        |  CAST(CASE WHEN ellipsis_frac <= 0.3 THEN 1 ELSE 0 END AS BIGINT) AS flag_ellipsis,
+        |  CAST(CASE WHEN avg_tok_len >= 3 AND avg_tok_len <= 10 AND symbol_ratio <= 0.1
+        |              AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3
+        |       THEN 1 ELSE 0 END AS BIGINT) AS flag_gopher
+        |FROM q ORDER BY doc_id""".stripMargin,
 
     "q_text_repetition" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
@@ -1284,6 +1386,34 @@ object TextOps {
         |SELECT doc_id, CAST(len(hs) AS BIGINT) AS n_win,
         |  array_to_string(list_transform(list_sort(hs)[1:4], h -> CAST(h AS VARCHAR)), ',') AS fp
         |FROM w ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_substring" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |c AS (SELECT doc_id,
+        |        list_transform(toks, t -> CAST(ascii(t) * 256 + length(t) AS BIGINT)) AS cs,
+        |        len(toks) AS n
+        |      FROM d),
+        |w AS (SELECT doc_id, n,
+        |        list_transform(generate_series(1, n - 4), i ->
+        |          (((((((cs[i] * 131 + cs[i + 1]) % 1000000007) * 131
+        |            + cs[i + 2]) % 1000000007) * 131
+        |            + cs[i + 3]) % 1000000007) * 131
+        |            + cs[i + 4]) % 1000000007) AS hs
+        |      FROM c WHERE n >= 5),
+        |x AS (SELECT doc_id, generate_subscripts(hs, 1) AS pos, unnest(hs) AS h FROM w),
+        |rep AS (SELECT h FROM x GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+        |rw AS (SELECT x.doc_id, x.pos FROM x JOIN rep USING (h)),
+        |r AS (SELECT doc_id, count(*) AS n_rep_win FROM rw GROUP BY doc_id),
+        |cov AS (SELECT doc_id, count(DISTINCT p) AS n_cov
+        |        FROM (SELECT doc_id, unnest(generate_series(pos, pos + 4)) AS p FROM rw) u
+        |        GROUP BY doc_id)
+        |SELECT w.doc_id, CAST(w.n AS BIGINT) AS n_tok,
+        |  CAST(w.n - 4 AS BIGINT) AS n_win,
+        |  CAST(coalesce(r.n_rep_win, 0) AS BIGINT) AS n_rep_win,
+        |  round(coalesce(cov.n_cov, 0) / CAST(w.n AS DOUBLE), 6) AS rep_tok_frac
+        |FROM w LEFT JOIN r USING (doc_id)
+        |LEFT JOIN cov USING (doc_id)
+        |ORDER BY w.doc_id""".stripMargin,
 
     "q_text_langid_ngram" ->
       """WITH d AS (SELECT doc_id, lang, list_distinct(list_transform(

@@ -724,6 +724,90 @@ class OperatorSpec extends AnyFunSuite with SparkSessionTest
       s.dataFilters.mkString(";"))
   }
 
+  test("q_part_dpp prunes the date-partitioned fact scan dynamically") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val df = SparkEntry.queries("q_part_dpp")(spark, sf0001)
+    df.collect()
+    val scans = collect(df.queryExecution.executedPlan) {
+      case f: FileSourceScanExec => f
+    }
+    // fact scan = the partition-filtered one (column pruning strips
+    // event_id from its output — the aggregate only needs value/day)
+    val fact = scans.find(_.partitionFilters.nonEmpty)
+      .getOrElse(fail(s"no scan with partition filters among ${scans.size} scans"))
+    // the day predicate must be a DYNAMIC partition filter (the dim join
+    // key), with no data filters — pruning happens at directory listing
+    assert(fact.partitionFilters.exists(
+      _.find(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions.DynamicPruningExpression]).isDefined),
+      s"expected DynamicPruningExpression in ${fact.partitionFilters}")
+    assert(fact.dataFilters.isEmpty, fact.dataFilters.mkString(";"))
+  }
+
+  test("gopher quality gates each trip on their own fixture document") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_gopher").toString
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over a lazy dog near the quiet river bank today", "en", "src0"),
+      (2L, "aaaaaaaaaaaaaaaa bbbbbbbbbbbbbbbb cccccccccccccccc dddddddddddddddd", "en", "src0"),
+      (3L, "## ## ## markdown noise x", "en", "src0"),
+      (4L, "- first bullet\n- second bullet\n- third bullet", "en", "src0"),
+      (5L, "trailing off...\nagain…\nmore of it...", "en", "src0"))
+    docs.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q_text_quality")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def flags(id: Long) = {
+      val r = out(id)
+      (r.getLong(r.fieldIndex("flag_word_len")), r.getLong(r.fieldIndex("flag_symbol")),
+        r.getLong(r.fieldIndex("flag_bullet")), r.getLong(r.fieldIndex("flag_ellipsis")),
+        r.getLong(r.fieldIndex("flag_gopher")))
+    }
+    assert(flags(1L) == ((1L, 1L, 1L, 1L, 1L)), s"clean doc: ${flags(1L)}")
+    assert(flags(2L)._1 == 0L && flags(2L)._5 == 0L, s"word-len gate: ${flags(2L)}")
+    assert(flags(3L)._2 == 0L && flags(3L)._5 == 0L, s"symbol gate: ${flags(3L)}")
+    assert(flags(4L)._3 == 0L && flags(4L)._5 == 0L, s"bullet gate: ${flags(4L)}")
+    assert(flags(5L)._4 == 0L && flags(5L)._5 == 0L, s"ellipsis gate: ${flags(5L)}")
+  }
+
+  test("substring dedup finds the shared 5-token span and only it") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_substr").toString
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "en", "src0"),
+      (2L, "one alpha beta gamma delta epsilon two", "en", "src0"),
+      (3L, "p q r s t u v", "en", "src0"))
+    docs.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextOps.queries("q_dedup_substring")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // doc1: windows [1..5],[2..6]; the first is shared with doc2 → covers 5/6 tokens
+    assert(out(1L) == ((2L, 1L, math.round(5.0 / 6 * 1e6) / 1e6)), out(1L).toString)
+    // doc2: 3 windows, the middle one shared → covers tokens 2..6 = 5/7
+    assert(out(2L) == ((3L, 1L, math.round(5.0 / 7 * 1e6) / 1e6)), out(2L).toString)
+    // doc3: nothing repeated cross-document
+    assert(out(3L) == ((3L, 0L, 0.0)), out(3L).toString)
+  }
+
+  test("binaryFile ingest reads one blob per asset and fingerprints it") {
+    val out = Multimodal.queries("q_mm_ingest_binary")(spark, sf0001).collect()
+    val expect = Tables.documents(spark, sf0001)
+      .filter(pmod(col("doc_id"), lit(50)) === 0)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.length == expect.size && out.nonEmpty)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    out.foreach { r =>
+      val (id, n, h) = (r.getLong(0), r.getLong(1), r.getString(2))
+      val bytes = (expect(id) + "\n").getBytes("UTF-8")
+      assert(n == bytes.length, s"doc $id length")
+      val hex = md.digest(bytes).map("%02x".format(_)).mkString
+      md.reset()
+      assert(h == hex, s"doc $id md5")
+    }
+  }
+
   test("unigram logprob scores are negative log-likelihoods with sane perplexity") {
     val out = SparkEntry.queries("q_text_unigram_logprob")(spark, sf0001).collect()
     val docs = Tables.documents(spark, sf0001).count()

@@ -1,0 +1,80 @@
+#!/usr/bin/env python3
+"""Generate a local sf1 (10x sf0.1 rows) for events/documents/embeddings.
+
+Scale-curve smoke data (round-4 verdict item 8): same distributions as the
+driver corpus (vocab, token-length mix, lang/source shares, event types,
+ts span, embedding dim), 10x the rows, fully seeded. Written to
+/tmp/sf1 — only the RESULTING time-vs-rows table is committed
+(BASELINE.md); the data itself is reproducible from this script.
+
+Dev tooling only (python/duckdb/pyarrow are the driver-side stack the
+oracle already uses) — nothing in src/ depends on this.
+"""
+import random
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import duckdb
+
+OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
+SRC = "/root/testdata/sf0.1"
+rng = random.Random(20260813)
+nprng = np.random.default_rng(20260813)
+
+import os
+os.makedirs(OUT, exist_ok=True)
+con = duckdb.connect()
+
+# ---- documents: 50k rows, same vocab + length/lang/source mix ----------
+vocab = [r[0] for r in con.execute(
+    f"SELECT DISTINCT unnest(string_split(text,' ')) AS t FROM '{SRC}/documents.parquet' ORDER BY t").fetchall()]
+langs, lang_w = zip(*con.execute(
+    f"SELECT lang, count(*) FROM '{SRC}/documents.parquet' GROUP BY 1 ORDER BY 1").fetchall())
+sources = [f"src{i}" for i in range(20)]
+N_DOC = 50000
+doc_rows = {"doc_id": [], "text": [], "lang": [], "source": [], "n_chars": []}
+for i in range(N_DOC):
+    n_tok = rng.randint(10, 100)
+    text = " ".join(rng.choice(vocab) for _ in range(n_tok))
+    doc_rows["doc_id"].append(i)
+    doc_rows["text"].append(text)
+    doc_rows["lang"].append(rng.choices(langs, weights=lang_w)[0])
+    doc_rows["source"].append(rng.choice(sources))
+    doc_rows["n_chars"].append(len(text))
+pq.write_table(pa.table({
+    "doc_id": pa.array(doc_rows["doc_id"], pa.int64()),
+    "text": pa.array(doc_rows["text"], pa.string()),
+    "lang": pa.array(doc_rows["lang"], pa.string()),
+    "source": pa.array(doc_rows["source"], pa.string()),
+    "n_chars": pa.array(doc_rows["n_chars"], pa.int64()),
+}), f"{OUT}/documents.parquet")
+
+# ---- embeddings: 20k rows, dim 64 float, label 0..9 --------------------
+N_EMB = 20000
+emb = nprng.standard_normal((N_EMB, 64)).astype(np.float32)
+pq.write_table(pa.table({
+    "vec_id": pa.array(range(N_EMB), pa.int64()),
+    "embedding": pa.array([e.tolist() for e in emb], pa.list_(pa.float32())),
+    "label": pa.array([i % 10 for i in range(N_EMB)], pa.int32()),
+}), f"{OUT}/embeddings.parquet")
+
+# ---- events: 1M rows, ts ns over the same month ------------------------
+N_EV = 1000000
+types = ["click", "error", "purchase", "signup", "view"]
+base_ns = 1704067200 * 10**9  # 2024-01-01 UTC
+span_ns = 29 * 24 * 3600 * 10**9
+ts = np.sort(nprng.integers(0, span_ns, N_EV)) + base_ns
+pq.write_table(pa.table({
+    "event_id": pa.array(range(N_EV), pa.int64()),
+    "ts": pa.array(ts, pa.timestamp("ns")),
+    "user_id": pa.array(nprng.integers(0, 20000, N_EV), pa.int64()),
+    "event_type": pa.array([types[i] for i in nprng.integers(0, 5, N_EV)], pa.string()),
+    "value": pa.array(np.round(nprng.exponential(80.0, N_EV), 2), pa.float64()),
+    "props": pa.array(['{"k": %d}' % k for k in nprng.integers(0, 100, N_EV)], pa.string()),
+}), f"{OUT}/events.parquet")
+
+print("wrote", OUT)
+for t in ["documents", "events", "embeddings"]:
+    print(t, con.execute(f"SELECT count(*) FROM '{OUT}/{t}.parquet'").fetchone()[0])
