@@ -405,8 +405,60 @@ object JoinOps {
         .join(sel.select("o_orderkey"), col("l_orderkey") === col("o_orderkey"), "left_semi")
         .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
         .orderBy("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+    }),
+
+    // BUCKETED co-located join in the graded path: both sides are written
+    // `bucketBy(8, custkey) sortBy(custkey)` managed tables, so at read
+    // time the bucket layout IS the hash partitioning and the merge join
+    // runs with ZERO shuffle above either scan (BucketingSpec asserts
+    // exactly that on this helper's plan; the only exchanges in the full
+    // query are the aggregate's and the output sort's). The `merge` hint
+    // pins SMJ — plan-embedded, no session conf — because at graded SFs
+    // the customer side is broadcast-sized and the optimizer would
+    // otherwise pick BHJ, leaving the bucket mechanics unexercised. At
+    // 100 TB this is the fact⋈fact shape where pre-bucketing at write
+    // time deletes the two dominant shuffles from every downstream join
+    // on that key. The oracle runs the plain join over the originals,
+    // proving the bucketed round-trip computes the identical relation.
+    "q_join_bucketed" -> ((s, sf) => {
+      bucketedJoin(s, sf)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(DecimalType(30, 2))).cast(DoubleType).as("total"))
+        .orderBy("c_mktsegment")
     })
   )
+
+  /** The shuffle-free bucketed join (shared with BucketingSpec, which
+    * asserts zero ShuffleExchange nodes in THIS dataframe's plan). */
+  private[graft] def bucketedJoin(s: SparkSession, sf: String): DataFrame = {
+    val tag = sf.replaceAll("[^A-Za-z0-9]", "_")
+    val (ot, ct) = (s"graft_bkt_orders_$tag", s"graft_bkt_customer_$tag")
+    // A previous JVM's managed-table LOCATION may survive in the
+    // warehouse dir while this session's in-memory catalog has no such
+    // table — saveAsTable then fails with LOCATION_ALREADY_EXISTS. Drop
+    // both the catalog entry and any orphan directory before writing.
+    for (t <- Seq(ot, ct)) {
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir"))
+      val loc = java.nio.file.Paths.get(
+        if (wh.getScheme == null) wh.getPath else new java.io.File(wh).getPath, t)
+      if (java.nio.file.Files.exists(loc)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+    }
+    Tables.orders(s, sf).write.mode("overwrite")
+      .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable(ot)
+    Tables.customer(s, sf).write.mode("overwrite")
+      .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable(ct)
+    val ob = s.table(ot)
+    val cb = s.table(ct)
+    ob.hint("merge")
+      .join(cb, ob("o_custkey") === cb("c_custkey"))
+      .select(col("c_mktsegment"), col("o_totalprice"))
+  }
 
   /** Nearest-as-of over temp views `ev(event_id, user_id, ts_s)` and
     * `orders(o_orderkey, o_custkey, o_orderdate)` — shared with the
@@ -645,6 +697,13 @@ object JoinOps {
         |              WHERE o.o_orderkey = l.l_orderkey
         |                AND o.o_orderpriority = '1-URGENT'
         |                AND o.o_totalprice > 400000.0)
-        |ORDER BY l_orderkey, l_partkey, l_quantity, l_extendedprice""".stripMargin
+        |ORDER BY l_orderkey, l_partkey, l_quantity, l_extendedprice""".stripMargin,
+
+    "q_join_bucketed" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS total
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin
   )
 }

@@ -993,21 +993,7 @@ object TextOps {
     "q_dedup_substring" -> ((s, sf) => {
       Tables.documentsPar(s, sf).createOrReplaceTempView("documents")
       s.sql(
-        """WITH d AS (SELECT doc_id, split(text, ' ') AS toks FROM documents),
-          |c AS (SELECT doc_id,
-          |        transform(toks, t -> CAST(ascii(t) * 256 + length(t) AS BIGINT)) AS cs,
-          |        size(toks) AS n
-          |      FROM d),
-          |w AS (SELECT doc_id, n,
-          |        transform(sequence(1, n - 4), i ->
-          |          (((((((element_at(cs, i) * 131 + element_at(cs, i + 1)) % 1000000007) * 131
-          |            + element_at(cs, i + 2)) % 1000000007) * 131
-          |            + element_at(cs, i + 3)) % 1000000007) * 131
-          |            + element_at(cs, i + 4)) % 1000000007) AS hs
-          |      FROM c WHERE n >= 5),
-          |x AS (SELECT doc_id, posexplode(hs) AS (pos, h) FROM w),
-          |rep AS (SELECT h FROM x GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
-          |rw AS (SELECT x.doc_id, x.pos FROM x JOIN rep ON x.h = rep.h),
+        s"""WITH $substrCandSpark,
           |r AS (SELECT doc_id, count(*) AS n_rep_win FROM rw GROUP BY doc_id),
           |cov AS (SELECT doc_id, count(DISTINCT p) AS n_cov
           |        FROM (SELECT doc_id, explode(sequence(pos + 1, pos + 5)) AS p FROM rw)
@@ -1019,6 +1005,33 @@ object TextOps {
           |FROM w LEFT JOIN r ON w.doc_id = r.doc_id
           |LEFT JOIN cov ON w.doc_id = cov.doc_id
           |ORDER BY w.doc_id""".stripMargin)
+    }),
+
+    // The REMOVAL step on top of q_dedup_substring (public repeated-
+    // sequence dedup actually rewrites the corpus, it doesn't just score
+    // it): drop every token covered by a cross-document repeated 5-token
+    // window and emit the cleaned text (fingerprinted: md5 + kept-token
+    // count — the full string stays out of the graded output so row width
+    // is bounded). Same candidate plumbing as q_dedup_substring; the
+    // covered-position sets ride a groupBy(doc) collect_set (bounded by
+    // doc length), then one per-row lambda filters tokens by position —
+    // no extra shuffle beyond the scoring query's. Engine note: Spark's
+    // filter((t, i) -> …) lambda index is 0-based, DuckDB's is 1-based —
+    // the +1 below aligns them (both sides then speak 1-based).
+    "q_dedup_substring_clean" -> ((s, sf) => {
+      Tables.documentsPar(s, sf).createOrReplaceTempView("documents")
+      s.sql(
+        s"""WITH $substrCandSpark,
+          |cov AS (SELECT doc_id, collect_set(p) AS cps
+          |        FROM (SELECT doc_id, explode(sequence(pos + 1, pos + 5)) AS p FROM rw)
+          |        GROUP BY doc_id),
+          |k AS (SELECT w.doc_id,
+          |        filter(d.toks, (t, i) -> cov.cps IS NULL OR NOT array_contains(cov.cps, i + 1)) AS kept
+          |      FROM w JOIN d ON w.doc_id = d.doc_id
+          |      LEFT JOIN cov ON w.doc_id = cov.doc_id)
+          |SELECT doc_id, CAST(size(kept) AS BIGINT) AS n_kept,
+          |  md5(concat_ws(' ', kept)) AS clean_md5
+          |FROM k ORDER BY doc_id""".stripMargin)
     }),
 
     // PII detection + redaction (the compliance pass every training-data
@@ -1047,6 +1060,45 @@ object TextOps {
         .orderBy("line_id")
     })
   )
+
+  /** Shared candidate plumbing for the substring-dedup pair
+    * (q_dedup_substring / q_dedup_substring_clean): tokens → rolling
+    * 5-token hashes → (doc, pos, h) explode → hashes in ≥2 distinct docs
+    * → repeated windows `rw(doc_id, pos)` (pos 0-based; the DuckDB twin is
+    * 1-based via generate_subscripts — consumers align). */
+  private val substrCandSpark: String =
+    """d AS (SELECT doc_id, split(text, ' ') AS toks FROM documents),
+      |c AS (SELECT doc_id,
+      |        transform(toks, t -> CAST(ascii(t) * 256 + length(t) AS BIGINT)) AS cs,
+      |        size(toks) AS n
+      |      FROM d),
+      |w AS (SELECT doc_id, n,
+      |        transform(sequence(1, n - 4), i ->
+      |          (((((((element_at(cs, i) * 131 + element_at(cs, i + 1)) % 1000000007) * 131
+      |            + element_at(cs, i + 2)) % 1000000007) * 131
+      |            + element_at(cs, i + 3)) % 1000000007) * 131
+      |            + element_at(cs, i + 4)) % 1000000007) AS hs
+      |      FROM c WHERE n >= 5),
+      |x AS (SELECT doc_id, posexplode(hs) AS (pos, h) FROM w),
+      |rep AS (SELECT h FROM x GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+      |rw AS (SELECT x.doc_id, x.pos FROM x JOIN rep ON x.h = rep.h)""".stripMargin
+
+  private val substrCandDuck: String =
+    """d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |c AS (SELECT doc_id,
+      |        list_transform(toks, t -> CAST(ascii(t) * 256 + length(t) AS BIGINT)) AS cs,
+      |        len(toks) AS n
+      |      FROM d),
+      |w AS (SELECT doc_id, n,
+      |        list_transform(generate_series(1, n - 4), i ->
+      |          (((((((cs[i] * 131 + cs[i + 1]) % 1000000007) * 131
+      |            + cs[i + 2]) % 1000000007) * 131
+      |            + cs[i + 3]) % 1000000007) * 131
+      |            + cs[i + 4]) % 1000000007) AS hs
+      |      FROM c WHERE n >= 5),
+      |x AS (SELECT doc_id, generate_subscripts(hs, 1) AS pos, unnest(hs) AS h FROM w),
+      |rep AS (SELECT h FROM x GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+      |rw AS (SELECT x.doc_id, x.pos FROM x JOIN rep USING (h))""".stripMargin
 
   private val piiEmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val piiIpPat = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
@@ -1388,21 +1440,7 @@ object TextOps {
         |FROM w ORDER BY doc_id""".stripMargin,
 
     "q_dedup_substring" ->
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-        |c AS (SELECT doc_id,
-        |        list_transform(toks, t -> CAST(ascii(t) * 256 + length(t) AS BIGINT)) AS cs,
-        |        len(toks) AS n
-        |      FROM d),
-        |w AS (SELECT doc_id, n,
-        |        list_transform(generate_series(1, n - 4), i ->
-        |          (((((((cs[i] * 131 + cs[i + 1]) % 1000000007) * 131
-        |            + cs[i + 2]) % 1000000007) * 131
-        |            + cs[i + 3]) % 1000000007) * 131
-        |            + cs[i + 4]) % 1000000007) AS hs
-        |      FROM c WHERE n >= 5),
-        |x AS (SELECT doc_id, generate_subscripts(hs, 1) AS pos, unnest(hs) AS h FROM w),
-        |rep AS (SELECT h FROM x GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
-        |rw AS (SELECT x.doc_id, x.pos FROM x JOIN rep USING (h)),
+      s"""WITH $substrCandDuck,
         |r AS (SELECT doc_id, count(*) AS n_rep_win FROM rw GROUP BY doc_id),
         |cov AS (SELECT doc_id, count(DISTINCT p) AS n_cov
         |        FROM (SELECT doc_id, unnest(generate_series(pos, pos + 4)) AS p FROM rw) u
@@ -1414,6 +1452,19 @@ object TextOps {
         |FROM w LEFT JOIN r USING (doc_id)
         |LEFT JOIN cov USING (doc_id)
         |ORDER BY w.doc_id""".stripMargin,
+
+    "q_dedup_substring_clean" ->
+      s"""WITH $substrCandDuck,
+        |cov AS (SELECT doc_id, list_distinct(list(p)) AS cps
+        |        FROM (SELECT doc_id, unnest(generate_series(pos, pos + 4)) AS p FROM rw) u
+        |        GROUP BY doc_id),
+        |k AS (SELECT w.doc_id,
+        |        list_filter(d.toks, (t, i) -> cov.cps IS NULL OR NOT list_contains(cov.cps, i)) AS kept
+        |      FROM w JOIN d USING (doc_id)
+        |      LEFT JOIN cov USING (doc_id))
+        |SELECT doc_id, CAST(len(kept) AS BIGINT) AS n_kept,
+        |  md5(coalesce(array_to_string(kept, ' '), '')) AS clean_md5
+        |FROM k ORDER BY doc_id""".stripMargin,
 
     "q_text_langid_ngram" ->
       """WITH d AS (SELECT doc_id, lang, list_distinct(list_transform(

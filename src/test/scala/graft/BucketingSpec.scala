@@ -68,6 +68,28 @@ class BucketingSpec extends AnyFunSuite with SparkSessionTest
     }
   }
 
+  test("q_join_bucketed's graded join runs shuffle-free over the bucket layout") {
+    try {
+      val joined = graft.operators.JoinOps.bucketedJoin(spark, sf0001)
+      assert(shufflesUnderJoin(joined) === 0,
+        "bucketed graded join must reuse the bucket hash partitioning")
+      // and the graded aggregate on top matches the plain-parquet join
+      val graded = SparkEntry.queries("q_join_bucketed")(spark, sf0001).collect().toSeq
+      val orders = Tables.orders(spark, sf0001)
+      val customer = Tables.customer(spark, sf0001)
+      val plain = orders.join(customer, orders("o_custkey") === customer("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(30, 2)))
+            .cast(org.apache.spark.sql.types.DoubleType).as("total"))
+        .orderBy("c_mktsegment").collect().toSeq
+      assert(graded === plain)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_orders__root_testdata_sf0_001")
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_customer__root_testdata_sf0_001")
+    }
+  }
+
   test("AQE splits a skewed sort-merge join partition at runtime") {
     import spark.implicits._
     // one hot key holding most rows — the "anonymous user" shape

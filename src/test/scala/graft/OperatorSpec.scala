@@ -788,6 +788,14 @@ class OperatorSpec extends AnyFunSuite with SparkSessionTest
     assert(out(2L) == ((3L, 1L, math.round(5.0 / 7 * 1e6) / 1e6)), out(2L).toString)
     // doc3: nothing repeated cross-document
     assert(out(3L) == ((3L, 0L, 0.0)), out(3L).toString)
+    // the removal twin: covered tokens drop, the rest survive verbatim
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val clean = TextOps.queries("q_dedup_substring_clean")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(clean(1L) == ((1L, md5("zeta"))), clean(1L).toString)
+    assert(clean(2L) == ((2L, md5("one two"))), clean(2L).toString)
+    assert(clean(3L) == ((7L, md5("p q r s t u v"))), clean(3L).toString)
   }
 
   test("binaryFile ingest reads one blob per asset and fingerprints it") {
