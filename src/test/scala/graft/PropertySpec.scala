@@ -121,6 +121,38 @@ class PropertySpec extends AnyFunSuite with SparkSessionTest {
     }
   }
 
+  test("ASOF lowering never rewrites inside literals or comments (generative)") {
+    // the advisor's corruption scenario, generalized: random payloads
+    // containing the keyword, embedded as a literal and as comments —
+    // the parsed plan must carry the literal byte-for-byte, and the
+    // statement must not be mistaken for an ASOF join
+    val ext = org.apache.spark.sql.GraftBridge.newSessionWithExtensions(
+      spark, "graft.functions.GraftExtensions")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    ext.createDataFrame(
+      java.util.Arrays.asList(Row(1L)),
+      StructType(Seq(StructField("k", LongType))))
+      .createOrReplaceTempView("prop_t")
+    val payloadGen: Gen[String] = for {
+      pre <- Gen.oneOf("", "x ", "-- not really ", "*/ ")
+      kw <- Gen.oneOf("asof join", "ASOF JOIN", "Asof  Left Join", "asof\nouter join")
+      post <- Gen.oneOf("", " pending", " -- eh", " /*")
+    } yield pre + kw + post
+    for (p <- samples(payloadGen, 12)) {
+      val lit = p.replace("'", "''")
+      val got = ext.sql(s"SELECT '$lit' AS c FROM prop_t").collect()(0).getString(0)
+      assert(got == p, s"literal corrupted: <$p> -> <$got>")
+      // bracketed comments nest in Spark: strip both delimiters from the
+      // payload so the wrapper comment itself stays well-formed
+      val safe = p.replace("*/", "").replace("/*", "")
+      val viaComment = ext.sql(
+        s"SELECT k /* $safe */ FROM prop_t -- ${p.replace("\n", " ")}\n")
+        .collect()(0).getLong(0)
+      assert(viaComment == 1L)
+    }
+  }
+
   test("portable md5 hex arithmetic equals direct base-16 parsing (generative)") {
     // the instr('0123456789abcdef', digit)-1 positional arithmetic behind
     // q_pipeline_split / q_events_ab_lift must equal parseInt(hex, 16)
