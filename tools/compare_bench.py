@@ -1,0 +1,48 @@
+#!/usr/bin/env python3
+"""Diff two BENCH_full_*.json artifacts, separating window noise from
+structural per-query changes.
+
+Methodology (BASELINE.md "Noise caveat"): host-level interference inflates
+ALL queries proportionally, so the median per-query ratio over shared
+queries estimates the window factor; each query's ratio is then
+normalized by it. Queries whose normalized ratio exceeds the threshold
+are the structural movers worth a plan audit.
+
+Usage: compare_bench.py OLD.json NEW.json [threshold=1.5]
+"""
+import json
+import statistics
+import sys
+
+
+def main() -> None:
+    old_f, new_f = sys.argv[1], sys.argv[2]
+    thr = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
+    old = json.load(open(old_f))["queries"]
+    new = json.load(open(new_f))["queries"]
+    shared = [k for k in new if k in old and old[k] > 0.05]
+    window = statistics.median(new[k] / old[k] for k in shared)
+    print(f"shared queries: {len(shared)}   "
+          f"window factor (median ratio): {window:.2f}x")
+    print(f"totals: {sum(old.values()):.1f}s -> {sum(new.values()):.1f}s")
+    added = sorted((k for k in new if k not in old), key=lambda k: -new[k])
+    removed = [k for k in old if k not in new]
+    if added:
+        print("added:  " + ", ".join(f"{k}={new[k]:.2f}s" for k in added))
+    if removed:
+        print("removed: " + ", ".join(removed))
+    movers = sorted(((new[k] / old[k] / window, k) for k in shared),
+                    reverse=True)
+    structural = [(r, k) for r, k in movers if r >= thr and new[k] >= 0.3]
+    if structural:
+        print(f"structural movers (normalized ratio >= {thr}, >=0.3s):")
+        for r, k in structural:
+            print(f"  {k:32s} {old[k]:6.2f}s -> {new[k]:6.2f}s  "
+                  f"({r:.2f}x beyond window)")
+    else:
+        print(f"no structural movers beyond {thr}x (window-normalized) — "
+              "differences are noise + added coverage")
+
+
+if __name__ == "__main__":
+    main()
