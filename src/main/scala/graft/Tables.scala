@@ -28,7 +28,9 @@ object Tables {
     * the InMemoryRelation into every later plan over the same source.
     * OFF by default: the graded Verify path and every spec still run the
     * true parquet-scan plans (pushdown/pruning assertions unaffected). */
-  private val cacheTables: Boolean =
+  // def, not val: re-read per load so the parity spec can toggle the
+  // flag inside one JVM (TablesCacheSpec proves cached == uncached)
+  private def cacheTables: Boolean =
     sys.env.get("SPARK_GRAFT_CACHE_TABLES").contains("1") ||
       sys.props.get("graft.cache.tables").contains("1")
   private val scanCache =
