@@ -724,6 +724,29 @@ class OperatorSpec extends AnyFunSuite with SparkSessionTest
       s.dataFilters.mkString(";"))
   }
 
+  test("compaction collapses each fragmented day partition to one file") {
+    val out = SparkEntry.queries("q_maintain_compact")(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    // locate the round-trip dirs the query wrote (keyed by applicationId)
+    val base = java.nio.file.Paths.get(
+      s"/tmp/graft_compact_rt/${spark.sparkContext.applicationId}/_root_testdata_sf0_001")
+    def filesPerDay(p: java.nio.file.Path): Seq[Int] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(p).iterator().asScala.toSeq
+        .filter(d => d.getFileName.toString.startsWith("day="))
+        .map(d => java.nio.file.Files.list(d).iterator().asScala
+          .count(_.getFileName.toString.startsWith("part-")))
+    }
+    val frag = filesPerDay(base)
+    val comp = filesPerDay(java.nio.file.Paths.get(base.toString + "_c"))
+    assert(comp.nonEmpty && comp.forall(_ == 1), s"compacted: $comp")
+    assert(frag.max > 1, s"fixture not fragmented: $frag")
+    // data parity with the fragmented table
+    val a = spark.read.parquet(base.toString).count()
+    val b = spark.read.parquet(base.toString + "_c").count()
+    assert(a == b && b == out.map(_.getLong(1)).sum)
+  }
+
   test("q_part_dpp prunes the date-partitioned fact scan dynamically") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val df = SparkEntry.queries("q_part_dpp")(spark, sf0001)
