@@ -285,9 +285,14 @@ object ScanOps {
     // between a scan planning millions of splits and thousands.
     "q_maintain_compact" -> ((s, sf) => {
       val dir = rtDir(s, "graft_compact_rt", sf)
+      // one week × 8 writers bounds the fixture at ≤56 fragment files —
+      // the first cut (a month × 32 writers ≈ 960 tiny parquet files)
+      // measured 4–6 s of pure file-create/list/open overhead per bench
+      // run, all of it fixture cost rather than operator cost
       val small = Tables.events(s, sf)
         .select(col("event_id"), col("value"), to_date(col("ts")).as("day"))
-        .repartition(32)
+        .filter(col("day") <= lit("2024-01-07").cast("date"))
+        .repartition(8)
       small.write.mode("overwrite").partitionBy("day").parquet(dir)
       val frag = s.read.schema(small.schema).parquet(dir)
       frag.repartition(col("day"))
@@ -551,6 +556,7 @@ object ScanOps {
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS n_rows,
         |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
         |FROM events
+        |WHERE CAST(date_trunc('day', ts) AS DATE) <= DATE '2024-01-07'
         |GROUP BY 1
         |ORDER BY day""".stripMargin,
 
