@@ -37,11 +37,36 @@ object Bench {
       Tables.part, Tables.orders, Tables.lineitem, Tables.documents,
       Tables.embeddings, Tables.events, Tables.eventsRaw
     ).foreach { t => try { t(spark, sfDir).count() } catch { case _: Throwable => () } }
+    // Scheduling metadata around the timed loop: BASELINE.md's noise
+    // history shows up-to-3× host-level interference windows invisible to
+    // guest loadavg alone (round-5's 182 s driver artifact vs the locked
+    // 60.6 s quiet baseline). Embedding loadavg + hypervisor steal-time in
+    // the artifact makes a noisy window machine-detectable from the JSON
+    // itself — compare_bench.py prints it next to the window factor.
+    def load1: Double =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    // /proc/stat "cpu" line: user nice system idle iowait irq softirq steal …
+    def cpuJiffies: (Long, Long) =
+      try {
+        val f = scala.io.Source.fromFile("/proc/stat").getLines()
+          .next().trim.split("\\s+").drop(1).map(_.toLong)
+        (if (f.length > 7) f(7) else 0L, f.sum)
+      } catch { case _: Throwable => (0L, 0L) }
+    val tsStart = java.time.Instant.now().toString
+    val loadStart = load1
+    val (stealStart, totalStart) = cpuJiffies
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    val tsEnd = java.time.Instant.now().toString
+    val loadEnd = load1
+    val (stealEnd, totalEnd) = cpuJiffies
+    val stealPct =
+      if (totalEnd > totalStart) 100.0 * (stealEnd - stealStart) / (totalEnd - totalStart)
+      else -1.0
     // Round to millis: the driver records only the tail of stdout, and the
     // full-precision line (100 queries x 9-decimal doubles, ~3.5 kB) got its
     // head truncated in round 1 ("parsed": null in BENCH_r01.json). 3
@@ -50,7 +75,10 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val meta = s"""{"ts_start":"$tsStart","ts_end":"$tsEnd",""" +
+      s""""load1_start":${f(loadStart)},"load1_end":${f(loadEnd)},""" +
+      s""""steal_pct":${f(stealPct)},"cpus":$cpus}"""
+    val line = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","meta":$meta}"""
     println(line)
     // The driver records only the TAIL of stdout, which truncated the
     // per-query map in BENCH_r0{1..4}.json and blocked per-query diffing

@@ -59,6 +59,31 @@ object TextOps {
     * scale with bucket products, not block squares. The exact integer band
     * check is still applied on the joined pair, so the probe is purely a
     * candidate generator and the output is byte-identical. */
+  /** Distributed dictionary-id assignment, ending in `dict(tok, id)` where
+    * `id` is exactly the 0-based GLOBAL sorted rank of the token — computed
+    * WITHOUT a vocabulary-sized single-partition window. The naive
+    * `row_number() OVER (ORDER BY tok)` funnels the entire vocabulary
+    * through one task (Spark plans an empty-key Window as a single
+    * partition), which at 100 TB is a billions-of-tokens straggler. The
+    * classic two-phase fix: bucket the vocabulary by a 2-char prefix
+    * (a MONOTONE key — for strings, a < b ⇒ prefix(a) ≤ prefix(b), so
+    * sorting by (prefix, tok) IS sorting by tok), rank within each bucket
+    * (`row_number() OVER (PARTITION BY pfx ORDER BY tok)` — distributed by
+    * bucket), and add per-bucket offsets from a cumulative count. Only the
+    * offset table — one row per prefix bucket, bounded by charset², never
+    * by vocabulary — passes through a global window. Same formulation in
+    * both engines (portable SQL), so the oracle proves rank equivalence. */
+  private[graft] def dictCtes(tokSrc: String): String =
+    s"""u AS (SELECT DISTINCT tok FROM $tokSrc),
+       |pc AS (SELECT substring(tok, 1, 2) AS pfx, count(*) AS c
+       |       FROM u GROUP BY substring(tok, 1, 2)),
+       |po AS (SELECT pfx, coalesce(sum(c) OVER (ORDER BY pfx
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+       |       FROM pc),
+       |dict AS (SELECT u.tok AS tok,
+       |           CAST(po.off + row_number() OVER (PARTITION BY po.pfx ORDER BY u.tok) AS INT) - 1 AS id
+       |         FROM u JOIN po ON substring(u.tok, 1, 2) = po.pfx)""".stripMargin
+
   /** The encode stage of [[nearDupSql]]: (doc_id, lang, m0..m3, n). */
   private[graft] def nearDupEncSql(tokTable: String, shift: String): String = {
     val words = (0 until 4).map { w =>
@@ -66,8 +91,7 @@ object TextOps {
       s"bit_or(CASE WHEN id BETWEEN $lo AND $hi THEN ${shift.format(lo)} ELSE CAST(0 AS BIGINT) END) AS m$w"
     }.mkString(",\n          ")
     s"""WITH tok AS ($tokTable),
-       |dict AS (SELECT tok, CAST(row_number() OVER (ORDER BY tok) AS INT) - 1 AS id
-       |         FROM (SELECT DISTINCT tok FROM tok) u)
+       |${dictCtes("tok")}
        |SELECT doc_id, lang,
        |          $words,
        |          count(*) AS n
@@ -181,8 +205,7 @@ object TextOps {
       |tok AS (SELECT doc_id, lang, explode(array_distinct(
       |          zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1),
       |                   (x, y) -> concat(x, ' ', y)))) AS tok FROM d),
-      |dict AS (SELECT tok, CAST(row_number() OVER (ORDER BY tok) AS INT) - 1 AS id
-      |         FROM (SELECT DISTINCT tok FROM tok) u),
+      |${dictCtes("tok")},
       |wm AS (SELECT doc_id, lang, id div 64 AS w,
       |         bit_or(shiftleft(CAST(1 AS BIGINT), id % 64)) AS m,
       |         count(*) AS c

@@ -18,8 +18,15 @@ import sys
 def main() -> None:
     old_f, new_f = sys.argv[1], sys.argv[2]
     thr = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
-    old = json.load(open(old_f))["queries"]
-    new = json.load(open(new_f))["queries"]
+    old_j = json.load(open(old_f))
+    new_j = json.load(open(new_f))
+    old, new = old_j["queries"], new_j["queries"]
+    for tag, j in (("old", old_j), ("new", new_j)):
+        m = j.get("meta")
+        if m:
+            print(f"{tag} meta: load1 {m.get('load1_start')}->"
+                  f"{m.get('load1_end')}  steal {m.get('steal_pct')}%  "
+                  f"cpus {m.get('cpus')}  start {m.get('ts_start')}")
     shared = [k for k in new if k in old and old[k] > 0.05]
     window = statistics.median(new[k] / old[k] for k in shared)
     print(f"shared queries: {len(shared)}   "
