@@ -74,36 +74,56 @@ object Tables {
   def documentsPar(s: SparkSession, sf: String): DataFrame =
     documents(s, sf).repartition(s.sparkContext.defaultParallelism)
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects outright
-    * ([PARQUET_TYPE_ILLEGAL]). We read it as raw long nanos via the legacy
-    * conf and convert to a microsecond TimestampType (truncation — matching
-    * what any µs engine sees). Queries must still never emit raw `ts`
-    * (sub-second precision differs from ns-native engines); emit
-    * `date_trunc` values instead — see SURVEY §A-3.1.
-    */
-  def events(s: SparkSession, sf: String): DataFrame =
-    eventsRaw(s, sf).withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  /** Whether `events.parquet` under `sfDir` stores `ts` as parquet
+    * TIMESTAMP(NANOS) (the original driver corpus) or as a Spark-readable
+    * TIMESTAMP (micros — the corpus as regenerated after round 5).
+    * Detected once per directory from the footer: Spark 4's schema
+    * inference throws [PARQUET_TYPE_ILLEGAL] on NANOS and reads micros
+    * natively. Keyed by path (not session) — the unit is a property of
+    * the file, and one footer probe per directory amortizes across all
+    * queries. Supporting BOTH units keeps every query correct no matter
+    * which generator wrote the corpus a given round. */
+  private val tsNanosCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  private def eventsTsIsNanos(s: SparkSession, sf: String): Boolean =
+    tsNanosCache.computeIfAbsent(p(sf, "events"), path =>
+      try { s.read.parquet(path).schema; false }
+      catch { case _: Exception => true })
 
-  /** `events` with `ts` still as raw int64 nanos. Predicates on the raw
-    * column push down to the parquet scan (min/max row-group skipping),
-    * which the post-conversion TimestampType column cannot — time-range
-    * queries should filter here first, then convert (see
-    * q_filter_range_time).
-    *
-    * The nanos flag is scoped PER READ: an explicit schema skips footer
-    * schema inference (which would reject TIMESTAMP(NANOS) without the
-    * session flag), and the reader option merges the legacy key into this
-    * relation's hadoop conf so the task-side footer-to-Spark converter
-    * accepts NANOS→Long. The session conf is never touched — no
-    * action-at-a-distance for co-resident queries reading other
-    * nanos-timestamped parquet. */
+  /** Events with `ts` as a microsecond TimestampType, whatever the file's
+    * physical unit. Micros corpus: the bare scan — `ts` predicates push
+    * down to parquet row-group min/max stats natively. Nanos corpus: read
+    * as raw long nanos via the per-read legacy conf and truncate to µs
+    * (matching what any µs engine sees of the same instants); in that mode
+    * time-range queries should pre-filter on [[eventsRaw]]'s raw column,
+    * which is the form that pushes down. */
+  def events(s: SparkSession, sf: String): DataFrame =
+    if (eventsTsIsNanos(s, sf))
+      eventsRaw(s, sf).withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else load(s, sf, "events")
+
+  /** `events` with `ts` as raw int64 NANOS since epoch in both corpus
+    * modes (the stable contract for callers doing integer time math).
+    * Nanos corpus: predicates on the raw column push down to the parquet
+    * scan. The nanos flag there is scoped PER READ: an explicit schema
+    * skips footer schema inference (which would reject TIMESTAMP(NANOS)
+    * without the session flag), and the reader option merges the legacy
+    * key into this relation's hadoop conf only — the session conf is
+    * never touched. Micros corpus: the native scan times 1000 (exact —
+    * widening µs to ns); pushdown-sensitive callers should filter the
+    * TimestampType column of [[events]] instead, which is the scan
+    * column in that mode. */
   def eventsRaw(s: SparkSession, sf: String): DataFrame = {
-    def mk = s.read.schema(eventsRawSchema)
-      .option("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .parquet(p(sf, "events"))
-    if (!cacheTables) mk
-    else scanCache.computeIfAbsent(
-      (System.identityHashCode(s), sf, "eventsRaw"), _ => mk.persist())
+    if (!eventsTsIsNanos(s, sf))
+      events(s, sf).withColumn("ts", expr("unix_micros(ts) * CAST(1000 AS BIGINT)"))
+    else {
+      def mk = s.read.schema(eventsRawSchema)
+        .option("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .parquet(p(sf, "events"))
+      if (!cacheTables) mk
+      else scanCache.computeIfAbsent(
+        (System.identityHashCode(s), sf, "eventsRaw"), _ => mk.persist())
+    }
   }
 
   /** Events schema with `ts` as raw int64 nanos (parquet TIMESTAMP(NANOS)

@@ -20,16 +20,17 @@ object FilterOps {
         .select("event_id", "user_id", "value")
         .orderBy("event_id")),
 
-    // Range filter applied to the RAW int64 nanos column so it pushes into
-    // the parquet scan (row-group min/max skipping — the dominant access
-    // path for a log store at 100 TB); the timestamp conversion happens
-    // after. Equivalent to filtering the converted column because the
-    // bounds are whole seconds and the ns→µs truncation only drops <1µs.
+    // Range filter on the scan's own timestamp column with FOLDABLE bounds
+    // (ANSI timestamp literals, session TZ = UTC), so it pushes into the
+    // parquet scan as row-group min/max skipping — the dominant access
+    // path for a log store at 100 TB. With a TIMESTAMP(NANOS) corpus
+    // (where Tables.events layers a conversion over a raw-long scan) the
+    // same bounds would be applied via Tables.eventsRaw in epoch-ns form;
+    // the micros corpus needs no such detour.
     "q_filter_range_time" -> ((s, sf) =>
-      Tables.eventsRaw(s, sf)
+      Tables.events(s, sf)
         .filter(expr(
-          "ts >= 1704844800000000000L AND ts < 1705708800000000000L")) // 2024-01-10 / 2024-01-20 UTC in ns
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          "ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'"))
         .select(
           col("event_id"), col("event_type"),
           date_trunc("second", col("ts")).as("ts_s"))

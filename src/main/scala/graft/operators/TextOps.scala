@@ -201,7 +201,7 @@ object TextOps {
     * CASE in DuckDB (its `<<` raises on 1<<63) where Java's shift wraps to
     * the same two's-complement pattern. */
   private[graft] val nearDupWideEncSpark: String =
-    """WITH d AS (SELECT doc_id, lang, split(text, ' ') AS toks FROM documents),
+    s"""WITH d AS (SELECT doc_id, lang, split(text, ' ') AS toks FROM documents),
       |tok AS (SELECT doc_id, lang, explode(array_distinct(
       |          zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1),
       |                   (x, y) -> concat(x, ' ', y)))) AS tok FROM d),
