@@ -91,16 +91,28 @@ object Tables {
       catch { case _: Exception => true })
 
   /** Events with `ts` as a microsecond TimestampType, whatever the file's
-    * physical unit. Micros corpus: the bare scan — `ts` predicates push
-    * down to parquet row-group min/max stats natively. Nanos corpus: read
-    * as raw long nanos via the per-read legacy conf and truncate to µs
-    * (matching what any µs engine sees of the same instants); in that mode
-    * time-range queries should pre-filter on [[eventsRaw]]'s raw column,
-    * which is the form that pushes down. */
+    * physical unit. Micros corpus: a schema-pinned scan — `ts` predicates
+    * push down to parquet row-group min/max stats natively. The schema is
+    * EXPLICIT (not inferred) because the file stores
+    * TIMESTAMP(isAdjustedToUTC=false, MICROS), which inference maps to
+    * TimestampNTZ — a different external type (LocalDateTime vs
+    * java.sql.Timestamp) that breaks schema parity with every other
+    * events consumer (streaming ingest, sinks, specs); pinning
+    * TimestampType under the UTC session keeps the instants identical
+    * and the contract stable. Nanos corpus: read as raw long nanos via
+    * the per-read legacy conf and truncate to µs (matching what any µs
+    * engine sees of the same instants); in that mode time-range queries
+    * should pre-filter on [[eventsRaw]]'s raw column, which is the form
+    * that pushes down. */
   def events(s: SparkSession, sf: String): DataFrame =
     if (eventsTsIsNanos(s, sf))
       eventsRaw(s, sf).withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else load(s, sf, "events")
+    else {
+      def mk = s.read.schema(eventsSchema).parquet(p(sf, "events"))
+      if (!cacheTables) mk
+      else scanCache.computeIfAbsent(
+        (System.identityHashCode(s), sf, "events"), _ => mk.persist())
+    }
 
   /** `events` with `ts` as raw int64 NANOS since epoch in both corpus
     * modes (the stable contract for callers doing integer time math).
@@ -132,6 +144,18 @@ object Tables {
   val eventsRawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)
+  ))
+
+  /** Events schema as every consumer sees it: `ts` a microsecond
+    * TimestampType (UTC session). Pinned for the micros corpus so parquet
+    * NTZ inference can never flip the external type. */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),

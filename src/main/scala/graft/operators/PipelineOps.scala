@@ -281,7 +281,13 @@ object PipelineOps {
     * of the training stream source-balanced. Fully reproducible (md5
     * discipline), and at scale the total order is materialized per output
     * shard via range partitioning on (rank, source), never through one
-    * task. Emits the first 100 positions as the checkable prefix. */
+    * task. Emits the first 100 positions as the checkable prefix — and
+    * the global-position window only ever sees rows that can REACH those
+    * positions: `rk <= 100` is exact (a row with per-source rank R > 100
+    * already has its own source's ranks 1..R−1 ≥ 100 rows ahead of it in
+    * (rk, source) order, so its pos > 100), shrinking the unpartitioned
+    * window's input from corpus-sized to ≤ limit × n_sources rows. The
+    * per-source rank window above it stays fully distributed. */
   private def interleaveSql(cast: String): String =
     s"""WITH r AS (SELECT doc_id, source,
        |             row_number() OVER (PARTITION BY source
@@ -290,6 +296,7 @@ object PipelineOps {
        |SELECT row_number() OVER (ORDER BY rk, source) AS pos,
        |       doc_id, source, rk
        |FROM r
+       |WHERE rk <= 100
        |ORDER BY pos
        |LIMIT 100""".stripMargin
 

@@ -633,16 +633,33 @@ object TextOps {
     // Σy, Σxy, Σx², Σy²), not the engines' regr_* aggregates, whose
     // double accumulators are partial-aggregation-order dependent; squares
     // are spelled x*x (no libm pow). Word counting is the usual explode +
-    // hash aggregate; the regression input is vocabulary-sized.
+    // hash aggregate. The global frequency rank uses the same two-phase
+    // distributed formulation as [[dictCtes]] — rank within (f, 2-char
+    // prefix) buckets plus per-bucket offsets from a bounded cumulative
+    // table — NOT `row_number() OVER (ORDER BY f DESC, tok)`, which
+    // funnels the whole vocabulary through one task. Bucketing must
+    // include the prefix, not just f: Zipf's law itself says roughly half
+    // the vocabulary is hapax (f = 1), so partitioning by frequency alone
+    // recreates the straggler inside the f = 1 partition. (f DESC, tok)
+    // order ⇒ (f DESC, pfx, tok) order because the prefix is monotone in
+    // the token; the offset table is one row per (f, pfx) — bounded by
+    // distinct-f × charset², never vocabulary-sized. Identical SQL in the
+    // DuckDB oracle, so the gate proves the rank rewrite exact.
     "q_text_zipf" -> ((s, sf) => {
       Tables.documents(s, sf).createOrReplaceTempView("documents")
       s.sql(
         """WITH wf AS (SELECT tok, count(*) AS f
           |            FROM (SELECT explode(split(text, ' ')) AS tok FROM documents) x
           |            GROUP BY tok),
-          |r AS (SELECT ln(CAST(row_number() OVER (ORDER BY f DESC, tok) AS DOUBLE)) AS lx,
-          |        ln(CAST(f AS DOUBLE)) AS ly
-          |      FROM wf),
+          |pc AS (SELECT f, substring(tok, 1, 2) AS pfx, count(*) AS c
+          |       FROM wf GROUP BY f, substring(tok, 1, 2)),
+          |po AS (SELECT f, pfx, coalesce(sum(c) OVER (ORDER BY f DESC, pfx
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+          |       FROM pc),
+          |r AS (SELECT ln(CAST(po.off + row_number() OVER (
+          |          PARTITION BY wf.f, substring(wf.tok, 1, 2) ORDER BY wf.tok) AS DOUBLE)) AS lx,
+          |        ln(CAST(wf.f AS DOUBLE)) AS ly
+          |      FROM wf JOIN po ON wf.f = po.f AND substring(wf.tok, 1, 2) = po.pfx),
           |m AS (SELECT count(*) AS n,
           |        CAST(SUM(CAST(lx AS DECIMAL(30,10))) AS DOUBLE) AS sx,
           |        CAST(SUM(CAST(ly AS DECIMAL(30,10))) AS DOUBLE) AS sy,
@@ -1384,9 +1401,15 @@ object TextOps {
       """WITH wf AS (SELECT tok, count(*) AS f
         |            FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) x
         |            GROUP BY tok),
-        |r AS (SELECT ln(CAST(row_number() OVER (ORDER BY f DESC, tok) AS DOUBLE)) AS lx,
-        |        ln(CAST(f AS DOUBLE)) AS ly
-        |      FROM wf),
+        |pc AS (SELECT f, substring(tok, 1, 2) AS pfx, count(*) AS c
+        |       FROM wf GROUP BY f, substring(tok, 1, 2)),
+        |po AS (SELECT f, pfx, coalesce(sum(c) OVER (ORDER BY f DESC, pfx
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |       FROM pc),
+        |r AS (SELECT ln(CAST(po.off + row_number() OVER (
+        |          PARTITION BY wf.f, substring(wf.tok, 1, 2) ORDER BY wf.tok) AS DOUBLE)) AS lx,
+        |        ln(CAST(wf.f AS DOUBLE)) AS ly
+        |      FROM wf JOIN po ON wf.f = po.f AND substring(wf.tok, 1, 2) = po.pfx),
         |m AS (SELECT count(*) AS n,
         |        CAST(SUM(CAST(lx AS DECIMAL(30,10))) AS DOUBLE) AS sx,
         |        CAST(SUM(CAST(ly AS DECIMAL(30,10))) AS DOUBLE) AS sy,
