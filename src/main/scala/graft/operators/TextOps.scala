@@ -84,6 +84,89 @@ object TextOps {
        |           CAST(po.off + row_number() OVER (PARTITION BY po.pfx ORDER BY u.tok) AS INT) - 1 AS id
        |         FROM u JOIN po ON substring(u.tok, 1, 2) = po.pfx)""".stripMargin
 
+  /** BM25 keyword-search scoring, one SQL text for both engines (engine
+    * spellings parameterized): Robertson/Okapi idf
+    * `ln((N − df + 0.5)/(df + 0.5) + 1)` with k1 = 1.2, b = 0.75. Scale
+    * shape: the token explode is FILTERED to the query's terms before
+    * anything shuffles, so the heavy relation is bounded by term matches
+    * (not corpus token count); df and the (N, avgdl) scalars are
+    * broadcast-sized; the top-20 emit is a TakeOrdered, never a global
+    * sort. Per-doc term-weight sums are decimal-quantized so both engines
+    * add in any partial order and agree bit-for-bit; ties rank by doc_id. */
+  private[graft] def bm25Sql(split: String, len: String, unnest: String): String =
+    s"""WITH d AS (SELECT doc_id, $split AS toks FROM documents),
+       |dl AS (SELECT doc_id, $len(toks) AS dl FROM d),
+       |g AS (SELECT count(*) AS n_docs,
+       |        CAST(SUM(CAST(dl AS DECIMAL(30,10))) AS DOUBLE) / count(*) AS avgdl
+       |      FROM dl),
+       |t AS (SELECT doc_id, tok FROM
+       |        (SELECT doc_id, $unnest(toks) AS tok FROM d) x
+       |      WHERE tok IN ('spark', 'query', 'join', 'the')),
+       |tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY doc_id, tok),
+       |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+       |wt AS (SELECT tf.doc_id,
+       |        ln((g.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0) *
+       |          (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / g.avgdl)) AS w
+       |      FROM tf JOIN df USING (tok) JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN g)
+       |SELECT doc_id, round(CAST(SUM(CAST(w AS DECIMAL(30,12))) AS DOUBLE), 6) AS bm25
+       |FROM wt GROUP BY doc_id
+       |ORDER BY bm25 DESC, doc_id
+       |LIMIT 20""".stripMargin
+
+  /** 5-iteration PageRank (damping 0.85) over the supplier–part bipartite
+    * graph, undirected (each distinct (supplier, part) purchase edge
+    * stored in both directions). Iterations are the textbook distributed
+    * shape: contributions r(u)/deg(u) flow along edges and re-aggregate by
+    * destination — a hash shuffle on the vertex key per round, with the
+    * edge+degree tables built ONCE (the Spark side materializes them via
+    * localCheckpoint and reuses them in all five rounds; at cluster scale
+    * the same tables stay partitioned by `src` so every round's join is
+    * co-located). No vocabulary- or graph-sized single-partition step
+    * anywhere. Determinism: per-destination contribution sums are
+    * decimal-quantized (exact, order-independent), and the scalar ops
+    * around them are identical IEEE doubles in both engines, so ranks are
+    * bit-identical by induction over rounds — which is what lets an
+    * ITERATIVE float algorithm sit under the exact hash gate. The
+    * undirected projection has no dangling nodes (every node has an
+    * out-edge), so the rank mass equation needs no dangling term. */
+  private[graft] val pagerankIterCtes: String = {
+    val iters = (1 to 5).map { k =>
+      s"""r$k AS (SELECT e.dst AS node,
+         |         0.15 / max(n.n) + 0.85 * CAST(SUM(CAST(r.r / dg.d AS DECIMAL(30,15))) AS DOUBLE) AS r
+         |       FROM pr_e e JOIN r${k - 1} r ON e.src = r.node
+         |            JOIN deg dg ON dg.src = e.src
+         |            CROSS JOIN n
+         |       GROUP BY e.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""deg AS (SELECT src, count(*) AS d FROM pr_e GROUP BY src),
+       |n AS (SELECT count(*) AS n FROM deg),
+       |r0 AS (SELECT src AS node, 1.0 / n.n AS r FROM deg CROSS JOIN n),
+       |$iters""".stripMargin
+  }
+
+  private[graft] val pagerankFinalSql: String =
+    """SELECT node, round(r, 8) AS pagerank
+      |FROM r5 ORDER BY pagerank DESC, node
+      |LIMIT 25""".stripMargin
+
+  /** The `e0` (deduped directed) and `pr_e` (symmetrized) edge CTE bodies,
+    * shared verbatim between the Spark side (which materializes `pr_e`)
+    * and the single-statement DuckDB oracle. */
+  private[graft] def pagerankEdgeCtes(cast: String): String =
+    s"""e0 AS (SELECT DISTINCT 's' || CAST(l_suppkey AS $cast) AS src,
+       |        'p' || CAST(l_partkey AS $cast) AS dst FROM lineitem),
+       |pr_e AS (SELECT src, dst FROM e0
+       |         UNION ALL SELECT dst AS src, src AS dst FROM e0)""".stripMargin
+
+  private[graft] def pagerankEdgesSql(cast: String): String =
+    s"""WITH ${pagerankEdgeCtes(cast)}
+       |SELECT src, dst FROM pr_e""".stripMargin
+
+  private[graft] def pagerankOracleSql(cast: String): String =
+    s"""WITH ${pagerankEdgeCtes(cast)},
+       |$pagerankIterCtes
+       |$pagerankFinalSql""".stripMargin
+
   /** The encode stage of [[nearDupSql]]: (doc_id, lang, m0..m3, n). */
   private[graft] def nearDupEncSql(tokTable: String, shift: String): String = {
     val words = (0 until 4).map { w =>
@@ -321,6 +404,26 @@ object TextOps {
             (x, y) => concat(x, lit(" "), y))).as("bigram"))
         .groupBy("bigram").agg(count(lit(1)).as("cnt"))
         .orderBy("bigram")),
+
+    // BM25 ranked retrieval for a fixed keyword query — see [[bm25Sql]]
+    // for the formula and the at-scale argument (filtered explode,
+    // broadcast df/avgdl scalars, TakeOrdered top-k).
+    "q_text_bm25" -> ((s, sf) => {
+      Tables.documents(s, sf).createOrReplaceTempView("documents")
+      s.sql(bm25Sql("split(text, ' ')", "size", "explode"))
+    }),
+
+    // Distributed PageRank over the purchase graph — see
+    // [[pagerankIterCtes]]. The edge list (undirected, deduped) and its
+    // degree table feed all five iterations, so they are materialized
+    // once; the iteration chain itself is linear (each round consumed
+    // exactly once), so it stays a single plan.
+    "q_graph_pagerank" -> ((s, sf) => {
+      Tables.lineitem(s, sf).createOrReplaceTempView("lineitem")
+      s.sql(pagerankEdgesSql("STRING"))
+        .localCheckpoint().createOrReplaceTempView("pr_e")
+      s.sql(s"WITH $pagerankIterCtes\n$pagerankFinalSql")
+    }),
 
     "q_text_langid" -> ((s, sf) => {
       docs(s, sf).createOrReplaceTempView("d")
@@ -1219,6 +1322,10 @@ object TextOps {
         |      FROM t)
         |SELECT bigram, count(*) AS cnt FROM b
         |GROUP BY bigram ORDER BY bigram""".stripMargin,
+
+    "q_text_bm25" -> bm25Sql("string_split(text, ' ')", "len", "unnest"),
+
+    "q_graph_pagerank" -> pagerankOracleSql("VARCHAR"),
 
     "q_text_langid" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)

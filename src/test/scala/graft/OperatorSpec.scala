@@ -599,6 +599,67 @@ class OperatorSpec extends AnyFunSuite with SparkSessionTest
     naive.foreach { case (lang, n) => assert(got.getOrElse(lang, 0L) == n, lang) }
   }
 
+  test("pagerank matches a naive in-memory power iteration") {
+    import scala.jdk.CollectionConverters._
+    val li = Tables.lineitem(spark, sf0001)
+      .select("l_suppkey", "l_partkey").distinct().collect()
+      .map(r => (s"s${r.getLong(0)}", s"p${r.getLong(1)}"))
+    val edges = li ++ li.map { case (a, b) => (b, a) }
+    val deg = edges.groupBy(_._1).view.mapValues(_.length.toDouble).toMap
+    val nodes = deg.keySet.toSeq.sorted
+    val n = nodes.size
+    var r = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to 5) {
+      val contrib = new scala.collection.mutable.HashMap[String, Double]()
+      edges.foreach { case (u, v) =>
+        contrib(v) = contrib.getOrElse(v, 0.0) + r(u) / deg(u)
+      }
+      r = nodes.map(v => v -> (0.15 / n + 0.85 * contrib.getOrElse(v, 0.0))).toMap
+    }
+    val got = SparkEntry.queries("q_graph_pagerank")(spark, sf0001).collect()
+      .map(x => x.getString(0) -> x.getDouble(1))
+    assert(got.length == 25)
+    // mass sanity: total rank over ALL nodes is 1 (naive side)
+    assert(math.abs(r.values.sum - 1.0) < 1e-9)
+    // the emitted top-25 agrees with the naive fixpoint to rounding noise
+    val expectTop = r.toSeq.map { case (v, x) => (v, x) }
+      .sortBy { case (v, x) => (-math.rint(x * 1e8) / 1e8, v) }.take(25)
+    got.zip(expectTop).foreach { case ((gv, gx), (ev, ex)) =>
+      assert(gv == ev, s"node order: $gv vs $ev")
+      assert(math.abs(gx - ex) < 1e-6, s"$gv rank $gx vs $ex")
+    }
+  }
+
+  test("bm25 matches a naive in-memory scorer and only returns matching docs") {
+    val terms = Set("spark", "query", "join", "the")
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(' '))
+    val n = docs.length.toDouble
+    val avgdl = docs.map(_._2.length).sum / n
+    val df = terms.map(t => t -> docs.count(_._2.contains(t)).toDouble).toMap
+    def score(toks: Array[String]): Double = {
+      val dl = toks.length.toDouble
+      terms.toSeq.map { t =>
+        val tf = toks.count(_ == t).toDouble
+        if (tf == 0) 0.0
+        else math.log((n - df(t) + 0.5) / (df(t) + 0.5) + 1.0) *
+          (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+      }.sum
+    }
+    val expect = docs.map { case (id, toks) => (id, score(toks)) }
+      .filter(_._2 > 0)
+      .sortBy { case (id, x) => (-math.rint(x * 1e6) / 1e6, id) }.take(20)
+    val got = SparkEntry.queries("q_text_bm25")(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    assert(got.length == expect.length)
+    got.zip(expect).foreach { case ((gid, gx), (eid, ex)) =>
+      assert(gid == eid, s"doc order: $gid vs $eid")
+      assert(math.abs(gx - ex) < 2e-6, s"doc $gid score $gx vs $ex")
+      assert(gx > 0.0)
+    }
+  }
+
   test("rows-only queries are run-to-run deterministic (their only gate)") {
     // these six have no DuckDB oracle (approximate/seeded operators), so
     // the driver only checks row counts — self-determinism across two
