@@ -167,6 +167,15 @@ object TextOps {
        |$pagerankIterCtes
        |$pagerankFinalSql""".stripMargin
 
+  /** A-Res weighted-sample SQL shared by both engines; `hex32` is the
+    * engine spelling of "first 8 md5 hex digits as a BIGINT". */
+  private[graft] def sampleWeightedSql(hex32: String): String =
+    s"""SELECT doc_id, lang, n_chars,
+       |  round(-ln(($hex32 + 1.0) / 4294967296.0) / n_chars, 8) AS akey
+       |FROM documents
+       |ORDER BY akey, doc_id
+       |LIMIT 50""".stripMargin
+
   /** The encode stage of [[nearDupSql]]: (doc_id, lang, m0..m3, n). */
   private[graft] def nearDupEncSql(tokTable: String, shift: String): String = {
     val words = (0 until 4).map { w =>
@@ -1083,6 +1092,24 @@ object TextOps {
           |ORDER BY doc_id""".stripMargin)
     }),
 
+    // Weighted sampling without replacement (Efraimidis–Spirakis A-Res):
+    // each doc draws the deterministic uniform u = (md5₃₂(doc_id)+1)/2³²
+    // ∈ (0,1] and competes with key −ln(u)/w (equivalent to u^(1/w), in
+    // the log domain to stay inside the engines' proven-identical ln);
+    // the sample is the 50 SMALLEST keys. This is how a mixing pipeline
+    // draws "sample ∝ quality weight" reproducibly: the outcome is a
+    // pure function of (doc_id, w) — stable across engines,
+    // partitionings, and reruns, unlike rand()-based weighting. Scale
+    // shape: pure per-row expressions + a TakeOrdered(50) reduction — no
+    // shuffle at any scale; the LIMIT cut compares the ROUNDED key (then
+    // doc_id) so both engines cut the same boundary. Weight = n_chars
+    // (longer docs proportionally likelier, the classic by-size draw).
+    "q_sample_weighted" -> ((s, sf) => {
+      Tables.documents(s, sf).createOrReplaceTempView("documents")
+      s.sql(sampleWeightedSql(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"))
+    }),
+
     // End-to-end corpus-cleaning pipeline — the composition the individual
     // operators exist FOR: quality gate (length + type/token ratio) →
     // exact dedup on normalized text → MinHash near-dup collapse (keep
@@ -1653,6 +1680,9 @@ object TextOps {
         |WHERE CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
         |      < CAST(0.25 * 4294967296 AS BIGINT)
         |ORDER BY doc_id""".stripMargin,
+
+    "q_sample_weighted" -> sampleWeightedSql(
+      "CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"),
 
     "q_sample_stratified" ->
       """SELECT lang, doc_id, n_chars, rn FROM (

@@ -660,6 +660,28 @@ class OperatorSpec extends AnyFunSuite with SparkSessionTest
     }
   }
 
+  test("weighted sample reproduces the A-Res draw computed in plain JVM code") {
+    def md5hex32(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val expect = docs.map { case (id, w) =>
+      val u = (md5hex32(id.toString) + 1.0) / 4294967296.0
+      (id, math.rint(-math.log(u) / w * 1e8) / 1e8)
+    }.sortBy { case (id, k) => (k, id) }.take(50)
+    val got = SparkEntry.queries("q_sample_weighted")(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3))
+    assert(got.length == 50)
+    got.zip(expect).foreach { case ((gid, gk), (eid, ek)) =>
+      assert(gid == eid, s"sample order: $gid vs $eid")
+      assert(math.abs(gk - ek) < 1e-8, s"doc $gid key $gk vs $ek")
+    }
+  }
+
   test("rows-only queries are run-to-run deterministic (their only gate)") {
     // these six have no DuckDB oracle (approximate/seeded operators), so
     // the driver only checks row counts — self-determinism across two
