@@ -129,18 +129,25 @@ object TextOps {
     * ITERATIVE float algorithm sit under the exact hash gate. The
     * undirected projection has no dangling nodes (every node has an
     * out-edge), so the rank mass equation needs no dangling term. */
+  /** Each round must STREAM the edge table and broadcast only the
+    * node-sized rank table — the BROADCAST hint pins that: without it
+    * the checkpointed edge relation's carried-over size estimate made
+    * Spark broadcast the EDGES into every round (measured 20-34 s at
+    * sf0.1 — five ~1 M-row broadcast builds plus the GC they drag in).
+    * With `d_src`/`n` denormalized onto the edges ([[pagerankEdgeCtes]])
+    * a round is exactly: broadcast the previous ranks, probe the edge
+    * partitions, one map-combined shuffle of contributions — nothing
+    * else. DuckDB reads the hint as an ordinary block comment. At node
+    * counts past broadcast range the same SQL drops the hint and the
+    * join becomes a shuffle co-partitioned on the vertex key. */
   private[graft] val pagerankIterCtes: String = {
     val iters = (1 to 5).map { k =>
-      s"""r$k AS (SELECT e.dst AS node,
-         |         0.15 / max(n.n) + 0.85 * CAST(SUM(CAST(r.r / dg.d AS DECIMAL(30,15))) AS DOUBLE) AS r
+      s"""r$k AS (SELECT /*+ BROADCAST(r) */ e.dst AS node,
+         |         0.15 / max(e.n) + 0.85 * CAST(SUM(CAST(r.r / e.d_src AS DECIMAL(30,15))) AS DOUBLE) AS r
          |       FROM pr_e e JOIN r${k - 1} r ON e.src = r.node
-         |            JOIN deg dg ON dg.src = e.src
-         |            CROSS JOIN n
          |       GROUP BY e.dst)""".stripMargin
     }.mkString(",\n")
-    s"""deg AS (SELECT src, count(*) AS d FROM pr_e GROUP BY src),
-       |n AS (SELECT count(*) AS n FROM deg),
-       |r0 AS (SELECT src AS node, 1.0 / n.n AS r FROM deg CROSS JOIN n),
+    s"""r0 AS (SELECT src AS node, 1.0 / max(n) AS r FROM pr_e GROUP BY src),
        |$iters""".stripMargin
   }
 
@@ -149,18 +156,29 @@ object TextOps {
       |FROM r5 ORDER BY pagerank DESC, node
       |LIMIT 25""".stripMargin
 
-  /** The `e0` (deduped directed) and `pr_e` (symmetrized) edge CTE bodies,
-    * shared verbatim between the Spark side (which materializes `pr_e`)
-    * and the single-statement DuckDB oracle. */
+  /** Edge CTE bodies shared verbatim between the Spark side (which
+    * materializes the final `pr_e`) and the single-statement DuckDB
+    * oracle: dedup the directed purchase pairs, symmetrize, then
+    * DENORMALIZE each edge with its source's degree and the node count —
+    * the GraphX-triplet trick that lets every PageRank round run off the
+    * edge table alone (contribution r/d needs only edge columns once
+    * `d_src` rides along), with ONE broadcast (the ranks) and one
+    * map-combined shuffle per round. The annotation join runs once at
+    * setup; `dg` is node-sized, hence the BROADCAST hint (a comment to
+    * DuckDB). */
   private[graft] def pagerankEdgeCtes(cast: String): String =
     s"""e0 AS (SELECT DISTINCT 's' || CAST(l_suppkey AS $cast) AS src,
        |        'p' || CAST(l_partkey AS $cast) AS dst FROM lineitem),
-       |pr_e AS (SELECT src, dst FROM e0
-       |         UNION ALL SELECT dst AS src, src AS dst FROM e0)""".stripMargin
+       |sym AS (SELECT src, dst FROM e0
+       |        UNION ALL SELECT dst AS src, src AS dst FROM e0),
+       |dg AS (SELECT src, count(*) AS d FROM sym GROUP BY src),
+       |nn AS (SELECT count(*) AS n FROM dg),
+       |pr_e AS (SELECT /*+ BROADCAST(a) */ s.src, s.dst, a.d AS d_src, nn.n
+       |         FROM sym s JOIN dg a ON a.src = s.src CROSS JOIN nn)""".stripMargin
 
   private[graft] def pagerankEdgesSql(cast: String): String =
     s"""WITH ${pagerankEdgeCtes(cast)}
-       |SELECT src, dst FROM pr_e""".stripMargin
+       |SELECT src, dst, d_src, n FROM pr_e""".stripMargin
 
   private[graft] def pagerankOracleSql(cast: String): String =
     s"""WITH ${pagerankEdgeCtes(cast)},
@@ -429,6 +447,8 @@ object TextOps {
     // exactly once), so it stays a single plan.
     "q_graph_pagerank" -> ((s, sf) => {
       Tables.lineitem(s, sf).createOrReplaceTempView("lineitem")
+      // the degree-annotated edge list is every round's loop invariant —
+      // materialized once (see [[pagerankEdgeCtes]])
       s.sql(pagerankEdgesSql("STRING"))
         .localCheckpoint().createOrReplaceTempView("pr_e")
       s.sql(s"WITH $pagerankIterCtes\n$pagerankFinalSql")
