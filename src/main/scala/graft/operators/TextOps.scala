@@ -158,7 +158,10 @@ object TextOps {
 
   /** Edge CTE bodies shared verbatim between the Spark side (which
     * materializes the final `pr_e`) and the single-statement DuckDB
-    * oracle: dedup the directed purchase pairs, symmetrize, then
+    * oracle: keep STRONG purchases (quantity ≥ 40 — the pushed-down
+    * scan filter defines the graph, ~⅕ of the distinct pairs; rank over
+    * every co-purchase would weight noise edges equally anyway), dedup
+    * the directed pairs, symmetrize, then
     * DENORMALIZE each edge with its source's degree and the node count —
     * the GraphX-triplet trick that lets every PageRank round run off the
     * edge table alone (contribution r/d needs only edge columns once
@@ -168,7 +171,8 @@ object TextOps {
     * DuckDB). */
   private[graft] def pagerankEdgeCtes(cast: String): String =
     s"""e0 AS (SELECT DISTINCT 's' || CAST(l_suppkey AS $cast) AS src,
-       |        'p' || CAST(l_partkey AS $cast) AS dst FROM lineitem),
+       |        'p' || CAST(l_partkey AS $cast) AS dst
+       |        FROM lineitem WHERE l_quantity >= 40),
        |sym AS (SELECT src, dst FROM e0
        |        UNION ALL SELECT dst AS src, src AS dst FROM e0),
        |dg AS (SELECT src, count(*) AS d FROM sym GROUP BY src),

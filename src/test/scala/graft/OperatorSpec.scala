@@ -602,6 +602,7 @@ class OperatorSpec extends AnyFunSuite with SparkSessionTest
   test("pagerank matches a naive in-memory power iteration") {
     import scala.jdk.CollectionConverters._
     val li = Tables.lineitem(spark, sf0001)
+      .filter(col("l_quantity") >= 40)
       .select("l_suppkey", "l_partkey").distinct().collect()
       .map(r => (s"s${r.getLong(0)}", s"p${r.getLong(1)}"))
     val edges = li ++ li.map { case (a, b) => (b, a) }
