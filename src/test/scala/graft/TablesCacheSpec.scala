@@ -5,15 +5,16 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Correctness insurance for the bench-only shared-scan cache
   * (Tables.load with `graft.cache.tables=1`): the InMemoryRelation swap
   * must be RESULT-invisible — same rows, same order, for a
-  * representative query per table-access pattern (plain scan, eventsRaw
-  * nanos path, documentsPar repartition, multi-table join). If this ever
-  * fails, the bench is timing a different relation than Verify grades.
+  * representative query per table-access pattern (plain scan, the
+  * schema-pinned events time-range path, documentsPar repartition,
+  * multi-table join). If this ever fails, the bench is timing a
+  * different relation than Verify grades.
   */
 class TablesCacheSpec extends AnyFunSuite with SparkSessionTest {
 
   private val probes = Seq(
     "q_agg_pricing_summary", // lineitem scan + aggregate
-    "q_filter_range_time",   // eventsRaw raw-nanos pushdown path
+    "q_filter_range_time",   // events ts-range pushdown path
     "q_text_token_count",    // documentsPar repartitioned scan
     "q_join_multiway")       // several cached tables in one plan
 
