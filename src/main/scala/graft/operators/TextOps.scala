@@ -189,6 +189,47 @@ object TextOps {
        |$pagerankIterCtes
        |$pagerankFinalSql""".stripMargin
 
+  /** RAKE keyphrase extraction (Rose et al.'s degree/frequency scoring),
+    * one SQL text for both engines. Candidate phrases are maximal runs
+    * of non-stopword tokens — the phrase id is a running stopword count
+    * per doc (a window PARTITIONED BY doc, so it distributes; documents
+    * are bounded rows, never a global order). Word statistics (freq =
+    * occurrences inside candidates, deg = Σ length of phrases containing
+    * the word) are vocabulary-sized and broadcast back onto the word
+    * rows; a phrase instance's score is the decimal-quantized Σ
+    * deg(w)/freq(w) over its word instances (identical doubles per row
+    * in both engines, order-independent sum), and identical phrase texts
+    * collapse in one final hash aggregate before a TakeOrdered(15).
+    * Engine spellings parameterized: positional explode and
+    * position-ordered string aggregation. */
+  private[graft] def rakeSql(split: String, posExplode: String, phraseAgg: String): String =
+    s"""WITH d AS (SELECT doc_id, $split AS toks FROM documents),
+       |w AS ($posExplode),
+       |m AS (SELECT doc_id, pos, tok,
+       |        CASE WHEN tok IN ('the', 'a', 'of', 'and', 'to', 'in')
+       |             THEN 1 ELSE 0 END AS sw
+       |      FROM w),
+       |pid AS (SELECT doc_id, pos, tok, sw,
+       |          SUM(sw) OVER (PARTITION BY doc_id ORDER BY pos
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+       |        FROM m),
+       |pw AS (SELECT doc_id, g, pos, tok FROM pid WHERE sw = 0),
+       |ph AS (SELECT doc_id, g, $phraseAgg AS phrase, count(*) AS len
+       |       FROM pw GROUP BY doc_id, g),
+       |ws AS (SELECT pw.tok, count(*) AS freq, CAST(SUM(ph.len) AS BIGINT) AS deg
+       |       FROM pw JOIN ph ON pw.doc_id = ph.doc_id AND pw.g = ph.g
+       |       GROUP BY pw.tok),
+       |sc AS (SELECT pw.doc_id, pw.g,
+       |         CAST(SUM(CAST(ws.deg / ws.freq AS DECIMAL(30,12))) AS DOUBLE) AS score
+       |       FROM pw JOIN ws ON pw.tok = ws.tok
+       |       GROUP BY pw.doc_id, pw.g)
+       |SELECT ph.phrase, CAST(max(ph.len) AS BIGINT) AS n_words,
+       |  count(*) AS n_occurrences, round(max(sc.score), 6) AS rake
+       |FROM ph JOIN sc ON ph.doc_id = sc.doc_id AND ph.g = sc.g
+       |GROUP BY ph.phrase
+       |ORDER BY rake DESC, phrase
+       |LIMIT 15""".stripMargin
+
   /** A-Res weighted-sample SQL shared by both engines; `hex32` is the
     * engine spelling of "first 8 md5 hex digits as a BIGINT". */
   private[graft] def sampleWeightedSql(hex32: String): String =
@@ -442,6 +483,17 @@ object TextOps {
     "q_text_bm25" -> ((s, sf) => {
       Tables.documents(s, sf).createOrReplaceTempView("documents")
       s.sql(bm25Sql("split(text, ' ')", "size", "explode"))
+    }),
+
+    // RAKE keyphrase extraction — see [[rakeSql]] for the scoring and
+    // the at-scale argument (per-doc phrase windows, broadcast word
+    // stats, TakeOrdered top-15).
+    "q_text_rake" -> ((s, sf) => {
+      Tables.documents(s, sf).createOrReplaceTempView("documents")
+      s.sql(rakeSql(
+        "split(text, ' ')",
+        "SELECT doc_id, pos, tok FROM d LATERAL VIEW posexplode(toks) t AS pos, tok",
+        "array_join(transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok), ' ')"))
     }),
 
     // Distributed PageRank over the purchase graph — see
@@ -1375,6 +1427,11 @@ object TextOps {
         |GROUP BY bigram ORDER BY bigram""".stripMargin,
 
     "q_text_bm25" -> bm25Sql("string_split(text, ' ')", "len", "unnest"),
+
+    "q_text_rake" -> rakeSql(
+      "string_split(text, ' ')",
+      "SELECT doc_id, generate_subscripts(toks, 1) AS pos, unnest(toks) AS tok FROM d",
+      "string_agg(tok, ' ' ORDER BY pos)"),
 
     "q_graph_pagerank" -> pagerankOracleSql("VARCHAR"),
 

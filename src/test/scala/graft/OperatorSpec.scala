@@ -661,6 +661,40 @@ class OperatorSpec extends AnyFunSuite with SparkSessionTest
     }
   }
 
+  test("rake keyphrases match a naive in-memory scorer") {
+    val stop = Set("the", "a", "of", "and", "to", "in")
+    val docs = Tables.documents(spark, sf0001)
+      .select("text").collect().map(_.getString(0).split(' '))
+    // candidate phrases: maximal non-stopword runs
+    val phrases = docs.flatMap { toks =>
+      val runs = scala.collection.mutable.ArrayBuffer[Vector[String]]()
+      var cur = Vector.empty[String]
+      toks.foreach { t =>
+        if (stop(t)) { if (cur.nonEmpty) runs += cur; cur = Vector.empty }
+        else cur :+= t
+      }
+      if (cur.nonEmpty) runs += cur
+      runs
+    }
+    val freq = phrases.flatten.groupBy(identity).view.mapValues(_.length).toMap
+    val deg = phrases.flatMap(p => p.map(_ -> p.length))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    def score(p: Vector[String]): Double =
+      p.map(w => deg(w).toDouble / freq(w)).sum
+    val expect = phrases.map(p => (p.mkString(" "), p.length, score(p)))
+      .groupBy(_._1)
+      .map { case (txt, g) => (txt, g.head._2, g.length, math.rint(g.head._3 * 1e6) / 1e6) }
+      .toSeq.sortBy { case (txt, _, _, s) => (-s, txt) }.take(15)
+    val got = SparkEntry.queries("q_text_rake")(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.length == expect.length)
+    got.zip(expect).foreach { case ((gp, gw, go, gs), (ep, ew, eo, es)) =>
+      assert(gp == ep, s"phrase order: '$gp' vs '$ep'")
+      assert(gw == ew && go == eo, s"'$gp' words/occ $gw/$go vs $ew/$eo")
+      assert(math.abs(gs - es) < 2e-6, s"'$gp' score $gs vs $es")
+    }
+  }
+
   test("weighted sample reproduces the A-Res draw computed in plain JVM code") {
     def md5hex32(s: String): Long = {
       val d = java.security.MessageDigest.getInstance("MD5")
