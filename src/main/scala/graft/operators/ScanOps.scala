@@ -202,6 +202,34 @@ object ScanOps {
         .orderBy("o_orderstatus")
     }),
 
+    // Schema evolution in the lake: a table whose early files PREDATE a
+    // column. Batch 1 (days ≤ 15) writes (event_id, day, value); batch 2
+    // appends the same shape plus a derived `vbucket`. `mergeSchema`
+    // unifies the footers at read time — historical files surface NULL
+    // for the new column with NO rewrite of old data, which at 100 TB is
+    // the difference between "new field lands mid-stream" being a no-op
+    // and a petabyte backfill. The graded output proves old and new rows
+    // coexist with correct NULL semantics (count(vbucket) counts only
+    // post-cutover rows); the oracle recomputes the union from the
+    // source table with a CASE on the cutover day.
+    "q_scan_merge_schema" -> ((s, sf) => {
+      val dir = rtDir(s, "graft_ms_rt", sf)
+      val ev = Tables.events(s, sf)
+        .select(col("event_id"), to_date(col("ts")).as("day"), col("value"))
+      val cut = lit("2024-01-15").cast(DateType)
+      ev.filter(col("day") <= cut)
+        .write.mode("overwrite").parquet(dir)
+      ev.filter(col("day") > cut)
+        .withColumn("vbucket", floor(col("value") / 100).cast(LongType))
+        .write.mode("append").parquet(dir)
+      s.read.option("mergeSchema", "true").parquet(dir)
+        .groupBy("day")
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("vbucket")).as("n_bucketed"),
+          sum(col("vbucket")).as("sum_bucket"))
+        .orderBy("day")
+    }),
+
     // Hive-layout partitioned sink + pruned read-back: write events
     // partitioned by event_type (the classic log-table layout: partition on
     // the filter key), then read the table back with a partition predicate.
@@ -551,6 +579,16 @@ object ScanOps {
         |WHERE o_orderstatus <> 'P'
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+
+    "q_scan_merge_schema" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS n_rows,
+        |  count(CASE WHEN CAST(date_trunc('day', ts) AS DATE) > DATE '2024-01-15'
+        |             THEN 1 END) AS n_bucketed,
+        |  SUM(CASE WHEN CAST(date_trunc('day', ts) AS DATE) > DATE '2024-01-15'
+        |           THEN CAST(floor(value / 100) AS BIGINT) END) AS sum_bucket
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY day""".stripMargin,
 
     "q_maintain_compact" ->
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS n_rows,

@@ -661,6 +661,22 @@ class OperatorSpec extends AnyFunSuite with SparkSessionTest
     }
   }
 
+  test("merge-schema read surfaces NULLs exactly for pre-evolution files") {
+    val rows = SparkEntry.queries("q_scan_merge_schema")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val cut = java.sql.Date.valueOf("2024-01-15")
+    rows.foreach { r =>
+      val (day, n, nb) = (r.getDate(0), r.getLong(1), r.getLong(2))
+      if (day.compareTo(cut) <= 0)
+        assert(nb == 0L, s"$day: pre-evolution rows must have NULL vbucket")
+      else
+        assert(nb == n, s"$day: post-evolution rows must all carry vbucket")
+    }
+    assert(rows.exists(_.getDate(0).compareTo(cut) <= 0) &&
+      rows.exists(_.getDate(0).compareTo(cut) > 0),
+      "fixture must cover both sides of the cutover")
+  }
+
   test("rake keyphrases match a naive in-memory scorer") {
     val stop = Set("the", "a", "of", "and", "to", "in")
     val docs = Tables.documents(spark, sf0001)
