@@ -621,6 +621,16 @@ object VectorOps {
         isect = (a, b) => s"size(array_intersect($a, $b))"))
     }),
 
+    // Matryoshka truncation cost: recall@10 of the 16-dim-prefix
+    // brute-force search vs the exact 64-dim one — see [[prefixKnnSql]].
+    "q_vec_prefix_recall" -> ((s, sf) => {
+      graft.functions.GraftFunctions.register(s)
+      Tables.embeddings(s, sf).createOrReplaceTempView("embeddings")
+      s.sql(recallSql(knnSparkSql, prefixKnnSparkSql,
+        collectSorted = "array_sort(collect_list(vec_id))",
+        isect = (a, b) => s"size(array_intersect($a, $b))"))
+    }),
+
     // ANN scale path: random-hyperplane LSH (MLlib BucketedRandomProjection
     // over the ~unit-norm vectors ≈ angular distance), fixed seed. Approx →
     // no SQL oracle (rows-only check); recall vs brute force is asserted in
@@ -903,6 +913,32 @@ object VectorOps {
        |  round(CAST(${isect("ka.ids", "ia.ids")} AS DOUBLE) / 10.0, 2) AS recall_at_10
        |FROM ka CROSS JOIN ia""".stripMargin
 
+  /** Matryoshka-style prefix-dimension search: brute-force top-10 over
+    * only the FIRST 16 of 64 dims. Training pipelines increasingly store
+    * MRL-truncatable embeddings exactly so serving can trade recall for a
+    * 4× cheaper distance and a 4× smaller scan; the paired recall query
+    * measures what that truncation costs on THIS corpus (near-random
+    * geometry → the honest answer is "a lot", which is the point of
+    * publishing the metric next to the index). Same shape as [[knnSparkSql]]
+    * — per-row slice + dot, TakeOrdered(10), nothing corpus-sized
+    * shuffles. */
+  private def prefixKnnSql(slice: (String, String, String) => String,
+                           cos: (String, String) => String): String =
+    s"""WITH probe AS (SELECT ${slice("embedding", "1", "16")} AS pe
+       |              FROM embeddings WHERE vec_id = 0),
+       |cand AS (SELECT vec_id, label, ${slice("embedding", "1", "16")} AS e16
+       |         FROM embeddings WHERE vec_id <> 0)
+       |SELECT vec_id, label, ${cos("e16", "pe")} AS cos_sim
+       |FROM cand CROSS JOIN probe
+       |ORDER BY cos_sim DESC, vec_id
+       |LIMIT 10""".stripMargin
+
+  private val prefixKnnSparkSql: String =
+    prefixKnnSql((a, lo, n) => s"slice($a, $lo, $n)", cosSpark)
+
+  private val prefixKnnDuckSql: String =
+    prefixKnnSql((a, lo, n) => s"list_slice($a, $lo, $n)", cosDuck)
+
   private def recallSparkSql: String =
     recallSql(knnSparkSql, ivfServeSparkSql,
       collectSorted = "array_sort(collect_list(vec_id))",
@@ -944,6 +980,10 @@ object VectorOps {
     "q_vec_ann_pq" -> pqDuckSql,
 
     "q_vec_pq_recall" -> recallSql(knnDuckSql, pqDuckSql,
+      collectSorted = "list_sort(list(vec_id))",
+      isect = (a, b) => s"len(list_intersect($a, $b))"),
+
+    "q_vec_prefix_recall" -> recallSql(knnDuckSql, prefixKnnDuckSql,
       collectSorted = "list_sort(list(vec_id))",
       isect = (a, b) => s"len(list_intersect($a, $b))"),
 
