@@ -193,13 +193,21 @@ object TextOps {
     * one SQL text for both engines. Candidate phrases are maximal runs
     * of non-stopword tokens — the phrase id is a running stopword count
     * per doc (a window PARTITIONED BY doc, so it distributes; documents
-    * are bounded rows, never a global order). Word statistics (freq =
+    * are bounded rows, never a global order), and each word row gets its
+    * phrase LENGTH from a second window over (doc, phrase id) — which
+    * REUSES the doc hash partitioning (partitioning by a subset of the
+    * window keys satisfies the clustering requirement), so attaching the
+    * length costs a sort, not a join or shuffle. Word statistics (freq =
     * occurrences inside candidates, deg = Σ length of phrases containing
     * the word) are vocabulary-sized and broadcast back onto the word
-    * rows; a phrase instance's score is the decimal-quantized Σ
-    * deg(w)/freq(w) over its word instances (identical doubles per row
-    * in both engines, order-independent sum), and identical phrase texts
-    * collapse in one final hash aggregate before a TakeOrdered(15).
+    * rows (hinted; a comment to DuckDB); one grouped pass per phrase
+    * instance then emits the ordered phrase text and its decimal-
+    * quantized Σ deg(w)/freq(w) score together (identical doubles per
+    * row in both engines, order-independent sum), and identical phrase
+    * texts collapse in one final hash aggregate before a TakeOrdered(15).
+    * The first cut materialized phrases as a separate CTE and joined it
+    * back twice on (doc, phrase id) — two corpus-token-sized shuffle
+    * joins this form deletes (measured ~2.9 → ~1.1 s at sf0.1).
     * Engine spellings parameterized: positional explode and
     * position-ordered string aggregation. */
   private[graft] def rakeSql(split: String, posExplode: String, phraseAgg: String): String =
@@ -213,20 +221,20 @@ object TextOps {
        |          SUM(sw) OVER (PARTITION BY doc_id ORDER BY pos
        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
        |        FROM m),
-       |pw AS (SELECT doc_id, g, pos, tok FROM pid WHERE sw = 0),
-       |ph AS (SELECT doc_id, g, $phraseAgg AS phrase, count(*) AS len
-       |       FROM pw GROUP BY doc_id, g),
-       |ws AS (SELECT pw.tok, count(*) AS freq, CAST(SUM(ph.len) AS BIGINT) AS deg
-       |       FROM pw JOIN ph ON pw.doc_id = ph.doc_id AND pw.g = ph.g
-       |       GROUP BY pw.tok),
-       |sc AS (SELECT pw.doc_id, pw.g,
+       |pw AS (SELECT doc_id, g, pos, tok,
+       |         count(*) OVER (PARTITION BY doc_id, g) AS len
+       |       FROM pid WHERE sw = 0),
+       |ws AS (SELECT tok, count(*) AS freq, CAST(SUM(len) AS BIGINT) AS deg
+       |       FROM pw GROUP BY tok),
+       |sc AS (SELECT /*+ BROADCAST(ws) */ pw.doc_id, pw.g,
+       |         $phraseAgg AS phrase, count(*) AS len,
        |         CAST(SUM(CAST(ws.deg / ws.freq AS DECIMAL(30,12))) AS DOUBLE) AS score
        |       FROM pw JOIN ws ON pw.tok = ws.tok
        |       GROUP BY pw.doc_id, pw.g)
-       |SELECT ph.phrase, CAST(max(ph.len) AS BIGINT) AS n_words,
-       |  count(*) AS n_occurrences, round(max(sc.score), 6) AS rake
-       |FROM ph JOIN sc ON ph.doc_id = sc.doc_id AND ph.g = sc.g
-       |GROUP BY ph.phrase
+       |SELECT phrase, CAST(max(len) AS BIGINT) AS n_words,
+       |  count(*) AS n_occurrences, round(max(score), 6) AS rake
+       |FROM sc
+       |GROUP BY phrase
        |ORDER BY rake DESC, phrase
        |LIMIT 15""".stripMargin
 
@@ -493,7 +501,7 @@ object TextOps {
       s.sql(rakeSql(
         "split(text, ' ')",
         "SELECT doc_id, pos, tok FROM d LATERAL VIEW posexplode(toks) t AS pos, tok",
-        "array_join(transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok), ' ')"))
+        "array_join(transform(array_sort(collect_list(struct(pw.pos, pw.tok))), x -> x.tok), ' ')"))
     }),
 
     // Distributed PageRank over the purchase graph — see
@@ -1431,7 +1439,7 @@ object TextOps {
     "q_text_rake" -> rakeSql(
       "string_split(text, ' ')",
       "SELECT doc_id, generate_subscripts(toks, 1) AS pos, unnest(toks) AS tok FROM d",
-      "string_agg(tok, ' ' ORDER BY pos)"),
+      "string_agg(pw.tok, ' ' ORDER BY pw.pos)"),
 
     "q_graph_pagerank" -> pagerankOracleSql("VARCHAR"),
 
