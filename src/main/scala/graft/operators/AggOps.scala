@@ -597,6 +597,13 @@ object AggOps {
       s.sql(abLiftSql("STRING"))
     }),
 
+    // Welch's t on the purchase-value metric across the A/B split — see
+    // [[ttestSql]] (decimal moment sums; one filtered-scan aggregate).
+    "q_agg_ttest" -> ((s, sf) => {
+      registerEvents(s, sf)
+      s.sql(ttestSql("STRING"))
+    }),
+
     // Robust (median/MAD) anomaly flags — the outlier-immune twin of
     // q_anomaly_zscore: on this right-skewed value distribution the mean/
     // stddev gate drags toward the tail it's hunting, while median ±
@@ -698,6 +705,42 @@ object AggOps {
   import OracleDet.{dsum => osum, davg => oavg}
 
   /** Shared A/B readout SQL; `cast` is the engine's string-type name. */
+  /** Welch's two-sample t on a continuous metric (purchase values across
+    * the md5 A/B split) — the significance companion to [[abLiftSql]]'s
+    * conversion-rate z. Everything derives from per-variant decimal
+    * moment sums (n, Σx, Σx²) — one map-side-combinable aggregate over
+    * the filtered scan, then scalar arithmetic on a 2-row table — so the
+    * statistic is order-independent and bit-identical across engines.
+    * The (n−1) and sqrt denominators are nullif-guarded: a 1-row or
+    * single-variant slice yields NULL, never an ANSI DIVIDE_BY_ZERO. */
+  private def ttestSql(cast: String): String =
+    s"""WITH v AS (SELECT value,
+       |             CASE WHEN (instr('0123456789abcdef',
+       |                    substring(md5(CAST(event_id AS $cast)), 1, 1)) - 1) % 2 = 0
+       |                  THEN 'A' ELSE 'B' END AS variant
+       |           FROM events WHERE event_type = 'purchase'),
+       |m AS (SELECT variant, count(*) AS n,
+       |        CAST(SUM(CAST(value AS DECIMAL(30,10))) AS DOUBLE) AS sx,
+       |        CAST(SUM(CAST(value * value AS DECIMAL(30,10))) AS DOUBLE) AS sxx
+       |      FROM v GROUP BY variant),
+       |w AS (SELECT
+       |        max(CASE WHEN variant = 'A' THEN n END) AS n_a,
+       |        max(CASE WHEN variant = 'B' THEN n END) AS n_b,
+       |        max(CASE WHEN variant = 'A' THEN sx END) AS sx_a,
+       |        max(CASE WHEN variant = 'B' THEN sx END) AS sx_b,
+       |        max(CASE WHEN variant = 'A' THEN sxx END) AS sxx_a,
+       |        max(CASE WHEN variant = 'B' THEN sxx END) AS sxx_b
+       |      FROM m)
+       |SELECT n_a, n_b,
+       |  round(sx_a / n_a, 6) AS mean_a,
+       |  round(sx_b / n_b, 6) AS mean_b,
+       |  round((sxx_a - sx_a * sx_a / n_a) / nullif(n_a - 1, 0), 6) AS var_a,
+       |  round((sxx_b - sx_b * sx_b / n_b) / nullif(n_b - 1, 0), 6) AS var_b,
+       |  round((sx_a / n_a - sx_b / n_b) /
+       |    nullif(sqrt((sxx_a - sx_a * sx_a / n_a) / nullif(n_a - 1, 0) / n_a
+       |              + (sxx_b - sx_b * sx_b / n_b) / nullif(n_b - 1, 0) / n_b), 0.0), 4) AS t_welch
+       |FROM w""".stripMargin
+
   private def abLiftSql(cast: String): String =
     s"""WITH conv AS (SELECT user_id,
        |                CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 15
@@ -901,6 +944,8 @@ object AggOps {
         |ORDER BY week, event_type""".stripMargin,
 
     "q_events_ab_lift" -> abLiftSql("VARCHAR"),
+
+    "q_agg_ttest" -> ttestSql("VARCHAR"),
 
     "q_agg_percentile_bands" ->
       """WITH r AS (SELECT event_type, value,
