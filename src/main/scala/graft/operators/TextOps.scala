@@ -485,6 +485,30 @@ object TextOps {
         .groupBy("bigram").agg(count(lit(1)).as("cnt"))
         .orderBy("bigram")),
 
+    // Skip-gram co-occurrence counts in a ±2 token window — the word2vec
+    // / GloVe preprocessing kernel. Each offset distance is one zip of
+    // the token array against its shifted self (the q_text_ngrams shape,
+    // twice), pairs are normalized unordered via least/greatest so (a,b)
+    // and (b,a) pool, and everything reduces in one hash aggregate — a
+    // per-row lambda explode plus a single shuffle, embarrassingly
+    // parallel at any scale. Top-20 by (count, pair) is a TakeOrdered.
+    "q_text_skipgrams" -> ((s, sf) => {
+      Tables.documents(s, sf).createOrReplaceTempView("documents")
+      s.sql(
+        """WITH d AS (SELECT split(text, ' ') AS toks FROM documents),
+          |p AS (
+          |  SELECT explode(concat(
+          |    zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1),
+          |             (x, y) -> concat(least(x, y), ' ', greatest(x, y))),
+          |    zip_with(slice(toks, 1, size(toks) - 2), slice(toks, 3, size(toks) - 2),
+          |             (x, y) -> concat(least(x, y), ' ', greatest(x, y))))) AS pair
+          |  FROM d)
+          |SELECT pair, count(*) AS cnt
+          |FROM p GROUP BY pair
+          |ORDER BY cnt DESC, pair
+          |LIMIT 20""".stripMargin)
+    }),
+
     // BM25 ranked retrieval for a fixed keyword query — see [[bm25Sql]]
     // for the formula and the at-scale argument (filtered explode,
     // broadcast df/avgdl scalars, TakeOrdered top-k).
@@ -1435,6 +1459,20 @@ object TextOps {
         |GROUP BY bigram ORDER BY bigram""".stripMargin,
 
     "q_text_bm25" -> bm25Sql("string_split(text, ' ')", "len", "unnest"),
+
+    "q_text_skipgrams" ->
+      """WITH d AS (SELECT string_split(text, ' ') AS toks FROM documents),
+        |p AS (
+        |  SELECT unnest(list_concat(
+        |    list_transform(list_zip(toks[1:len(toks)-1], toks[2:len(toks)]),
+        |      z -> concat(least(z[1], z[2]), ' ', greatest(z[1], z[2]))),
+        |    list_transform(list_zip(toks[1:len(toks)-2], toks[3:len(toks)]),
+        |      z -> concat(least(z[1], z[2]), ' ', greatest(z[1], z[2]))))) AS pair
+        |  FROM d)
+        |SELECT pair, count(*) AS cnt
+        |FROM p GROUP BY pair
+        |ORDER BY cnt DESC, pair
+        |LIMIT 20""".stripMargin,
 
     "q_text_rake" -> rakeSql(
       "string_split(text, ' ')",
