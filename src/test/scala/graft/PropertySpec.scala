@@ -50,6 +50,44 @@ class PropertySpec extends AnyFunSuite with SparkSessionTest {
     }
   }
 
+  test("two-phase prefix-bucketed dict rank == naive codepoint-order rank on unicode vocab") {
+    // The distributed id assignment (dictCtes) claims its (prefix, tok)
+    // bucketed rank equals the global sorted rank. The graded corpus is
+    // ASCII, so this property drives the claim through the boundary the
+    // gate never sees: multi-byte characters, supplementary-plane
+    // codepoints (where Java's String.compareTo UTF-16 order DIVERGES
+    // from Spark/DuckDB's binary-UTF-8 = codepoint order), empty and
+    // 1-char tokens. The naive reference therefore compares UTF-8 byte
+    // arrays, not compareTo.
+    val cpGen: Gen[Int] = Gen.oneOf(
+      Gen.chooseNum('a'.toInt, 'z'.toInt),
+      Gen.oneOf(0x00e9, 0x00df, 0x4e2d, 0x3042, 0xe000, 0xfffd),
+      Gen.chooseNum(0x1f600, 0x1f640)) // supplementary plane
+    val tokGen: Gen[String] = Gen.chooseNum(0, 5).flatMap(n =>
+      Gen.listOfN(n, cpGen).map(cps => new String(cps.toArray, 0, cps.length)))
+    def utf8Lt(a: String, b: String): Boolean = {
+      val (x, y) = (a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+      val n = math.min(x.length, y.length)
+      var i = 0
+      while (i < n) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c < 0
+        i += 1
+      }
+      x.length < y.length
+    }
+    for (toks <- samples(Gen.listOfN(120, tokGen), 3)) {
+      import spark.implicits._
+      toks.toDF("tok").createOrReplaceTempView("prop_toks")
+      val got = spark.sql(
+        s"""WITH ${TextOps.dictCtes("prop_toks")}
+           |SELECT tok, id FROM dict""".stripMargin)
+        .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+      val want = toks.distinct.sortWith(utf8Lt).zipWithIndex.toMap
+      assert(got == want, s"rank divergence on vocab of ${want.size}")
+    }
+  }
+
   test("SimHash is invariant under token-order permutation") {
     for ((doc, seed) <- samples(Gen.zip(docGen, Gen.long), 4)) {
       {
