@@ -86,9 +86,27 @@ object Tables {
   private val tsNanosCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
   private def eventsTsIsNanos(s: SparkSession, sf: String): Boolean =
+    // Only the NANOS-rejection error class means "nanos corpus"; anything
+    // else (missing dir, permissions, transient IO) must surface to the
+    // caller, not be cached as a unit verdict. computeIfAbsent caches
+    // nothing when the probe throws, so a transient failure retries.
     tsNanosCache.computeIfAbsent(p(sf, "events"), path =>
       try { s.read.parquet(path).schema; false }
-      catch { case _: Exception => true })
+      catch {
+        case e: Throwable if isNanosRejection(e) => true
+      })
+
+  /** True iff the exception (or any cause in its chain — footer reads can
+    * run as a Spark job, wrapping the real error) is Spark 4's
+    * [PARQUET_TYPE_ILLEGAL] rejection of TIMESTAMP(NANOS). */
+  @scala.annotation.tailrec
+  private def isNanosRejection(e: Throwable): Boolean = e match {
+    case null => false
+    case a: org.apache.spark.sql.AnalysisException
+        if a.getErrorClass != null &&
+           a.getErrorClass.contains("PARQUET_TYPE_ILLEGAL") => true
+    case _ => isNanosRejection(e.getCause)
+  }
 
   /** Events with `ts` as a microsecond TimestampType, whatever the file's
     * physical unit. Micros corpus: a schema-pinned scan — `ts` predicates

@@ -712,7 +712,11 @@ object AggOps {
     * the filtered scan, then scalar arithmetic on a 2-row table — so the
     * statistic is order-independent and bit-identical across engines.
     * The (n−1) and sqrt denominators are nullif-guarded: a 1-row or
-    * single-variant slice yields NULL, never an ANSI DIVIDE_BY_ZERO. */
+    * single-variant slice yields NULL, never an ANSI DIVIDE_BY_ZERO.
+    * The sum-of-squares terms are greatest(…, 0)-clamped: double
+    * cancellation on a near-constant variant can leave them fractionally
+    * negative, which would be NaN-from-sqrt on Spark but an out-of-range
+    * ERROR on DuckDB — an asymmetric cross-engine failure. */
   private def ttestSql(cast: String): String =
     s"""WITH v AS (SELECT value,
        |             CASE WHEN (instr('0123456789abcdef',
@@ -730,16 +734,20 @@ object AggOps {
        |        max(CASE WHEN variant = 'B' THEN sx END) AS sx_b,
        |        max(CASE WHEN variant = 'A' THEN sxx END) AS sxx_a,
        |        max(CASE WHEN variant = 'B' THEN sxx END) AS sxx_b
-       |      FROM m)
+       |      FROM m),
+       |vv AS (SELECT n_a, n_b, sx_a, sx_b,
+       |         greatest(sxx_a - sx_a * sx_a / n_a, 0.0) AS ss_a,
+       |         greatest(sxx_b - sx_b * sx_b / n_b, 0.0) AS ss_b
+       |       FROM w)
        |SELECT n_a, n_b,
        |  round(sx_a / n_a, 6) AS mean_a,
        |  round(sx_b / n_b, 6) AS mean_b,
-       |  round((sxx_a - sx_a * sx_a / n_a) / nullif(n_a - 1, 0), 6) AS var_a,
-       |  round((sxx_b - sx_b * sx_b / n_b) / nullif(n_b - 1, 0), 6) AS var_b,
+       |  round(ss_a / nullif(n_a - 1, 0), 6) AS var_a,
+       |  round(ss_b / nullif(n_b - 1, 0), 6) AS var_b,
        |  round((sx_a / n_a - sx_b / n_b) /
-       |    nullif(sqrt((sxx_a - sx_a * sx_a / n_a) / nullif(n_a - 1, 0) / n_a
-       |              + (sxx_b - sx_b * sx_b / n_b) / nullif(n_b - 1, 0) / n_b), 0.0), 4) AS t_welch
-       |FROM w""".stripMargin
+       |    nullif(sqrt(ss_a / nullif(n_a - 1, 0) / n_a
+       |              + ss_b / nullif(n_b - 1, 0) / n_b), 0.0), 4) AS t_welch
+       |FROM vv""".stripMargin
 
   private def abLiftSql(cast: String): String =
     s"""WITH conv AS (SELECT user_id,

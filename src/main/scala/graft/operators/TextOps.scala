@@ -500,7 +500,8 @@ object TextOps {
           |  SELECT explode(concat(
           |    zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1),
           |             (x, y) -> concat(least(x, y), ' ', greatest(x, y))),
-          |    zip_with(slice(toks, 1, size(toks) - 2), slice(toks, 3, size(toks) - 2),
+          |    zip_with(slice(toks, 1, greatest(size(toks) - 2, 0)),
+          |             slice(toks, 3, greatest(size(toks) - 2, 0)),
           |             (x, y) -> concat(least(x, y), ' ', greatest(x, y))))) AS pair
           |  FROM d)
           |SELECT pair, count(*) AS cnt
@@ -1466,7 +1467,7 @@ object TextOps {
         |  SELECT unnest(list_concat(
         |    list_transform(list_zip(toks[1:len(toks)-1], toks[2:len(toks)]),
         |      z -> concat(least(z[1], z[2]), ' ', greatest(z[1], z[2]))),
-        |    list_transform(list_zip(toks[1:len(toks)-2], toks[3:len(toks)]),
+        |    list_transform(list_zip(toks[1:greatest(len(toks)-2, 0)], toks[3:len(toks)]),
         |      z -> concat(least(z[1], z[2]), ' ', greatest(z[1], z[2]))))) AS pair
         |  FROM d)
         |SELECT pair, count(*) AS cnt

@@ -937,7 +937,11 @@ object VectorOps {
     prefixKnnSql((a, lo, n) => s"slice($a, $lo, $n)", cosSpark)
 
   private val prefixKnnDuckSql: String =
-    prefixKnnSql((a, lo, n) => s"list_slice($a, $lo, $n)", cosDuck)
+    // list_slice's third operand is an inclusive END index, not a length
+    // (it only coincided with the Spark spelling because lo = 1 here) —
+    // derive the end from (lo, n) so the lambda honors the same
+    // (array, lo, length) contract as the Spark one at any offset.
+    prefixKnnSql((a, lo, n) => s"list_slice($a, $lo, ($lo) + ($n) - 1)", cosDuck)
 
   private def recallSparkSql: String =
     recallSql(knnSparkSql, ivfServeSparkSql,
