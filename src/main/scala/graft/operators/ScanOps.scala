@@ -88,6 +88,33 @@ object ScanOps {
     // this query pins the FORMAT SEMANTICS cross-engine via the oracle.
     "q_ingest_syslog_multi" -> ((s, sf) => s.sql(syslogMultiSparkSql)),
 
+    // Rotated + compressed log ingestion — the genre's most common
+    // physical layout (`app.log`, `app.log.1`, `app.log.2.gz` from
+    // logrotate). The fixture is written in-query (current file gets the
+    // newest lines, the .gz rotation the oldest), then read back through
+    // the V2 SyslogDataSource: one partition per rotation, gzip
+    // decompressed in-stream. The oracle runs the same RFC 3164
+    // extraction over the identical literal lines, so the gate proves
+    // the imperative reader ≡ the declarative SQL across the whole
+    // rotated set — including the bytes that crossed a gzip codec.
+    "q_ingest_syslog_rotated" -> ((s, sf) => {
+      val dir = java.nio.file.Paths.get(rtDir(s, "syslog_rotated", sf))
+      java.nio.file.Files.createDirectories(dir)
+      def put(name: String, lines: Seq[String], gz: Boolean): Unit = {
+        val bytes = (lines.mkString("\n") + "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val out = java.nio.file.Files.newOutputStream(dir.resolve(name))
+        val w = if (gz) new java.util.zip.GZIPOutputStream(out) else out
+        try w.write(bytes) finally w.close()
+      }
+      put("app.log", syslogLines.drop(6), gz = false)       // newest
+      put("app.log.1", syslogLines.slice(3, 6), gz = false)
+      put("app.log.2.gz", syslogLines.take(3), gz = true)   // oldest
+      s.read.format("graft.sources.SyslogDataSource").load(dir.toString)
+        .select("ts_raw", "host", "proc", "pid", "msg")
+        .orderBy("ts_raw", "host")
+    }),
+
     "q_ingest_json_events" -> ((s, sf) =>
       Tables.events(s, sf)
         .select(
@@ -517,6 +544,16 @@ object ScanOps {
          |ORDER BY line_id""".stripMargin,
 
     "q_ingest_syslog_multi" -> syslogMultiDuckSql,
+
+    "q_ingest_syslog_rotated" ->
+      s"""SELECT
+         |  regexp_extract(line, '$sqlPat', 1) AS ts_raw,
+         |  regexp_extract(line, '$sqlPat', 2) AS host,
+         |  regexp_extract(line, '$sqlPat', 3) AS proc,
+         |  CAST(regexp_extract(line, '$sqlPat', 4) AS INTEGER) AS pid,
+         |  regexp_extract(line, '$sqlPat', 5) AS msg
+         |FROM (VALUES $syslogValues) AS t(line_id, line)
+         |ORDER BY ts_raw, host""".stripMargin,
 
     "q_ingest_json_events" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k

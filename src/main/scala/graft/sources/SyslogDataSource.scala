@@ -34,6 +34,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * reader: records never span files). Unparseable lines yield null fields
   * with the raw line preserved in `msg` — flag-and-continue, same
   * discipline as q_ingest_json_corrupt.
+  *
+  * Logrotate layouts read natively: `app.log` + `app.log.1` +
+  * `app.log.2.gz` are each one partition, `.gz` rotations decompressing
+  * in-stream (gzip is not splittable, but a rotation is already bounded
+  * by the rotate size, so file == split is the right granularity — the
+  * same trade Spark's own text source makes for .gz).
   */
 class SyslogDataSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -221,11 +227,19 @@ class SyslogScan(path: String, required: StructType,
   override def planInputPartitions(): Array[InputPartition] = {
     import scala.jdk.CollectionConverters._
     val p = java.nio.file.Paths.get(path)
-    val files =
-      if (java.nio.file.Files.isDirectory(p))
-        java.nio.file.Files.list(p).iterator().asScala.map(_.toString).toSeq.sorted
-      else Seq(path)
-    files.map(f => SyslogFilePartition(f): InputPartition).toArray
+    // Regular files only (a nested dir or a stray staging marker is not a
+    // log), and logrotate layouts read as-is: `app.log`, `app.log.1`,
+    // `app.log.2.gz` are each their own partition — compressed rotations
+    // decompress transparently in the reader. Row order across files is
+    // Spark-level unordered anyway, so rotation recency needs no special
+    // scheduling; `sorted` just keeps partition planning deterministic.
+    val listing = if (java.nio.file.Files.isDirectory(p)) {
+      val stream = java.nio.file.Files.list(p)
+      try stream.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
+        .map(_.toString).toSeq.sorted
+      finally stream.close()
+    } else Seq(path)
+    listing.map(f => SyslogFilePartition(f): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -244,10 +258,17 @@ class SyslogReaderFactory(required: StructType,
       (SyslogDataSource.schema.fieldIndex(a), UTF8String.fromString(v))
     }
     new PartitionReader[InternalRow] {
-      import scala.jdk.CollectionConverters._
+      // Streamed, not slurped: a rotated /var/log file can be GBs, and a
+      // `.gz` rotation decompresses transparently off the same reader.
+      private val reader = {
+        val raw = java.nio.file.Files.newInputStream(java.nio.file.Paths.get(file))
+        val in = if (file.endsWith(".gz"))
+          new java.util.zip.GZIPInputStream(raw) else raw
+        new java.io.BufferedReader(
+          new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
+      }
       private val records = SyslogDataSource.parseRecords(
-        java.nio.file.Files.readAllLines(
-          java.nio.file.Paths.get(file)).iterator().asScala)
+        Iterator.continually(reader.readLine()).takeWhile(_ != null))
       private var row: InternalRow = _
       override def next(): Boolean = {
         while (records.hasNext) {
@@ -260,7 +281,7 @@ class SyslogReaderFactory(required: StructType,
         false
       }
       override def get(): InternalRow = row
-      override def close(): Unit = ()
+      override def close(): Unit = reader.close()
     }
   }
 }

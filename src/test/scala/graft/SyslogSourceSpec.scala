@@ -66,6 +66,33 @@ class SyslogSourceSpec extends AnyFunSuite with SparkSessionTest {
     assert(nPushed == 0)
   }
 
+  test("reads a logrotate layout: plain + numbered + gzip rotations") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_syslog_rot")
+    def put(name: String, lines: Seq[String], gz: Boolean): Unit = {
+      val bytes = (lines.mkString("\n") + "\n").getBytes("UTF-8")
+      val out = java.nio.file.Files.newOutputStream(dir.resolve(name))
+      val w = if (gz) new java.util.zip.GZIPOutputStream(out) else out
+      try w.write(bytes) finally w.close()
+    }
+    put("app.log", Seq(
+      "Mar 14 09:00:01 web01 nginx[10]: current"), gz = false)
+    put("app.log.1", Seq(
+      "Mar 13 09:00:01 web01 nginx[10]: yesterday",
+      "\twith a continuation"), gz = false)
+    put("app.log.2.gz", Seq(
+      "Mar 12 09:00:01 web01 nginx[10]: two days ago"), gz = true)
+    // a nested directory must not break the listing
+    java.nio.file.Files.createDirectory(dir.resolve("archive"))
+    val df = spark.read.format(fmt).load(dir.toString)
+    assert(df.rdd.getNumPartitions == 3)       // one per rotation file
+    val msgs = df.orderBy("ts_raw").collect().map(_.getString(4)).toSeq
+    assert(msgs == Seq("two days ago", "yesterday\n\twith a continuation",
+      "current"))
+    // pushed filters and pruning still work through the gzip path
+    assert(spark.read.format(fmt).load(dir.toString)
+      .filter(col("proc") === "nginx").count() == 3)
+  }
+
   // ---- format plurality: RFC 5424 / journald / continuations ----------
 
   private def writeOne(lines: Seq[String]): String = {
