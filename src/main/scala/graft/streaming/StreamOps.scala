@@ -398,30 +398,42 @@ object StreamOps {
       armed = getHandle.getValueState[Long]("armed", Encoders.scalaLong, TTLConfig.NONE)
     }
 
+    // State timestamps are MICROS since epoch (Catalyst's native unit —
+    // `Timestamp.getTime` would truncate to millis and silently mis-match
+    // sub-millisecond data; the corpus parity gate caught exactly that).
+    // Timer/watermark APIs speak millis, so comparisons scale the
+    // watermark UP to micros (conservative: truncation drains no left
+    // early) and timers register the CEILING millisecond (progress: when
+    // the timer fires, wm_ms*1000 >= lt is guaranteed).
+    private def micros(t: Timestamp): Long =
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t)
+    private def fromMicros(us: Long): Timestamp =
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.toJavaTimestamp(us)
+
     /** Drain every buffered left with ts <= watermark against the buffered
       * rights; compact the rights; re-arm the timer for the rest. */
-    private def drain(key: Long, wm: Long): Iterator[AsofOut] = {
+    private def drain(key: Long, wmMicros: Long): Iterator[AsofOut] = {
       val ls = lefts.get().toArray.sortBy(l => (l._1, l._2))
       val rs = rights.get().toArray.sortBy(r => (r._1, r._2))
-      val (ready, pending) = ls.partition(_._1 <= wm)
+      val (ready, pending) = ls.partition(_._1 <= wmMicros)
       val out = ready.iterator.map { case (lt, lid) =>
         val cand = rs.filter(_._1 <= lt)
-        if (cand.isEmpty) AsofOut(key, lid, new Timestamp(lt), None, None)
+        if (cand.isEmpty) AsofOut(key, lid, fromMicros(lt), None, None)
         else {
           val (rt, _, rv) = cand.maxBy(r => (r._1, r._2))
-          AsofOut(key, lid, new Timestamp(lt), Some(new Timestamp(rt)), Some(rv))
+          AsofOut(key, lid, fromMicros(lt), Some(fromMicros(rt)), Some(rv))
         }
       }.toArray
       if (pending.isEmpty) lefts.clear() else lefts.put(pending)
       // dominance compaction: keep rights above the watermark + the single
       // latest right at-or-below it
-      val (below, above) = rs.partition(_._1 <= wm)
+      val (below, above) = rs.partition(_._1 <= wmMicros)
       val keep = (if (below.isEmpty) above else below.maxBy(r => (r._1, r._2)) +: above)
         .sortBy(r => (r._1, r._2))
       if (keep.isEmpty) rights.clear() else rights.put(keep)
       if (armed.exists()) { getHandle.deleteTimer(armed.get()); armed.clear() }
       if (pending.nonEmpty) {
-        val t = pending.map(_._1).min
+        val t = (pending.map(_._1).min + 999L) / 1000L // ceil micros → ms
         getHandle.registerTimer(t)
         armed.update(t)
       }
@@ -431,16 +443,16 @@ object StreamOps {
     override def handleInputRows(key: Long, rows: Iterator[AsofIn],
                                  timerValues: TimerValues): Iterator[AsofOut] = {
       rows.foreach { r =>
-        if (r.side == "L") lefts.appendValue((r.ts.getTime, r.id))
-        else rights.appendValue((r.ts.getTime, r.id, r.value))
+        if (r.side == "L") lefts.appendValue((micros(r.ts), r.id))
+        else rights.appendValue((micros(r.ts), r.id, r.value))
       }
-      drain(key, timerValues.getCurrentWatermarkInMs())
+      drain(key, timerValues.getCurrentWatermarkInMs() * 1000L)
     }
 
     override def handleExpiredTimer(key: Long, timerValues: TimerValues,
                                     info: ExpiredTimerInfo): Iterator[AsofOut] = {
       armed.clear()
-      drain(key, timerValues.getCurrentWatermarkInMs())
+      drain(key, timerValues.getCurrentWatermarkInMs() * 1000L)
     }
   }
 
