@@ -35,11 +35,30 @@ object Tables {
       sys.props.get("graft.cache.tables").contains("1")
   private val scanCache =
     new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]()
+
+  /** Fact-sized tables whose CACHED form is repartitioned to the session's
+    * default parallelism. The corpus stores each table as one single-row-
+    * group file, so a bare persist() caches ONE partition and every
+    * downstream scan runs on one core of N — measured as the dominant
+    * per-query fixed floor at bench scale (q_filter_eq exec 84 ms → 55 ms
+    * at local[4] with the cache split; see BASELINE.md). The extra
+    * exchange happens once, in untimed warmup. Dimension tables (region,
+    * nation) stay as-is: scheduling N tasks over 5 rows costs more than
+    * it buys. On a real cluster this is moot — a 100 TB table is
+    * thousands of splits before it ever reaches a cache. */
+  private val splitCached = Set("customer", "supplier", "part", "orders",
+    "lineitem", "events", "eventsRaw", "documents", "embeddings")
+  private def cachePrep(s: SparkSession, name: String, df: DataFrame): DataFrame =
+    if (splitCached(name) && !sys.props.get("graft.cache.nosplit").contains("1")
+        && !sys.env.get("SPARK_GRAFT_CACHE_NOSPLIT").contains("1"))
+      df.repartition(s.sparkContext.defaultParallelism)
+    else df
+
   private def load(s: SparkSession, sf: String, name: String): DataFrame = {
     def mk = s.read.parquet(p(sf, name))
     if (!cacheTables) mk
     else scanCache.computeIfAbsent(
-      (System.identityHashCode(s), sf, name), _ => mk.persist())
+      (System.identityHashCode(s), sf, name), _ => cachePrep(s, name, mk).persist())
   }
 
   def region(s: SparkSession, sf: String): DataFrame   = load(s, sf, "region")
@@ -129,7 +148,8 @@ object Tables {
       def mk = s.read.schema(eventsSchema).parquet(p(sf, "events"))
       if (!cacheTables) mk
       else scanCache.computeIfAbsent(
-        (System.identityHashCode(s), sf, "events"), _ => mk.persist())
+        (System.identityHashCode(s), sf, "events"),
+        _ => cachePrep(s, "events", mk).persist())
     }
 
   /** `events` with `ts` as raw int64 NANOS since epoch in both corpus
@@ -152,7 +172,8 @@ object Tables {
         .parquet(p(sf, "events"))
       if (!cacheTables) mk
       else scanCache.computeIfAbsent(
-        (System.identityHashCode(s), sf, "eventsRaw"), _ => mk.persist())
+        (System.identityHashCode(s), sf, "eventsRaw"),
+        _ => cachePrep(s, "eventsRaw", mk).persist())
     }
   }
 
