@@ -75,9 +75,20 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // Write-class queries perform real filesystem writes each run
+    // (bucketed tables, partitioned sinks, compaction fixtures…): their
+    // latency includes file churn and has measured up to 2.2× run-to-run
+    // spread with no code change. Tagging them in the artifact lets
+    // compare_bench.py keep them OUT of the window-factor median and
+    // report them as their own class instead of as phantom movers.
+    val writeClass = Seq("q_join_bucketed", "q_mm_ingest_binary",
+      "q_part_dpp", "q_maintain_compact", "q_sink_partitioned",
+      "q_ingest_orc", "q_scan_merge_schema", "q_ingest_syslog_rotated")
+      .filter(SparkEntry.queries.contains)
     val meta = s"""{"ts_start":"$tsStart","ts_end":"$tsEnd",""" +
       s""""load1_start":${f(loadStart)},"load1_end":${f(loadEnd)},""" +
-      s""""steal_pct":${f(stealPct)},"cpus":$cpus}"""
+      s""""steal_pct":${f(stealPct)},"cpus":$cpus,""" +
+      s""""write_class":${writeClass.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
     val line = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","meta":$meta}"""
     println(line)
     // The driver records only the TAIL of stdout, which truncated the

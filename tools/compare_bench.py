@@ -27,11 +27,28 @@ def main() -> None:
             print(f"{tag} meta: load1 {m.get('load1_start')}->"
                   f"{m.get('load1_end')}  steal {m.get('steal_pct')}%  "
                   f"cpus {m.get('cpus')}  start {m.get('ts_start')}")
-    shared = [k for k in new if k in old and old[k] > 0.05]
+    # Write-class queries (real filesystem writes each run — up to 2.2x
+    # spread from file churn alone) are excluded from the window-factor
+    # median and the movers list, and reported as their own section.
+    wc_fallback = {"q_join_bucketed", "q_mm_ingest_binary", "q_part_dpp",
+                   "q_maintain_compact", "q_sink_partitioned",
+                   "q_ingest_orc", "q_scan_merge_schema",
+                   "q_ingest_syslog_rotated"}
+    write_class = set((new_j.get("meta") or {}).get("write_class")
+                      or (old_j.get("meta") or {}).get("write_class")
+                      or wc_fallback)
+    shared = [k for k in new
+              if k in old and old[k] > 0.05 and k not in write_class]
     window = statistics.median(new[k] / old[k] for k in shared)
-    print(f"shared queries: {len(shared)}   "
+    print(f"shared queries: {len(shared)} (write-class excluded)   "
           f"window factor (median ratio): {window:.2f}x")
     print(f"totals: {sum(old.values()):.1f}s -> {sum(new.values()):.1f}s")
+    wc_shared = [k for k in sorted(write_class) if k in old and k in new]
+    if wc_shared:
+        o = sum(old[k] for k in wc_shared)
+        n = sum(new[k] for k in wc_shared)
+        print(f"write-class ({len(wc_shared)} shared): {o:.1f}s -> {n:.1f}s  "
+              + ", ".join(f"{k}={old[k]:.2f}->{new[k]:.2f}" for k in wc_shared))
     added = sorted((k for k in new if k not in old), key=lambda k: -new[k])
     removed = [k for k in old if k not in new]
     if added:
@@ -39,7 +56,7 @@ def main() -> None:
     if removed:
         print("removed: " + ", ".join(removed))
     movers = sorted(((new[k] / old[k] / window, k) for k in shared),
-                    reverse=True)
+                    reverse=True)  # shared already excludes write-class
     structural = [(r, k) for r, k in movers if r >= thr and new[k] >= 0.3]
     if structural:
         print(f"structural movers (normalized ratio >= {thr}, >=0.3s):")
