@@ -200,6 +200,21 @@ object JoinOps {
           |ORDER BY event_id, band_id""".stripMargin)
     }),
 
+    // Longest-prefix-match CIDR lookup — the log-genre routing join
+    // (src_ip → most specific network block). The scale shape is the
+    // netflow-pipeline standard: one equi-join PER DISTINCT PREFIX LENGTH
+    // (events replicate |distinct plens| ≈ 5 times — bounded fan-out like
+    // the binned range join), each keyed on ip >> (32 − plen), then the
+    // per-event argmax on plen picks the most specific match. No
+    // nested-loop anywhere; with a 1M-route table the per-plen join is a
+    // plain hash join on a co-partitionable key. IPs derive
+    // deterministically from user_id (Knuth-hash offsets into three
+    // blocks) so the output is corpus-stable and oracle-checkable.
+    "q_join_lpm_cidr" -> ((s, sf) => {
+      Tables.events(s, sf).createOrReplaceTempView("events")
+      s.sql(lpmCidrSql(idiv = "DIV"))
+    }),
+
     "q_join_self_interval" -> ((s, sf) => {
       val e = eventsTs(s, sf).select(
         col("user_id"), col("event_id"), unix_timestamp(col("ts_s")).as("sec"))
@@ -479,7 +494,62 @@ object JoinOps {
       |  FROM j GROUP BY event_id, user_id) t
       |ORDER BY event_id""".stripMargin
 
+  /** Longest-prefix-match CIDR join, engine-shared up to integer
+    * division (`idiv`: Spark `DIV`, DuckDB `//`). Route table: eight
+    * literal CIDR blocks at five prefix lengths, nested so specificity
+    * matters (10.1.2/24 ⊂ 10.1/16 ⊂ 10/8). Events get a deterministic
+    * ip from user_id (Knuth multiplicative hash into one of the three
+    * top-level blocks). Join: events × distinct-plens (5-row bounded
+    * fan-out) equi-joined on the plen-masked prefix; most specific wins
+    * via a per-event max(plen) window; output aggregates to per-network
+    * counts so the result is compact and hash-stable. power(2, 32−plen)
+    * is integer-exact in doubles for plen ∈ [8,24]. */
+  private def ip4(a: Long, b: Long, c: Long, d: Long): Long =
+    ((a * 256 + b) * 256 + c) * 256 + d
+
+  private def lpmCidrSql(idiv: String): String =
+    s"""WITH nets AS (
+       |  SELECT * FROM (VALUES
+       |    ('corp-10/8',            ${ip4(10, 0, 0, 0)},      8),
+       |    ('dc1-10.1/16',          ${ip4(10, 1, 0, 0)},     16),
+       |    ('dc1-rack-10.1.2/24',   ${ip4(10, 1, 2, 0)},     24),
+       |    ('vpn-172.16/12',        ${ip4(172, 16, 0, 0)},   12),
+       |    ('vpn-pool-172.16.5/24', ${ip4(172, 16, 5, 0)},   24),
+       |    ('office-192.168/16',    ${ip4(192, 168, 0, 0)},  16),
+       |    ('office-eng-192.168.0/20', ${ip4(192, 168, 0, 0)}, 20),
+       |    ('guest-192.168.200/24', ${ip4(192, 168, 200, 0)}, 24)
+       |  ) AS t(name, net, plen)),
+       |keyed AS (SELECT name, CAST(net AS BIGINT) AS net, plen,
+       |            CAST(power(2, 32 - plen) AS BIGINT) AS span FROM nets),
+       |ev AS (SELECT event_id, user_id,
+       |         CASE CAST(user_id % 3 AS INT)
+       |           WHEN 0 THEN ${ip4(10, 0, 0, 0)}
+       |                       + (user_id * 2654435761) % 16777216
+       |           WHEN 1 THEN ${ip4(172, 16, 0, 0)}
+       |                       + (user_id * 2654435761) % 1048576
+       |           ELSE ${ip4(192, 168, 0, 0)}
+       |                       + (user_id * 2654435761) % 65536
+       |         END AS ip
+       |       FROM events),
+       |pl AS (SELECT DISTINCT plen,
+       |         CAST(power(2, 32 - plen) AS BIGINT) AS span FROM nets),
+       |evk AS (SELECT e.event_id, e.ip, p.plen, e.ip $idiv p.span AS k
+       |        FROM ev e CROSS JOIN pl p),
+       |cand AS (SELECT evk.event_id, n.name, n.plen
+       |         FROM evk JOIN keyed n
+       |           ON evk.plen = n.plen AND evk.k = n.net $idiv n.span),
+       |best AS (SELECT event_id, name, plen,
+       |           row_number() OVER (PARTITION BY event_id
+       |                              ORDER BY plen DESC) AS rn
+       |         FROM cand)
+       |SELECT name AS net_name, plen, count(*) AS n_events
+       |FROM best WHERE rn = 1
+       |GROUP BY name, plen
+       |ORDER BY net_name""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q_join_lpm_cidr" -> lpmCidrSql(idiv = "//"),
+
     "q_join_inner_hash" ->
       """SELECT o_orderkey, c_name, o_totalprice
         |FROM orders JOIN customer ON o_custkey = c_custkey

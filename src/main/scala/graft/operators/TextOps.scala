@@ -113,6 +113,54 @@ object TextOps {
        |ORDER BY bm25 DESC, doc_id
        |LIMIT 20""".stripMargin
 
+  /** One BPE merge round, one SQL text for both engines (engine
+    * spellings parameterized). wf = word frequencies (the compressed
+    * state a real BPE trainer carries — pair stats are weighted by word
+    * count, never by re-scanning the corpus); ch = per-word char arrays
+    * (`regexp_extract_all(word, '(.)', 1)` — explicit group 1 because
+    * Spark's default group differs from DuckDB's); pr = adjacent-pair
+    * counts (bounded by charset², map-side combinable); top = THE merge
+    * (ties break lexicographically); m = greedy merge application via
+    * the classic spaced-string replace — `replace` is left-to-right
+    * non-overlapping in both engines, which is exactly BPE's application
+    * order; tok = the post-merge symbol counts. */
+  private def bpeMergeSql(unnest: String => String, pairsExpr: String,
+                          joinChars: String, split: String): String =
+    s"""WITH wf AS (
+       |  SELECT word, count(*) AS c
+       |  FROM (SELECT ${unnest("$split(text, ' ')".replace("$split", split))} AS word FROM documents) w
+       |  WHERE word <> '' GROUP BY word),
+       |cs AS (SELECT word, c, regexp_extract_all(word, '(.)', 1) AS ch FROM wf),
+       |pr AS (SELECT pair, CAST(sum(c) AS BIGINT) AS n
+       |       FROM (SELECT ${unnest(pairsExpr)} AS pair, c FROM cs) p
+       |       GROUP BY pair),
+       |top AS (SELECT pair FROM pr ORDER BY n DESC, pair LIMIT 1),
+       |m AS (SELECT trim(replace(concat(' ', $joinChars, ' '),
+       |                          concat(' ', t.pair, ' '),
+       |                          concat(' ', replace(t.pair, ' ', ''), ' '))) AS seq, c
+       |      FROM cs CROSS JOIN top t),
+       |tok AS (SELECT token, CAST(sum(c) AS BIGINT) AS cnt
+       |        FROM (SELECT ${unnest("$split(seq, ' ')".replace("$split", split))} AS token, c FROM m) x
+       |        GROUP BY token)
+       |SELECT t.pair AS merged_pair, token, cnt
+       |FROM tok CROSS JOIN top t
+       |ORDER BY cnt DESC, token
+       |LIMIT 15""".stripMargin
+
+  private val bpeMergeSparkSql: String = bpeMergeSql(
+    unnest = e => s"explode($e)",
+    pairsExpr = "zip_with(slice(ch, 1, size(ch) - 1), slice(ch, 2, size(ch) - 1), " +
+      "(x, y) -> concat(x, ' ', y))",
+    joinChars = "array_join(ch, ' ')",
+    split = "split")
+
+  private val bpeMergeDuckSql: String = bpeMergeSql(
+    unnest = e => s"unnest($e)",
+    pairsExpr = "list_transform(list_zip(ch[1:len(ch)-1], ch[2:len(ch)]), " +
+      "z -> concat(z[1], ' ', z[2]))",
+    joinChars = "array_to_string(ch, ' ')",
+    split = "string_split")
+
   /** 5-iteration PageRank (damping 0.85) over the supplier–part bipartite
     * graph, undirected (each distinct (supplier, part) purchase edge
     * stored in both directions). Iterations are the textbook distributed
@@ -508,6 +556,21 @@ object TextOps {
           |FROM p GROUP BY pair
           |ORDER BY cnt DESC, pair
           |LIMIT 20""".stripMargin)
+    }),
+
+    // One BPE merge round — the tokenizer-training kernel (count adjacent
+    // char pairs weighted by word frequency → pick the top merge → apply
+    // it corpus-wide → recount). Scale shape: pair counting is one
+    // map-combinable hash aggregate over a per-word lambda explode (the
+    // pair space is bounded by charset², not corpus size); the chosen
+    // merge is a 1-row broadcast; the apply step is the classic
+    // spaced-string replace (left-to-right non-overlapping in BOTH
+    // engines, which IS greedy BPE application order). A full tokenizer
+    // trains by iterating this round with the vocabulary-sized pair table
+    // as the only reduced state.
+    "q_text_bpe_merge" -> ((s, sf) => {
+      Tables.documents(s, sf).createOrReplaceTempView("documents")
+      s.sql(bpeMergeSparkSql)
     }),
 
     // BM25 ranked retrieval for a fixed keyword query — see [[bm25Sql]]
@@ -1460,6 +1523,8 @@ object TextOps {
         |GROUP BY bigram ORDER BY bigram""".stripMargin,
 
     "q_text_bm25" -> bm25Sql("string_split(text, ' ')", "len", "unnest"),
+
+    "q_text_bpe_merge" -> bpeMergeDuckSql,
 
     "q_text_skipgrams" ->
       """WITH d AS (SELECT string_split(text, ' ') AS toks FROM documents),
