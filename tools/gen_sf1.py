@@ -60,21 +60,48 @@ pq.write_table(pa.table({
     "label": pa.array([i % 10 for i in range(N_EMB)], pa.int32()),
 }), f"{OUT}/embeddings.parquet")
 
-# ---- events: 1M rows, ts ns over the same month ------------------------
+# ---- events: 1M rows, ts MICROS (the post-round-5 corpus unit) over the
+# same month --------------------------------------------------------------
 N_EV = 1000000
 types = ["click", "error", "purchase", "signup", "view"]
-base_ns = 1704067200 * 10**9  # 2024-01-01 UTC
-span_ns = 29 * 24 * 3600 * 10**9
-ts = np.sort(nprng.integers(0, span_ns, N_EV)) + base_ns
+base_us = 1704067200 * 10**6  # 2024-01-01 UTC
+span_us = 29 * 24 * 3600 * 10**6
+ts = np.sort(nprng.integers(0, span_us, N_EV)) + base_us
 pq.write_table(pa.table({
     "event_id": pa.array(range(N_EV), pa.int64()),
-    "ts": pa.array(ts, pa.timestamp("ns")),
+    "ts": pa.array(ts, pa.timestamp("us")),
     "user_id": pa.array(nprng.integers(0, 20000, N_EV), pa.int64()),
     "event_type": pa.array([types[i] for i in nprng.integers(0, 5, N_EV)], pa.string()),
     "value": pa.array(np.round(nprng.exponential(80.0, N_EV), 2), pa.float64()),
     "props": pa.array(['{"k": %d}' % k for k in nprng.integers(0, 100, N_EV)], pa.string()),
 }), f"{OUT}/events.parquet")
 
+# ---- TPC-H tables: 10 disjoint key-shifted copies of the sf0.1 rows ----
+# (the standard SF-scaling shape: per-copy join selectivities are
+# preserved, cross-copy keys never match — so joins/aggs see 10x input
+# AND 10x output, the honest linear reference). region/nation are fixed
+# dimensions at every SF and are copied as-is.
+SHIFT = 10**7  # > any sf0.1 key
+for t, keys in [
+    ("customer", ["c_custkey"]),
+    ("supplier", ["s_suppkey", "s_nationkey=KEEP"]),
+    ("part", ["p_partkey"]),
+    ("orders", ["o_orderkey", "o_custkey"]),
+    ("lineitem", ["l_orderkey", "l_partkey", "l_suppkey"]),
+]:
+    cols = [d[0] for d in con.execute(
+        f"SELECT * FROM '{SRC}/{t}.parquet' LIMIT 0").description]
+    shift_keys = {k.split("=")[0] for k in keys if not k.endswith("=KEEP")}
+    sel = ", ".join(
+        f"{c} + i * {SHIFT} AS {c}" if c in shift_keys else c for c in cols)
+    con.execute(
+        f"COPY (SELECT {sel} FROM '{SRC}/{t}.parquet', "
+        f"generate_series(0, 9) AS g(i)) TO '{OUT}/{t}.parquet' (FORMAT PARQUET)")
+for t in ["region", "nation"]:
+    con.execute(
+        f"COPY (SELECT * FROM '{SRC}/{t}.parquet') TO '{OUT}/{t}.parquet' (FORMAT PARQUET)")
+
 print("wrote", OUT)
-for t in ["documents", "events", "embeddings"]:
+for t in ["documents", "events", "embeddings", "customer", "supplier",
+          "part", "orders", "lineitem", "region", "nation"]:
     print(t, con.execute(f"SELECT count(*) FROM '{OUT}/{t}.parquet'").fetchone()[0])
