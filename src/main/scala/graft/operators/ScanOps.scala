@@ -59,6 +59,20 @@ object ScanOps {
         .groupBy("fname").agg(count(lit(1)).as("n_rows"))
         .orderBy("fname")),
 
+    // ANALYZE-style column statistics — the stats-collection operator
+    // every engine ships (ndv / min / max / null count per column), the
+    // input to any cost-based optimizer and the first report run against
+    // an unknown 100 TB table. One aggregate pass computes all twelve
+    // statistics (Spark plans multi-DISTINCT aggregates via Expand — one
+    // scan, map-side partials), then a 3-row literal join pivots the
+    // single stats row into one row per column. min/max surface as
+    // strings so heterogeneous column types share one schema — same
+    // contract as ANALYZE TABLE output.
+    "q_scan_column_stats" -> ((s, sf) => {
+      Tables.events(s, sf).createOrReplaceTempView("events")
+      s.sql(columnStatsSql(cast = "STRING"))
+    }),
+
     "q_ingest_syslog" -> ((s, sf) => {
       val lineCols = array(syslogLines.map(lit): _*)
       s.range(1)
@@ -479,6 +493,28 @@ object ScanOps {
       "FILTER (WHERE is_cont = 1), '')",
     idiv = "//")
 
+  /** ANALYZE-style per-column stats, one SQL text for both engines
+    * (`cast`: STRING / VARCHAR). All aggregates ride one scan; the
+    * VALUES join fans the single stats row out to one row per column. */
+  private def columnStatsSql(cast: String): String =
+    s"""WITH st AS (SELECT
+       |    count(*) AS n,
+       |    count(DISTINCT event_type) AS ndv1, min(event_type) AS mn1,
+       |      max(event_type) AS mx1, count(event_type) AS nn1,
+       |    count(DISTINCT user_id) AS ndv2, CAST(min(user_id) AS $cast) AS mn2,
+       |      CAST(max(user_id) AS $cast) AS mx2, count(user_id) AS nn2,
+       |    count(DISTINCT value) AS ndv3, CAST(min(value) AS $cast) AS mn3,
+       |      CAST(max(value) AS $cast) AS mx3, count(value) AS nn3
+       |  FROM events),
+       |c AS (SELECT * FROM (VALUES ('event_type'), ('user_id'), ('value')) AS t(col))
+       |SELECT col, CAST(n AS BIGINT) AS n_rows,
+       |  CAST(CASE col WHEN 'event_type' THEN ndv1 WHEN 'user_id' THEN ndv2 ELSE ndv3 END AS BIGINT) AS ndv,
+       |  CASE col WHEN 'event_type' THEN mn1 WHEN 'user_id' THEN mn2 ELSE mn3 END AS vmin,
+       |  CASE col WHEN 'event_type' THEN mx1 WHEN 'user_id' THEN mx2 ELSE mx3 END AS vmax,
+       |  CAST(n - CASE col WHEN 'event_type' THEN nn1 WHEN 'user_id' THEN nn2 ELSE nn3 END AS BIGINT) AS n_nulls
+       |FROM st CROSS JOIN c
+       |ORDER BY col""".stripMargin
+
   /** Round-trip sink directory, unique per Spark application: two
     * concurrent runs (parallel test/bench invocations on the same SF)
     * writing mode=overwrite into one fixed path would clobber each other
@@ -544,6 +580,8 @@ object ScanOps {
          |ORDER BY line_id""".stripMargin,
 
     "q_ingest_syslog_multi" -> syslogMultiDuckSql,
+
+    "q_scan_column_stats" -> columnStatsSql(cast = "VARCHAR"),
 
     "q_ingest_syslog_rotated" ->
       s"""SELECT

@@ -154,6 +154,28 @@ object TextOps {
     joinChars = "array_join(ch, ' ')",
     split = "split")
 
+  /** MinHash estimator-error metric, one SQL text for both engines.
+    * Exact Jaccard = i / (|A| + |B| − i); estimate = positional
+    * signature agreement / K. Both are exact rationals divided as IEEE
+    * doubles, so per-pair errors are bit-identical; the mean is a
+    * decimal-quantized sum of per-pair rounded errors. */
+  private def minhashErrSql(distinctToks: String, sigExpr: String,
+                            isect: String, len: String, agree: String): String =
+    s"""WITH s AS (SELECT doc_id, $distinctToks AS toks
+       |           FROM documents WHERE doc_id % 20 = 0),
+       |sig AS (SELECT doc_id, toks, $sigExpr AS sg FROM s),
+       |p AS (SELECT
+       |        $isect AS i,
+       |        $len(a.toks) + $len(b.toks) - $isect AS u,
+       |        $agree AS m
+       |      FROM sig a JOIN sig b ON a.doc_id < b.doc_id),
+       |e AS (SELECT abs(m / 16.0 - CAST(i AS DOUBLE) / u) AS err FROM p)
+       |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       |  round(CAST(sum(CAST(round(err, 9) AS DECIMAL(30,12))) AS DOUBLE)
+       |        / count(*), 6) AS mean_abs_err,
+       |  round(max(err), 6) AS max_abs_err
+       |FROM e""".stripMargin
+
   private val bpeMergeDuckSql: String = bpeMergeSql(
     unnest = e => s"unnest($e)",
     pairsExpr = "list_transform(list_zip(ch[1:len(ch)-1], ch[2:len(ch)]), " +
@@ -571,6 +593,29 @@ object TextOps {
     "q_text_bpe_merge" -> ((s, sf) => {
       Tables.documents(s, sf).createOrReplaceTempView("documents")
       s.sql(bpeMergeSparkSql)
+    }),
+
+    // MinHash estimator quality — the sketch-metric companion to the
+    // dedup ladder, as the recall queries are to the ANN ladder: on a
+    // deterministic doc sample (doc_id % 20 = 0 — bounded by
+    // construction, the way any estimator-quality probe stays
+    // driver-scale at 100 TB), build K=16 independent-hash minhash
+    // signatures (min over md5(i:tok) per hash index), compare the
+    // positional-agreement Jaccard estimate against the exact
+    // token-set Jaccard for every sampled pair, and publish mean/max
+    // absolute error. Decimal-quantized error sums keep the metric
+    // bit-identical across engines. E[|err|] for K=16 is ~0.1 — the
+    // published number tells a user what signature width buys.
+    "q_dedup_minhash_error" -> ((s, sf) => {
+      Tables.documents(s, sf).createOrReplaceTempView("documents")
+      s.sql(minhashErrSql(
+        distinctToks = "array_distinct(split(text, ' '))",
+        sigExpr = "transform(sequence(1, 16), i -> " +
+          "array_min(transform(toks, t -> md5(concat(CAST(i AS STRING), ':', t)))))",
+        isect = "size(array_intersect(a.toks, b.toks))",
+        len = "size",
+        agree = "aggregate(zip_with(a.sg, b.sg, (x, y) -> " +
+          "CASE WHEN x = y THEN 1 ELSE 0 END), 0, (acc, v) -> acc + v)"))
     }),
 
     // BM25 ranked retrieval for a fixed keyword query — see [[bm25Sql]]
@@ -1525,6 +1570,15 @@ object TextOps {
     "q_text_bm25" -> bm25Sql("string_split(text, ' ')", "len", "unnest"),
 
     "q_text_bpe_merge" -> bpeMergeDuckSql,
+
+    "q_dedup_minhash_error" -> minhashErrSql(
+      distinctToks = "list_distinct(string_split(text, ' '))",
+      sigExpr = "list_transform(generate_series(1, 16), i -> " +
+        "list_min(list_transform(toks, t -> md5(concat(CAST(i AS VARCHAR), ':', t)))))",
+      isect = "len(list_intersect(a.toks, b.toks))",
+      len = "len",
+      agree = "list_sum(list_transform(list_zip(a.sg, b.sg), z -> " +
+        "CASE WHEN z[1] = z[2] THEN 1 ELSE 0 END))"),
 
     "q_text_skipgrams" ->
       """WITH d AS (SELECT string_split(text, ' ') AS toks FROM documents),
