@@ -124,30 +124,37 @@ object TextOps {
     * the classic spaced-string replace — `replace` is left-to-right
     * non-overlapping in both engines, which is exactly BPE's application
     * order; tok = the post-merge symbol counts. */
-  private def bpeMergeSql(unnest: String => String, pairsExpr: String,
+  private def bpeStateSql(unnest: String => String, split: String): String =
+    s"""SELECT word, c, regexp_extract_all(word, '(.)', 1) AS ch
+       |FROM (SELECT word, count(*) AS c
+       |      FROM (SELECT ${unnest(s"$split(text, ' ')")} AS word FROM documents) w
+       |      WHERE word <> '' GROUP BY word) f""".stripMargin
+
+  private def bpeMergeSql(stateCte: String, stateRef: String,
+                          unnest: String => String, pairsExpr: String,
                           joinChars: String, split: String): String =
-    s"""WITH wf AS (
-       |  SELECT word, count(*) AS c
-       |  FROM (SELECT ${unnest("$split(text, ' ')".replace("$split", split))} AS word FROM documents) w
-       |  WHERE word <> '' GROUP BY word),
-       |cs AS (SELECT word, c, regexp_extract_all(word, '(.)', 1) AS ch FROM wf),
-       |pr AS (SELECT pair, CAST(sum(c) AS BIGINT) AS n
-       |       FROM (SELECT ${unnest(pairsExpr)} AS pair, c FROM cs) p
+    s"""WITH ${stateCte}pr AS (SELECT pair, CAST(sum(c) AS BIGINT) AS n
+       |       FROM (SELECT ${unnest(pairsExpr)} AS pair, c FROM $stateRef) p
        |       GROUP BY pair),
        |top AS (SELECT pair FROM pr ORDER BY n DESC, pair LIMIT 1),
-       |m AS (SELECT trim(replace(concat(' ', $joinChars, ' '),
-       |                          concat(' ', t.pair, ' '),
-       |                          concat(' ', replace(t.pair, ' ', ''), ' '))) AS seq, c
-       |      FROM cs CROSS JOIN top t),
-       |tok AS (SELECT token, CAST(sum(c) AS BIGINT) AS cnt
-       |        FROM (SELECT ${unnest("$split(seq, ' ')".replace("$split", split))} AS token, c FROM m) x
-       |        GROUP BY token)
-       |SELECT t.pair AS merged_pair, token, cnt
-       |FROM tok CROSS JOIN top t
+       |m AS (SELECT t.pair AS mp,
+       |        trim(replace(concat(' ', $joinChars, ' '),
+       |                     concat(' ', t.pair, ' '),
+       |                     concat(' ', replace(t.pair, ' ', ''), ' '))) AS seq, c
+       |      FROM $stateRef CROSS JOIN top t),
+       |tok AS (SELECT mp, token, CAST(sum(c) AS BIGINT) AS cnt
+       |        FROM (SELECT mp, ${unnest(s"$split(seq, ' ')")} AS token, c FROM m) x
+       |        GROUP BY mp, token)
+       |SELECT mp AS merged_pair, token, cnt
+       |FROM tok
        |ORDER BY cnt DESC, token
        |LIMIT 15""".stripMargin
 
+  private val bpeStateSparkSql: String =
+    bpeStateSql(unnest = e => s"explode($e)", split = "split")
+
   private val bpeMergeSparkSql: String = bpeMergeSql(
+    stateCte = "", stateRef = "bpe_state",
     unnest = e => s"explode($e)",
     pairsExpr = "zip_with(slice(ch, 1, size(ch) - 1), slice(ch, 2, size(ch) - 1), " +
       "(x, y) -> concat(x, ' ', y))",
@@ -177,6 +184,9 @@ object TextOps {
        |FROM e""".stripMargin
 
   private val bpeMergeDuckSql: String = bpeMergeSql(
+    stateCte = "st AS (" +
+      bpeStateSql(unnest = e => s"unnest($e)", split = "string_split") + "), ",
+    stateRef = "st",
     unnest = e => s"unnest($e)",
     pairsExpr = "list_transform(list_zip(ch[1:len(ch)-1], ch[2:len(ch)]), " +
       "z -> concat(z[1], ' ', z[2]))",
@@ -592,6 +602,13 @@ object TextOps {
     // as the only reduced state.
     "q_text_bpe_merge" -> ((s, sf) => {
       Tables.documents(s, sf).createOrReplaceTempView("documents")
+      // The word-frequency + char-array table IS the trainer's carried
+      // state (vocab-sized, not corpus-sized). Materialized once so the
+      // corpus is scanned exactly once per merge round — inlined CTEs
+      // would otherwise recompute it for the pair-count, apply, and
+      // final-select references (measured: 3 parquet scans → 1).
+      s.sql(bpeStateSparkSql).localCheckpoint()
+        .createOrReplaceTempView("bpe_state")
       s.sql(bpeMergeSparkSql)
     }),
 
