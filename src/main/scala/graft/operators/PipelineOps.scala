@@ -205,6 +205,45 @@ object PipelineOps {
     logprobRestSql(tok)
   }
 
+  /** Bigram LM scoring with add-k smoothing (k = 0.5) — the next rung
+    * above [[logprobRestSql]]'s unigram CCNet filter: P(w2|w1) =
+    * (c12 + k) / (c1 + k·V) where c1 counts bigram PREFIXES (so the
+    * conditional normalizes exactly) and V is the distinct-prefix count.
+    * Per-bigram ln is quantized to DECIMAL(30,6) before the per-doc sum,
+    * so engines agree bit-for-bit in any partial order (the unigram
+    * query's determinism discipline). The bigram relation is referenced
+    * three times (pair stats, prefix stats, scoring join) — the Spark
+    * side materializes it once; stats tables are vocabulary²-bounded
+    * reduced state and join back on the bigram key (co-partitionable at
+    * 100 TB). Docs with < 2 tokens have no bigrams and drop out — same
+    * rows in both engines. */
+  private def bigramRestSql(bgRef: String): String =
+    s"""WITH bstats AS (SELECT bg, count(*) AS c12 FROM $bgRef b GROUP BY bg),
+       |ustats AS (SELECT split_part(bg, ' ', 1) AS w1, count(*) AS c1
+       |           FROM $bgRef b GROUP BY split_part(bg, ' ', 1)),
+       |vv AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM ustats),
+       |sc AS (SELECT doc_id, count(*) AS n_bg,
+       |         CAST(sum(CAST(ln((c12 + 0.5) / (c1 + 0.5 * v)) AS DECIMAL(30,6))) AS DOUBLE) AS slp
+       |       FROM $bgRef b JOIN bstats USING (bg)
+       |       JOIN ustats ON split_part(b.bg, ' ', 1) = ustats.w1
+       |       CROSS JOIN vv
+       |       GROUP BY doc_id)
+       |SELECT doc_id, n_bg, round(slp / n_bg, 6) AS avg_logprob,
+       |       round(exp(-round(slp / n_bg, 6)), 4) AS ppl
+       |FROM sc ORDER BY doc_id""".stripMargin
+
+  private val bigramTokSparkSql: String =
+    """SELECT doc_id,
+      |  explode(zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1),
+      |                   (x, y) -> concat(x, ' ', y))) AS bg
+      |FROM (SELECT doc_id, split(text, ' ') AS toks FROM documents)""".stripMargin
+
+  private val bigramLogprobDuckSql: String = bigramRestSql(
+    """(SELECT doc_id,
+      |   unnest(list_transform(list_zip(toks[1:len(toks)-1], toks[2:len(toks)]),
+      |                         z -> concat(z[1], ' ', z[2]))) AS bg
+      | FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))""".stripMargin)
+
   /** Temperature-scaled language mixing (the multilingual sampling rule:
     * resampling weights ∝ share^α / share with α = 0.3, so low-resource
     * languages are up-sampled without letting them dominate). Emits per
@@ -321,6 +360,12 @@ object PipelineOps {
         .createOrReplaceTempView("lp_tok")
       s.sql(logprobRestSql("lp_tok"))
     }),
+    "q_text_bigram_logprob" -> ((s, sf) => {
+      Tables.documents(s, sf).createOrReplaceTempView("documents")
+      s.sql(bigramTokSparkSql).localCheckpoint()
+        .createOrReplaceTempView("lp_bg")
+      s.sql(bigramRestSql("lp_bg"))
+    }),
     "q_pipeline_mix" -> ((s, sf) => run(s, sf, mixSparkSql)),
     "q_pipeline_curriculum" -> ((s, sf) => run(s, sf, curriculumSparkSql)),
     "q_pipeline_interleave" -> ((s, sf) => run(s, sf, interleaveSql("STRING")))
@@ -332,6 +377,7 @@ object PipelineOps {
     "q_pipeline_pack" -> packDuckSql,
     "q_pipeline_dataset_card" -> cardDuckSql,
     "q_text_unigram_logprob" -> logprobDuckSql,
+    "q_text_bigram_logprob" -> bigramLogprobDuckSql,
     "q_pipeline_mix" -> mixDuckSql,
     "q_pipeline_curriculum" -> curriculumDuckSql,
     "q_pipeline_interleave" -> interleaveSql("VARCHAR")

@@ -327,6 +327,23 @@ object TextOps {
        |ORDER BY akey, doc_id
        |LIMIT 50""".stripMargin
 
+  /** Per-GROUP weighted reservoir (A-Res within each language) — the
+    * per-stratum draw a mixture builder needs (10 docs per language,
+    * ∝ length, reproducible). Same md5-uniform key as
+    * [[sampleWeightedSql]], ranked inside a lang-partitioned window:
+    * Spark turns the `rk <= 10` filter into WindowGroupLimit (per-
+    * partition top-k, no global sort), and the partition key is the
+    * group — fully distributed at any group count. */
+  private[graft] def sampleReservoirGroupSql(hex32: String): String =
+    s"""WITH k AS (SELECT doc_id, lang, n_chars,
+       |         round(-ln(($hex32 + 1.0) / 4294967296.0) / n_chars, 8) AS akey
+       |       FROM documents),
+       |r AS (SELECT doc_id, lang, n_chars, akey,
+       |        row_number() OVER (PARTITION BY lang ORDER BY akey, doc_id) AS rk
+       |      FROM k)
+       |SELECT lang, rk, doc_id, n_chars FROM r WHERE rk <= 10
+       |ORDER BY lang, rk""".stripMargin
+
   /** The encode stage of [[nearDupSql]]: (doc_id, lang, m0..m3, n). */
   private[graft] def nearDupEncSql(tokTable: String, shift: String): String = {
     val words = (0 until 4).map { w =>
@@ -1344,6 +1361,12 @@ object TextOps {
         "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"))
     }),
 
+    "q_sample_reservoir_group" -> ((s, sf) => {
+      Tables.documents(s, sf).createOrReplaceTempView("documents")
+      s.sql(sampleReservoirGroupSql(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"))
+    }),
+
     // End-to-end corpus-cleaning pipeline — the composition the individual
     // operators exist FOR: quality gate (length + type/token ratio) →
     // exact dedup on normalized text → MinHash near-dup collapse (keep
@@ -1946,6 +1969,9 @@ object TextOps {
         |ORDER BY doc_id""".stripMargin,
 
     "q_sample_weighted" -> sampleWeightedSql(
+      "CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"),
+
+    "q_sample_reservoir_group" -> sampleReservoirGroupSql(
       "CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"),
 
     "q_sample_stratified" ->
