@@ -51,7 +51,13 @@ object Tables {
   private def cachePrep(s: SparkSession, name: String, df: DataFrame): DataFrame =
     if (splitCached(name) && !sys.props.get("graft.cache.nosplit").contains("1")
         && !sys.env.get("SPARK_GRAFT_CACHE_NOSPLIT").contains("1"))
-      df.repartition(s.sparkContext.defaultParallelism)
+      // Capped at 8: the split exists to stop a one-file table from
+      // pinning every scan to one core, and 8 ways buys almost all of
+      // that win at this corpus size — while splitting to 32 was
+      // MEASURED to cost ~58 s across the 218-query bench at local[32]
+      // (scheduling 32 tasks per scan stage on tables this small
+      // overwhelms the parallelism gain; BASELINE.md round-7 section).
+      df.repartition(math.min(s.sparkContext.defaultParallelism, 8))
     else df
 
   private def load(s: SparkSession, sf: String, name: String): DataFrame = {
