@@ -1414,4 +1414,102 @@ class OperatorSpec extends AnyFunSuite with SparkSessionTest
       .collect()
     assert(got.map(_.toString).toSeq == want.map(_.toString).toSeq && got.nonEmpty)
   }
+
+  // ---- round-7 additions ------------------------------------------------
+
+  test("LPM CIDR routes every event exactly once through the plan shapes it claims") {
+    val df = SparkEntry.queries("q_join_lpm_cidr")(spark, sf0001)
+    val rows = df.collect()
+    // conservation: each event matched >= the covering /8-/16 supernet and
+    // the top-1 window keeps exactly one row per event
+    val total = rows.map(_.getLong(2)).sum
+    assert(total == Tables.events(spark, sf0001).count(), rows.mkString(","))
+    val plan = df.queryExecution.executedPlan.toString
+    // network match is an equi hash join; top-1-per-event runs as a
+    // group-limit, not a full window sort
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(plan.contains("WindowGroupLimit"), plan.take(800))
+  }
+
+  test("per-group reservoir keeps at most 10 per language with contiguous ranks") {
+    val df = SparkEntry.queries("q_sample_reservoir_group")(spark, sf0001)
+    val rows = df.collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val byLang = rows.groupBy(_._1)
+    assert(byLang.nonEmpty)
+    byLang.foreach { case (lang, rs) =>
+      assert(rs.length <= 10, s"$lang overfull")
+      assert(rs.map(_._2).sorted.toSeq == (1 to rs.length), s"$lang ranks")
+    }
+    // plan: the rk <= 10 filter runs as a per-partition group limit
+    assert(df.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
+  }
+
+  test("BPE merge round replays naively in JVM") {
+    import scala.jdk.CollectionConverters._
+    val docs = Tables.documents(spark, sf0001)
+      .select("text").collect().map(_.getString(0))
+    val wf = docs.flatMap(_.split(" ")).filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val pairCounts = new scala.collection.mutable.HashMap[String, Long]()
+    wf.foreach { case (w, c) =>
+      w.sliding(2).filter(_.length == 2).foreach { p =>
+        val key = s"${p(0)} ${p(1)}"
+        pairCounts(key) = pairCounts.getOrElse(key, 0L) + c
+      }
+    }
+    val top = pairCounts.toSeq.sortBy { case (p, n) => (-n, p) }.head._1
+    val merged = top.replace(" ", "")
+    val tokCounts = new scala.collection.mutable.HashMap[String, Long]()
+    wf.foreach { case (w, c) =>
+      // greedy left-to-right merge application on the char sequence
+      val spaced = " " + w.toCharArray.mkString(" ") + " "
+      val applied = spaced.replace(s" $top ", s" $merged ").trim
+      applied.split(" ").foreach { t =>
+        tokCounts(t) = tokCounts.getOrElse(t, 0L) + c
+      }
+    }
+    val want = tokCounts.toSeq.sortBy { case (t, n) => (-n, t) }.take(15)
+      .map { case (t, n) => (top, t, n) }
+    val got = SparkEntry.queries("q_text_bpe_merge")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == want, s"got=$got\nwant=$want")
+  }
+
+  test("column stats reconcile with direct aggregates off one scan") {
+    val df = SparkEntry.queries("q_scan_column_stats")(spark, sf0001)
+    val rows = df.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getString(3), r.getString(4), r.getLong(5))).toMap
+    val ev = Tables.events(spark, sf0001)
+    val n = ev.count()
+    assert(rows("event_type")._1 == n)
+    assert(rows("event_type")._2 ==
+      ev.select("event_type").distinct().count())
+    assert(rows("user_id")._3 ==
+      ev.agg(min("user_id")).head().getLong(0).toString)
+    assert(rows.values.forall(_._5 == 0)) // corpus has no nulls
+    // one parquet scan feeds all twelve statistics
+    val scans = collectLeaves(df.queryExecution.executedPlan).count(
+      _.nodeName.toLowerCase.contains("scan"))
+    assert(scans <= 2, df.queryExecution.executedPlan.toString.take(500))
+  }
+
+  test("bigram logprob scores every multi-token doc with finite negative logprob") {
+    val rows = SparkEntry.queries("q_text_bigram_logprob")(spark, sf0001).collect()
+    val nMulti = Tables.documents(spark, sf0001)
+      .filter(size(split(col("text"), " ")) >= 2).count()
+    assert(rows.length == nMulti)
+    rows.foreach { r =>
+      val lp = r.getDouble(2); val ppl = r.getDouble(3)
+      assert(lp < 0 && !lp.isInfinite, r.toString) // probabilities < 1
+      assert(ppl > 1.0, r.toString)
+    }
+  }
+
+  test("minhash estimator error sits in the K=16 accuracy envelope") {
+    val r = SparkEntry.queries("q_dedup_minhash_error")(spark, sf0001).head()
+    val (n, mean, max) = (r.getLong(0), r.getDouble(1), r.getDouble(2))
+    assert(n > 0)
+    assert(mean > 0.0 && mean < 0.25, s"mean=$mean") // ~1/sqrt(16) envelope
+    assert(max >= mean && max <= 1.0)
+  }
 }
