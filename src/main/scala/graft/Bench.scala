@@ -82,8 +82,9 @@ object Bench {
     // compare_bench.py keep them OUT of the window-factor median and
     // report them as their own class instead of as phantom movers.
     val writeClass = Seq("q_join_bucketed", "q_mm_ingest_binary",
-      "q_part_dpp", "q_maintain_compact", "q_sink_partitioned",
-      "q_ingest_orc", "q_scan_merge_schema", "q_ingest_syslog_rotated")
+      "q_part_dpp", "q_maintain_compact", "q_maintain_vacuum",
+      "q_sink_partitioned", "q_ingest_orc", "q_scan_merge_schema",
+      "q_ingest_syslog_rotated")
       .filter(SparkEntry.queries.contains)
     val meta = s"""{"ts_start":"$tsStart","ts_end":"$tsEnd",""" +
       s""""load1_start":${f(loadStart)},"load1_end":${f(loadEnd)},""" +

@@ -232,6 +232,19 @@ object PipelineOps {
        |       round(exp(-round(slp / n_bg, 6)), 4) AS ppl
        |FROM sc ORDER BY doc_id""".stripMargin
 
+  /** Epoch-reshuffle SQL shared across engines (`epochs` = 3-row
+    * generator subquery, `cast` = string-type name). */
+  private def epochShuffleSql(epochs: String, cast: String): String =
+    s"""WITH e AS ($epochs),
+       |k AS (SELECT epoch, doc_id,
+       |        md5(concat(CAST(epoch AS $cast), ':', CAST(doc_id AS $cast))) AS ord
+       |      FROM documents CROSS JOIN e),
+       |r AS (SELECT epoch, doc_id,
+       |        row_number() OVER (PARTITION BY epoch ORDER BY ord, doc_id) AS rk
+       |      FROM k)
+       |SELECT epoch, rk, doc_id FROM r WHERE rk <= 5
+       |ORDER BY epoch, rk""".stripMargin
+
   private val bigramTokSparkSql: String =
     """SELECT doc_id,
       |  explode(zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1),
@@ -360,6 +373,18 @@ object PipelineOps {
         .createOrReplaceTempView("lp_tok")
       s.sql(logprobRestSql("lp_tok"))
     }),
+    // Deterministic per-epoch reshuffle — training loaders need each
+    // epoch to be a DIFFERENT but REPRODUCIBLE permutation of the
+    // corpus. Order key = md5(epoch:doc_id): pure per-row function, so
+    // any worker/partitioning/rerun agrees; per-epoch ranks run in an
+    // epoch-partitioned window (WindowGroupLimit under the rk filter —
+    // per-partition top-k). The 3×5 head emitted per epoch is the
+    // auditable proof that epochs permute independently.
+    "q_pipeline_epoch_shuffle" -> ((s, sf) => {
+      Tables.documents(s, sf).createOrReplaceTempView("documents")
+      s.sql(epochShuffleSql(
+        epochs = "SELECT explode(sequence(1, 3)) AS epoch", cast = "STRING"))
+    }),
     "q_text_bigram_logprob" -> ((s, sf) => {
       Tables.documents(s, sf).createOrReplaceTempView("documents")
       s.sql(bigramTokSparkSql).localCheckpoint()
@@ -378,6 +403,8 @@ object PipelineOps {
     "q_pipeline_dataset_card" -> cardDuckSql,
     "q_text_unigram_logprob" -> logprobDuckSql,
     "q_text_bigram_logprob" -> bigramLogprobDuckSql,
+    "q_pipeline_epoch_shuffle" -> epochShuffleSql(
+      epochs = "SELECT unnest(generate_series(1, 3)) AS epoch", cast = "VARCHAR"),
     "q_pipeline_mix" -> mixDuckSql,
     "q_pipeline_curriculum" -> curriculumDuckSql,
     "q_pipeline_interleave" -> interleaveSql("VARCHAR")

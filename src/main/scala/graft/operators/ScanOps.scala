@@ -373,6 +373,58 @@ object ScanOps {
         .orderBy("day")
     }),
 
+    // VACUUM — orphan-file reconciliation, the lake-ops sibling of
+    // q_maintain_compact: a failed/zombie writer leaves part files no
+    // manifest references, and at 100 TB they silently double-count
+    // unless removed. Fixture: a day-partitioned table (one file per
+    // day, deterministic), manifest captured from file-source
+    // _metadata BEFORE two orphan files are planted (collected — the
+    // manifest is bounded by the file count, and capturing it eagerly
+    // is the point: a lazy view would see the orphans). Detection is a
+    // path-level anti-join of live listing vs manifest; the delete list
+    // is the reconciliation output (at scale: foreachPartition deletes;
+    // here a bounded driver loop). The graded row re-reads the table
+    // AFTER vacuum: row count restored to the source count proves the
+    // orphan rows are actually gone, not just counted.
+    "q_maintain_vacuum" -> ((s, sf) => {
+      val dir = rtDir(s, "graft_vac_rt", sf)
+      val ev = Tables.events(s, sf)
+        .select(col("event_id"), to_date(col("ts")).as("day"), col("value"))
+      ev.coalesce(1).write.mode("overwrite").partitionBy("day").parquet(dir)
+      val manifest = s.read.parquet(dir)
+        .select(col("_metadata.file_path").as("path")).distinct()
+        .collect().map(_.getString(0)).toSet // bounded: one file per day
+      // plant two orphans a crashed job might leave (readable parquet,
+      // schema-consistent, in a partition the manifest never saw)
+      val orphanTmp = s"$dir-orphan-src"
+      ev.drop("day").limit(3).coalesce(1)
+        .write.mode("overwrite").parquet(orphanTmp)
+      val src = java.nio.file.Files.list(java.nio.file.Paths.get(orphanTmp))
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      val oDir = java.nio.file.Paths.get(dir, "day=1970-01-01")
+      java.nio.file.Files.createDirectories(oDir)
+      Seq("orphan_a.parquet", "orphan_b.parquet").foreach { n =>
+        java.nio.file.Files.copy(src, oDir.resolve(n),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+      // reconcile: live listing minus manifest = orphans; delete them
+      val live = s.read.parquet(dir)
+        .select(col("_metadata.file_path").as("path")).distinct()
+        .collect().map(_.getString(0))
+      val orphans = live.filterNot(manifest)
+      orphans.foreach { p =>
+        java.nio.file.Files.deleteIfExists(
+          java.nio.file.Paths.get(new java.net.URI(p)))
+      }
+      val after = s.read.parquet(dir)
+      after.createOrReplaceTempView("vac_after")
+      s.sql(
+        s"""SELECT CAST(${manifest.size} AS BIGINT) AS n_live_files,
+           |  CAST(${orphans.length} AS BIGINT) AS n_orphans_removed,
+           |  count(*) AS n_rows_after
+           |FROM vac_after""".stripMargin)
+    }),
+
     "q_sink_partitioned" -> ((s, sf) => {
       val dir = rtDir(s, "graft_part_rt", sf)
       val written = Tables.events(s, sf)
@@ -582,6 +634,14 @@ object ScanOps {
     "q_ingest_syslog_multi" -> syslogMultiDuckSql,
 
     "q_scan_column_stats" -> columnStatsSql(cast = "VARCHAR"),
+
+    // n_live = one file per distinct day (deterministic coalesce(1)
+    // write); 2 planted orphans; rows restored to the source count.
+    "q_maintain_vacuum" ->
+      """SELECT CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_live_files,
+        |  CAST(2 AS BIGINT) AS n_orphans_removed,
+        |  count(*) AS n_rows_after
+        |FROM events""".stripMargin,
 
     "q_ingest_syslog_rotated" ->
       s"""SELECT
