@@ -391,7 +391,13 @@ object ScanOps {
       val ev = Tables.events(s, sf)
         .select(col("event_id"), to_date(col("ts")).as("day"), col("value"))
       ev.coalesce(1).write.mode("overwrite").partitionBy("day").parquet(dir)
-      val manifest = s.read.parquet(dir)
+      // explicit schema on every read-back: an empty corpus writes no
+      // data files, and schema inference over an empty dir throws
+      val vacSchema = StructType(Seq(
+        StructField("event_id", LongType), StructField("value", DoubleType),
+        StructField("day", DateType)))
+      def readBack = s.read.schema(vacSchema).parquet(dir)
+      val manifest = readBack
         .select(col("_metadata.file_path").as("path")).distinct()
         .collect().map(_.getString(0)).toSet // bounded: one file per day
       // plant two orphans a crashed job might leave (readable parquet,
@@ -408,7 +414,7 @@ object ScanOps {
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       }
       // reconcile: live listing minus manifest = orphans; delete them
-      val live = s.read.parquet(dir)
+      val live = readBack
         .select(col("_metadata.file_path").as("path")).distinct()
         .collect().map(_.getString(0))
       val orphans = live.filterNot(manifest)
@@ -416,8 +422,7 @@ object ScanOps {
         java.nio.file.Files.deleteIfExists(
           java.nio.file.Paths.get(new java.net.URI(p)))
       }
-      val after = s.read.parquet(dir)
-      after.createOrReplaceTempView("vac_after")
+      readBack.createOrReplaceTempView("vac_after")
       s.sql(
         s"""SELECT CAST(${manifest.size} AS BIGINT) AS n_live_files,
            |  CAST(${orphans.length} AS BIGINT) AS n_orphans_removed,
