@@ -404,6 +404,23 @@ object AggOps {
               sum(col("l_quantity").cast(DecimalType(30, 6))).cast(DoubleType), 6).as("wavg_price"))
         .orderBy("l_returnflag")),
 
+    // Exponentially-decayed aggregates — the feature-store recency
+    // weighting (half-life 7 days): weight = exp(−ln2·age/7d) relative
+    // to the corpus max-ts anchor (in-query, so the result is
+    // corpus-deterministic, not wall-clock-dependent). Per-row weights
+    // are decimal-quantized before summing (exp's last ulp could differ
+    // across libms; DECIMAL(30,8) absorbs it and makes the sum
+    // order-independent), and the weighted-value term quantizes the
+    // DOUBLE product — never decimal×decimal, whose result-scale
+    // rounding differs across engines (the first cut failed the gate on
+    // exactly that). Map-side combinable like any sum — one scan,
+    // one shuffle on user_id at any scale; the anchor is a broadcast
+    // scalar.
+    "q_agg_decay" -> ((s, sf) => {
+      Tables.events(s, sf).createOrReplaceTempView("events")
+      s.sql(decaySql(us = "unix_micros"))
+    }),
+
     // Pre-aggregate RE-aggregation: weekly stats computed FROM a daily
     // pre-aggregate table, not from raw events — the materialized-rollup
     // pattern every 100 TB metrics pipeline runs on (store day grain once,
@@ -777,7 +794,27 @@ object AggOps {
        |         * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b)), 0.0), 4) AS z
        |FROM w""".stripMargin
 
+  /** Decayed-aggregate SQL shared across engines (`us`: micros-since-
+    * epoch function — Spark `unix_micros`, DuckDB `epoch_us`).
+    * λ = ln 2 / 7 as a fixed literal so both engines use the identical
+    * constant. */
+  private def decaySql(us: String): String =
+    s"""WITH anchor AS (SELECT max(ts) AS a FROM events),
+       |w AS (SELECT user_id,
+       |        CAST(exp(-0.0990210257942779 *
+       |          (($us(a) - $us(ts)) / 86400000000.0)) AS DECIMAL(30,8)) AS wt,
+       |        CAST(exp(-0.0990210257942779 *
+       |          (($us(a) - $us(ts)) / 86400000000.0)) * value AS DECIMAL(30,8)) AS wv
+       |      FROM events CROSS JOIN anchor)
+       |SELECT user_id, count(*) AS n_events,
+       |  round(CAST(sum(wt) AS DOUBLE), 6) AS decayed_n,
+       |  round(CAST(sum(wv) AS DOUBLE), 4) AS decayed_value
+       |FROM w GROUP BY user_id
+       |ORDER BY user_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q_agg_decay" -> decaySql(us = "epoch_us"),
+
     "q_agg_global" ->
       s"""SELECT count(*) AS cnt, ${osum("l_quantity")} AS sum_qty,
          |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,

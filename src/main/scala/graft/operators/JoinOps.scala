@@ -215,6 +215,13 @@ object JoinOps {
       s.sql(lpmCidrSql(idiv = "DIV"))
     }),
 
+    // Fixed-radius nearest neighbor via grid binning — see
+    // [[spatialGridSql]] for the completeness argument and scale shape.
+    "q_join_spatial_grid" -> ((s, sf) => {
+      Tables.embeddings(s, sf).createOrReplaceTempView("embeddings")
+      s.sql(spatialGridSql("embedding[0]", "embedding[1]"))
+    }),
+
     "q_join_self_interval" -> ((s, sf) => {
       val e = eventsTs(s, sf).select(
         col("user_id"), col("event_id"), unix_timestamp(col("ts_s")).as("sec"))
@@ -547,8 +554,47 @@ object JoinOps {
        |GROUP BY name, plen
        |ORDER BY net_name""".stripMargin
 
+  /** Fixed-radius nearest neighbor via grid binning — the 2D analogue of
+    * the binned range join and the scalable core of every spatial join:
+    * points land in w×w cells, each probe expands to its 3×3 cell
+    * neighborhood (9-row bounded fan-out), candidates equi-join on the
+    * cell key, and the exact ≤ w distance check + per-probe top-1 run on
+    * the matched pairs only. Cell width = radius guarantees completeness
+    * (any point within w of a probe is in a neighboring cell), so the
+    * result is EXACT for the radius search — no all-pairs term anywhere,
+    * and the cell-key join co-partitions at any scale. `x`/`y` are the
+    * first two embedding dims (engine array bases differ — Spark 0-based,
+    * DuckDB 1-based — hence the parameters). */
+  private def spatialGridSql(xExpr: String, yExpr: String): String =
+    s"""WITH pts AS (SELECT vec_id, CAST($xExpr AS DOUBLE) AS x,
+       |               CAST($yExpr AS DOUBLE) AS y
+       |             FROM embeddings),
+       |cells AS (SELECT vec_id, x, y,
+       |            CAST(floor(x / 0.5) AS INT) AS cx,
+       |            CAST(floor(y / 0.5) AS INT) AS cy FROM pts),
+       |offs AS (SELECT * FROM (VALUES (-1), (0), (1)) AS t(d)),
+       |probes AS (SELECT vec_id, x, y, cx, cy FROM cells WHERE vec_id % 50 = 0),
+       |pcand AS (SELECT p.vec_id AS probe_id, p.x AS px, p.y AS py,
+       |            p.cx + ox.d AS ncx, p.cy + oy.d AS ncy
+       |          FROM probes p CROSS JOIN offs ox CROSS JOIN offs oy),
+       |pairs AS (SELECT pc.probe_id,  q.vec_id AS nn_id,
+       |            (pc.px - q.x) * (pc.px - q.x) + (pc.py - q.y) * (pc.py - q.y) AS d2
+       |          FROM pcand pc JOIN cells q
+       |            ON pc.ncx = q.cx AND pc.ncy = q.cy
+       |          WHERE q.vec_id <> pc.probe_id),
+       |hit AS (SELECT probe_id, nn_id, d2,
+       |          row_number() OVER (PARTITION BY probe_id
+       |                             ORDER BY d2, nn_id) AS rn
+       |        FROM pairs WHERE d2 <= 0.25)
+       |SELECT probe_id, nn_id, round(sqrt(d2), 6) AS dist
+       |FROM hit WHERE rn = 1
+       |ORDER BY probe_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q_join_lpm_cidr" -> lpmCidrSql(idiv = "//"),
+
+    "q_join_spatial_grid" ->
+      spatialGridSql("embedding[1]", "embedding[2]"),
 
     "q_join_inner_hash" ->
       """SELECT o_orderkey, c_name, o_totalprice
