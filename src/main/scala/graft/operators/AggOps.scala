@@ -421,6 +421,39 @@ object AggOps {
       s.sql(decaySql(us = "unix_micros"))
     }),
 
+    // Last-touch attribution — the events-analytics marquee report:
+    // each purchase is credited to the LATEST prior click's channel
+    // (channel derived deterministically from the click id), unmatched
+    // purchases to 'direct'. The Spark side is the scale-correct as-of
+    // shape: per-purchase latest-click via max(struct) — a map-side
+    // combinable aggregate, not a window rank (joined candidate rows
+    // never all meet in one sort); the NULL-guarded struct makes the
+    // left join's no-click groups aggregate to NULL → 'direct'. The
+    // oracle keeps the window-rank formulation, so the gate proves the
+    // equivalence. Revenue sums are exact decimals.
+    "q_events_attribution" -> ((s, sf) => {
+      Tables.events(s, sf).createOrReplaceTempView("events")
+      s.sql(
+        """WITH p AS (SELECT event_id AS pid, user_id, ts AS pts, value
+          |           FROM events WHERE event_type = 'purchase'),
+          |c AS (SELECT user_id, ts AS cts, event_id AS cid
+          |      FROM events WHERE event_type = 'click'),
+          |m AS (SELECT pid, p.value,
+          |        max(CASE WHEN c.cts IS NULL THEN NULL
+          |                 ELSE named_struct('cts', c.cts, 'cid', c.cid) END) AS mx
+          |      FROM p LEFT JOIN c
+          |        ON p.user_id = c.user_id AND c.cts <= p.pts
+          |      GROUP BY pid, p.value),
+          |a AS (SELECT pid, value,
+          |        CASE WHEN mx IS NULL THEN 'direct'
+          |             ELSE concat('ch', CAST(mx.cid % 3 AS STRING)) END AS channel
+          |      FROM m)
+          |SELECT channel, count(*) AS n_purchases,
+          |  round(CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE), 2) AS revenue
+          |FROM a GROUP BY channel
+          |ORDER BY channel""".stripMargin)
+    }),
+
     // Pre-aggregate RE-aggregation: weekly stats computed FROM a daily
     // pre-aggregate table, not from raw events — the materialized-rollup
     // pattern every 100 TB metrics pipeline runs on (store day grain once,
@@ -814,6 +847,25 @@ object AggOps {
 
   val oracle: Map[String, String] = Map(
     "q_agg_decay" -> decaySql(us = "epoch_us"),
+
+    "q_events_attribution" ->
+      """WITH p AS (SELECT event_id AS pid, user_id, ts AS pts, value
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts AS cts, event_id AS cid
+        |      FROM events WHERE event_type = 'click'),
+        |j AS (SELECT pid, p.value, c.cid,
+        |        row_number() OVER (PARTITION BY pid
+        |                           ORDER BY c.cts DESC, c.cid DESC) AS rn
+        |      FROM p LEFT JOIN c
+        |        ON p.user_id = c.user_id AND c.cts <= p.pts),
+        |a AS (SELECT pid, value,
+        |        CASE WHEN cid IS NULL THEN 'direct'
+        |             ELSE concat('ch', CAST(cid % 3 AS VARCHAR)) END AS channel
+        |      FROM j WHERE rn = 1)
+        |SELECT channel, count(*) AS n_purchases,
+        |  round(CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE), 2) AS revenue
+        |FROM a GROUP BY channel
+        |ORDER BY channel""".stripMargin,
 
     "q_agg_global" ->
       s"""SELECT count(*) AS cnt, ${osum("l_quantity")} AS sum_qty,
