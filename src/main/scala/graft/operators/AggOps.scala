@@ -454,6 +454,30 @@ object AggOps {
           |ORDER BY channel""".stripMargin)
     }),
 
+    // HDR-histogram-style percentile estimation — the latency-monitoring
+    // shape: values land in log2 buckets (one CASE-free floor(log2) per
+    // row, map-side combinable counts; bucket count is ~60 for the full
+    // double range, so the reduced state is CONSTANT-size no matter how
+    // many rows — the property that lets a 100 TB scan serve percentiles
+    // from one tiny merge). Estimates read the cumulative bucket table
+    // at p50/p95/p99 and answer with the bucket's geometric midpoint —
+    // bounded relative error 2^±0.5 by construction. The window over
+    // buckets orders ~17 rows here; never data-sized.
+    "q_agg_hdr_percentile" -> ((s, sf) => {
+      Tables.events(s, sf).createOrReplaceTempView("events")
+      s.sql(hdrSql)
+    }),
+
+    // SLO burn rate — the SRE error-budget report (target 99%): per-hour
+    // error share over a 1-hour tumbling window, burn = err_rate /
+    // (1 − SLO), fast-burn alert at the standard 14.4× threshold. One
+    // scan, one hash aggregate on the truncated hour; rates divided once
+    // from exact counts.
+    "q_report_slo_burn" -> ((s, sf) => {
+      Tables.events(s, sf).createOrReplaceTempView("events")
+      s.sql(sloBurnSql)
+    }),
+
     // Pre-aggregate RE-aggregation: weekly stats computed FROM a daily
     // pre-aggregate table, not from raw events — the materialized-rollup
     // pattern every 100 TB metrics pipeline runs on (store day grain once,
@@ -845,8 +869,40 @@ object AggOps {
        |FROM w GROUP BY user_id
        |ORDER BY user_id""".stripMargin
 
+  /** HDR log-bucket percentile SQL, identical in both engines (log2 /
+    * power / ceil / the bucket-ordered window all shared). */
+  private val hdrSql: String =
+    """WITH b AS (SELECT CAST(floor(log2(value)) AS INT) AS bkt
+      |           FROM events WHERE value > 0),
+      |h AS (SELECT bkt, count(*) AS c FROM b GROUP BY bkt),
+      |tot AS (SELECT count(*) AS n FROM b),
+      |cum AS (SELECT bkt, sum(c) OVER (ORDER BY bkt) AS cum FROM h),
+      |p AS (SELECT * FROM (VALUES (0.50), (0.95), (0.99)) AS t(pct)),
+      |pick AS (SELECT p.pct AS pct, min(cum.bkt) AS bkt
+      |         FROM p CROSS JOIN tot JOIN cum ON cum.cum >= ceil(p.pct * tot.n)
+      |         GROUP BY p.pct)
+      |SELECT CAST(pct AS DOUBLE) AS pct, bkt,
+      |  round(power(2, bkt + 0.5), 4) AS est
+      |FROM pick ORDER BY pct""".stripMargin
+
+  /** SLO burn-rate SQL, identical in both engines. */
+  private val sloBurnSql: String =
+    """WITH h AS (SELECT date_trunc('hour', ts) AS hour,
+      |             count(*) AS n,
+      |             CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errs
+      |           FROM events GROUP BY date_trunc('hour', ts))
+      |SELECT hour, n, errs,
+      |  round(CAST(errs AS DOUBLE) / n, 6) AS err_rate,
+      |  round(CAST(errs AS DOUBLE) / n / 0.01, 4) AS burn_rate,
+      |  CASE WHEN CAST(errs AS DOUBLE) / n / 0.01 > 14.4 THEN 1 ELSE 0 END AS fast_burn
+      |FROM h ORDER BY hour""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q_agg_decay" -> decaySql(us = "epoch_us"),
+
+    "q_agg_hdr_percentile" -> hdrSql,
+
+    "q_report_slo_burn" -> sloBurnSql,
 
     "q_events_attribution" ->
       """WITH p AS (SELECT event_id AS pid, user_id, ts AS pts, value
