@@ -1512,4 +1512,71 @@ class OperatorSpec extends AnyFunSuite with SparkSessionTest
     assert(mean > 0.0 && mean < 0.25, s"mean=$mean") // ~1/sqrt(16) envelope
     assert(max >= mean && max <= 1.0)
   }
+
+  test("spatial grid NN replays naively: exact radius search in JVM") {
+    val pts = Tables.embeddings(spark, sf0001)
+      .selectExpr("vec_id", "CAST(embedding[0] AS DOUBLE) AS x",
+        "CAST(embedding[1] AS DOUBLE) AS y")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val want = pts.filter(_._1 % 50 == 0).flatMap { case (pid, px, py) =>
+      val cands = pts.filter(q => q._1 != pid)
+        .map { case (qid, qx, qy) =>
+          (qid, (px - qx) * (px - qx) + (py - qy) * (py - qy)) }
+        .filter(_._2 <= 0.25)
+      if (cands.isEmpty) None
+      else {
+        val (nn, d2) = cands.minBy { case (id, d) => (d, id) }
+        Some((pid, nn, BigDecimal(math.sqrt(d2))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      }
+    }.sortBy(_._1).toSeq
+    val got = SparkEntry.queries("q_join_spatial_grid")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == want, s"got=$got\nwant=$want")
+  }
+
+  test("attribution conserves purchases and the channels partition them") {
+    val rows = SparkEntry.queries("q_events_attribution")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val nPurch = Tables.events(spark, sf0001)
+      .filter(col("event_type") === "purchase").count()
+    assert(rows.map(_._2).sum == nPurch)
+    assert(rows.map(_._1).toSet.subsetOf(Set("direct", "ch0", "ch1", "ch2")))
+    assert(rows.forall(_._3 >= 0.0))
+  }
+
+  test("HDR percentile estimates bracket the exact percentiles within a bucket") {
+    val ests = SparkEntry.queries("q_agg_hdr_percentile")(spark, sf0001)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(2)).toMap
+    val vals = Tables.events(spark, sf0001).filter(col("value") > 0)
+      .select("value").collect().map(_.getDouble(0)).sorted
+    Seq(0.5, 0.95, 0.99).foreach { p =>
+      val exact = vals(math.ceil(p * vals.length).toInt - 1)
+      val est = ests(p)
+      // geometric-midpoint answer is within one power-of-two bucket
+      assert(est / exact <= math.sqrt(2.0) + 1e-9 &&
+             exact / est <= math.sqrt(2.0) + 1e-9,
+        s"p=$p est=$est exact=$exact")
+    }
+  }
+
+  test("epoch shuffle emits 3 distinct reproducible permutation heads") {
+    def run() = SparkEntry.queries("q_pipeline_epoch_shuffle")(spark, sf0001)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq
+    val a = run()
+    assert(a.map(_._1).distinct.sorted == Seq(1, 2, 3))
+    val heads = a.groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+    // epochs permute independently: the three 5-doc heads differ
+    assert(heads.values.toSet.size == 3, heads.toString)
+    assert(run() == a) // and the draw is reproducible
+  }
+
+  test("vacuum restores the source row count after removing planted orphans") {
+    val r = SparkEntry.queries("q_maintain_vacuum")(spark, sf0001).head()
+    val ev = Tables.events(spark, sf0001)
+    assert(r.getLong(0) ==
+      ev.selectExpr("CAST(ts AS DATE)").distinct().count())
+    assert(r.getLong(1) == 2L)
+    assert(r.getLong(2) == ev.count())
+  }
 }
