@@ -81,10 +81,46 @@ object QualityOps {
        |FROM j ORDER BY rule""".stripMargin
   }
 
+  /** Cross-table referential-integrity expectations — the FK-validation
+    * suite the single-table gate can't express: each relationship is a
+    * LEFT JOIN to the parent's UNIQUE key (no fanout) counting unmatched
+    * children. At 100 TB each check is the standard hash/broadcast
+    * anti-join shape on the key, map-side combinable counts; four checks
+    * = four bounded joins, unioned into one report. Identical SQL in
+    * both engines. */
+  private val referentialSql: String = {
+    def check(rel: String, child: String, ck: String,
+              parent: String, pk: String): String =
+      s"""SELECT '$rel' AS rel, count(*) AS n_child,
+         |  CAST(sum(CASE WHEN p.$pk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+         |  CAST(CASE WHEN sum(CASE WHEN p.$pk IS NULL THEN 1 ELSE 0 END) = 0
+         |       THEN 1 ELSE 0 END AS BIGINT) AS pass
+         |FROM $child c LEFT JOIN $parent p ON c.$ck = p.$pk""".stripMargin
+    Seq(
+      check("lineitem.l_orderkey -> orders", "lineitem", "l_orderkey",
+        "orders", "o_orderkey"),
+      check("lineitem.l_partkey -> part", "lineitem", "l_partkey",
+        "part", "p_partkey"),
+      check("lineitem.l_suppkey -> supplier", "lineitem", "l_suppkey",
+        "supplier", "s_suppkey"),
+      check("orders.o_custkey -> customer", "orders", "o_custkey",
+        "customer", "c_custkey")
+    ).mkString("", "\nUNION ALL\n", "\nORDER BY rel")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_quality_report" -> ((s, sf) => {
       Tables.events(s, sf).createOrReplaceTempView("events")
       s.sql(sparkSql)
+    }),
+
+    "q_quality_referential" -> ((s, sf) => {
+      Tables.lineitem(s, sf).createOrReplaceTempView("lineitem")
+      Tables.orders(s, sf).createOrReplaceTempView("orders")
+      Tables.part(s, sf).createOrReplaceTempView("part")
+      Tables.supplier(s, sf).createOrReplaceTempView("supplier")
+      Tables.customer(s, sf).createOrReplaceTempView("customer")
+      s.sql(referentialSql)
     }))
 
   /** The zero-extra-pass twin of the gate: `observe()` piggybacks quality
@@ -105,5 +141,6 @@ object QualityOps {
   }
 
   val oracle: Map[String, String] = Map(
-    "q_quality_report" -> duckSql)
+    "q_quality_report" -> duckSql,
+    "q_quality_referential" -> referentialSql)
 }
