@@ -215,6 +215,47 @@ object JoinOps {
       s.sql(lpmCidrSql(idiv = "DIV"))
     }),
 
+    // Point-in-time SCD2 join — the warehouse temporal join: a
+    // slowly-changing dimension is DERIVED from a changelog (per-user
+    // daily spend → tier, kept only where the tier CHANGES — the lag
+    // window runs per user, fully distributed), then each fact row joins
+    // the dimension version valid AT ITS TIME. The Spark side is the
+    // map-combinable as-of shape (max(struct(valid_from, tier)) over
+    // versions with valid_from <= fact day — candidate rows never all
+    // meet in one sort); the oracle keeps the window-rank formulation so
+    // the gate proves the equivalence. Every purchase is covered by
+    // construction (a purchase IS activity, so its user has a tier row
+    // at or before that day); coalesce('unknown') guards the empty
+    // degenerate corpus.
+    "q_join_pit_scd2" -> ((s, sf) => {
+      Tables.events(s, sf).createOrReplaceTempView("events")
+      s.sql(
+        """WITH dv AS (SELECT user_id, CAST(ts AS DATE) AS day,
+          |              CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS spend
+          |            FROM events GROUP BY user_id, CAST(ts AS DATE)),
+          |t AS (SELECT user_id, day,
+          |        CASE WHEN spend < 50 THEN 'low'
+          |             WHEN spend < 200 THEN 'mid' ELSE 'high' END AS tier
+          |      FROM dv),
+          |chg AS (SELECT user_id, day AS valid_from, tier FROM (
+          |          SELECT user_id, day, tier,
+          |            lag(tier) OVER (PARTITION BY user_id ORDER BY day) AS prev
+          |          FROM t) x
+          |        WHERE prev IS NULL OR tier <> prev),
+          |p AS (SELECT event_id, user_id, CAST(ts AS DATE) AS day, value
+          |      FROM events WHERE event_type = 'purchase'),
+          |m AS (SELECT p.event_id, p.value,
+          |        max(named_struct('vf', c.valid_from, 'tier', c.tier)) AS mx
+          |      FROM p LEFT JOIN chg c
+          |        ON p.user_id = c.user_id AND c.valid_from <= p.day
+          |      GROUP BY p.event_id, p.value)
+          |SELECT coalesce(mx.tier, 'unknown') AS tier,
+          |  count(*) AS n_purchases,
+          |  round(CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE), 2) AS revenue
+          |FROM m GROUP BY coalesce(mx.tier, 'unknown')
+          |ORDER BY tier""".stripMargin)
+    }),
+
     // Fixed-radius nearest neighbor via grid binning — see
     // [[spatialGridSql]] for the completeness argument and scale shape.
     "q_join_spatial_grid" -> ((s, sf) => {
@@ -595,6 +636,33 @@ object JoinOps {
 
     "q_join_spatial_grid" ->
       spatialGridSql("embedding[1]", "embedding[2]"),
+
+    "q_join_pit_scd2" ->
+      """WITH dv AS (SELECT user_id, CAST(ts AS DATE) AS day,
+        |              CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS spend
+        |            FROM events GROUP BY user_id, CAST(ts AS DATE)),
+        |t AS (SELECT user_id, day,
+        |        CASE WHEN spend < 50 THEN 'low'
+        |             WHEN spend < 200 THEN 'mid' ELSE 'high' END AS tier
+        |      FROM dv),
+        |chg AS (SELECT user_id, day AS valid_from, tier FROM (
+        |          SELECT user_id, day, tier,
+        |            lag(tier) OVER (PARTITION BY user_id ORDER BY day) AS prev
+        |          FROM t) x
+        |        WHERE prev IS NULL OR tier <> prev),
+        |p AS (SELECT event_id, user_id, CAST(ts AS DATE) AS day, value
+        |      FROM events WHERE event_type = 'purchase'),
+        |j AS (SELECT p.event_id, p.value, c.tier,
+        |        row_number() OVER (PARTITION BY p.event_id
+        |                           ORDER BY c.valid_from DESC) AS rn
+        |      FROM p LEFT JOIN chg c
+        |        ON p.user_id = c.user_id AND c.valid_from <= p.day)
+        |SELECT coalesce(tier, 'unknown') AS tier,
+        |  count(*) AS n_purchases,
+        |  round(CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE), 2) AS revenue
+        |FROM j WHERE rn = 1
+        |GROUP BY coalesce(tier, 'unknown')
+        |ORDER BY tier""".stripMargin,
 
     "q_join_inner_hash" ->
       """SELECT o_orderkey, c_name, o_totalprice
