@@ -454,6 +454,13 @@ object AggOps {
           |ORDER BY channel""".stripMargin)
     }),
 
+    // Exact distribution-shape statistics (skewness / excess kurtosis)
+    // from one combinable raw-moment pass — see [[momentsSql]].
+    "q_agg_moments" -> ((s, sf) => {
+      Tables.events(s, sf).createOrReplaceTempView("events")
+      s.sql(momentsSql)
+    }),
+
     // HDR-histogram-style percentile estimation — the latency-monitoring
     // shape: values land in log2 buckets (one CASE-free floor(log2) per
     // row, map-side combinable counts; bucket count is ~60 for the full
@@ -869,6 +876,33 @@ object AggOps {
        |FROM w GROUP BY user_id
        |ORDER BY user_id""".stripMargin
 
+  /** Exact higher-moment statistics per group — skewness and excess
+    * kurtosis from RAW moment sums (Σx..Σx⁴ as exact decimals, so the
+    * whole thing is one map-side-combinable aggregate pass and
+    * bit-identical in any partial order; the double powers of up-to-490
+    * values stay far inside DECIMAL(38,6)). Variance is clamped ≥ 0
+    * against cancellation and the normalizers nullif-guarded so a
+    * constant group yields NULL, never NaN-vs-error asymmetry (the
+    * Welch-t lesson, applied on day one here). */
+  private val momentsSql: String =
+    """WITH m AS (SELECT event_type, count(*) AS n,
+      |    CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+      |    CAST(sum(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) AS s2,
+      |    CAST(sum(CAST(value * value * value AS DECIMAL(38,6))) AS DOUBLE) AS s3,
+      |    CAST(sum(CAST(value * value * value * value AS DECIMAL(38,6))) AS DOUBLE) AS s4
+      |  FROM events GROUP BY event_type),
+      |d AS (SELECT event_type, n, s1 / n AS mu,
+      |        greatest((s2 - s1 * s1 / n) / n, 0.0) AS v, s2, s3, s4
+      |      FROM m)
+      |SELECT event_type, n,
+      |  round(mu, 6) AS mean,
+      |  round(sqrt(v), 6) AS stddev_pop,
+      |  round((s3 - 3 * mu * s2 + 2 * n * mu * mu * mu)
+      |        / nullif(n * power(v, 1.5), 0.0), 6) AS skewness,
+      |  round((s4 - 4 * mu * s3 + 6 * mu * mu * s2 - 3 * n * power(mu, 4))
+      |        / nullif(n * v * v, 0.0) - 3, 6) AS kurtosis_excess
+      |FROM d ORDER BY event_type""".stripMargin
+
   /** HDR log-bucket percentile SQL, identical in both engines (log2 /
     * power / ceil / the bucket-ordered window all shared). */
   private val hdrSql: String =
@@ -901,6 +935,8 @@ object AggOps {
     "q_agg_decay" -> decaySql(us = "epoch_us"),
 
     "q_agg_hdr_percentile" -> hdrSql,
+
+    "q_agg_moments" -> momentsSql,
 
     "q_report_slo_burn" -> sloBurnSql,
 

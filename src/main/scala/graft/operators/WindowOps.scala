@@ -80,6 +80,18 @@ object WindowOps {
         .orderBy("o_orderkey")
     }),
 
+    // Native INTERVAL range frame over the timestamp ordering column —
+    // the time-windowed rolling count without the unix_timestamp detour
+    // q_win_range_frame uses (both surfaces matter: numeric range frames
+    // and calendar-interval frames take different code paths in both
+    // engines). Partitioned per user: fully distributed; the frame is
+    // evaluated by a running two-pointer over each partition's sort, so
+    // cost is O(rows), never O(rows × frame).
+    "q_win_interval_range" -> ((s, sf) => {
+      Tables.events(s, sf).createOrReplaceTempView("events")
+      s.sql(intervalRangeSql)
+    }),
+
     "q_win_ntile_first_last" -> ((s, sf) => {
       val full = byUserValue.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
       eventsTs(s, sf)
@@ -431,7 +443,17 @@ object WindowOps {
 
   private val oracleTs = "CAST(date_trunc('second', ts) AS TIMESTAMP)"
 
+  /** INTERVAL range-frame SQL, identical in both engines. */
+  private val intervalRangeSql: String =
+    """SELECT user_id, event_id,
+      |  count(*) OVER (PARTITION BY user_id ORDER BY ts
+      |                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+      |                           AND CURRENT ROW) AS cnt_1h
+      |FROM events
+      |ORDER BY user_id, event_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q_win_interval_range" -> intervalRangeSql,
     "q_win_rank" ->
       """SELECT user_id, event_id, value,
         |  row_number() OVER w AS rn, rank() OVER w AS rnk, dense_rank() OVER w AS drnk
