@@ -130,6 +130,11 @@ object Tables {
     case a: org.apache.spark.sql.AnalysisException
         if a.getErrorClass != null &&
            a.getErrorClass.contains("PARQUET_TYPE_ILLEGAL") => true
+    // fallback for Spark builds that report the same rejection under a
+    // different/legacy error class: match the stable message text
+    case m if m.getMessage != null &&
+        m.getMessage.contains("Illegal Parquet type") &&
+        m.getMessage.toUpperCase.contains("NANOS") => true
     case _ => isNanosRejection(e.getCause)
   }
 

@@ -379,13 +379,14 @@ object ScanOps {
     // unless removed. Fixture: a day-partitioned table (one file per
     // day, deterministic), manifest captured from file-source
     // _metadata BEFORE two orphan files are planted (collected — the
-    // manifest is bounded by the file count, and capturing it eagerly
-    // is the point: a lazy view would see the orphans). Detection is a
-    // path-level anti-join of live listing vs manifest; the delete list
-    // is the reconciliation output (at scale: foreachPartition deletes;
-    // here a bounded driver loop). The graded row re-reads the table
-    // AFTER vacuum: row count restored to the source count proves the
-    // orphan rows are actually gone, not just counted.
+    // manifest stays a DataFrame end-to-end — at 100 TB it is millions
+    // of rows and must never cross the driver. It is captured EAGERLY
+    // (localCheckpoint) BEFORE orphans are planted: a lazy view would
+    // see them. Detection is a path-level anti-join of live listing vs
+    // manifest; deletes run inside foreachPartition on the executors.
+    // The graded row re-reads the table AFTER vacuum: row count
+    // restored to the source count proves the orphan rows are actually
+    // gone, not just counted.
     "q_maintain_vacuum" -> ((s, sf) => {
       val dir = rtDir(s, "graft_vac_rt", sf)
       val ev = Tables.events(s, sf)
@@ -399,33 +400,44 @@ object ScanOps {
       def readBack = s.read.schema(vacSchema).parquet(dir)
       val manifest = readBack
         .select(col("_metadata.file_path").as("path")).distinct()
-        .collect().map(_.getString(0)).toSet // bounded: one file per day
+        .localCheckpoint(true) // eager snapshot, pre-orphan
+      val nLive = manifest.count()
       // plant two orphans a crashed job might leave (readable parquet,
       // schema-consistent, in a partition the manifest never saw)
       val orphanTmp = s"$dir-orphan-src"
       ev.drop("day").limit(3).coalesce(1)
         .write.mode("overwrite").parquet(orphanTmp)
-      val src = java.nio.file.Files.list(java.nio.file.Paths.get(orphanTmp))
-        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      val ls = java.nio.file.Files.list(java.nio.file.Paths.get(orphanTmp))
+      val src =
+        try ls.filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+        finally ls.close()
       val oDir = java.nio.file.Paths.get(dir, "day=1970-01-01")
       java.nio.file.Files.createDirectories(oDir)
       Seq("orphan_a.parquet", "orphan_b.parquet").foreach { n =>
         java.nio.file.Files.copy(src, oDir.resolve(n),
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       }
-      // reconcile: live listing minus manifest = orphans; delete them
-      val live = readBack
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(orphanTmp))
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+      // reconcile: live listing ANTI-JOIN manifest = orphans. Checkpoint
+      // before deleting so a post-delete recompute can't re-list.
+      val orphans = readBack
         .select(col("_metadata.file_path").as("path")).distinct()
-        .collect().map(_.getString(0))
-      val orphans = live.filterNot(manifest)
-      orphans.foreach { p =>
-        java.nio.file.Files.deleteIfExists(
-          java.nio.file.Paths.get(new java.net.URI(p)))
+        .join(manifest, Seq("path"), "left_anti")
+        .localCheckpoint(true)
+      val nOrphans = orphans.count()
+      orphans.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        it.foreach { r =>
+          java.nio.file.Files.deleteIfExists(
+            java.nio.file.Paths.get(new java.net.URI(r.getString(0))))
+        }
       }
       readBack.createOrReplaceTempView("vac_after")
       s.sql(
-        s"""SELECT CAST(${manifest.size} AS BIGINT) AS n_live_files,
-           |  CAST(${orphans.length} AS BIGINT) AS n_orphans_removed,
+        s"""SELECT CAST($nLive AS BIGINT) AS n_live_files,
+           |  CAST($nOrphans AS BIGINT) AS n_orphans_removed,
            |  count(*) AS n_rows_after
            |FROM vac_after""".stripMargin)
     }),

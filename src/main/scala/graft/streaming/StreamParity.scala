@@ -24,6 +24,19 @@ import java.sql.Timestamp
   * Usage: `runMain graft.streaming.StreamParity <sfDir> [outFile]`.
   */
 object StreamParity {
+  /** Recursive delete of a per-check temp dir; every check cleans up its
+    * corpus-sized parquet replica / checkpoint so repeated runs don't
+    * accumulate garbage in /tmp. */
+  private def rmTree(dir: String): Unit = {
+    val root = Paths.get(dir)
+    if (Files.exists(root)) {
+      val walk = Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
+
   private def canon(df: DataFrame): Seq[String] = {
     val names = df.columns.sorted.toSeq
     df.select(names.map(col): _*).collect()
@@ -43,7 +56,9 @@ object StreamParity {
       .writeStream.format("memory").queryName(s"sp_$name")
       .outputMode("complete").trigger(Trigger.AvailableNow()).start()
     try q.awaitTermination() finally q.stop()
-    (canon(s.table(s"sp_$name")), canon(transform(batchEvents)))
+    val res = (canon(s.table(s"sp_$name")), canon(transform(batchEvents)))
+    rmTree(dir)
+    res
   }
 
   /** MemoryStream → parquet sink with a stop/restart in the middle and a
@@ -68,6 +83,7 @@ object StreamParity {
     ms.addData(ev(4)); q2.processAllAvailable(); q2.stop()
     val got = s.read.parquet(out).select("event_id")
       .as[Long].collect().sorted.toSeq
+    rmTree(base)
     (Seq(1L, 2L, 3L, 4L), got)
   }
 

@@ -1450,9 +1450,19 @@ class OperatorSpec extends AnyFunSuite with SparkSessionTest
       .select("text").collect().map(_.getString(0))
     val wf = docs.flatMap(_.split(" ")).filter(_.nonEmpty)
       .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    // the SQL side splits via regexp_extract_all(word,'(.)',1): regex '.'
+    // skips line terminators, so the replay must not see any (tokens come
+    // from space-splitting, which leaves \n intact if the corpus had one)
+    val lineTerms = "\n\r\u0085\u2028\u2029".toSet
+    assert(!wf.keysIterator.exists(_.exists(lineTerms)),
+      "corpus assumption violated: a token contains a line terminator")
+    // iterate CODE POINTS (not UTF-16 units) to match the SQL's per-'.'
+    // split on non-BMP text
+    def cps(w: String): Array[String] =
+      w.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
     val pairCounts = new scala.collection.mutable.HashMap[String, Long]()
     wf.foreach { case (w, c) =>
-      w.sliding(2).filter(_.length == 2).foreach { p =>
+      cps(w).sliding(2).filter(_.length == 2).foreach { p =>
         val key = s"${p(0)} ${p(1)}"
         pairCounts(key) = pairCounts.getOrElse(key, 0L) + c
       }
@@ -1461,8 +1471,8 @@ class OperatorSpec extends AnyFunSuite with SparkSessionTest
     val merged = top.replace(" ", "")
     val tokCounts = new scala.collection.mutable.HashMap[String, Long]()
     wf.foreach { case (w, c) =>
-      // greedy left-to-right merge application on the char sequence
-      val spaced = " " + w.toCharArray.mkString(" ") + " "
+      // greedy left-to-right merge application on the code-point sequence
+      val spaced = " " + cps(w).mkString(" ") + " "
       val applied = spaced.replace(s" $top ", s" $merged ").trim
       applied.split(" ").foreach { t =>
         tokCounts(t) = tokCounts.getOrElse(t, 0L) + c

@@ -30,10 +30,13 @@ def main() -> None:
     # Write-class queries (real filesystem writes each run — up to 2.2x
     # spread from file churn alone) are excluded from the window-factor
     # median and the movers list, and reported as their own section.
+    # Keep this fallback identical to Bench.scala's writeClass set; it is
+    # only consulted for artifacts predating the meta.write_class field.
     wc_fallback = {"q_join_bucketed", "q_mm_ingest_binary", "q_part_dpp",
                    "q_maintain_compact", "q_sink_partitioned",
                    "q_ingest_orc", "q_scan_merge_schema",
-                   "q_ingest_syslog_rotated"}
+                   "q_ingest_syslog_rotated", "q_maintain_vacuum",
+                   "q_maintain_cluster"}
     write_class = set((new_j.get("meta") or {}).get("write_class")
                       or (old_j.get("meta") or {}).get("write_class")
                       or wc_fallback)
