@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // GC-log knob for perf forensics (round-7 spike dossier): set
+  // SPARK_GRAFT_GC_LOG=/tmp/gc.log to capture unified GC logging from
+  // the forked bench/verify JVM. Unset (the driver's case) = no-op.
+  sys.env.get("SPARK_GRAFT_GC_LOG").map(f => s"-Xlog:gc*:file=$f").toSeq

@@ -53,13 +53,38 @@ object Bench {
           .next().trim.split("\\s+").drop(1).map(_.toLong)
         (if (f.length > 7) f(7) else 0L, f.sum)
       } catch { case _: Throwable => (0L, 0L) }
+    // Per-query attribution probe (round-7 dossier for the one-off 17 s
+    // q_dedup_lsh_bands driver spike): task CPU vs wall vs GC splits a
+    // slow reading into its cause — wall >> task/cpus with low GC = host
+    // stall; high jvmGCTime / driver-GC delta = heap pressure. Listener
+    // events are posted async, so a trailing task can attribute to the
+    // next query; slop is ms-scale and irrelevant at the seconds scale
+    // this probe exists to explain.
+    val probeTaskMs = new java.util.concurrent.atomic.AtomicLong
+    val probeGcMs = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) { probeTaskMs.addAndGet(m.executorRunTime); probeGcMs.addAndGet(m.jvmGCTime) }
+      }
+    })
+    def drvGcMs: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    }
     val tsStart = java.time.Instant.now().toString
     val loadStart = load1
     val (stealStart, totalStart) = cpuJiffies
+    val probe = scala.collection.mutable.LinkedHashMap[String, (Double, Double, Double)]()
     val results = SparkEntry.queries.map { case (name, fn) =>
+      val (t1, g1, d1) = (probeTaskMs.get, probeGcMs.get, drvGcMs)
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      probe(name) = ((probeTaskMs.get - t1) / 1e3, (probeGcMs.get - g1) / 1e3,
+        (drvGcMs - d1) / 1e3)
+      name -> sec
     }
     val tsEnd = java.time.Instant.now().toString
     val loadEnd = load1
@@ -83,22 +108,30 @@ object Bench {
     // report them as their own class instead of as phantom movers.
     val writeClass = Seq("q_join_bucketed", "q_mm_ingest_binary",
       "q_part_dpp", "q_maintain_compact", "q_maintain_vacuum",
-      "q_sink_partitioned", "q_ingest_orc", "q_scan_merge_schema",
-      "q_ingest_syslog_rotated")
+      "q_maintain_cluster", "q_sink_partitioned", "q_ingest_orc",
+      "q_scan_merge_schema", "q_ingest_syslog_rotated")
       .filter(SparkEntry.queries.contains)
+    val xmxGb = Runtime.getRuntime.maxMemory / (1 << 30)
     val meta = s"""{"ts_start":"$tsStart","ts_end":"$tsEnd",""" +
       s""""load1_start":${f(loadStart)},"load1_end":${f(loadEnd)},""" +
-      s""""steal_pct":${f(stealPct)},"cpus":$cpus,""" +
+      s""""steal_pct":${f(stealPct)},"cpus":$cpus,"xmx_gb":$xmxGb,""" +
       s""""write_class":${writeClass.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
     val line = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","meta":$meta}"""
     println(line)
     // The driver records only the TAIL of stdout, which truncated the
     // per-query map in BENCH_r0{1..4}.json and blocked per-query diffing
     // across rounds. Persist the full line to a file as well (committed
-    // per-round as BENCH_full_r{N}.json per BASELINE.md protocol).
+    // per-round as BENCH_full_r{N}.json per BASELINE.md protocol). The
+    // file variant additionally carries the attribution probe (kept off
+    // stdout so the driver's tail window stays small).
+    val probeJson = probe.map { case (k, (t, g, d)) =>
+      "\"" + k + "\":{\"task\":" + f(t) + ",\"gc\":" + f(g) +
+        ",\"dgc\":" + f(d) + "}"
+    }.mkString("{", ",", "}")
+    val fileLine = line.dropRight(1) + s""","probe":$probeJson}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
-      (line + "\n").getBytes("UTF-8"))
+      (fileLine + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
     spark.stop()
   }

