@@ -738,8 +738,179 @@ object AggOps {
           |  round(min(value), 6) AS lo, round(max(value), 6) AS hi
           |FROM t GROUP BY event_type, decile
           |ORDER BY event_type, decile""".stripMargin)
+    }),
+
+    // Theil–Sen robust trend: median of pairwise slopes over the per-day
+    // decimal-exact means. The pair stage is CALENDAR-bounded (days², not
+    // rows² — ~30 days → ≤435 pairs per type at any corpus size), so the
+    // estimator scales: one map-combined daily aggregate shuffle, then a
+    // trivially small pair join. Lower median selected by multiset rank
+    // with a total (slope, da, db) order so both engines pick the same
+    // pair even among equal slopes.
+    "q_agg_theilsen" -> ((s, sf) => {
+      Tables.events(s, sf).createOrReplaceTempView("events")
+      s.sql(theilSenSql(dd = (a, b) => s"datediff($b, $a)", idiv = "DIV"))
+    }),
+
+    // Two-sample Kolmogorov–Smirnov D between the click and purchase
+    // value distributions — the distribution-shape companion to the
+    // Welch t (q_agg_ttest tests means; KS sees shape). ECDFs are
+    // running integer counts over the pooled sort (default RANGE frame
+    // → ties enter together, the correct ECDF step), so D is a max of
+    // exact integer ratios — bit-identical across engines. One sort
+    // shuffle over the filtered rows.
+    "q_agg_ks_test" -> ((s, sf) => {
+      Tables.events(s, sf).createOrReplaceTempView("events")
+      s.sql(ksTestSql)
+    }),
+
+    // Pareto concentration: the smallest top-user set covering 80% of
+    // per-type value mass (the 80/20 report). Cumulative and total sums
+    // stay DECIMAL and the 80% test is `5*cum >= 4*tot` — integer-scaled
+    // decimal comparison, no float rounding anywhere before the output.
+    "q_report_pareto" -> ((s, sf) => {
+      Tables.events(s, sf).createOrReplaceTempView("events")
+      s.sql(paretoSql)
+    }),
+
+    // Benford first-significant-digit audit — the forensic data-quality
+    // screen for fabricated/degenerate numeric columns. The digit comes
+    // from the value's string form (first [1-9] match): shortest-roundtrip
+    // double formatting starts with the same significant digits in both
+    // engines, unlike floor(log10) bucketing whose libm ULP differences
+    // would flip power-of-ten boundary values. One scan, 9-row output.
+    "q_agg_benford" -> ((s, sf) => {
+      Tables.events(s, sf).createOrReplaceTempView("events")
+      s.sql(benfordSql)
+    }),
+
+    // Week-over-week share movers: per-type weekly volume share, its lag,
+    // and a per-week rank by absolute share change — the "what changed
+    // this week" report. Shares are exact-integer-count ratios, so the
+    // doubles (and the rank order built on them) are engine-identical.
+    "q_report_top_movers" -> ((s, sf) => {
+      Tables.events(s, sf).createOrReplaceTempView("events")
+      s.sql(topMoversSql)
+    }),
+
+    // Hourly error-burst detector: counts per hour vs the global
+    // mean + 3σ line (exact integer sums make mean/σ bit-identical across
+    // engines). The series aggregate is one shuffle on the hour key; the
+    // stats row broadcasts. The rate-anomaly sibling of q_anomaly_zscore
+    // (which scores row VALUES, not arrival rates).
+    "q_report_error_bursts" -> ((s, sf) => {
+      Tables.events(s, sf).createOrReplaceTempView("events")
+      s.sql(errorBurstsSql)
     })
   )
+
+  /** Shared Theil–Sen statement; `dd(a, b)` renders day-difference and
+    * `idiv` the integer-division keyword (the two engine spelling gaps). */
+  private[graft] def theilSenSql(dd: (String, String) => String,
+                                 idiv: String): String =
+    s"""WITH d AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+       |             CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE)
+       |               / count(*) AS mv
+       |           FROM events GROUP BY event_type, CAST(date_trunc('day', ts) AS DATE)),
+       |p AS (SELECT a.event_type AS event_type, a.day AS da, b.day AS db,
+       |        (b.mv - a.mv) / ${dd("a.day", "b.day")} AS slope
+       |      FROM d a JOIN d b
+       |        ON a.event_type = b.event_type AND a.day < b.day),
+       |m AS (SELECT event_type, slope,
+       |        row_number() OVER (PARTITION BY event_type
+       |                           ORDER BY slope, da, db) AS rn,
+       |        count(*) OVER (PARTITION BY event_type) AS n
+       |      FROM p)
+       |SELECT event_type, round(slope, 8) AS theil_sen_slope
+       |FROM m WHERE rn = (n + 1) $idiv 2
+       |ORDER BY event_type""".stripMargin
+
+  /** KS statement — identical text runs in both engines. */
+  private[graft] val ksTestSql: String =
+    """WITH p AS (SELECT value, event_type
+      |           FROM events WHERE event_type IN ('click', 'purchase')),
+      |n AS (SELECT CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS DOUBLE) AS na,
+      |        CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS DOUBLE) AS nb
+      |      FROM p),
+      |c AS (SELECT value,
+      |        sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      |          OVER (ORDER BY value) AS ca,
+      |        sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |          OVER (ORDER BY value) AS cb
+      |      FROM p),
+      |d AS (SELECT max(abs(CAST(ca AS DOUBLE) / n.na - CAST(cb AS DOUBLE) / n.nb)) AS ks_d
+      |      FROM c CROSS JOIN n)
+      |SELECT CAST(n.na AS BIGINT) AS n_click, CAST(n.nb AS BIGINT) AS n_purchase,
+      |  round(d.ks_d, 6) AS ks_d,
+      |  round(d.ks_d * sqrt(n.na * n.nb / (n.na + n.nb)), 6) AS ks_stat
+      |FROM d CROSS JOIN n""".stripMargin
+
+  /** Pareto statement — identical text runs in both engines. */
+  private[graft] val paretoSql: String =
+    """WITH u AS (SELECT event_type, user_id,
+      |             SUM(CAST(value AS DECIMAL(30,6))) AS sv
+      |           FROM events GROUP BY event_type, user_id),
+      |r AS (SELECT event_type, sv,
+      |        row_number() OVER (PARTITION BY event_type
+      |                           ORDER BY sv DESC, user_id) AS rn,
+      |        SUM(sv) OVER (PARTITION BY event_type ORDER BY sv DESC, user_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |        SUM(sv) OVER (PARTITION BY event_type) AS tot,
+      |        count(*) OVER (PARTITION BY event_type) AS nu
+      |      FROM u)
+      |SELECT event_type, CAST(max(nu) AS BIGINT) AS n_users,
+      |  CAST(min(rn) AS BIGINT) AS n_top80,
+      |  round(CAST(min(rn) AS DOUBLE) / max(nu), 6) AS top80_user_share
+      |FROM r WHERE 5 * cum >= 4 * tot
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  /** Benford statement — identical text runs in both engines. */
+  private[graft] val benfordSql: String =
+    """WITH d AS (SELECT CAST(regexp_extract(CAST(value AS STRING),
+      |                        '([1-9])', 1) AS INT) AS fd
+      |           FROM events WHERE value > 0),
+      |c AS (SELECT fd, count(*) AS n FROM d GROUP BY fd),
+      |t AS (SELECT CAST(sum(n) AS DOUBLE) AS tot FROM c)
+      |SELECT fd, n,
+      |  round(CAST(n AS DOUBLE) / tot, 6) AS share,
+      |  round(log10(1.0 + 1.0 / fd), 6) AS benford_expected,
+      |  round(CAST(n AS DOUBLE) / tot - log10(1.0 + 1.0 / fd), 6) AS delta
+      |FROM c CROSS JOIN t ORDER BY fd""".stripMargin
+
+  /** Top-movers statement — identical text runs in both engines. */
+  private[graft] val topMoversSql: String =
+    """WITH w AS (SELECT event_type,
+      |             CAST(date_trunc('week', ts) AS DATE) AS wk, count(*) AS n
+      |           FROM events GROUP BY event_type, CAST(date_trunc('week', ts) AS DATE)),
+      |t AS (SELECT wk, sum(n) AS tot FROM w GROUP BY wk),
+      |s AS (SELECT w.event_type, w.wk, CAST(w.n AS DOUBLE) / t.tot AS share
+      |      FROM w JOIN t ON w.wk = t.wk),
+      |l AS (SELECT event_type, wk, share,
+      |        lag(share) OVER (PARTITION BY event_type ORDER BY wk) AS prev
+      |      FROM s)
+      |SELECT event_type, wk, round(share, 6) AS share,
+      |  round(prev, 6) AS prev_share, round(share - prev, 6) AS delta,
+      |  rank() OVER (PARTITION BY wk ORDER BY abs(share - prev) DESC,
+      |               event_type) AS mover_rank
+      |FROM l WHERE prev IS NOT NULL
+      |ORDER BY wk, mover_rank, event_type""".stripMargin
+
+  /** Error-burst statement — identical text runs in both engines. */
+  private[graft] val errorBurstsSql: String =
+    """WITH h AS (SELECT date_trunc('hour', ts) AS hr, count(*) AS n
+      |           FROM events WHERE event_type = 'error' GROUP BY date_trunc('hour', ts)),
+      |s AS (SELECT count(*) AS nh,
+      |        CAST(sum(n) AS DOUBLE) / count(*) AS mean_n,
+      |        sqrt((CAST(sum(n * n) AS DOUBLE)
+      |               - CAST(sum(n) AS DOUBLE) * sum(n) / count(*))
+      |             / nullif(CAST(count(*) - 1 AS DOUBLE), 0.0)) AS std_n
+      |      FROM h)
+      |SELECT CAST(h.hr AS TIMESTAMP) AS hr, h.n AS n_errors,
+      |  round((h.n - s.mean_n) / nullif(s.std_n, 0.0), 4) AS z,
+      |  CAST(CASE WHEN h.n > s.mean_n + 3 * s.std_n THEN 1 ELSE 0 END AS BIGINT) AS burst
+      |FROM h CROSS JOIN s
+      |ORDER BY hr""".stripMargin
 
   /** Exact lower-median (rank (n+1) DIV 2 in multiset order) of column `v`
     * per event_type WITHOUT a per-type full sort — distributed rank
@@ -1253,6 +1424,19 @@ object AggOps {
         |SELECT event_type, decile, count(*) AS n,
         |  round(min(value), 6) AS lo, round(max(value), 6) AS hi
         |FROM t GROUP BY event_type, decile
-        |ORDER BY event_type, decile""".stripMargin
+        |ORDER BY event_type, decile""".stripMargin,
+
+    "q_agg_theilsen" ->
+      theilSenSql(dd = (a, b) => s"date_diff('day', $a, $b)", idiv = "//"),
+
+    "q_report_error_bursts" -> errorBurstsSql,
+
+    "q_agg_benford" -> benfordSql,
+
+    "q_report_top_movers" -> topMoversSql,
+
+    "q_agg_ks_test" -> ksTestSql,
+
+    "q_report_pareto" -> paretoSql
   )
 }

@@ -393,8 +393,34 @@ object PipelineOps {
     }),
     "q_pipeline_mix" -> ((s, sf) => run(s, sf, mixSparkSql)),
     "q_pipeline_curriculum" -> ((s, sf) => run(s, sf, curriculumSparkSql)),
-    "q_pipeline_interleave" -> ((s, sf) => run(s, sf, interleaveSql("STRING")))
+    "q_pipeline_interleave" -> ((s, sf) => run(s, sf, interleaveSql("STRING"))),
+    "q_pipeline_token_budget" -> ((s, sf) => run(s, sf,
+      tokenBudgetSql(toklen = "size(split(text, ' '))", idiv = "DIV")))
   )
+
+  /** Largest-remainder apportionment of a fixed token budget across
+    * sources ∝ their token mass — the exact-integer allocation step of
+    * dataset mixing (q_pipeline_mix computes target WEIGHTS; this turns
+    * them into an integer token ledger that sums to the budget EXACTLY,
+    * which floats cannot guarantee). Everything is 64-bit integer
+    * arithmetic (floor quotas + ranked remainders), so both engines
+    * produce bit-identical ledgers; one scan + a source-sized window.
+    * `toklen`/`idiv` render the two engine spelling gaps. */
+  private[graft] def tokenBudgetSql(toklen: String, idiv: String): String =
+    s"""WITH tc AS (SELECT source, CAST(sum($toklen) AS BIGINT) AS toks
+       |            FROM documents GROUP BY source),
+       |t AS (SELECT CAST(sum(toks) AS BIGINT) AS total FROM tc),
+       |q AS (SELECT source, toks,
+       |        (toks * 100000) $idiv total AS floor_alloc,
+       |        (toks * 100000) % total AS rem
+       |      FROM tc CROSS JOIN t),
+       |r AS (SELECT source, toks, floor_alloc,
+       |        row_number() OVER (ORDER BY rem DESC, source) AS rr,
+       |        100000 - sum(floor_alloc) OVER () AS leftover
+       |      FROM q)
+       |SELECT source, toks AS n_tokens,
+       |  CAST(floor_alloc + CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc
+       |FROM r ORDER BY source""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q_pipeline_split" -> splitSql("VARCHAR"),
@@ -407,6 +433,8 @@ object PipelineOps {
       epochs = "SELECT unnest(generate_series(1, 3)) AS epoch", cast = "VARCHAR"),
     "q_pipeline_mix" -> mixDuckSql,
     "q_pipeline_curriculum" -> curriculumDuckSql,
-    "q_pipeline_interleave" -> interleaveSql("VARCHAR")
+    "q_pipeline_interleave" -> interleaveSql("VARCHAR"),
+    "q_pipeline_token_budget" -> tokenBudgetSql(
+      toklen = "len(string_split(text, ' '))", idiv = "//")
   )
 }

@@ -108,10 +108,41 @@ object QualityOps {
     ).mkString("", "\nUNION ALL\n", "\nORDER BY rel")
   }
 
+  /** Tabular data-drift report — the ingest-batch comparison every
+    * pipeline dashboard runs before accepting a new drop (the relational
+    * sibling of q_vec_centroid_drift's geometric one). Cohorts stand in
+    * for old/new batches via event_id parity; per event_type the report
+    * carries volume shares, share delta, and decimal-exact mean shift.
+    * One scan, two tiny aggregates, broadcastable cohort totals —
+    * identical SQL in both engines. */
+  private val driftSql: String =
+    """WITH c AS (SELECT event_type, CAST(event_id % 2 AS INT) AS coh, value
+      |           FROM events),
+      |t AS (SELECT coh, count(*) AS nt FROM c GROUP BY coh),
+      |m AS (SELECT event_type, coh, count(*) AS n,
+      |        CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / count(*) AS mean_v
+      |      FROM c GROUP BY event_type, coh)
+      |SELECT o.event_type AS event_type, o.n AS n_old, nw.n AS n_new,
+      |  round(CAST(o.n AS DOUBLE) / ot.nt, 6) AS share_old,
+      |  round(CAST(nw.n AS DOUBLE) / nt.nt, 6) AS share_new,
+      |  round(CAST(nw.n AS DOUBLE) / nt.nt - CAST(o.n AS DOUBLE) / ot.nt, 6) AS share_delta,
+      |  round(o.mean_v, 6) AS mean_old, round(nw.mean_v, 6) AS mean_new,
+      |  round(nw.mean_v - o.mean_v, 6) AS mean_shift
+      |FROM m o JOIN m nw ON o.event_type = nw.event_type
+      |  AND o.coh = 0 AND nw.coh = 1
+      |JOIN t ot ON ot.coh = 0
+      |JOIN t nt ON nt.coh = 1
+      |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_quality_report" -> ((s, sf) => {
       Tables.events(s, sf).createOrReplaceTempView("events")
       s.sql(sparkSql)
+    }),
+
+    "q_quality_drift" -> ((s, sf) => {
+      Tables.events(s, sf).createOrReplaceTempView("events")
+      s.sql(driftSql)
     }),
 
     "q_quality_referential" -> ((s, sf) => {
@@ -142,5 +173,6 @@ object QualityOps {
 
   val oracle: Map[String, String] = Map(
     "q_quality_report" -> duckSql,
-    "q_quality_referential" -> referentialSql)
+    "q_quality_referential" -> referentialSql,
+    "q_quality_drift" -> driftSql)
 }

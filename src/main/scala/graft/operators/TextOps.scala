@@ -838,6 +838,26 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // Normalization-key dedup — the canonical pipeline step BETWEEN exact
+    // and fuzzy dedup: case-fold, strip non-alphanumerics, collapse
+    // whitespace, then group on md5 of the canonical form. Catches
+    // formatting-only copies (casing/punctuation/spacing variants) that
+    // byte-exact dedup misses at zero pair-join cost — one scan, one
+    // hash-agg shuffle on the norm key, the same shape as q_dedup_exact.
+    // Reported per-language as docs vs distinct norm keys (the dup mass).
+    "q_dedup_unicode_norm" -> ((s, sf) => {
+      Tables.documents(s, sf).createOrReplaceTempView("documents")
+      s.sql(
+        """WITH k AS (SELECT doc_id, lang,
+          |             md5(trim(regexp_replace(regexp_replace(lower(text),
+          |               '[^a-z0-9 ]', ''), '  +', ' '))) AS nk
+          |           FROM documents)
+          |SELECT lang, count(*) AS n_docs,
+          |  count(DISTINCT nk) AS n_norm_distinct,
+          |  count(*) - count(DISTINCT nk) AS n_norm_dups
+          |FROM k GROUP BY lang ORDER BY lang""".stripMargin)
+    }),
+
     "q_dedup_minhash" -> ((s, sf) =>
       docs(s, sf)
         .withColumn("sig",
@@ -1763,6 +1783,16 @@ object TextOps {
       s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
          |SELECT doc_id, $simhashDuck AS simhash16
          |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_unicode_norm" ->
+      """WITH k AS (SELECT doc_id, lang,
+        |             md5(trim(regexp_replace(regexp_replace(lower(text),
+        |               '[^a-z0-9 ]', '', 'g'), '  +', ' ', 'g'))) AS nk
+        |           FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |  count(DISTINCT nk) AS n_norm_distinct,
+        |  count(*) - count(DISTINCT nk) AS n_norm_dups
+        |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_dedup_near" -> nearDupSql(
       tokTable = s"SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS tok FROM ($docSampleSub)",

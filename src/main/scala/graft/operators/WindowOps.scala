@@ -427,6 +427,31 @@ object WindowOps {
           |SELECT user_id, event_id, value,
           |  element_at(arr, CAST((size(arr) + 1) div 2 AS INT)) AS med
           |FROM a ORDER BY user_id, event_id""".stripMargin)
+    }),
+
+    // Max drawdown per user over the running value total — the
+    // running-extreme window pair (cumulative sum, then cumulative max of
+    // that, then the max gap). Sums stay DECIMAL through both windows so
+    // the running prefix is exact and engine-identical; order is
+    // (second-truncated ts, event_id) per the file's tie-order contract.
+    // One window partition per user — the per-key sequential scan shape
+    // that scales horizontally at any user count.
+    "q_win_drawdown" -> ((s, sf) => {
+      eventsTs(s, sf).createOrReplaceTempView("ev")
+      s.sql(
+        """WITH c AS (SELECT user_id, ts_s, event_id,
+          |             SUM(CAST(value AS DECIMAL(30,6))) OVER (
+          |               PARTITION BY user_id ORDER BY ts_s, event_id
+          |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          |           FROM ev),
+          |r AS (SELECT user_id, cum,
+          |        MAX(cum) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+          |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+          |      FROM c)
+          |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+          |  round(CAST(max(peak - cum) AS DOUBLE), 6) AS max_drawdown
+          |FROM r GROUP BY user_id
+          |ORDER BY user_id""".stripMargin)
     })
   )
 
@@ -739,6 +764,21 @@ object WindowOps {
          |           FROM events)
          |SELECT user_id, event_id, value,
          |  arr[(len(arr) + 1) // 2] AS med
-         |FROM a ORDER BY user_id, event_id""".stripMargin
+         |FROM a ORDER BY user_id, event_id""".stripMargin,
+
+    "q_win_drawdown" ->
+      s"""WITH c AS (SELECT user_id, $oracleTs AS ts_s, event_id,
+         |             SUM(CAST(value AS DECIMAL(30,6))) OVER (
+         |               PARTITION BY user_id ORDER BY $oracleTs, event_id
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |           FROM events),
+         |r AS (SELECT user_id, cum,
+         |        MAX(cum) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+         |      FROM c)
+         |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+         |  round(CAST(max(peak - cum) AS DOUBLE), 6) AS max_drawdown
+         |FROM r GROUP BY user_id
+         |ORDER BY user_id""".stripMargin
   )
 }

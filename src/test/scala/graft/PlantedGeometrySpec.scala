@@ -39,4 +39,25 @@ class PlantedGeometrySpec extends AnyFunSuite with SparkSessionTest {
     val r = recall("q_vec_prefix_recall")
     assert(r >= 0.8, s"prefix recall=$r (0.1 on random data; planted must be high)")
   }
+
+  test("sample-bounded pair scan equals the unbounded statement when N <= cap") {
+    // the embSampleSub guard must be invisible below the 2000-vector cap
+    // (the graded-SF bit-identity claim, exercised on a second corpus)
+    graft.functions.GraftFunctions.register(spark)
+    val bounded = SparkEntry.queries("q_vec_pairs_threshold")(spark, planted)
+      .collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    Tables.embeddings(spark, planted).createOrReplaceTempView("embeddings")
+    val full = spark.sql(
+      """WITH v AS (SELECT vec_id, label, embedding,
+        |             sqrt(vec_dot(embedding, embedding)) AS nrm
+        |           FROM embeddings)
+        |SELECT label, vec_a, vec_b, cos_sim FROM (
+        |  SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    round(vec_dot(a.embedding, b.embedding) / (a.nrm * b.nrm), 6) AS cos_sim
+        |  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id) t
+        |WHERE cos_sim >= 0.25""".stripMargin)
+      .collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    assert(bounded == full && bounded.nonEmpty,
+      s"guard changed results below cap: ${bounded.length} vs ${full.length}")
+  }
 }
