@@ -113,6 +113,57 @@ object Multimodal {
       .toDF()
   }
 
+  /** Per-document audio energy profile (the audio analog of decode);
+    * `sum_rms_q` is the exact integer micro-unit RMS sum — the final
+    * mean/round happens in SQL so both engines share the one rounding
+    * path. */
+  case class AudioEnergy(
+      doc_id: Long,
+      n_windows: Int,
+      sum_rms_q: Long,
+      max_peak: Int,
+      n_silent: Int)
+
+  /** Audio feature kernel: treat the payload as 8-bit PCM centered at
+    * 128, window into 32-sample frames, compute per-window RMS energy
+    * and peak amplitude, and reduce to a per-doc profile (windows, mean
+    * RMS, max peak, silent-window count below RMS 16). A real
+    * implementation would decode compressed audio first; the fake reads
+    * raw bytes and keeps the windowed-DSP plumbing real. Per-window RMS
+    * is quantized to integer micro-units BEFORE the cross-window sum, so
+    * the reduction is exact-integer and engine-identical (the same
+    * quantize-then-sum discipline the decimal aggregates use). */
+  def audioEnergy(s: SparkSession, sf: String): DataFrame = {
+    import s.implicits._
+    val w = 32
+    mediaTable(s, sf)
+      .as[MediaRecord]
+      .mapPartitions(_.map { r =>
+        val n = r.payload.length
+        val nw = (n + w - 1) / w
+        var sumQ = 0L; var maxPeak = 0; var silent = 0
+        var f = 0
+        while (f < nw) {
+          val start = f * w; val end = math.min(start + w, n)
+          var ss = 0L; var peak = 0; var i = start
+          while (i < end) {
+            val v = (r.payload(i) & 0xff) - 128
+            ss += v.toLong * v
+            if (math.abs(v) > peak) peak = math.abs(v)
+            i += 1
+          }
+          val rms = math.sqrt(ss.toDouble / (end - start))
+          val rmsQ = math.floor(rms * 1e6 + 0.5).toLong
+          sumQ += rmsQ
+          if (rmsQ < 16000000L) silent += 1
+          if (peak > maxPeak) maxPeak = peak
+          f += 1
+        }
+        AudioEnergy(r.doc_id, nw, sumQ, maxPeak, silent)
+      })
+      .toDF()
+  }
+
   /** Perceptual hash of one media payload. */
   case class PHash(doc_id: Long, phash: String)
 
@@ -205,7 +256,15 @@ object Multimodal {
         .select("doc_id", "frame_idx", "frame_len", "frame_sum")
         .orderBy("doc_id", "frame_idx")),
 
-    "q_mm_phash_dedup" -> ((s, sf) => phashDedup(s, sf))
+    "q_mm_phash_dedup" -> ((s, sf) => phashDedup(s, sf)),
+
+    "q_mm_audio_energy" -> ((s, sf) =>
+      audioEnergy(s, sf)
+        .select(col("doc_id"), col("n_windows"),
+          round(col("sum_rms_q").cast("double") / 1000000.0 / col("n_windows"), 6)
+            .as("mean_rms"),
+          col("max_peak"), col("n_silent"))
+        .orderBy("doc_id"))
   )
 
   /** The documents corpus is ASCII, so byte values equal `ascii()` codes and
@@ -271,6 +330,30 @@ object Multimodal {
         |ph AS (SELECT doc_id, string_agg(b, '' ORDER BY c) AS phash
         |       FROM bits GROUP BY doc_id)
         |SELECT doc_id, phash, count(*) OVER (PARTITION BY phash) AS n_same
-        |FROM ph ORDER BY doc_id""".stripMargin
+        |FROM ph ORDER BY doc_id""".stripMargin,
+
+    "q_mm_audio_energy" ->
+      """WITH m AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        |w AS (SELECT doc_id, n,
+        |        CAST(unnest(range(0, CAST(ceil(n / 32.0) AS BIGINT))) AS INT) AS f,
+        |        text
+        |      FROM m),
+        |fb AS (SELECT doc_id, f, substring(text, f * 32 + 1, 32) AS s FROM w),
+        |e AS (SELECT doc_id, f, length(s) AS l,
+        |        CAST(list_aggregate(list_transform(range(1, length(s) + 1),
+        |          i -> (ascii(substring(s, i, 1)) - 128) * (ascii(substring(s, i, 1)) - 128)),
+        |          'sum') AS BIGINT) AS ss,
+        |        CAST(list_aggregate(list_transform(range(1, length(s) + 1),
+        |          i -> abs(ascii(substring(s, i, 1)) - 128)), 'max') AS INT) AS peak
+        |      FROM fb),
+        |r AS (SELECT doc_id,
+        |        CAST(floor(sqrt(CAST(ss AS DOUBLE) / l) * 1000000.0 + 0.5) AS BIGINT) AS rms_q,
+        |        peak
+        |      FROM e)
+        |SELECT doc_id, CAST(count(*) AS INT) AS n_windows,
+        |  round(CAST(sum(rms_q) AS DOUBLE) / 1000000.0 / count(*), 6) AS mean_rms,
+        |  CAST(max(peak) AS INT) AS max_peak,
+        |  CAST(sum(CASE WHEN rms_q < 16000000 THEN 1 ELSE 0 END) AS INT) AS n_silent
+        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

@@ -296,6 +296,31 @@ object JoinOps {
         .orderBy("event_id")
     }),
 
+    // As-of with a TOLERANCE bound — the feature-store variant ("latest
+    // feature value, but never staler than 30 days"): same max(struct)
+    // shape as q_join_asof with a lower time bound on the join, which
+    // ALSO caps the join fan-in per probe (the staleness window is a
+    // state-size bound at scale, exactly like a stream-stream join
+    // watermark). Events whose only matches are stale drop out (inner).
+    "q_join_asof_tolerance" -> ((s, sf) => {
+      val ev = eventsTs(s, sf)
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts_s"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+          col("ts_s").as("p_ts"), col("value").as("p_value"))
+      c.join(p, col("p_user") === col("user_id") &&
+          col("p_ts") <= col("ts_s") &&
+          col("p_ts") >= col("ts_s") - expr("INTERVAL 7 DAYS"))
+        .groupBy("click_id", "user_id")
+        .agg(max(struct(col("p_ts"), col("p_id"), col("p_value"))).as("m"))
+        .select(
+          col("click_id"), col("user_id"),
+          col("m.p_id").as("purchase_id"),
+          col("m.p_ts").as("purchase_ts"))
+        .orderBy("click_id")
+    }),
+
     // Same semantics through the custom operator stack (graft.plans.AsOf):
     // logical AsOfJoinPlan → AsOfJoinStrategy → AsOfMergeJoinExec, a
     // co-partitioned streaming merge with no join explosion. Checked
@@ -852,6 +877,24 @@ object JoinOps {
         |               AND o.o_orderdate <= CAST(date_trunc('second', e.ts) AS TIMESTAMP)
         |) t WHERE rn = 1
         |ORDER BY event_id""".stripMargin,
+
+    "q_join_asof_tolerance" ->
+      """SELECT click_id, user_id, purchase_id, purchase_ts FROM (
+        |  SELECT c.event_id AS click_id, c.user_id,
+        |    p.event_id AS purchase_id,
+        |    CAST(date_trunc('second', p.ts) AS TIMESTAMP) AS purchase_ts,
+        |    row_number() OVER (PARTITION BY c.event_id
+        |      ORDER BY CAST(date_trunc('second', p.ts) AS TIMESTAMP) DESC,
+        |               p.event_id DESC) AS rn
+        |  FROM events c
+        |  JOIN events p ON p.user_id = c.user_id
+        |    AND c.event_type = 'click' AND p.event_type = 'purchase'
+        |    AND CAST(date_trunc('second', p.ts) AS TIMESTAMP)
+        |        <= CAST(date_trunc('second', c.ts) AS TIMESTAMP)
+        |    AND CAST(date_trunc('second', p.ts) AS TIMESTAMP)
+        |        >= CAST(date_trunc('second', c.ts) AS TIMESTAMP) - INTERVAL 7 DAYS
+        |) t WHERE rn = 1
+        |ORDER BY click_id""".stripMargin,
 
     "q_merge_upsert" ->
       """WITH src0 AS (

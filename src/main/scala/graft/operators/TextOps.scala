@@ -260,6 +260,19 @@ object TextOps {
        |pr_e AS (SELECT /*+ BROADCAST(a) */ s.src, s.dst, a.d AS d_src, nn.n
        |         FROM sym s JOIN dg a ON a.src = s.src CROSS JOIN nn)""".stripMargin
 
+  /** Degree-distribution statement — identical text in both engines. */
+  private[graft] val degreeDistSql: String =
+    """WITH e0 AS (SELECT DISTINCT 's' || CAST(l_suppkey AS STRING) AS src,
+      |             'p' || CAST(l_partkey AS STRING) AS dst
+      |            FROM lineitem),
+      |sym AS (SELECT src, dst FROM e0
+      |        UNION ALL SELECT dst AS src, src AS dst FROM e0),
+      |dg AS (SELECT src AS node, count(*) AS deg FROM sym GROUP BY src),
+      |h AS (SELECT deg, count(*) AS n_nodes FROM dg GROUP BY deg)
+      |SELECT deg, n_nodes,
+      |  CAST(sum(n_nodes) OVER (ORDER BY deg DESC) AS BIGINT) AS n_at_or_above
+      |FROM h ORDER BY deg""".stripMargin
+
   private[graft] def pagerankEdgesSql(cast: String): String =
     s"""WITH ${pagerankEdgeCtes(cast)}
        |SELECT src, dst, d_src, n FROM pr_e""".stripMargin
@@ -691,6 +704,17 @@ object TextOps {
     // degree table feed all five iterations, so they are materialized
     // once; the iteration chain itself is linear (each round consumed
     // exactly once), so it stays a single plan.
+    // Degree distribution of the (unfiltered) supplier–part co-purchase
+    // graph — the first diagnostic run on any production graph (hub
+    // detection, power-law sanity, skew-join risk estimate for every
+    // downstream graph op). Two hash aggregates over the distinct edge
+    // set + a degree-sized window; all counts exact integers, identical
+    // SQL text in both engines.
+    "q_graph_degree_dist" -> ((s, sf) => {
+      Tables.lineitem(s, sf).createOrReplaceTempView("lineitem")
+      s.sql(degreeDistSql)
+    }),
+
     "q_graph_pagerank" -> ((s, sf) => {
       Tables.lineitem(s, sf).createOrReplaceTempView("lineitem")
       // the degree-annotated edge list is every round's loop invariant —
@@ -1673,6 +1697,8 @@ object TextOps {
       "string_split(text, ' ')",
       "SELECT doc_id, generate_subscripts(toks, 1) AS pos, unnest(toks) AS tok FROM d",
       "string_agg(pw.tok, ' ' ORDER BY pw.pos)"),
+
+    "q_graph_degree_dist" -> degreeDistSql,
 
     "q_graph_pagerank" -> pagerankOracleSql("VARCHAR"),
 

@@ -429,6 +429,17 @@ object WindowOps {
           |FROM a ORDER BY user_id, event_id""".stripMargin)
     }),
 
+    // Rolling 24h Pearson correlation between the click and purchase
+    // hourly rates — the co-movement monitor. Every window statistic
+    // (n, Σx, Σy, Σxy, Σx², Σy²) is an INTEGER window sum over hourly
+    // counts, so the correlation doubles are engine-identical; one
+    // hourly aggregate + one ordered window pass. Identical SQL text in
+    // both engines.
+    "q_win_rolling_corr" -> ((s, sf) => {
+      Tables.events(s, sf).createOrReplaceTempView("events")
+      s.sql(rollingCorrSql)
+    }),
+
     // Max drawdown per user over the running value total — the
     // running-extreme window pair (cumulative sum, then cumulative max of
     // that, then the max gap). Sums stay DECIMAL through both windows so
@@ -467,6 +478,25 @@ object WindowOps {
   }
 
   private val oracleTs = "CAST(date_trunc('second', ts) AS TIMESTAMP)"
+
+  /** Rolling-correlation statement — identical text in both engines. */
+  private[graft] val rollingCorrSql: String =
+    """WITH h AS (SELECT date_trunc('hour', ts) AS hr,
+      |        sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x,
+      |        sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+      |      FROM events GROUP BY date_trunc('hour', ts)),
+      |w AS (SELECT hr, x, y,
+      |        count(*) OVER win AS n,
+      |        sum(x) OVER win AS sx, sum(y) OVER win AS sy,
+      |        sum(x * y) OVER win AS sxy,
+      |        sum(x * x) OVER win AS sxx, sum(y * y) OVER win AS syy
+      |      FROM h
+      |      WINDOW win AS (ORDER BY hr ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+      |SELECT CAST(hr AS TIMESTAMP) AS hr, CAST(n AS BIGINT) AS n_hours,
+      |  round((n * sxy - sx * sy) /
+      |        nullif(sqrt((n * sxx - sx * sx) * CAST(n * syy - sy * sy AS DOUBLE)), 0.0),
+      |        6) AS corr_24h
+      |FROM w WHERE n = 24 ORDER BY hr""".stripMargin
 
   /** INTERVAL range-frame SQL, identical in both engines. */
   private val intervalRangeSql: String =
@@ -765,6 +795,8 @@ object WindowOps {
          |SELECT user_id, event_id, value,
          |  arr[(len(arr) + 1) // 2] AS med
          |FROM a ORDER BY user_id, event_id""".stripMargin,
+
+    "q_win_rolling_corr" -> rollingCorrSql,
 
     "q_win_drawdown" ->
       s"""WITH c AS (SELECT user_id, $oracleTs AS ts_s, event_id,
