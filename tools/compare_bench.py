@@ -9,17 +9,31 @@ normalized by it. Queries whose normalized ratio exceeds the threshold
 are the structural movers worth a plan audit.
 
 Usage: compare_bench.py OLD.json NEW.json [threshold=1.5]
+   or: compare_bench.py NEW.json [threshold=1.5]
+       (OLD defaults to the LOCKED baseline artifact matching NEW's
+        meta.cpus — BENCH_full_r8_baseline{4,32}.json next to this tool)
 """
 import json
+import os
 import statistics
 import sys
 
 
 def main() -> None:
-    old_f, new_f = sys.argv[1], sys.argv[2]
-    thr = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
+    args = sys.argv[1:]
+    if len(args) >= 2 and not args[1].replace(".", "").isdigit():
+        old_f, new_f = args[0], args[1]
+        thr = float(args[2]) if len(args) > 2 else 1.5
+        new_j = json.load(open(new_f))
+    else:
+        new_f = args[0]
+        thr = float(args[1]) if len(args) > 1 else 1.5
+        new_j = json.load(open(new_f))
+        cpus = (new_j.get("meta") or {}).get("cpus", 4)
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        old_f = os.path.join(root, f"BENCH_full_r8_baseline{cpus}.json")
+        print(f"(defaulting OLD to locked baseline: {old_f})")
     old_j = json.load(open(old_f))
-    new_j = json.load(open(new_f))
     old, new = old_j["queries"], new_j["queries"]
     for tag, j in (("old", old_j), ("new", new_j)):
         m = j.get("meta")
