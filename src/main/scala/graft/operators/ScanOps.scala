@@ -439,6 +439,42 @@ object ScanOps {
         .orderBy("day")
     }),
 
+    // SNAPSHOT / time travel on raw parquet — the third lake-ops leg
+    // (compact = file count, cluster = order, snapshot = VERSION): a
+    // manifest captured at v1 (eager localCheckpoint, same discipline as
+    // vacuum) lets the reader answer "the table AS OF v1" after later
+    // appends, via a distributed membership SEMI-JOIN on
+    // _metadata.file_path — no path ever crosses the driver. Real table
+    // formats push the manifest into the file index so pruning happens at
+    // planning time; the row-level membership filter here is the
+    // format-free statement of the same semantics (the upgrade path is a
+    // FileIndex, not a different query). Graded row: v1 vs current
+    // aggregates from ONE directory holding both versions' files.
+    "q_maintain_snapshot" -> ((s, sf) => {
+      val dir = rtDir(s, "graft_snap_rt", sf)
+      val snapSchema = StructType(Seq(
+        StructField("event_id", LongType), StructField("value", DoubleType),
+        StructField("day", DateType)))
+      val ev = Tables.events(s, sf)
+        .select(col("event_id"), col("value"), to_date(col("ts")).as("day"))
+      ev.filter(col("day") <= lit("2024-01-07").cast("date"))
+        .coalesce(2).write.mode("overwrite").parquet(dir)
+      def read = s.read.schema(snapSchema).parquet(dir)
+      val manifestV1 = read
+        .select(col("_metadata.file_path").as("path")).distinct()
+        .localCheckpoint(true) // v1 snapshot, captured before the append
+      ev.filter(col("day") > lit("2024-01-07").cast("date") &&
+          col("day") <= lit("2024-01-14").cast("date"))
+        .coalesce(2).write.mode("append").parquet(dir)
+      val cur = read.withColumn("__path", col("_metadata.file_path"))
+      val asOfV1 = cur.join(manifestV1, cur("__path") === manifestV1("path"), "left_semi")
+      def agg(df: DataFrame, v: String) = df.agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("value").cast(DecimalType(30, 6))).cast(DoubleType).as("sum_value"))
+        .select(lit(v).as("version"), col("n_rows"), col("sum_value"))
+      agg(asOfV1, "v1").unionAll(agg(cur, "v2")).orderBy("version")
+    }),
+
     // VACUUM — orphan-file reconciliation, the lake-ops sibling of
     // q_maintain_compact: a failed/zombie writer leaves part files no
     // manifest references, and at 100 TB they silently double-count
@@ -827,6 +863,16 @@ object ScanOps {
         |WHERE CAST(date_trunc('day', ts) AS DATE) <= DATE '2024-01-07'
         |GROUP BY 1
         |ORDER BY day""".stripMargin,
+
+    "q_maintain_snapshot" ->
+      """SELECT 'v1' AS version, count(*) AS n_rows,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+        |FROM events WHERE CAST(date_trunc('day', ts) AS DATE) <= DATE '2024-01-07'
+        |UNION ALL
+        |SELECT 'v2', count(*),
+        |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE)
+        |FROM events WHERE CAST(date_trunc('day', ts) AS DATE) <= DATE '2024-01-14'
+        |ORDER BY version""".stripMargin,
 
     "q_maintain_cluster" ->
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS n_rows,

@@ -1444,6 +1444,33 @@ class OperatorSpec extends AnyFunSuite with SparkSessionTest
     assert(df.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
   }
 
+  test("drawdown query replays naively in JVM") {
+    // independent imperative statement of the two-running-window chain:
+    // per user in (second-truncated ts, event_id) order, exact decimal
+    // running sum, running peak, max gap — must equal the SQL windows
+    val got = SparkEntry.queries("q_win_drawdown")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+    val ev = graft.Tables.events(spark, sf0001)
+      .selectExpr("user_id", "CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_s",
+        "event_id", "value")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
+    def d6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val want = ev.groupBy(_._1).toList.sortBy(_._1).map { case (u, rows) =>
+      var cum = BigDecimal(0); var peak = BigDecimal(0); var dd = BigDecimal(0)
+      var first = true
+      rows.sortBy(r => (r._2.getTime, r._3)).foreach { r =>
+        cum += d6(r._4)
+        if (first || cum > peak) peak = cum
+        first = false
+        if (peak - cum > dd) dd = peak - cum
+      }
+      (u, rows.length.toLong,
+        BigDecimal(dd.toDouble).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    assert(got == want, s"first diffs: ${got.zip(want).filter(p => p._1 != p._2).take(3)}")
+  }
+
   test("BPE merge round replays naively in JVM") {
     import scala.jdk.CollectionConverters._
     val docs = Tables.documents(spark, sf0001)

@@ -210,4 +210,60 @@ class PropertySpec extends AnyFunSuite with SparkSessionTest {
       }
     }
   }
+
+  test("largest-remainder token budget == naive apportionment on random splits") {
+    // q_pipeline_token_budget's ledger must sum to the budget EXACTLY and
+    // match Hamilton's method computed naively, for arbitrary source
+    // splits (including degenerate one-source and many-tiny-source mixes)
+    import graft.operators.PipelineOps
+    import spark.implicits._
+    val srcGen = Gen.chooseNum(1, 12).flatMap { ns =>
+      Gen.listOfN(60, Gen.chooseNum(0, ns - 1).flatMap(s =>
+        Gen.chooseNum(1, 50).map(nw => (s"src$s", nw))))
+    }
+    for (docs <- samples(srcGen, 4)) {
+      docs.zipWithIndex.map { case ((src, nw), i) =>
+        (i.toLong, (0 until nw).map(_ => "w").mkString(" "), "en", src, 1L)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .createOrReplaceTempView("documents")
+      val got = spark.sql(PipelineOps.tokenBudgetSql(
+          toklen = "size(split(text, ' '))", idiv = "DIV"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toList
+      assert(got.map(_._3).sum == 100000L, s"ledger != budget: $got")
+      // naive Hamilton: floor quotas, then +1 by remainder rank (src tiebreak)
+      val toks = docs.groupBy(_._1).view.mapValues(_.map(_._2.toLong).sum).toMap
+      val total = toks.values.sum
+      val floorQ = toks.view.mapValues(t => t * 100000L / total).toMap
+      val leftover = 100000L - floorQ.values.sum
+      val byRem = toks.toSeq
+        .sortBy { case (s, t) => (-(t * 100000L % total), s) }.map(_._1)
+      val bump = byRem.take(leftover.toInt).toSet
+      val want = toks.keys.toList.sorted.map(s =>
+        (s, toks(s), floorQ(s) + (if (bump(s)) 1L else 0L)))
+      assert(got == want, s"got=$got\nwant=$want")
+    }
+  }
+
+  test("KS statement == naive ECDF max-gap on random samples") {
+    import spark.implicits._
+    val vGen = Gen.chooseNum(0, 99999).map(_ / 100.0)
+    val evGen = Gen.listOfN(120,
+      Gen.zip(vGen, Gen.oneOf("click", "purchase", "view")))
+    for (ev <- samples(evGen, 4)) {
+      ev.zipWithIndex.map { case ((v, t), i) => (i.toLong, v, t) }
+        .toDF("event_id", "value", "event_type")
+        .createOrReplaceTempView("events")
+      val r = spark.sql(graft.operators.AggOps.ksTestSql).collect()(0)
+      val a = ev.filter(_._2 == "click").map(_._1).sorted
+      val b = ev.filter(_._2 == "purchase").map(_._1).sorted
+      val pooled = (a ++ b).distinct.sorted
+      val d = pooled.map { v =>
+        math.abs(a.count(_ <= v).toDouble / a.length -
+          b.count(_ <= v).toDouble / b.length)
+      }.max
+      assert(r.getLong(0) == a.length && r.getLong(1) == b.length)
+      assert(math.abs(r.getDouble(2) - d) < 1e-6,
+        s"ks_d ${r.getDouble(2)} vs naive $d")
+    }
+  }
 }

@@ -50,7 +50,7 @@ def main() -> None:
                    "q_maintain_compact", "q_sink_partitioned",
                    "q_ingest_orc", "q_scan_merge_schema",
                    "q_ingest_syslog_rotated", "q_maintain_vacuum",
-                   "q_maintain_cluster"}
+                   "q_maintain_cluster", "q_maintain_snapshot"}
     write_class = set((new_j.get("meta") or {}).get("write_class")
                       or (old_j.get("meta") or {}).get("write_class")
                       or wc_fallback)
