@@ -489,7 +489,7 @@ object TextOps {
     * CASE in DuckDB (its `<<` raises on 1<<63) where Java's shift wraps to
     * the same two's-complement pattern. */
   private[graft] val nearDupWideEncSpark: String =
-    s"""WITH d AS (SELECT doc_id, lang, split(text, ' ') AS toks FROM documents),
+    s"""WITH d AS (SELECT doc_id, lang, split(text, ' ') AS toks FROM ($docSampleSub)),
       |tok AS (SELECT doc_id, lang, explode(array_distinct(
       |          zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1),
       |                   (x, y) -> concat(x, ' ', y)))) AS tok FROM d),
@@ -534,7 +534,7 @@ object TextOps {
   }
 
   private[graft] val nearDupWideDuck: String =
-    """WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+    s"""WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM ($docSampleSub)),
       |tok AS (SELECT doc_id, lang, unnest(list_distinct(
       |          list_transform(list_zip(toks[1:len(toks)-1], toks[2:len(toks)]),
       |                         z -> concat(z[1], ' ', z[2])))) AS tok FROM d),
