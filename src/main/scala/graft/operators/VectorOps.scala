@@ -43,7 +43,7 @@ object VectorOps {
     * emitters — same pattern and rationale as TextOps.docSampleSub: an
     * exact cosine-threshold join over DENSE ISOTROPIC vectors is Ω(N²)
     * (measured on the sf1 sweep: cell radii ≈ 1.5 rad at 64 dims, so no
-    * metric bound separates a 2σ threshold — see pairBlockedSparkSql),
+    * metric bound separates a 2σ threshold — see pairBounded's record),
     * so the operator-level guard is a fixed-size md5-ordered subsample.
     * At the graded SFs (≤ 2000 vectors) the sample IS the whole corpus —
     * results bit-identical with the unguarded form; production-scale
@@ -150,9 +150,6 @@ object VectorOps {
        |FROM grp g JOIN rep r ON g.cid = r.cid AND r.rr = 1
        |ORDER BY cid""".stripMargin
   }
-
-  private def pairSqlSpark(tau: Double, aName: String, bName: String): String =
-    pairSql(dot, tau, aName, bName)
 
   private def pairSqlDuck(tau: Double, aName: String, bName: String): String =
     pairSql(odot, tau, aName, bName, src = embSampleSub)
