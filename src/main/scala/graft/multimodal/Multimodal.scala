@@ -258,12 +258,15 @@ object Multimodal {
 
     "q_mm_phash_dedup" -> ((s, sf) => phashDedup(s, sf)),
 
+    // mean_rms avoids float round() entirely: integer half-up rounding
+    // in micro-units — floor((2a+b)/(2b)) — then ONE division, so both
+    // engines produce the identical double (the round(double, 6) forms
+    // diverged at a 7th-decimal .5 boundary on 3 of 500 sf0.001 docs)
     "q_mm_audio_energy" -> ((s, sf) =>
       audioEnergy(s, sf)
-        .select(col("doc_id"), col("n_windows"),
-          round(col("sum_rms_q").cast("double") / 1000000.0 / col("n_windows"), 6)
-            .as("mean_rms"),
-          col("max_peak"), col("n_silent"))
+        .selectExpr("doc_id", "n_windows",
+          "((2 * sum_rms_q + n_windows) DIV (2 * n_windows)) / 1000000.0 AS mean_rms",
+          "max_peak", "n_silent")
         .orderBy("doc_id"))
   )
 
@@ -351,7 +354,7 @@ object Multimodal {
         |        peak
         |      FROM e)
         |SELECT doc_id, CAST(count(*) AS INT) AS n_windows,
-        |  round(CAST(sum(rms_q) AS DOUBLE) / 1000000.0 / count(*), 6) AS mean_rms,
+        |  ((2 * sum(rms_q) + count(*)) // (2 * count(*))) / 1000000.0 AS mean_rms,
         |  CAST(max(peak) AS INT) AS max_peak,
         |  CAST(sum(CASE WHEN rms_q < 16000000 THEN 1 ELSE 0 END) AS INT) AS n_silent
         |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin

@@ -67,6 +67,20 @@ object StreamOps {
         col("session_window.end").as("s_end"),
         col("user_id"), col("cnt"))
 
+  /** Streaming HDR-percentile state: per-hour log2-bucket value counts —
+    * the constant-size-per-window sketch q_agg_hdr_percentile reads
+    * percentiles from, maintained incrementally on the stream (bucketing
+    * is a stateless projection, so the only state is the windowed count
+    * map: O(windows × ~64 buckets) regardless of throughput). Percentile
+    * extraction is a cumulative scan over the final bucket rows. */
+  def hdrBucketCounts(events: DataFrame): DataFrame =
+    events
+      .filter(col("value") > 0)
+      .withColumn("bucket", floor(log2(col("value"))))
+      .groupBy(window(col("ts"), "1 hour"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("w_start"), col("bucket"), col("cnt"))
+
   /** Windowed counts that drop events later than 10 minutes (append mode). */
   def lateDropCounts(events: DataFrame): DataFrame =
     events

@@ -189,7 +189,8 @@ object StreamParity {
     val parities = Seq[(String, DataFrame => DataFrame)](
       ("tumbling", StreamOps.tumblingCounts),
       ("sliding", StreamOps.slidingCounts),
-      ("session", StreamOps.sessionCounts))
+      ("session", StreamOps.sessionCounts),
+      ("hdr_buckets", StreamOps.hdrBucketCounts))
       .map { case (name, t) =>
         val (st, ba) = replay(spark, sfDir, name, t)
         (name, st.length, ba.length, st == ba)
