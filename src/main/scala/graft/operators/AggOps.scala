@@ -764,6 +764,45 @@ object AggOps {
       s.sql(ksTestSql)
     }),
 
+    // Exact median inter-arrival gap per event type — the arrival-rate
+    // health metric (rate says throughput; the gap median says burstiness
+    // resilience). Gaps are exact integer seconds from the lag window;
+    // the median reuses medSelCtes' distributed bucketed selection (no
+    // per-type full sort), while the oracle states the plain window-rank
+    // median — the same equivalence contract q_agg_median proves.
+    "q_events_interarrival" -> ((s, sf) => {
+      Tables.events(s, sf).createOrReplaceTempView("events")
+      s.sql(
+        s"""WITH e AS (SELECT event_type, event_id,
+           |        CAST(unix_timestamp(CAST(date_trunc('second', ts) AS TIMESTAMP)) AS BIGINT) AS tsec
+           |      FROM events),
+           |g AS (SELECT event_type,
+           |        CAST(tsec - lag(tsec) OVER (PARTITION BY event_type
+           |          ORDER BY tsec, event_id) AS DOUBLE) AS v
+           |      FROM e),
+           |gg AS (SELECT event_type, v FROM g WHERE v IS NOT NULL),
+           |cnt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps
+           |        FROM gg GROUP BY event_type),
+           |${medSelCtes("ia", "gg")}
+           |SELECT c.event_type AS event_type, c.n_gaps,
+           |  iam.med AS median_gap_s
+           |FROM cnt c JOIN iam ON c.event_type = iam.event_type
+           |ORDER BY event_type""".stripMargin)
+    }),
+
+    // Mann–Whitney U (rank-sum) between the click and purchase value
+    // distributions — the nonparametric mean-shift test completing the
+    // A/B toolkit (t = means, KS = shape, U = stochastic dominance).
+    // Average ranks come from RANK() (min rank of the tie group) plus
+    // (tie_size − 1)/2; every rank is a multiple of 0.5, exactly
+    // representable, so the rank SUM is order-independent and
+    // engine-identical; the tie-corrected σ uses the exact integer
+    // Σ(t³−t). One pooled sort + tiny broadcast aggregates.
+    "q_agg_mannwhitney" -> ((s, sf) => {
+      Tables.events(s, sf).createOrReplaceTempView("events")
+      s.sql(mannWhitneySql)
+    }),
+
     // Pareto concentration: the smallest top-user set covering 80% of
     // per-type value mass (the 80/20 report). Cumulative and total sums
     // stay DECIMAL and the 80% test is `5*cum >= 4*tot` — integer-scaled
@@ -844,6 +883,30 @@ object AggOps {
       |  round(d.ks_d, 6) AS ks_d,
       |  round(d.ks_d * sqrt(n.na * n.nb / (n.na + n.nb)), 6) AS ks_stat
       |FROM d CROSS JOIN n""".stripMargin
+
+  /** Mann–Whitney statement — identical text runs in both engines. */
+  private[graft] val mannWhitneySql: String =
+    """WITH p AS (SELECT value, event_type
+      |           FROM events WHERE event_type IN ('click', 'purchase')),
+      |r AS (SELECT value, event_type,
+      |        rank() OVER (ORDER BY value)
+      |          + (count(*) OVER (PARTITION BY value) - 1) / 2.0 AS ar
+      |      FROM p),
+      |n AS (SELECT
+      |        CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS DOUBLE) AS na,
+      |        CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS DOUBLE) AS nb
+      |      FROM p),
+      |ra AS (SELECT sum(CASE WHEN event_type = 'click' THEN ar ELSE 0.0 END) AS rsum
+      |       FROM r),
+      |tc AS (SELECT CAST(sum(c * c * c - c) AS DOUBLE) AS tsum
+      |       FROM (SELECT count(*) AS c FROM p GROUP BY value) t)
+      |SELECT CAST(n.na AS BIGINT) AS n_click, CAST(n.nb AS BIGINT) AS n_purchase,
+      |  ra.rsum - n.na * (n.na + 1) / 2 AS u_stat,
+      |  round((ra.rsum - n.na * (n.na + 1) / 2 - n.na * n.nb / 2) /
+      |        nullif(sqrt(n.na * n.nb / 12 *
+      |          ((n.na + n.nb + 1) - tc.tsum / ((n.na + n.nb) * (n.na + n.nb - 1)))),
+      |          0.0), 6) AS z
+      |FROM n CROSS JOIN ra CROSS JOIN tc""".stripMargin
 
   /** Pareto statement — identical text runs in both engines. */
   private[graft] val paretoSql: String =
@@ -1436,6 +1499,26 @@ object AggOps {
     "q_report_top_movers" -> topMoversSql,
 
     "q_agg_ks_test" -> ksTestSql,
+
+    "q_agg_mannwhitney" -> mannWhitneySql,
+
+    "q_events_interarrival" ->
+      """WITH e AS (SELECT event_type, event_id,
+        |        CAST(epoch(CAST(date_trunc('second', ts) AS TIMESTAMP)) AS BIGINT) AS tsec
+        |      FROM events),
+        |g AS (SELECT event_type,
+        |        CAST(tsec - lag(tsec) OVER (PARTITION BY event_type
+        |          ORDER BY tsec, event_id) AS DOUBLE) AS v
+        |      FROM e),
+        |gg AS (SELECT event_type, v FROM g WHERE v IS NOT NULL),
+        |m AS (SELECT event_type, v,
+        |        row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+        |        count(*) OVER (PARTITION BY event_type) AS n
+        |      FROM gg)
+        |SELECT event_type, CAST(max(n) AS BIGINT) AS n_gaps,
+        |  max(CASE WHEN rn = (n + 1) // 2 THEN v END) AS median_gap_s
+        |FROM m GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     "q_report_pareto" -> paretoSql
   )

@@ -38,6 +38,32 @@ object TextOps {
       |    acc + (CASE WHEN substring(md5(t), j, 1) IN ('8','9','a','b','c','d','e','f')
       |           THEN 1 ELSE -1 END)) >= 0 THEN '1' ELSE '0' END))""".stripMargin
 
+  /** Exact 16-position Hamming distance between two bit strings. */
+  private def hamming16(a: String, b: String): String =
+    (1 to 16).map(j =>
+      s"CASE WHEN substring($a, $j, 1) <> substring($b, $j, 1) THEN 1 ELSE 0 END")
+      .mkString("(", " + ", ")")
+
+  /** Simhash-adjacency statement; `bexplode` is the engine's 2-row
+    * band-index generator spelling. */
+  private def simhashPairsSql(simhash: String, mkToks: String,
+                              bexplode: String): String =
+    s"""WITH d AS (SELECT doc_id, $mkToks AS toks FROM documents),
+       |h AS (SELECT doc_id, $simhash AS sh FROM d),
+       |u AS (SELECT sh, count(*) AS n_docs FROM h GROUP BY sh),
+       |b AS (SELECT sh, n_docs, b_i,
+       |        CASE WHEN b_i = 0 THEN substring(sh, 1, 8)
+       |             ELSE substring(sh, 9, 8) END AS bv
+       |      FROM u $bexplode),
+       |cand AS (SELECT DISTINCT a.sh AS h1, a.n_docs AS n1,
+       |           c.sh AS h2, c.n_docs AS n2
+       |         FROM b a JOIN b c
+       |           ON a.b_i = c.b_i AND a.bv = c.bv AND a.sh < c.sh)
+       |SELECT h1, h2, n1, n2, ${hamming16("h1", "h2")} AS dist
+       |FROM cand
+       |WHERE ${hamming16("h1", "h2")} <= 1
+       |ORDER BY h1, h2""".stripMargin
+
   /** Shared SQL skeleton for the bitmap Jaccard join; `tokTable` yields
     * (doc_id, lang, tok) with per-doc-distinct tokens, `shift` is the
     * engine's bit-shift spelling with a %d word-offset slot, and `probe`
@@ -899,6 +925,20 @@ object TextOps {
       s.sql(
         s"""SELECT doc_id, $simhashSpark AS simhash16
            |FROM d ORDER BY doc_id""".stripMargin)
+    }),
+
+    // Simhash ADJACENCY pairs: which 16-bit fingerprints sit within
+    // Hamming distance 1 of each other — the grouping step that turns
+    // per-doc simhashes (q_dedup_simhash) into near-dup clusters. The
+    // pair join runs over DISTINCT hashes (domain-bounded at 2^16
+    // however large the corpus) via the pigeonhole 2-band split: d ≤ 1
+    // means at least one 8-bit half is equal, so candidates come from
+    // two equi-joins on the halves, never an all-pairs scan; the exact
+    // Hamming sum is the post-filter. Identical shape in the oracle.
+    "q_dedup_simhash_pairs" -> ((s, sf) => {
+      Tables.documents(s, sf).createOrReplaceTempView("documents")
+      s.sql(simhashPairsSql(simhashSpark, "split(text, ' ')",
+        "LATERAL VIEW explode(array(0, 1)) bx AS b_i"))
     }),
 
     // Exact token-set Jaccard as a *bitmap* set-similarity join: tokens are
@@ -1809,6 +1849,9 @@ object TextOps {
       s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
          |SELECT doc_id, $simhashDuck AS simhash16
          |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_simhash_pairs" -> simhashPairsSql(simhashDuck,
+      "string_split(text, ' ')", ", (SELECT unnest([0, 1]) AS b_i) bx"),
 
     "q_dedup_unicode_norm" ->
       """WITH k AS (SELECT doc_id, lang,
