@@ -15,6 +15,8 @@ import org.apache.spark.sql.functions._
   *       runMain graft.Search <sfDir> --keyword timeout \
   *         [--table events|documents] [--from 2024-01-03T00:00:00] \
   *         [--to 2024-01-05T00:00:00] [--limit 20]
+  *     (--from/--to are events-only; documents has no timestamp column
+  *      and the CLI rejects the combination with a usage error)
   *
   * Scale notes: keyword mode compiles to a plain filter over the scan —
   * `ts` bounds push down to parquet row-group stats and the contains()
@@ -37,13 +39,18 @@ object Search {
   }
 
   /** Keyword search over `events` (matches event_type/props, time-bounded
-    * on ts) or `documents` (matches text). Case-insensitive contains. */
+    * on ts) or `documents` (matches text). Case-insensitive contains.
+    * `documents` has no timestamp column, so a from/to bound there is a
+    * usage error — rejected loudly rather than silently ignored. */
   def keywordSearch(s: SparkSession, sf: String, keyword: String,
                     table: String = "events",
                     from: Option[String] = None, to: Option[String] = None,
                     limit: Int = 20): DataFrame = {
     val kw = lower(lit(keyword))
     table match {
+      case "documents" if from.nonEmpty || to.nonEmpty =>
+        sys.error("--from/--to apply only to --table events " +
+          "(documents has no timestamp column)")
       case "documents" =>
         Tables.documents(s, sf)
           .filter(lower(col("text")).contains(kw))

@@ -258,14 +258,21 @@ object Multimodal {
 
     "q_mm_phash_dedup" -> ((s, sf) => phashDedup(s, sf)),
 
-    // mean_rms avoids float round() entirely: integer half-up rounding
-    // in micro-units — floor((2a+b)/(2b)) — then ONE division, so both
-    // engines produce the identical double (the round(double, 6) forms
-    // diverged at a 7th-decimal .5 boundary on 3 of 500 sf0.001 docs)
+    // mean_rms_micro is the half-up-rounded window-mean RMS in EXACT
+    // integer micro-units — floor((2a+b)/(2b)) — with no trailing float
+    // division at all. The earlier `/1000000.0 AS mean_rms` double form
+    // passed value-exact locally but hash-failed a driver capture whose
+    // compare layer (or DuckDB build) formatted the double differently;
+    // an integer column is immune to any engine's float formatting.
+    // The n_windows > 0 guard covers zero-length payloads: DuckDB's
+    // range(0,0) drops the doc, and Spark ANSI would otherwise throw
+    // DIVIDE_BY_ZERO — filtering keeps row sets identical and the
+    // division total.
     "q_mm_audio_energy" -> ((s, sf) =>
       audioEnergy(s, sf)
+        .filter(col("n_windows") > 0)
         .selectExpr("doc_id", "n_windows",
-          "((2 * sum_rms_q + n_windows) DIV (2 * n_windows)) / 1000000.0 AS mean_rms",
+          "(2 * sum_rms_q + n_windows) DIV (2 * n_windows) AS mean_rms_micro",
           "max_peak", "n_silent")
         .orderBy("doc_id"))
   )
@@ -354,9 +361,9 @@ object Multimodal {
         |        peak
         |      FROM e)
         |SELECT doc_id, CAST(count(*) AS INT) AS n_windows,
-        |  ((2 * sum(rms_q) + count(*)) // (2 * count(*))) / 1000000.0 AS mean_rms,
+        |  CAST((2 * sum(rms_q) + count(*)) // (2 * count(*)) AS BIGINT) AS mean_rms_micro,
         |  CAST(max(peak) AS INT) AS max_peak,
         |  CAST(sum(CASE WHEN rms_q < 16000000 THEN 1 ELSE 0 END) AS INT) AS n_silent
-        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM r GROUP BY doc_id HAVING count(*) > 0 ORDER BY doc_id""".stripMargin
   )
 }

@@ -930,10 +930,10 @@ object AggOps {
 
   /** Benford statement — identical text runs in both engines. */
   private[graft] val benfordSql: String =
-    """WITH d AS (SELECT CAST(regexp_extract(CAST(value AS STRING),
+    """WITH d AS (SELECT TRY_CAST(regexp_extract(CAST(value AS STRING),
       |                        '([1-9])', 1) AS INT) AS fd
       |           FROM events WHERE value > 0),
-      |c AS (SELECT fd, count(*) AS n FROM d GROUP BY fd),
+      |c AS (SELECT fd, count(*) AS n FROM d WHERE fd IS NOT NULL GROUP BY fd),
       |t AS (SELECT CAST(sum(n) AS DOUBLE) AS tot FROM c)
       |SELECT fd, n,
       |  round(CAST(n AS DOUBLE) / tot, 6) AS share,

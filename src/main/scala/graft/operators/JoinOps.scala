@@ -297,7 +297,7 @@ object JoinOps {
     }),
 
     // As-of with a TOLERANCE bound — the feature-store variant ("latest
-    // feature value, but never staler than 30 days"): same max(struct)
+    // feature value, but never staler than 7 days"): same max(struct)
     // shape as q_join_asof with a lower time bound on the join, which
     // ALSO caps the join fan-in per probe (the staleness window is a
     // state-size bound at scale, exactly like a stream-stream join

@@ -430,11 +430,16 @@ object WindowOps {
     }),
 
     // Rolling 24h Pearson correlation between the click and purchase
-    // hourly rates — the co-movement monitor. Every window statistic
+    // hourly rates — the co-movement monitor. The hourly series is
+    // DENSIFIED onto a full calendar-hour spine (zero-activity hours
+    // become x=0,y=0 rows) so the ROWS 23 PRECEDING frame really spans
+    // 24 calendar hours on gappy data — without the spine the frame
+    // silently stretched over inactive gaps. Every window statistic
     // (n, Σx, Σy, Σxy, Σx², Σy²) is an INTEGER window sum over hourly
-    // counts, so the correlation doubles are engine-identical; one
-    // hourly aggregate + one ordered window pass. Identical SQL text in
-    // both engines.
+    // counts, so the correlation doubles are engine-identical; the SQL
+    // differs between engines ONLY in the spine generator (Spark
+    // explode(sequence(...)), DuckDB unnest(generate_series(...))) —
+    // everything else is the same text, and the gate proves equivalence.
     "q_win_rolling_corr" -> ((s, sf) => {
       Tables.events(s, sf).createOrReplaceTempView("events")
       s.sql(rollingCorrSql)
@@ -480,23 +485,37 @@ object WindowOps {
   private val oracleTs = "CAST(date_trunc('second', ts) AS TIMESTAMP)"
 
   /** Rolling-correlation statement — identical text in both engines. */
-  private[graft] val rollingCorrSql: String =
-    """WITH h AS (SELECT date_trunc('hour', ts) AS hr,
-      |        sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x,
-      |        sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
-      |      FROM events GROUP BY date_trunc('hour', ts)),
-      |w AS (SELECT hr, x, y,
-      |        count(*) OVER win AS n,
-      |        sum(x) OVER win AS sx, sum(y) OVER win AS sy,
-      |        sum(x * y) OVER win AS sxy,
-      |        sum(x * x) OVER win AS sxx, sum(y * y) OVER win AS syy
-      |      FROM h
-      |      WINDOW win AS (ORDER BY hr ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
-      |SELECT CAST(hr AS TIMESTAMP) AS hr, CAST(n AS BIGINT) AS n_hours,
-      |  round((n * sxy - sx * sy) /
-      |        nullif(sqrt((n * sxx - sx * sx) * CAST(n * syy - sy * sy AS DOUBLE)), 0.0),
-      |        6) AS corr_24h
-      |FROM w WHERE n = 24 ORDER BY hr""".stripMargin
+  /** Rolling-correlation statement, parameterized ONLY on the hour-spine
+    * generator (the one construct with no shared spelling across
+    * engines). Zero-activity hours join as x=0,y=0 so the 24-row frame
+    * is 24 calendar hours even on gappy series. */
+  private def rollingCorrSqlWith(spine: String): String =
+    s"""WITH h AS (SELECT date_trunc('hour', ts) AS hr,
+       |        sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x,
+       |        sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+       |      FROM events GROUP BY date_trunc('hour', ts)),
+       |b AS (SELECT min(hr) AS mn, max(hr) AS mx FROM h),
+       |spine AS ($spine),
+       |hd AS (SELECT s.hr, coalesce(h.x, 0) AS x, coalesce(h.y, 0) AS y
+       |       FROM spine s LEFT JOIN h ON s.hr = h.hr),
+       |w AS (SELECT hr, x, y,
+       |        count(*) OVER win AS n,
+       |        sum(x) OVER win AS sx, sum(y) OVER win AS sy,
+       |        sum(x * y) OVER win AS sxy,
+       |        sum(x * x) OVER win AS sxx, sum(y * y) OVER win AS syy
+       |      FROM hd
+       |      WINDOW win AS (ORDER BY hr ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+       |SELECT CAST(hr AS TIMESTAMP) AS hr, CAST(n AS BIGINT) AS n_hours,
+       |  round((n * sxy - sx * sy) /
+       |        nullif(sqrt((n * sxx - sx * sx) * CAST(n * syy - sy * sy AS DOUBLE)), 0.0),
+       |        6) AS corr_24h
+       |FROM w WHERE n = 24 ORDER BY hr""".stripMargin
+
+  private[graft] val rollingCorrSql: String = rollingCorrSqlWith(
+    "SELECT explode(sequence(mn, mx, interval 1 hour)) AS hr FROM b")
+
+  private[graft] val rollingCorrOracleSql: String = rollingCorrSqlWith(
+    "SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hr FROM b")
 
   /** INTERVAL range-frame SQL, identical in both engines. */
   private val intervalRangeSql: String =
@@ -796,7 +815,7 @@ object WindowOps {
          |  arr[(len(arr) + 1) // 2] AS med
          |FROM a ORDER BY user_id, event_id""".stripMargin,
 
-    "q_win_rolling_corr" -> rollingCorrSql,
+    "q_win_rolling_corr" -> rollingCorrOracleSql,
 
     "q_win_drawdown" ->
       s"""WITH c AS (SELECT user_id, $oracleTs AS ts_s, event_id,
