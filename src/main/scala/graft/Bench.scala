@@ -77,14 +77,28 @@ object Bench {
     val loadStart = load1
     val (stealStart, totalStart) = cpuJiffies
     val probe = scala.collection.mutable.LinkedHashMap[String, (Double, Double, Double)]()
+    val reps = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
+    // Best-of-2 per query: the last two driver captures were both noised by
+    // a contiguous host scheduling stall in the run's tail (round-7 verdict,
+    // attribution from the probe data). A stall window can inflate ONE rep
+    // of a query, but not both reps independently — taking the per-query
+    // min makes a contiguous stall unable to fabricate structural movers,
+    // for ~1× extra wall on an already-warm JVM. Both reps land in the file
+    // artifact so the delta itself is evidence of in-run noise.
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val (t1, g1, d1) = (probeTaskMs.get, probeGcMs.get, drvGcMs)
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val sec = (System.nanoTime() - t0) / 1e9
-      probe(name) = ((probeTaskMs.get - t1) / 1e3, (probeGcMs.get - g1) / 1e3,
-        (drvGcMs - d1) / 1e3)
-      name -> sec
+      def rep(): (Double, (Double, Double, Double)) = {
+        val (t1, g1, d1) = (probeTaskMs.get, probeGcMs.get, drvGcMs)
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val sec = (System.nanoTime() - t0) / 1e9
+        (sec, ((probeTaskMs.get - t1) / 1e3, (probeGcMs.get - g1) / 1e3,
+          (drvGcMs - d1) / 1e3))
+      }
+      val (s1, p1) = rep()
+      val (s2, p2) = rep()
+      reps(name) = (s1, s2)
+      probe(name) = if (s1 <= s2) p1 else p2
+      name -> math.min(s1, s2)
     }
     val tsEnd = java.time.Instant.now().toString
     val loadEnd = load1
@@ -128,7 +142,11 @@ object Bench {
       "\"" + k + "\":{\"task\":" + f(t) + ",\"gc\":" + f(g) +
         ",\"dgc\":" + f(d) + "}"
     }.mkString("{", ",", "}")
-    val fileLine = line.dropRight(1) + s""","probe":$probeJson}"""
+    val repsJson = reps.map { case (k, (a, b)) =>
+      "\"" + k + "\":[" + f(a) + "," + f(b) + "]"
+    }.mkString("{", ",", "}")
+    val fileLine = line.dropRight(1) +
+      s""","probe":$probeJson,"reps":$repsJson}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (fileLine + "\n").getBytes("UTF-8"))

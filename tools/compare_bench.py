@@ -66,6 +66,20 @@ def main() -> None:
         n = sum(new[k] for k in wc_shared)
         print(f"write-class ({len(wc_shared)} shared): {o:.1f}s -> {n:.1f}s  "
               + ", ".join(f"{k}={old[k]:.2f}->{new[k]:.2f}" for k in wc_shared))
+    # Best-of-2 artifacts carry both reps; queries[k] is already the min.
+    # A large rep spread is direct evidence of in-run interference — report
+    # it so a noisy capture indicts itself instead of the plan.
+    nreps = new_j.get("reps")
+    if nreps:
+        noisy = sorted(((max(v) / max(min(v), 1e-4), k)
+                        for k, v in nreps.items() if max(v) >= 0.3),
+                       reverse=True)
+        bad = [(r, k) for r, k in noisy if r >= 1.5]
+        print(f"rep spread: {len(bad)}/{len(nreps)} queries with "
+              f"max/min >= 1.5x" +
+              ("  worst: " + ", ".join(
+                  f"{k}={nreps[k][0]:.2f}/{nreps[k][1]:.2f}"
+                  for _, k in bad[:5]) if bad else ""))
     added = sorted((k for k in new if k not in old), key=lambda k: -new[k])
     removed = [k for k in old if k not in new]
     if added:
