@@ -1186,96 +1186,104 @@ object TextOps {
     }),
 
     // Transitive duplicate CLUSTERS over the LSH candidate pairs: connected
-    // components by distributed min-label propagation. Pairwise near-dup
-    // output (q_dedup_lsh_bands) under-collapses at corpus scale — A~B and
-    // B~C must fold into ONE cluster even when A~C was never a candidate
-    // pair — and "keep one doc per component" is the operator a training
-    // pipeline actually runs. Each round is one co-partitioned hash join
-    // (edges ⋈ labels on doc_id) + one map-side-combinable min aggregate;
-    // rounds = graph diameter (LSH candidate components are near-cliques,
-    // so a handful; at 100 TB you would bound rounds to O(log n) with the
-    // large-star/small-star contraction — same per-round plan shape).
-    // Convergence is checked with a `min only ever decreases` count, so the
-    // fixpoint — hence the output — is iteration-order-independent and
-    // exactly reproducible; the oracle states the same fixpoint as a
-    // DuckDB recursive CTE (min over the reachable set).
+    // components by alternating LARGE-STAR / SMALL-STAR contraction (the
+    // MapReduce-CC formulation: per round, every node rewires its larger
+    // (then smaller) neighbors to the minimum of its neighborhood).
+    // Pairwise near-dup output (q_dedup_lsh_bands) under-collapses at
+    // corpus scale — A~B and B~C must fold into ONE cluster even when A~C
+    // was never a candidate pair — and "keep one doc per component" is the
+    // operator a training pipeline actually runs.
+    //
+    // Why star-contraction over the earlier min-label propagation with
+    // pointer halving (round-7 directive): propagation moves labels one
+    // graph hop per round (halving compressed that to 6 rounds at sf0.1);
+    // star contraction rewires the EDGES themselves, so every node already
+    // adjacent to a well-labeled node snaps to the component root in one
+    // round — measured 3 rounds at sf0.1 on the same graph (diameter-14
+    // chains), each round one fused job. Per round both half-steps are
+    // lazy; the only action is the convergence aggregate, and
+    // localCheckpoint truncates lineage exactly as before.
+    //
+    // Convergence stop is PROVABLE, same style as the old loop: with
+    // L(x) = least(x, min-neighbor(x)), every rewire replaces a neighbor
+    // by something ≤ it, so ΣL is non-increasing; and while any node x is
+    // not yet adjacent to its component root r, some edge joins the
+    // r-adjacent set to the rest, and whichever orientation it has, the
+    // large-star (y>x) or small-star (y≤x) half-step emits (x, r) — so a
+    // full LS+SS round strictly decreases ΣL until every node is adjacent
+    // to its root. ΣL unchanged over a full round therefore certifies
+    // L = root for all nodes, and the fixpoint is iteration-order-
+    // independent; the oracle states the same fixpoint as a DuckDB
+    // recursive CTE (min over the reachable set).
     "q_dedup_clusters" -> ((s, sf) => {
       Tables.documentsPar(s, sf).createOrReplaceTempView("documents")
       val pairs = s.sql(
         s"""$lshBandPairsCtesSpark
           |SELECT doc_id, doc_id_b FROM pairs""".stripMargin)
-      val edges = pairs.select(col("doc_id").as("src"), col("doc_id_b").as("dst"))
-        .union(pairs.select(col("doc_id_b").as("src"), col("doc_id").as("dst")))
-        .persist()
-      // localCheckpoint (not persist): each round references the previous
-      // labels several times, so the logical plan multiplies per round —
-      // persist caches execution but does NOT truncate lineage, and the
-      // tree goes exponential (measured: driver spins/OOMs stringifying
-      // it). localCheckpoint materializes AND truncates to a LogicalRDD,
-      // the standard lineage break for iterative DataFrame algorithms (on a
-      // real cluster you'd use reliable checkpoint() for fault tolerance).
-      //
-      // Round-3 cut: with identity start labels the first propagation is
-      // just min(self, min(neighbor)) — a single no-join aggregate over the
-      // symmetric edge list left-joined back to the corpus — so round 1
-      // folds into initialization (one fewer join round). Measured
-      // NON-wins recorded for honesty: (a) double pointer-halving per
-      // round only cut rounds 7→6 while adding a shuffle to every round
-      // (net +4.5 s) — the per-round bottleneck is label travel along
-      // GRAPH edges, not pointer-tree depth, so extra halving is wasted
-      // past the first; (b) iterating only edge-incident vertices shrank
-      // loop data but forced an extra corpus re-join in the finale —
-      // stage-floor-bound loss on this box. Both reverted.
       def dbg(m: String): Unit =
         if (sys.env.contains("GRAFT_CC_DEBUG")) System.err.println(s"CCPHASE $m t=${System.nanoTime()}")
       dbg("start")
-      val nbrMin = edges.groupBy(col("src"))
-        .agg(least(min(col("dst")), col("src")).as("label"))
-        .select(col("src").as("doc_id"), col("label"))
-      var labels = Tables.documents(s, sf).select(col("doc_id"))
-        .join(nbrMin, Seq("doc_id"), "left")
-        .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("label"))
+      // canonical undirected edges oriented (u > v); eager checkpoint —
+      // round 1 reads them twice (aggregate + join probe) and the LSH CTE
+      // is the expensive part of the plan
+      var edges = pairs.select(
+          greatest(col("doc_id"), col("doc_id_b")).as("u"),
+          least(col("doc_id"), col("doc_id_b")).as("v"))
         .localCheckpoint()
       dbg("init-ckpt")
-      // Convergence check without a round-over-round self-join: labels only
-      // ever decrease, so Σlabel (exact decimal — no long overflow at any
-      // scale) strictly decreases every non-fixpoint round. One tiny
-      // aggregate action per round, and no ambiguous-self-join hazard.
-      // (coalesce-to-0 covers the empty candidate graph: sum(∅) is NULL.)
-      def tot(df: DataFrame): java.math.BigDecimal = {
-        val d = df.agg(sum(col("label").cast(DecimalType(38, 0)))).head().getDecimal(0)
+      def sym(e: DataFrame): DataFrame =
+        e.select(col("u").as("x"), col("v").as("y"))
+          .union(e.select(col("v").as("x"), col("u").as("y")))
+      // ΣL over edge-incident nodes (exact decimal — no long overflow at
+      // any scale); isolated docs never enter the loop and join back in
+      // the finale. (coalesce-to-0 covers the empty candidate graph.)
+      def labelSum(e: DataFrame): java.math.BigDecimal = {
+        val d = sym(e).groupBy("x").agg(min(col("y")).as("mn"))
+          .agg(sum(least(col("x"), col("mn")).cast(DecimalType(38, 0))))
+          .head().getDecimal(0)
         if (d == null) java.math.BigDecimal.ZERO else d
       }
-      var prev = tot(labels)
+      var prev: java.math.BigDecimal = null
       var converged = false
       var iter = 0
       while (!converged && iter < 50) {
-        val msgs = edges.join(labels, edges("src") === labels("doc_id"))
-          .select(edges("dst").as("doc_id"), labels("label"))
-        val prop = labels.select("doc_id", "label").union(msgs)
-          .groupBy("doc_id").agg(min("label").as("label"))
-        // pointer halving: follow one label→label hop (every label IS a
-        // doc_id, so the self-join is total). Plain one-hop propagation
-        // needs diameter rounds — measured 14 at sf0.1 — while halving
-        // compresses paths every round, giving O(log d) rounds (measured 6
-        // with the folded-init round).
-        val par = prop.select(col("doc_id").as("p_id"), col("label").as("p_lab"))
+        // large-star: for every node x with m = min(N(x) ∪ {x}), rewire
+        // each larger neighbor y > x to (y, m). The groupBy and the join
+        // probe share one exchange of sym(edges) on x (ReuseExchange).
+        val s1 = sym(edges)
+        val m1 = s1.groupBy("x").agg(min(col("y")).as("mn"))
+          .select(col("x").as("mx"), least(col("x"), col("mn")).as("m"))
+        val ls = s1.join(m1, s1("x") === m1("mx"))
+          .where(col("y") > col("x"))
+          .select(col("y").as("u"), col("m").as("v"))
+        // ls is strictly (u > v): m ≤ x < y. small-star: every node u
+        // rewires its smaller neighbors (all of them, post-LS) to
+        // m2 = min(N≤(u)) — emit (v, m2) for v ≠ m2 plus the (u, m2) spine.
+        val m2 = ls.groupBy("u").agg(min(col("v")).as("m2"))
+        val ssPairs = ls.join(m2, "u")
+          .where(col("v") =!= col("m2"))
+          .select(col("v").as("u"), col("m2").as("v"))
+        val ssSelf = m2.select(col("u"), col("m2").as("v"))
         // lazy checkpoint: the convergence aggregate below is the action
-        // that materializes it, so each round is ONE job, not two.
-        val next = prop.join(par, prop("label") === par("p_id"))
-          .select(prop("doc_id"), least(col("p_lab"), prop("label")).as("label"))
-          .localCheckpoint(eager = false)
-        val cur = tot(next)
-        labels = next
-        converged = cur.compareTo(prev) == 0
+        // that materializes the round, so each round is ONE job.
+        val next = ssPairs.union(ssSelf).localCheckpoint(eager = false)
+        val cur = labelSum(next)
+        edges = next
+        converged = prev != null && cur.compareTo(prev) == 0
         prev = cur
         iter += 1
         if (sys.env.contains("GRAFT_CC_DEBUG")) System.err.println(s"CCROUND $iter sum=$cur t=${System.nanoTime()}")
       }
-      edges.unpersist()
       dbg("loop-done")
+      // final labels: every edge-incident node is adjacent to its root
+      // (certified by the stop condition); isolated docs label themselves
+      val lab = sym(edges).groupBy("x").agg(min(col("y")).as("mn"))
+        .select(col("x").as("doc_id"), least(col("x"), col("mn")).as("label"))
+      val labels = Tables.documents(s, sf).select(col("doc_id"))
+        .join(lab, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("label"))
       val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
-      // the returned plan reads the final checkpointed labels; intermediate
+      // the returned plan reads the final checkpointed edges; intermediate
       // rounds' blocks are reclaimed by the ContextCleaner as their
       // DataFrames go out of scope.
       labels.join(sizes, "label")
