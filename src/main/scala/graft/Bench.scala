@@ -122,7 +122,8 @@ object Bench {
     // report them as their own class instead of as phantom movers.
     val writeClass = Seq("q_join_bucketed", "q_mm_ingest_binary",
       "q_part_dpp", "q_maintain_compact", "q_maintain_vacuum",
-      "q_maintain_cluster", "q_maintain_snapshot", "q_sink_partitioned",
+      "q_maintain_cluster", "q_maintain_cluster_z", "q_maintain_snapshot",
+      "q_sink_partitioned",
       "q_ingest_orc", "q_scan_merge_schema", "q_ingest_syslog_rotated")
       .filter(SparkEntry.queries.contains)
     val xmxGb = Runtime.getRuntime.maxMemory / (1 << 30)

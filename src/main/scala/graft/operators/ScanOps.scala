@@ -439,6 +439,68 @@ object ScanOps {
         .orderBy("day")
     }),
 
+    // MULTI-COLUMN (Z-order) clustering — the layout rung above
+    // single-key clustering: interleaving the bits of two rank-quantized
+    // keys gives a sort order in which every run of rows is narrow in
+    // BOTH dimensions, so parquet min/max stats skip row groups for a
+    // selective predicate on EITHER column (single-key layouts skip only
+    // on their one key; ZOrderLayoutSpec proves the either-column claim
+    // with scan metrics). Quantization bounds come from one tiny
+    // min/max aggregate — a 4-value driver handoff, the same
+    // bounded-stats pattern as the DPP threshold; real lake formats read
+    // them from table stats. Everything else is a plain
+    // range-partition + in-partition sort on the computed key: fully
+    // scan-parallel, one shuffle, no driver data path — at 100 TB this
+    // is the maintenance job that runs between partition pruning and
+    // page-index skipping. Graded rows: one selective aggregate per
+    // dimension answered FROM the z-layout; the oracle answers from the
+    // raw table.
+    "q_maintain_cluster_z" -> ((s, sf) => {
+      val dir = rtDir(s, "graft_zclu_rt", sf)
+      val zSchema = StructType(Seq(
+        StructField("event_id", LongType), StructField("user_id", LongType),
+        StructField("value", DoubleType), StructField("day", DateType)))
+      val ev = Tables.events(s, sf)
+        .select(col("event_id"), col("user_id"), col("value"),
+          to_date(col("ts")).as("day"))
+      val Array(stats) = ev.agg(
+        min("value").as("vlo"), max("value").as("vhi"),
+        min("user_id").as("ulo"), max("user_id").as("uhi")).collect()
+      // empty/single-row corpus → degenerate bounds → constant key (no
+      // interleave needed, and nothing to skip anyway)
+      val (vlo, vhi) =
+        if (stats.isNullAt(0)) (0.0, 0.0) else (stats.getDouble(0), stats.getDouble(1))
+      val (ulo, uhi) =
+        if (stats.isNullAt(2)) (0.0, 0.0)
+        else (stats.getLong(2).toDouble, stats.getLong(3).toDouble)
+      def bucket8(c: org.apache.spark.sql.Column, lo: Double, hi: Double) =
+        if (hi > lo)
+          least(lit(255), greatest(lit(0),
+            floor((c.cast(DoubleType) - lit(lo)) / lit(hi - lo) * 256))).cast(IntegerType)
+        else lit(0)
+      val bx = bucket8(col("value"), vlo, vhi)
+      val by = bucket8(col("user_id"), ulo, uhi)
+      val z = (0 until 8).map { i =>
+        shiftleft(shiftright(bx, i).bitwiseAND(lit(1)), 2 * i + 1)
+          .bitwiseOR(shiftleft(shiftright(by, i).bitwiseAND(lit(1)), 2 * i))
+      }.reduce(_ bitwiseOR _)
+      ev.withColumn("__z", z)
+        .repartitionByRange(8, col("__z"))
+        .sortWithinPartitions("__z", "event_id")
+        .drop("__z")
+        .write.mode("overwrite")
+        .option("parquet.block.size", 64 * 1024)
+        .parquet(dir)
+      val clu = s.read.schema(zSchema).parquet(dir)
+      def slice(df: DataFrame, tag: String) = df.agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("value").cast(DecimalType(30, 6))).cast(DoubleType).as("sum_value"))
+        .select(lit(tag).as("pred"), col("n_rows"), col("sum_value"))
+      slice(clu.filter(col("user_id") >= 100 && col("user_id") < 120), "user_slice")
+        .unionAll(slice(clu.filter(col("value") >= 1.0 && col("value") < 1.5), "value_slice"))
+        .orderBy("pred")
+    }),
+
     // SNAPSHOT / time travel on raw parquet — the third lake-ops leg
     // (compact = file count, cluster = order, snapshot = VERSION): a
     // manifest captured at v1 (eager localCheckpoint, same discipline as
@@ -881,6 +943,16 @@ object ScanOps {
         |WHERE value >= 1.0 AND value < 1.5
         |GROUP BY 1
         |ORDER BY day""".stripMargin,
+
+    "q_maintain_cluster_z" ->
+      """SELECT 'user_slice' AS pred, count(*) AS n_rows,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+        |FROM events WHERE user_id >= 100 AND user_id < 120
+        |UNION ALL
+        |SELECT 'value_slice', count(*),
+        |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE)
+        |FROM events WHERE value >= 1.0 AND value < 1.5
+        |ORDER BY pred""".stripMargin,
 
     "q_part_dpp" ->
       """WITH e AS (SELECT event_type, value, CAST(date_trunc('day', ts) AS DATE) AS day
