@@ -17,6 +17,10 @@ import org.apache.spark.sql.functions._
   *         [--to 2024-01-05T00:00:00] [--limit 20]
   *     (--from/--to are events-only; documents has no timestamp column
   *      and the CLI rejects the combination with a usage error)
+  *   - live serving table: add `--serving <dir>` to register a
+  *     `daily_counts` view over a stream-maintained serving table
+  *     (StreamOps.liveServingLoop) for SQL mode — the search half of the
+  *     ingest→serve→search loop.
   *
   * Scale notes: keyword mode compiles to a plain filter over the scan —
   * `ts` bounds push down to parquet row-group stats and the contains()
@@ -37,6 +41,14 @@ object Search {
       "embeddings" -> Tables.embeddings, "events" -> Tables.events)
     loaders.foreach { case (n, l) => l(s, sf).createOrReplaceTempView(n) }
   }
+
+  /** Register a LIVE serving table (a parquet directory incrementally
+    * upserted by `StreamOps.maintainDailyCounts` / `liveServingLoop`) as
+    * the `daily_counts` view, so SQL mode can query the stream's
+    * consolidated state while the stream is still running. Re-reads the
+    * directory per call — each search sees the latest completed swap. */
+  def registerServing(s: SparkSession, dir: String): Unit =
+    s.read.parquet(dir).createOrReplaceTempView("daily_counts")
 
   /** Keyword search over `events` (matches event_type/props, time-bounded
     * on ts) or `documents` (matches text). Case-insensitive contains.
@@ -87,6 +99,9 @@ object Search {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     registerViews(spark, sfDir)
+    // --serving <dir>: also expose a live serving table (see
+    // registerServing) as `daily_counts` for SQL mode
+    opts.get("serving").foreach(d => registerServing(spark, d))
     val result = opts.get("sql") match {
       case Some(q) => spark.sql(q)
       case None =>

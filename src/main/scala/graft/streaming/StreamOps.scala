@@ -370,6 +370,23 @@ object StreamOps {
         ()
       }
 
+  /** The LIVE GENRE LOOP, composed end-to-end: `tail -f`-style file-source
+    * ingest → incrementally maintained serving table → interactive search
+    * over that table while the stream runs. Each piece exists on its own
+    * ([[ingest]], [[maintainDailyCounts]], [[graft.Search]]); this is the
+    * one-call composition a log-analytics user actually deploys: point it
+    * at a growing directory, then query `daily_counts` (registered by
+    * `Search.registerServing`) at any time for answers that include every
+    * micro-batch processed so far. The serving table stays aggregate-sized
+    * (days × types) and each batch's work is O(changed keys) — the
+    * recipe survives 100 TB of history because history is never replayed.
+    * Proven live in LiveLoopSpec (searches answered mid-stream, between
+    * ingest waves) and row-for-row against a batch recompute in
+    * StreamParity's `serving_table` check. */
+  def liveServingLoop(s: SparkSession, ingestDir: String, servingTable: String,
+                      maxFilesPerTrigger: Option[Int] = None) =
+    maintainDailyCounts(ingest(s, ingestDir, maxFilesPerTrigger), servingTable)
+
   // ---- stream-stream AS-OF join ---------------------------------------
 
   /** Tagged union row for the streaming as-of join: `side` is 'L' (trade /

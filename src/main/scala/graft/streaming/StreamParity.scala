@@ -174,6 +174,32 @@ object StreamParity {
     (canon(s.table("sp_minhash")), canon(batch))
   }
 
+  /** Live-loop parity: the corpus events replayed through the COMPOSED
+    * ingest→serving pipeline (file source, 8 single-file micro-batches,
+    * update-mode aggregate upserted into a parquet serving table by
+    * foreachBatch) must leave a serving table row-for-row equal to the
+    * batch recompute of the same daily aggregate. This grades the loop's
+    * persistence half; LiveLoopSpec drives the same composition live with
+    * searches answered between ingest waves. */
+  private def servingTableParity(s: SparkSession, sf: String): (Seq[String], Seq[String]) = {
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
+    val batchEvents = Tables.events(s, sf).select(cols.map(col): _*)
+    val base = Files.createTempDirectory("graft_sp_serving").toString
+    val (ingestDir, servingDir) = (s"$base/in", s"$base/serve")
+    batchEvents.repartition(8).write.mode("overwrite").parquet(ingestDir)
+    val q = StreamOps.liveServingLoop(s, ingestDir, servingDir,
+        maxFilesPerTrigger = Some(1))
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    val serving = s.read.parquet(servingDir)
+    val batch = batchEvents
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val res = (canon(serving), canon(batch))
+    rmTree(base)
+    res
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val outFile = if (args.length > 1) args(1) else "STREAM_PARITY.json"
@@ -211,11 +237,19 @@ object StreamParity {
       }
       ("minhash_dedup", st.length, ba.length, st == ba)
     }
+    val serving = {
+      val (st, ba) = servingTableParity(spark, sfDir)
+      if (st != ba) {
+        (st.toSet -- ba.toSet).take(5).foreach(r => println(s"[parity] serving-only: $r"))
+        (ba.toSet -- st.toSet).take(5).foreach(r => println(s"[parity] batch-only:   $r"))
+      }
+      ("serving_table", st.length, ba.length, st == ba)
+    }
     val (ckWant, ckGot) = checkpointRestart(spark)
     val ckOk = ckWant == ckGot
 
-    val all = (parities :+ asof :+ minhash).forall(_._4) && ckOk
-    val checksJson = (parities :+ asof :+ minhash).map { case (n, sr, br, eq) =>
+    val all = (parities :+ asof :+ minhash :+ serving).forall(_._4) && ckOk
+    val checksJson = (parities :+ asof :+ minhash :+ serving).map { case (n, sr, br, eq) =>
       s""""$n": {"stream_rows": $sr, "batch_rows": $br, "equal": $eq}"""
     } :+ s""""checkpoint_restart": {"expected": ${ckWant.mkString("[", ",", "]")}, "got": ${ckGot.mkString("[", ",", "]")}, "exactly_once": $ckOk}"""
     val json =
