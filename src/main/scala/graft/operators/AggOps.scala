@@ -823,6 +823,22 @@ object AggOps {
       s.sql(benfordSql)
     }),
 
+    // Exact 5%-TRIMMED mean per type — the robust-mean rung between the
+    // plain mean and the median: drop exactly k = floor(n/20) rows from
+    // each tail, average the rest. Runs on the COMPRESSED value domain
+    // (group by (type, value) first — the corpus quantizes values to
+    // cents, so the ordered cumulative pass is over distinct values, not
+    // rows: the same bounded-domain trick as q_events_interarrival, and
+    // the reason this scales where a per-row global sort would not).
+    // Boundary values straddling the cut are trimmed PARTIALLY by row
+    // count, so the result is exactly "sort, drop k, average" — all in
+    // integer/decimal arithmetic until one final division. Identical SQL
+    // text in both engines.
+    "q_agg_trimmed" -> ((s, sf) => {
+      Tables.events(s, sf).createOrReplaceTempView("events")
+      s.sql(trimmedMeanSql)
+    }),
+
     // Week-over-week share movers: per-type weekly volume share, its lag,
     // and a per-week rank by absolute share change — the "what changed
     // this week" report. Shares are exact-integer-count ratios, so the
@@ -927,6 +943,33 @@ object AggOps {
       |FROM r WHERE 5 * cum >= 4 * tot
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
+
+  /** Trimmed-mean statement — identical text runs in both engines.
+    * kc = rows of this value kept after trimming k rows from each tail:
+    * lo_cut claims rows from the bottom until k are gone, hi_cut from the
+    * top; both are clamped per-value so boundary ties trim partially. */
+  private[graft] val trimmedMeanSql: String =
+    """WITH vc AS (SELECT event_type, value, count(*) AS c
+      |            FROM events WHERE value IS NOT NULL
+      |            GROUP BY event_type, value),
+      |cum AS (SELECT event_type, value, c,
+      |          SUM(c) OVER (PARTITION BY event_type ORDER BY value
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |          SUM(c) OVER (PARTITION BY event_type) AS n
+      |        FROM vc),
+      |t AS (SELECT event_type, value, c, cum, n,
+      |        CAST(floor(n * 5 / 100.0) AS BIGINT) AS k FROM cum),
+      |lo AS (SELECT *, least(c, greatest(CAST(0 AS BIGINT), k - (cum - c))) AS lo_cut
+      |       FROM t),
+      |kept AS (SELECT event_type, value, n, k,
+      |           c - lo_cut - least(c - lo_cut,
+      |             greatest(CAST(0 AS BIGINT), k - (n - cum))) AS kc
+      |         FROM lo)
+      |SELECT event_type, CAST(max(n) AS BIGINT) AS n_rows,
+      |  CAST(max(k) AS BIGINT) AS k_each_side,
+      |  CAST(SUM(CAST(value AS DECIMAL(30,6)) * kc) AS DOUBLE)
+      |    / (max(n) - 2 * max(k)) AS trimmed_mean
+      |FROM kept GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** Benford statement — identical text runs in both engines. */
   private[graft] val benfordSql: String =
@@ -1495,6 +1538,7 @@ object AggOps {
     "q_report_error_bursts" -> errorBurstsSql,
 
     "q_agg_benford" -> benfordSql,
+    "q_agg_trimmed" -> trimmedMeanSql,
 
     "q_report_top_movers" -> topMoversSql,
 

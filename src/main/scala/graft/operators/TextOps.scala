@@ -1137,6 +1137,87 @@ object TextOps {
           |FROM m""".stripMargin)
     }),
 
+    // Per-source vocabulary DRIFT as KL divergence: KL(P_source ‖
+    // P_corpus) over unigram distributions — the number a data pipeline
+    // watches to catch a source whose content shifted (new crawler, new
+    // template, language mix change). Every probability is a ratio of
+    // exact integer counts and each term's double is computed from one
+    // identical expression in both engines; the sum is decimal-quantized
+    // (partial-aggregation order independence). Cost: one tokenize +
+    // three hash aggregates + one join on token — the corpus is touched
+    // once, everything downstream is vocabulary-sized.
+    "q_text_vocab_kl" -> ((s, sf) => {
+      Tables.documents(s, sf).createOrReplaceTempView("documents")
+      s.sql(
+        """WITH t AS (SELECT source, explode(split(text, ' ')) AS tok FROM documents),
+          |cs AS (SELECT source, tok, count(*) AS c FROM t GROUP BY source, tok),
+          |ns AS (SELECT source, sum(c) AS n FROM cs GROUP BY source),
+          |cg AS (SELECT tok, sum(c) AS c FROM cs GROUP BY tok),
+          |ng AS (SELECT sum(c) AS n FROM cg),
+          |k AS (SELECT cs.source,
+          |        CAST(cs.c AS DOUBLE) / ns.n *
+          |          ln(CAST(cs.c AS DOUBLE) * ng.n / (CAST(ns.n AS DOUBLE) * cg.c)) AS term
+          |      FROM cs JOIN ns ON cs.source = ns.source
+          |              JOIN cg ON cs.tok = cg.tok
+          |              CROSS JOIN ng),
+          |kl AS (SELECT source,
+          |         round(CAST(SUM(CAST(term AS DECIMAL(30,12))) AS DOUBLE), 6) AS kl
+          |       FROM k GROUP BY source),
+          |vs AS (SELECT source, count(*) AS vocab FROM cs GROUP BY source)
+          |SELECT kl.source AS source, CAST(ns.n AS BIGINT) AS n_tokens, vs.vocab, kl.kl AS kl_vs_corpus
+          |FROM kl JOIN ns ON kl.source = ns.source
+          |        JOIN vs ON kl.source = vs.source
+          |ORDER BY 1""".stripMargin)
+    }),
+
+    // Pairwise SOURCE vocabulary overlap (Jaccard over distinct-token
+    // sets): the redundancy map across a corpus's ingest feeds — two
+    // sources with near-total vocabulary overlap are usually the same
+    // upstream crawled twice. Output is bounded by sources² (a report,
+    // not a corpus); the token self-join is bounded by vocabulary ×
+    // sources-per-token, never documents². Exact integer counts; one
+    // double division at the end.
+    "q_text_source_overlap" -> ((s, sf) => {
+      Tables.documents(s, sf).createOrReplaceTempView("documents")
+      s.sql(
+        """WITH v AS (SELECT DISTINCT source, tok
+          |           FROM (SELECT source, explode(split(text, ' ')) AS tok
+          |                 FROM documents) x),
+          |sz AS (SELECT source, count(*) AS n FROM v GROUP BY source),
+          |iv AS (SELECT a.source AS sa, b.source AS sb, count(*) AS inter
+          |       FROM v a JOIN v b ON a.tok = b.tok AND a.source < b.source
+          |       GROUP BY a.source, b.source)
+          |SELECT sa AS source_a, sb AS source_b, inter,
+          |  round(CAST(inter AS DOUBLE) / (na.n + nb.n - inter), 6) AS jaccard
+          |FROM iv JOIN sz na ON iv.sa = na.source
+          |        JOIN sz nb ON iv.sb = nb.source
+          |ORDER BY source_a, source_b""".stripMargin)
+    }),
+
+    // Quality-aware canonical selection: within each near-exact dup group
+    // (the q_dedup_minhash signature — same distinct-token set, robust to
+    // order and repetition), KEEP the longest document instead of the
+    // smallest id. "Keep best, not first" is what production dedup
+    // actually ships (the longest variant usually carries the most
+    // content); the rank key is integer (n_chars, doc_id), so selection
+    // is exact with no float compare. Same one-window plan shape as
+    // q_dedup_exact.
+    "q_dedup_keep_best" -> ((s, sf) => {
+      Tables.documents(s, sf).createOrReplaceTempView("documents")
+      s.sql(
+        """WITH d AS (SELECT doc_id, source, n_chars,
+          |             concat_ws(',', slice(sort_array(transform(
+          |               array_distinct(split(text, ' ')), t -> md5(t))), 1, 4)) AS sig
+          |           FROM documents),
+          |r AS (SELECT doc_id, source, n_chars, sig,
+          |        row_number() OVER (PARTITION BY sig ORDER BY n_chars DESC, doc_id) AS rn,
+          |        count(*) OVER (PARTITION BY sig) AS n_group
+          |      FROM d)
+          |SELECT doc_id, source, n_chars, n_group
+          |FROM r WHERE rn = 1 AND n_group > 1
+          |ORDER BY doc_id""".stripMargin)
+    }),
+
     // Pipeline yield accounting: classify every doc by the FIRST filter
     // rule it fails (length → exact-dup → lexical diversity), report the
     // funnel. The per-rule attribution is what a data pipeline publishes
@@ -1966,6 +2047,54 @@ object TextOps {
         |  round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
         |        / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) AS r2
         |FROM m""".stripMargin,
+
+    "q_text_vocab_kl" ->
+      """WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |cs AS (SELECT source, tok, count(*) AS c FROM t GROUP BY source, tok),
+        |ns AS (SELECT source, sum(c) AS n FROM cs GROUP BY source),
+        |cg AS (SELECT tok, sum(c) AS c FROM cs GROUP BY tok),
+        |ng AS (SELECT sum(c) AS n FROM cg),
+        |k AS (SELECT cs.source,
+        |        CAST(cs.c AS DOUBLE) / ns.n *
+        |          ln(CAST(cs.c AS DOUBLE) * ng.n / (CAST(ns.n AS DOUBLE) * cg.c)) AS term
+        |      FROM cs JOIN ns ON cs.source = ns.source
+        |              JOIN cg ON cs.tok = cg.tok
+        |              CROSS JOIN ng),
+        |kl AS (SELECT source,
+        |         round(CAST(SUM(CAST(term AS DECIMAL(30,12))) AS DOUBLE), 6) AS kl
+        |       FROM k GROUP BY source),
+        |vs AS (SELECT source, count(*) AS vocab FROM cs GROUP BY source)
+        |SELECT kl.source AS source, CAST(ns.n AS BIGINT) AS n_tokens, vs.vocab, kl.kl AS kl_vs_corpus
+        |FROM kl JOIN ns ON kl.source = ns.source
+        |        JOIN vs ON kl.source = vs.source
+        |ORDER BY 1""".stripMargin,
+
+    "q_text_source_overlap" ->
+      """WITH v AS (SELECT DISTINCT source, tok
+        |           FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+        |                 FROM documents) x),
+        |sz AS (SELECT source, count(*) AS n FROM v GROUP BY source),
+        |iv AS (SELECT a.source AS sa, b.source AS sb, count(*) AS inter
+        |       FROM v a JOIN v b ON a.tok = b.tok AND a.source < b.source
+        |       GROUP BY a.source, b.source)
+        |SELECT sa AS source_a, sb AS source_b, inter,
+        |  round(CAST(inter AS DOUBLE) / (na.n + nb.n - inter), 6) AS jaccard
+        |FROM iv JOIN sz na ON iv.sa = na.source
+        |        JOIN sz nb ON iv.sb = nb.source
+        |ORDER BY source_a, source_b""".stripMargin,
+
+    "q_dedup_keep_best" ->
+      """WITH d AS (SELECT doc_id, source, n_chars,
+        |             array_to_string(list_slice(list_sort(list_transform(
+        |               list_distinct(string_split(text, ' ')), t -> md5(t))), 1, 4), ',') AS sig
+        |           FROM documents),
+        |r AS (SELECT doc_id, source, n_chars, sig,
+        |        row_number() OVER (PARTITION BY sig ORDER BY n_chars DESC, doc_id) AS rn,
+        |        count(*) OVER (PARTITION BY sig) AS n_group
+        |      FROM d)
+        |SELECT doc_id, source, n_chars, n_group
+        |FROM r WHERE rn = 1 AND n_group > 1
+        |ORDER BY doc_id""".stripMargin,
 
     "q_pipeline_filter_funnel" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks,

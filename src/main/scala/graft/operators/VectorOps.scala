@@ -653,6 +653,36 @@ object VectorOps {
           |ORDER BY label""".stripMargin)
     }),
 
+    // Nearest-centroid assignment + CONFUSION MATRIX: every vector
+    // assigned to its closest label centroid, counts per (true, predicted)
+    // pair — the embedding-space sanity check (are labels separable at
+    // all?) and the k-means E-step as a graded query. Per-position means
+    // and per-(vector, centroid) distance sums go through the same
+    // decimal quantization as q_vec_centroid_drift (partial-agg order
+    // independence); the argmin is a row_number over the 10 candidate
+    // rows per vector. Cost: one explode + one join on position (vectors
+    // × centroids stays labels-bounded) + two hash aggregates; output is
+    // labels² rows.
+    "q_vec_nearest_centroid" -> ((s, sf) => {
+      Tables.embeddings(s, sf).createOrReplaceTempView("embeddings")
+      s.sql(
+        """WITH x AS (SELECT vec_id, label, pos, CAST(v AS DOUBLE) AS v
+          |           FROM embeddings LATERAL VIEW posexplode(embedding) t AS pos, v),
+          |m AS (SELECT label AS c_label, pos,
+          |        CAST(SUM(CAST(v AS DECIMAL(30,12))) AS DOUBLE) / COUNT(v) AS mv
+          |      FROM x GROUP BY label, pos),
+          |d AS (SELECT x.vec_id, x.label, m.c_label,
+          |        CAST(SUM(CAST((x.v - m.mv) * (x.v - m.mv) AS DECIMAL(38,18))) AS DOUBLE) AS dist
+          |      FROM x JOIN m ON x.pos = m.pos
+          |      GROUP BY x.vec_id, x.label, m.c_label),
+          |r AS (SELECT vec_id, label, c_label AS pred,
+          |        row_number() OVER (PARTITION BY vec_id ORDER BY dist, c_label) AS rn
+          |      FROM d)
+          |SELECT label, pred AS pred_label, count(*) AS n
+          |FROM r WHERE rn = 1
+          |GROUP BY label, pred ORDER BY label, pred_label""".stripMargin)
+    }),
+
     // Embedding QC: flag the 5% of vectors farthest from their own label
     // centroid — mislabeled/corrupt-embedding detection. Distance uses the
     // ||x||² − 2x·c + ||c||² identity over the fused vec_dot kernel; the
@@ -1155,6 +1185,24 @@ object VectorOps {
          |SELECT label, vec_id, dist
          |FROM r WHERE rn * 20 <= n
          |ORDER BY label, vec_id""".stripMargin,
+
+    "q_vec_nearest_centroid" ->
+      """WITH x AS (SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+        |             CAST(unnest(embedding) AS DOUBLE) AS v
+        |           FROM embeddings),
+        |m AS (SELECT label AS c_label, pos,
+        |        CAST(SUM(CAST(v AS DECIMAL(30,12))) AS DOUBLE) / COUNT(v) AS mv
+        |      FROM x GROUP BY label, pos),
+        |d AS (SELECT x.vec_id, x.label, m.c_label,
+        |        CAST(SUM(CAST((x.v - m.mv) * (x.v - m.mv) AS DECIMAL(38,18))) AS DOUBLE) AS dist
+        |      FROM x JOIN m ON x.pos = m.pos
+        |      GROUP BY x.vec_id, x.label, m.c_label),
+        |r AS (SELECT vec_id, label, c_label AS pred,
+        |        row_number() OVER (PARTITION BY vec_id ORDER BY dist, c_label) AS rn
+        |      FROM d)
+        |SELECT label, pred AS pred_label, count(*) AS n
+        |FROM r WHERE rn = 1
+        |GROUP BY label, pred ORDER BY label, pred_label""".stripMargin,
 
     "q_vec_centroid_drift" ->
       """WITH h AS (SELECT vec_id, label, embedding,
