@@ -50,6 +50,17 @@ object Search {
   def registerServing(s: SparkSession, dir: String): Unit =
     s.read.parquet(dir).createOrReplaceTempView("daily_counts")
 
+  /** Register the CLEAN CORPUS view over a live document-firehose ingest:
+    * `clean_docs` = the ingested docs anti-joined against the streaming
+    * dedup registry (StreamOps.cleanCorpusLoop) — what a training run
+    * reads. Re-reads both directories per call, so each search sees the
+    * latest completed registry swap. */
+  def registerCleanCorpus(s: SparkSession, docsDir: String, registryDir: String): Unit = {
+    val docs = s.read.parquet(docsDir)
+    val dups = s.read.parquet(registryDir).filter(col("is_dup")).select("doc_id")
+    docs.join(dups, Seq("doc_id"), "left_anti").createOrReplaceTempView("clean_docs")
+  }
+
   /** Keyword search over `events` (matches event_type/props, time-bounded
     * on ts) or `documents` (matches text). Case-insensitive contains.
     * `documents` has no timestamp column, so a from/to bound there is a

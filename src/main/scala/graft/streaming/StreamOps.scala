@@ -332,43 +332,46 @@ object StreamOps {
       .agg(count(lit(1)).as("cnt"))
       .writeStream.outputMode("update")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val sp = batch.sparkSession
-        val dir = java.nio.file.Paths.get(table)
-        val oldDir = java.nio.file.Paths.get(table + "_old")
-        // Crash recovery: if a previous batch died between "move current
-        // aside" and "move stage in", the table dir is missing but the
-        // _old copy is intact — restore it before merging, so history is
-        // never silently dropped.
-        if (!java.nio.file.Files.exists(dir) && java.nio.file.Files.exists(oldDir))
-          java.nio.file.Files.move(oldDir, dir)
-        val merged =
-          if (java.nio.file.Files.exists(dir)) {
-            val existing = sp.read.parquet(table)
-            existing.join(batch.select("day", "event_type"),
-                Seq("day", "event_type"), "left_anti")
-              .unionByName(batch)
-          } else batch
-        // stage fully (materializes BEFORE the old table is touched —
-        // overwriting a path mid-read would corrupt), then swap
-        val stage = table + "_stage"
-        merged.write.mode("overwrite").parquet(stage)
-        def rmTree(p: java.nio.file.Path): Unit = if (java.nio.file.Files.exists(p)) {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-            .foreach(java.nio.file.Files.delete)
-        }
-        // Swap via rename-aside, not delete-then-move: the loss window is
-        // a single rename (between the two moves the table is briefly
-        // absent but both copies exist on disk — the recovery above heals
-        // it), instead of the old delete-first window where a crash after
-        // rmTree lost the only copy.
-        rmTree(oldDir)
-        if (java.nio.file.Files.exists(dir))
-          java.nio.file.Files.move(dir, oldDir)
-        java.nio.file.Files.move(java.nio.file.Paths.get(stage), dir)
-        rmTree(oldDir)
-        ()
+        upsertBatch(batch, table, Seq("day", "event_type"))
       }
+
+  /** The MERGE-sink core shared by every incrementally maintained serving
+    * table: upsert `batch` into the parquet `table` by `keys` — anti-join
+    * out the stale rows, union the new ones, stage fully, then swap via
+    * rename-aside. Crash recovery: if a previous batch died between "move
+    * current aside" and "move stage in", the table dir is missing but the
+    * _old copy is intact — restored before merging, so history is never
+    * silently dropped; the loss window is a single rename (between the
+    * two moves the table is briefly absent but both copies exist on
+    * disk), instead of a delete-first window where a crash after the
+    * delete loses the only copy. Staging materializes BEFORE the old
+    * table is touched — overwriting a path mid-read would corrupt. */
+  def upsertBatch(batch: DataFrame, table: String, keys: Seq[String]): Unit = {
+    val sp = batch.sparkSession
+    val dir = java.nio.file.Paths.get(table)
+    val oldDir = java.nio.file.Paths.get(table + "_old")
+    if (!java.nio.file.Files.exists(dir) && java.nio.file.Files.exists(oldDir))
+      java.nio.file.Files.move(oldDir, dir)
+    val merged =
+      if (java.nio.file.Files.exists(dir)) {
+        val existing = sp.read.parquet(table)
+        existing.join(batch.select(keys.map(col): _*), keys, "left_anti")
+          .unionByName(batch)
+      } else batch
+    val stage = table + "_stage"
+    merged.write.mode("overwrite").parquet(stage)
+    def rmTree(p: java.nio.file.Path): Unit = if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+    rmTree(oldDir)
+    if (java.nio.file.Files.exists(dir))
+      java.nio.file.Files.move(dir, oldDir)
+    java.nio.file.Files.move(java.nio.file.Paths.get(stage), dir)
+    rmTree(oldDir)
+    ()
+  }
 
   /** The LIVE GENRE LOOP, composed end-to-end: `tail -f`-style file-source
     * ingest → incrementally maintained serving table → interactive search
@@ -635,6 +638,41 @@ object StreamOps {
       .agg(min(when(col("owner") =!= col("doc_id"), col("owner"))).as("dup_of"))
       .select(col("doc_id"), col("dup_of").isNotNull.as("is_dup"), col("dup_of"))
   }
+
+  /** File-source ingest for the DOCUMENT firehose (doc_id, ts, text) —
+    * the documents-shaped twin of [[ingest]]. */
+  def ingestDocs(s: SparkSession, dir: String,
+                 maxFilesPerTrigger: Option[Int] = None): Dataset[DocIn] = {
+    import org.apache.spark.sql.types._
+    import s.implicits._
+    val sch = StructType(Seq(
+      StructField("doc_id", LongType), StructField("ts", TimestampType),
+      StructField("text", StringType)))
+    val r = s.readStream.schema(sch)
+    maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
+    r.parquet(dir).as[DocIn]
+  }
+
+  /** The LLM-PIPELINE live loop: document firehose → ingest-time MinHash
+    * near-dup dedup ([[streamingMinhashDedup]]) → an incrementally
+    * upserted DEDUP REGISTRY serving table (doc_id, is_dup, dup_of).
+    * A doc's verdict is final at its own arrival batch (bucket owners are
+    * first-arrival and never change), so the registry upsert is
+    * append-stable and each batch's work is O(batch docs). The clean
+    * corpus is then a registry anti-join away
+    * (`Search.registerCleanCorpus`), searchable while the stream runs —
+    * the events-loop recipe ([[liveServingLoop]]) carried to the
+    * training-data pipeline. Requires the RocksDB state store provider
+    * (transformWithState). Proven live in LiveDedupLoopSpec: mid-stream
+    * clean-corpus searches equal the batch dedup recompute over exactly
+    * the docs ingested so far. */
+  def cleanCorpusLoop(s: SparkSession, ingestDir: String, registryTable: String,
+                      maxFilesPerTrigger: Option[Int] = None) =
+    streamingMinhashDedup(s, ingestDocs(s, ingestDir, maxFilesPerTrigger))
+      .writeStream.outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        upsertBatch(batch, registryTable, Seq("doc_id"))
+      }
 
   /** The batch statement of the SAME dedup rule: bucket owner =
     * min(struct(ts, doc_id)) per band bucket; a doc is a dup iff any of
