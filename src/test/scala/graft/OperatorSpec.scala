@@ -1608,6 +1608,62 @@ class OperatorSpec extends AnyFunSuite with SparkSessionTest
     assert(run() == a) // and the draw is reproducible
   }
 
+  test("trimmed mean sits inside [min, max] and trims exactly floor(n/20) per side") {
+    val rows = SparkEntry.queries("q_agg_trimmed")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val ev = Tables.events(spark, sf0001)
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val vals = ev.filter(col("event_type") === t)
+        .select("value").collect().map(_.getDouble(0))
+      assert(r.getAs[Long]("k_each_side") == vals.length / 20)
+      val tm = r.getAs[Double]("trimmed_mean")
+      assert(tm >= vals.min && tm <= vals.max)
+      // naive replay: sort, drop k each side, average
+      val k = vals.length / 20
+      val kept = vals.sorted.slice(k, vals.length - k)
+      assert(math.abs(tm - kept.sum / kept.length) < 1e-6,
+        s"$t: $tm vs naive ${kept.sum / kept.length}")
+    }
+  }
+
+  test("keep-best keeps the longest doc of every flagged group") {
+    val kept = SparkEntry.queries("q_dedup_keep_best")(spark, sf0001).collect()
+    assert(kept.nonEmpty)
+    // recompute groups: kept doc must carry its group's max n_chars
+    val sig = Tables.documents(spark, sf0001).selectExpr("doc_id", "n_chars",
+      "concat_ws(',', slice(sort_array(transform(array_distinct(split(text, ' ')), t -> md5(t))), 1, 4)) AS sig")
+    val bySig = sig.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .groupBy(_._3)
+    kept.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val g = bySig.values.find(_.exists(_._1 == id)).get
+      assert(g.length == r.getAs[Long]("n_group"))
+      assert(g.length > 1)
+      assert(r.getAs[Long]("n_chars") == g.map(_._2).max)
+    }
+  }
+
+  test("vocab KL is non-negative and source overlap is a valid Jaccard") {
+    SparkEntry.queries("q_text_vocab_kl")(spark, sf0001).collect().foreach { r =>
+      assert(r.getAs[Double]("kl_vs_corpus") >= -1e-6,
+        s"KL negative for ${r.getAs[String]("source")}")
+    }
+    val ov = SparkEntry.queries("q_text_source_overlap")(spark, sf0001).collect()
+    val nSrc = Tables.documents(spark, sf0001).select("source").distinct().count()
+    assert(ov.length == nSrc * (nSrc - 1) / 2)
+    ov.foreach { r =>
+      val j = r.getAs[Double]("jaccard")
+      assert(j >= 0.0 && j <= 1.0)
+    }
+  }
+
+  test("nearest-centroid confusion matrix covers every vector exactly once") {
+    val cm = SparkEntry.queries("q_vec_nearest_centroid")(spark, sf0001).collect()
+    val total = cm.map(_.getAs[Long]("n")).sum
+    assert(total == Tables.embeddings(spark, sf0001).count())
+  }
+
   test("vacuum restores the source row count after removing planted orphans") {
     val r = SparkEntry.queries("q_maintain_vacuum")(spark, sf0001).head()
     val ev = Tables.events(spark, sf0001)
