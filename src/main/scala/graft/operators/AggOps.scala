@@ -790,6 +790,38 @@ object AggOps {
            |ORDER BY event_type""".stripMargin)
     }),
 
+    // Conversion LAG: for every purchase, seconds since the user's most
+    // recent prior click (running max over the per-user ordered stream —
+    // no join, aggregates skip the non-click NULLs), then the EXACT
+    // median lag per week via the same distributed bucketed selection as
+    // q_events_interarrival (medSelCtes keys on a column named
+    // event_type; the week string rides in it and is renamed on output).
+    // The funnel-latency trend a product team actually watches; the
+    // DuckDB oracle states the same lower median naively and the gate
+    // proves the distributed selection exact.
+    "q_events_conversion_lag" -> ((s, sf) => {
+      Tables.events(s, sf).createOrReplaceTempView("events")
+      s.sql(
+        s"""WITH e AS (SELECT user_id, event_id, event_type,
+           |        CAST(unix_timestamp(CAST(date_trunc('second', ts) AS TIMESTAMP)) AS BIGINT) AS tsec,
+           |        CAST(date_trunc('week', ts) AS DATE) AS wk
+           |      FROM events WHERE event_type IN ('click', 'purchase')),
+           |w AS (SELECT wk, event_type, tsec,
+           |        max(CASE WHEN event_type = 'click' THEN tsec END) OVER (
+           |          PARTITION BY user_id ORDER BY tsec, event_id
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click
+           |      FROM e),
+           |gg AS (SELECT CAST(wk AS STRING) AS event_type,
+           |         CAST(tsec - last_click AS DOUBLE) AS v
+           |       FROM w WHERE event_type = 'purchase' AND last_click IS NOT NULL),
+           |cnt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_conv
+           |        FROM gg GROUP BY event_type),
+           |${medSelCtes("cl", "gg")}
+           |SELECT c.event_type AS week, c.n_conv, clm.med AS median_lag_s
+           |FROM cnt c JOIN clm ON c.event_type = clm.event_type
+           |ORDER BY week""".stripMargin)
+    }),
+
     // Mann–Whitney U (rank-sum) between the click and purchase value
     // distributions — the nonparametric mean-shift test completing the
     // A/B toolkit (t = means, KS = shape, U = stochastic dominance).
@@ -1564,6 +1596,27 @@ object AggOps {
         |FROM m GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
 
-    "q_report_pareto" -> paretoSql
+    "q_report_pareto" -> paretoSql,
+
+    "q_events_conversion_lag" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |        CAST(epoch(CAST(date_trunc('second', ts) AS TIMESTAMP)) AS BIGINT) AS tsec,
+        |        CAST(date_trunc('week', ts) AS DATE) AS wk
+        |      FROM events WHERE event_type IN ('click', 'purchase')),
+        |w AS (SELECT wk, event_type, tsec,
+        |        max(CASE WHEN event_type = 'click' THEN tsec END) OVER (
+        |          PARTITION BY user_id ORDER BY tsec, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click
+        |      FROM e),
+        |gg AS (SELECT CAST(wk AS STRING) AS wks,
+        |         CAST(tsec - last_click AS DOUBLE) AS v
+        |       FROM w WHERE event_type = 'purchase' AND last_click IS NOT NULL),
+        |m AS (SELECT wks, v,
+        |        row_number() OVER (PARTITION BY wks ORDER BY v) AS rn,
+        |        count(*) OVER (PARTITION BY wks) AS n
+        |      FROM gg)
+        |SELECT wks AS week, CAST(max(n) AS BIGINT) AS n_conv,
+        |  max(CASE WHEN rn = (n + 1) // 2 THEN v END) AS median_lag_s
+        |FROM m GROUP BY wks ORDER BY week""".stripMargin
   )
 }
