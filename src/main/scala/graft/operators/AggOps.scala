@@ -76,10 +76,10 @@ object AggOps {
         .agg(
           dsum(col("l_quantity")).as("sum_qty"),
           dsum(col("l_extendedprice")).as("sum_base_price"),
-          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-            .cast(DecimalType(30, 6))).cast(DoubleType).as("sum_disc_price"),
-          sum((col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))
-            .cast(DecimalType(30, 6))).cast(DoubleType).as("sum_charge"),
+          round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast(DecimalType(30, 6))), 2).cast(DoubleType).as("sum_disc_price"),
+          round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))
+            .cast(DecimalType(30, 6))), 2).cast(DoubleType).as("sum_charge"),
           davg(col("l_quantity")).as("avg_qty"),
           davg(col("l_extendedprice")).as("avg_price"),
           davg(col("l_discount")).as("avg_disc"),
@@ -1173,7 +1173,10 @@ object AggOps {
   /** Decayed-aggregate SQL shared across engines (`us`: micros-since-
     * epoch function — Spark `unix_micros`, DuckDB `epoch_us`).
     * λ = ln 2 / 7 as a fixed literal so both engines use the identical
-    * constant. */
+    * constant. Output rounding happens IN DECIMAL SPACE (round the exact
+    * decimal sum, then one cast to double) — round(CAST(sum AS DOUBLE))
+    * diverged by 1 ulp at sf1 magnitudes (the sf1-gate find; same class
+    * as the round-8 audio lesson). */
   private def decaySql(us: String): String =
     s"""WITH anchor AS (SELECT max(ts) AS a FROM events),
        |w AS (SELECT user_id,
@@ -1183,8 +1186,8 @@ object AggOps {
        |          (($us(a) - $us(ts)) / 86400000000.0)) * value AS DECIMAL(30,8)) AS wv
        |      FROM events CROSS JOIN anchor)
        |SELECT user_id, count(*) AS n_events,
-       |  round(CAST(sum(wt) AS DOUBLE), 6) AS decayed_n,
-       |  round(CAST(sum(wv) AS DOUBLE), 4) AS decayed_value
+       |  CAST(round(sum(wt), 6) AS DOUBLE) AS decayed_n,
+       |  CAST(round(sum(wv), 4) AS DOUBLE) AS decayed_value
        |FROM w GROUP BY user_id
        |ORDER BY user_id""".stripMargin
 
@@ -1286,8 +1289,8 @@ object AggOps {
       s"""SELECT l_returnflag, l_linestatus,
          |  ${osum("l_quantity")} AS sum_qty,
          |  ${osum("l_extendedprice")} AS sum_base_price,
-         |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS sum_disc_price,
-         |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(30,6))) AS DOUBLE) AS sum_charge,
+         |  CAST(round(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))), 2) AS DOUBLE) AS sum_disc_price,
+         |  CAST(round(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(30,6))), 2) AS DOUBLE) AS sum_charge,
          |  ${oavg("l_quantity")} AS avg_qty,
          |  ${oavg("l_extendedprice")} AS avg_price,
          |  ${oavg("l_discount")} AS avg_disc,

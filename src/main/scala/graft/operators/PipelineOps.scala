@@ -188,6 +188,13 @@ object PipelineOps {
     """SELECT doc_id, t AS tok FROM documents
       |LATERAL VIEW explode(split(text, ' ')) x AS t""".stripMargin
 
+  // Output rounding is spelled as floor(x * 10^k + 0.5) / 10^k — a pure
+  // IEEE double-op pipeline both engines evaluate identically — instead
+  // of round(double, k), whose implementations differ at k-th-decimal .5
+  // boundaries (Spark rounds the shortest decimal string, DuckDB the
+  // binary double; diverged on ~10 docs at sf1 — the sf1-gate find).
+  // slp/n lands on such boundaries often because slp is an exact
+  // 6-decimal quantity divided by a small integer.
   private def logprobRestSql(tokRef: String): String =
     s"""WITH freq AS (SELECT tok, count(*) AS c FROM $tokRef GROUP BY tok),
        |tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM $tokRef),
@@ -195,8 +202,10 @@ object PipelineOps {
        |         CAST(sum(CAST(ln(c / n) AS DECIMAL(30,6))) AS DOUBLE) AS slp
        |       FROM $tokRef tk JOIN freq USING (tok) CROSS JOIN tot
        |       GROUP BY doc_id)
-       |SELECT doc_id, n_tok, round(slp / n_tok, 6) AS avg_logprob,
-       |       round(exp(-round(slp / n_tok, 6)), 4) AS ppl
+       |SELECT doc_id, n_tok,
+       |       floor(slp / n_tok * 1000000.0 + 0.5) / 1000000.0 AS avg_logprob,
+       |       floor(exp(-(floor(slp / n_tok * 1000000.0 + 0.5) / 1000000.0))
+       |             * 10000.0 + 0.5) / 10000.0 AS ppl
        |FROM sc ORDER BY doc_id""".stripMargin
 
   private val logprobDuckSql = {
@@ -228,8 +237,10 @@ object PipelineOps {
        |       JOIN ustats ON split_part(b.bg, ' ', 1) = ustats.w1
        |       CROSS JOIN vv
        |       GROUP BY doc_id)
-       |SELECT doc_id, n_bg, round(slp / n_bg, 6) AS avg_logprob,
-       |       round(exp(-round(slp / n_bg, 6)), 4) AS ppl
+       |SELECT doc_id, n_bg,
+       |       floor(slp / n_bg * 1000000.0 + 0.5) / 1000000.0 AS avg_logprob,
+       |       floor(exp(-(floor(slp / n_bg * 1000000.0 + 0.5) / 1000000.0))
+       |             * 10000.0 + 0.5) / 10000.0 AS ppl
        |FROM sc ORDER BY doc_id""".stripMargin
 
   /** Epoch-reshuffle SQL shared across engines (`epochs` = 3-row
