@@ -790,6 +790,35 @@ object AggOps {
            |ORDER BY event_type""".stripMargin)
     }),
 
+    // Hodges–Lehmann robust location estimate: the median of Walsh
+    // averages (pairwise means), completing the robust toolkit next to
+    // Theil–Sen (robust slope) and MAD (robust spread). Like Theil–Sen,
+    // the pair stage is bounded by the CALENDAR, not rows: exact per-day
+    // decimal means first (one scan), then days² ≈ 435 Walsh averages and
+    // an exact lower median over that tiny relation. Every per-day mean
+    // is one identical double division from exact decimal sums, so the
+    // averages — and the order statistic picked from them — are
+    // engine-identical. Identical SQL text in both engines.
+    "q_agg_hodges_lehmann" -> ((s, sf) => {
+      Tables.events(s, sf).createOrReplaceTempView("events")
+      s.sql(
+        """WITH d AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+          |        CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS s,
+          |        CAST(count(*) AS BIGINT) AS n
+          |      FROM events GROUP BY 1),
+          |m AS (SELECT day, s / n AS dm FROM d),
+          |w AS (SELECT (a.dm + b.dm) / 2 AS wa
+          |      FROM m a JOIN m b ON a.day <= b.day),
+          |r AS (SELECT wa, row_number() OVER (ORDER BY wa) AS rn,
+          |        count(*) OVER () AS np
+          |      FROM w)
+          |SELECT (SELECT CAST(count(*) AS BIGINT) FROM d) AS n_days,
+          |  CAST(max(np) AS BIGINT) AS n_pairs,
+          |  max(CASE WHEN rn = CAST(floor((np + 1) / 2.0) AS BIGINT)
+          |      THEN wa END) AS hl_estimate
+          |FROM r""".stripMargin)
+    }),
+
     // Conversion LAG: for every purchase, seconds since the user's most
     // recent prior click (running max over the per-user ordered stream —
     // no join, aggregates skip the non-click NULLs), then the EXACT
@@ -1600,6 +1629,23 @@ object AggOps {
         |ORDER BY event_type""".stripMargin,
 
     "q_report_pareto" -> paretoSql,
+
+    "q_agg_hodges_lehmann" ->
+      """WITH d AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |        CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS s,
+        |        CAST(count(*) AS BIGINT) AS n
+        |      FROM events GROUP BY 1),
+        |m AS (SELECT day, s / n AS dm FROM d),
+        |w AS (SELECT (a.dm + b.dm) / 2 AS wa
+        |      FROM m a JOIN m b ON a.day <= b.day),
+        |r AS (SELECT wa, row_number() OVER (ORDER BY wa) AS rn,
+        |        count(*) OVER () AS np
+        |      FROM w)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM d) AS n_days,
+        |  CAST(max(np) AS BIGINT) AS n_pairs,
+        |  max(CASE WHEN rn = CAST(floor((np + 1) / 2.0) AS BIGINT)
+        |      THEN wa END) AS hl_estimate
+        |FROM r""".stripMargin,
 
     "q_events_conversion_lag" ->
       """WITH e AS (SELECT user_id, event_id, event_type,

@@ -321,6 +321,31 @@ object JoinOps {
         .orderBy("click_id")
     }),
 
+    // FORWARD as-of — the time-reversed twin of q_join_asof_tolerance:
+    // for every click, the EARLIEST purchase at-or-after it within 7
+    // days (first-touch conversion attribution; the backward family
+    // answers "latest feature value", this answers "next outcome"). Same
+    // bounded-fan-in min(struct) shape — the window cap is the state
+    // bound at scale, exactly as on the backward side.
+    "q_join_asof_forward" -> ((s, sf) => {
+      val ev = eventsTs(s, sf)
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts_s"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+          col("ts_s").as("p_ts"))
+      c.join(p, col("p_user") === col("user_id") &&
+          col("p_ts") >= col("ts_s") &&
+          col("p_ts") <= col("ts_s") + expr("INTERVAL 7 DAYS"))
+        .groupBy("click_id", "user_id")
+        .agg(min(struct(col("p_ts"), col("p_id"))).as("m"))
+        .select(
+          col("click_id"), col("user_id"),
+          col("m.p_id").as("purchase_id"),
+          col("m.p_ts").as("purchase_ts"))
+        .orderBy("click_id")
+    }),
+
     // Same semantics through the custom operator stack (graft.plans.AsOf):
     // logical AsOfJoinPlan → AsOfJoinStrategy → AsOfMergeJoinExec, a
     // co-partitioned streaming merge with no join explosion. Checked
@@ -893,6 +918,24 @@ object JoinOps {
         |        <= CAST(date_trunc('second', c.ts) AS TIMESTAMP)
         |    AND CAST(date_trunc('second', p.ts) AS TIMESTAMP)
         |        >= CAST(date_trunc('second', c.ts) AS TIMESTAMP) - INTERVAL 7 DAYS
+        |) t WHERE rn = 1
+        |ORDER BY click_id""".stripMargin,
+
+    "q_join_asof_forward" ->
+      """SELECT click_id, user_id, purchase_id, purchase_ts FROM (
+        |  SELECT c.event_id AS click_id, c.user_id,
+        |    p.event_id AS purchase_id,
+        |    CAST(date_trunc('second', p.ts) AS TIMESTAMP) AS purchase_ts,
+        |    row_number() OVER (PARTITION BY c.event_id
+        |      ORDER BY CAST(date_trunc('second', p.ts) AS TIMESTAMP) ASC,
+        |               p.event_id ASC) AS rn
+        |  FROM events c
+        |  JOIN events p ON p.user_id = c.user_id
+        |    AND c.event_type = 'click' AND p.event_type = 'purchase'
+        |    AND CAST(date_trunc('second', p.ts) AS TIMESTAMP)
+        |        >= CAST(date_trunc('second', c.ts) AS TIMESTAMP)
+        |    AND CAST(date_trunc('second', p.ts) AS TIMESTAMP)
+        |        <= CAST(date_trunc('second', c.ts) AS TIMESTAMP) + INTERVAL 7 DAYS
         |) t WHERE rn = 1
         |ORDER BY click_id""".stripMargin,
 
