@@ -203,9 +203,9 @@ object PipelineOps {
        |       FROM $tokRef tk JOIN freq USING (tok) CROSS JOIN tot
        |       GROUP BY doc_id)
        |SELECT doc_id, n_tok,
-       |       floor(slp / n_tok * 1000000.0 + 0.5) / 1000000.0 AS avg_logprob,
-       |       floor(exp(-(floor(slp / n_tok * 1000000.0 + 0.5) / 1000000.0))
-       |             * 10000.0 + 0.5) / 10000.0 AS ppl
+       |       floor(slp / n_tok * 1e6 + 0.5) / 1e6 AS avg_logprob,
+       |       floor(exp(-(floor(slp / n_tok * 1e6 + 0.5) / 1e6))
+       |             * 1e4 + 0.5) / 1e4 AS ppl
        |FROM sc ORDER BY doc_id""".stripMargin
 
   private val logprobDuckSql = {
@@ -238,9 +238,9 @@ object PipelineOps {
        |       CROSS JOIN vv
        |       GROUP BY doc_id)
        |SELECT doc_id, n_bg,
-       |       floor(slp / n_bg * 1000000.0 + 0.5) / 1000000.0 AS avg_logprob,
-       |       floor(exp(-(floor(slp / n_bg * 1000000.0 + 0.5) / 1000000.0))
-       |             * 10000.0 + 0.5) / 10000.0 AS ppl
+       |       floor(slp / n_bg * 1e6 + 0.5) / 1e6 AS avg_logprob,
+       |       floor(exp(-(floor(slp / n_bg * 1e6 + 0.5) / 1e6))
+       |             * 1e4 + 0.5) / 1e4 AS ppl
        |FROM sc ORDER BY doc_id""".stripMargin
 
   /** Epoch-reshuffle SQL shared across engines (`epochs` = 3-row
