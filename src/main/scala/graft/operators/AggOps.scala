@@ -790,6 +790,23 @@ object AggOps {
            |ORDER BY event_type""".stripMargin)
     }),
 
+    // Hierarchical ROLLUP over an ancestor closure built with a
+    // RECURSIVE CTE (Spark 4 WITH RECURSIVE): users form an implicit
+    // binary tree (parent = floor(key/2), keys shifted +1 so the root is
+    // 1), the recursion emits each user's full ancestor chain, and one
+    // join+aggregate rolls event counts and exact decimal value sums up
+    // to every subtree root — reported for the top four levels. This is
+    // the org-chart/category-tree rollup every hierarchy dashboard runs;
+    // closure size is n·log n rows (each user has a UNIQUE parent chain,
+    // so UNION ALL recursion is explosion-free — contrast
+    // q_graph_reachability's bounded-depth graph walk). The leaf
+    // aggregate runs FIRST, so the recursion iterates over users-sized
+    // state, not events-sized. Identical SQL text in both engines.
+    "q_hier_rollup" -> ((s, sf) => {
+      Tables.events(s, sf).createOrReplaceTempView("events")
+      s.sql(hierRollupSql)
+    }),
+
     // Hodges–Lehmann robust location estimate: the median of Walsh
     // averages (pairwise means), completing the robust toolkit next to
     // Theil–Sen (robust slope) and MAD (robust spread). Like Theil–Sen,
@@ -1004,6 +1021,24 @@ object AggOps {
       |FROM r WHERE 5 * cum >= 4 * tot
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
+
+  /** Hierarchy-rollup statement — identical text runs in both engines. */
+  private[graft] val hierRollupSql: String =
+    """WITH RECURSIVE
+      |u AS (SELECT user_id + 1 AS un, CAST(count(*) AS BIGINT) AS n_ev,
+      |        CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DECIMAL(38,6)) AS sv
+      |      FROM events GROUP BY user_id + 1),
+      |anc(un, a) AS (
+      |  SELECT un, un FROM u
+      |  UNION ALL
+      |  SELECT un, CAST(floor(a / 2.0) AS BIGINT) FROM anc WHERE a > 1
+      |)
+      |SELECT a.a AS node, CAST(count(*) AS BIGINT) AS n_desc_users,
+      |  CAST(sum(u.n_ev) AS BIGINT) AS n_events,
+      |  CAST(sum(u.sv) AS DOUBLE) AS sum_value
+      |FROM anc a JOIN u ON a.un = u.un
+      |WHERE a.a <= 15
+      |GROUP BY a.a ORDER BY node""".stripMargin
 
   /** Trimmed-mean statement — identical text runs in both engines.
     * kc = rows of this value kept after trimming k rows from each tail:
@@ -1603,6 +1638,7 @@ object AggOps {
 
     "q_agg_benford" -> benfordSql,
     "q_agg_trimmed" -> trimmedMeanSql,
+    "q_hier_rollup" -> hierRollupSql,
 
     "q_report_top_movers" -> topMoversSql,
 

@@ -257,6 +257,27 @@ object TextOps {
        |$iters""".stripMargin
   }
 
+  /** Recursive-CTE reachability statement, shared modulo the string-type
+    * name (see the q_graph_reachability registration for the plan
+    * rationale). */
+  private[graft] def reachabilitySql(cast: String): String =
+    s"""WITH RECURSIVE
+       |e0 AS (SELECT DISTINCT 's' || CAST(l_suppkey AS $cast) AS src,
+       |         'p' || CAST(l_partkey AS $cast) AS dst
+       |       FROM lineitem WHERE l_quantity >= 40),
+       |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+       |seed AS (SELECT min(src) AS s FROM e WHERE src >= 's'),
+       |reach(node, depth) AS (
+       |  SELECT (SELECT s FROM seed), 0
+       |  UNION ALL
+       |  SELECT e.dst, r.depth + 1
+       |  FROM reach r JOIN e ON e.src = r.node
+       |  WHERE r.depth < 2
+       |),
+       |md AS (SELECT node, min(depth) AS min_depth FROM reach GROUP BY node)
+       |SELECT min_depth, CAST(count(*) AS BIGINT) AS n_nodes, min(node) AS first_node
+       |FROM md GROUP BY min_depth ORDER BY min_depth""".stripMargin
+
   private[graft] val pagerankFinalSql: String =
     """SELECT node, round(r, 8) AS pagerank
       |FROM r5 ORDER BY pagerank DESC, node
@@ -748,6 +769,22 @@ object TextOps {
       s.sql(pagerankEdgesSql("STRING"))
         .localCheckpoint().createOrReplaceTempView("pr_e")
       s.sql(s"WITH $pagerankIterCtes\n$pagerankFinalSql")
+    }),
+
+    // Bounded BFS reachability as a RECURSIVE CTE (Spark 4 WITH
+    // RECURSIVE — the declarative sibling of the imperative loops this
+    // file already ships): nodes within 2 hops of the smallest supplier
+    // in the co-purchase graph, reported as ring sizes by minimum depth.
+    // Spark's recursion currently supports UNION ALL only, so rows are
+    // PATHS and the min-depth dedup happens after — fine at a 2-hop
+    // bound (paths ≤ degree², and the final aggregate collapses them);
+    // unbounded-depth traversals belong to the dedup-per-round loop
+    // shapes (q_dedup_clusters' star-contraction), which is exactly the
+    // UNION-dedup recursion engines run distributed. Identical SQL text
+    // in both engines modulo the string-type name.
+    "q_graph_reachability" -> ((s, sf) => {
+      Tables.lineitem(s, sf).createOrReplaceTempView("lineitem")
+      s.sql(reachabilitySql("STRING"))
     }),
 
     "q_text_langid" -> ((s, sf) => {
@@ -1830,6 +1867,7 @@ object TextOps {
     "q_graph_degree_dist" -> degreeDistSql,
 
     "q_graph_pagerank" -> pagerankOracleSql("VARCHAR"),
+    "q_graph_reachability" -> reachabilitySql("VARCHAR"),
 
     "q_text_langid" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
