@@ -257,9 +257,30 @@ object TextOps {
        |$iters""".stripMargin
   }
 
-  /** Recursive-CTE reachability statement, shared modulo the string-type
-    * name (see the q_graph_reachability registration for the plan
+  /** Symmetric co-purchase edge list for the reachability walk. */
+  private[graft] def reachEdgesSql(cast: String): String =
+    s"""WITH e0 AS (SELECT DISTINCT 's' || CAST(l_suppkey AS $cast) AS src,
+       |         'p' || CAST(l_partkey AS $cast) AS dst
+       |       FROM lineitem WHERE l_quantity >= 40)
+       |SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0""".stripMargin
+
+  /** The recursive walk over an edge relation `eRef` from `seedExpr`
+    * (see the q_graph_reachability registration for the plan
     * rationale). */
+  private[graft] def reachRecursiveSql(eRef: String, seedExpr: String): String =
+    s"""WITH RECURSIVE
+       |reach(node, depth) AS (
+       |  SELECT $seedExpr, 0
+       |  UNION ALL
+       |  SELECT e.dst, r.depth + 1
+       |  FROM reach r JOIN $eRef e ON e.src = r.node
+       |  WHERE r.depth < 2
+       |),
+       |md AS (SELECT node, min(depth) AS min_depth FROM reach GROUP BY node)
+       |SELECT min_depth, CAST(count(*) AS BIGINT) AS n_nodes, min(node) AS first_node
+       |FROM md GROUP BY min_depth ORDER BY min_depth""".stripMargin
+
+  /** One-statement oracle form (DuckDB evaluates the edge CTE once). */
   private[graft] def reachabilitySql(cast: String): String =
     s"""WITH RECURSIVE
        |e0 AS (SELECT DISTINCT 's' || CAST(l_suppkey AS $cast) AS src,
@@ -784,7 +805,17 @@ object TextOps {
     // in both engines modulo the string-type name.
     "q_graph_reachability" -> ((s, sf) => {
       Tables.lineitem(s, sf).createOrReplaceTempView("lineitem")
-      s.sql(reachabilitySql("STRING"))
+      // the symmetric edge list is the recursion's loop invariant;
+      // Spark re-evaluates non-recursive CTEs on every recursion step,
+      // so materialize it once (same discipline as pr_e) and resolve the
+      // one-value seed aggregate up front (bounded driver handoff, the
+      // DPP-threshold pattern) instead of letting every step rescan for
+      // it. Measured 3.1 → 1.5 s warm at sf0.1.
+      val edges = s.sql(reachEdgesSql("STRING")).localCheckpoint()
+      edges.createOrReplaceTempView("rch_e")
+      val seed = edges.filter(col("src") >= "s").agg(min(col("src")))
+        .head().getString(0)
+      s.sql(reachRecursiveSql("rch_e", s"'$seed'"))
     }),
 
     "q_text_langid" -> ((s, sf) => {
