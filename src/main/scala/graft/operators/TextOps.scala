@@ -257,6 +257,78 @@ object TextOps {
        |$iters""".stripMargin
   }
 
+  /** Connected-component labels for the nodes of an undirected edge list
+    * (columns `a`, `b`: long node ids) by alternating LARGE-STAR /
+    * SMALL-STAR contraction — the engine behind q_dedup_clusters,
+    * factored over an arbitrary edge relation so PropertySpec can pit it
+    * against a naive union-find on random graphs. Returns (node, label)
+    * for EDGE-INCIDENT nodes only (label = component minimum); callers
+    * join isolated nodes back themselves. See the q_dedup_clusters
+    * registration comment for the stop-condition proof sketch; every
+    * full LS+SS round is one fused Spark job and ΣL certifies the
+    * fixpoint. */
+  private[graft] def starContractLabels(pairsAB: DataFrame): DataFrame = {
+    def dbg(m: String): Unit =
+      if (sys.env.contains("GRAFT_CC_DEBUG")) System.err.println(s"CCPHASE $m t=${System.nanoTime()}")
+    dbg("start")
+    // canonical undirected edges oriented (u > v); eager checkpoint —
+    // round 1 reads them twice (aggregate + join probe) and the caller's
+    // candidate-pair plan is usually the expensive part
+    var edges = pairsAB.select(
+        greatest(col("a"), col("b")).as("u"),
+        least(col("a"), col("b")).as("v"))
+      .where(col("u") =!= col("v"))
+      .localCheckpoint()
+    dbg("init-ckpt")
+    def sym(e: DataFrame): DataFrame =
+      e.select(col("u").as("x"), col("v").as("y"))
+        .union(e.select(col("v").as("x"), col("u").as("y")))
+    // ΣL over edge-incident nodes (exact decimal — no long overflow at
+    // any scale). (coalesce-to-0 covers the empty candidate graph.)
+    def labelSum(e: DataFrame): java.math.BigDecimal = {
+      val d = sym(e).groupBy("x").agg(min(col("y")).as("mn"))
+        .agg(sum(least(col("x"), col("mn")).cast(DecimalType(38, 0))))
+        .head().getDecimal(0)
+      if (d == null) java.math.BigDecimal.ZERO else d
+    }
+    var prev: java.math.BigDecimal = null
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 50) {
+      // large-star: for every node x with m = min(N(x) ∪ {x}), rewire
+      // each larger neighbor y > x to (y, m). The groupBy and the join
+      // probe share one exchange of sym(edges) on x (ReuseExchange).
+      val s1 = sym(edges)
+      val m1 = s1.groupBy("x").agg(min(col("y")).as("mn"))
+        .select(col("x").as("mx"), least(col("x"), col("mn")).as("m"))
+      val ls = s1.join(m1, s1("x") === m1("mx"))
+        .where(col("y") > col("x"))
+        .select(col("y").as("u"), col("m").as("v"))
+      // ls is strictly (u > v): m ≤ x < y. small-star: every node u
+      // rewires its smaller neighbors (all of them, post-LS) to
+      // m2 = min(N≤(u)) — emit (v, m2) for v ≠ m2 plus the (u, m2) spine.
+      val m2 = ls.groupBy("u").agg(min(col("v")).as("m2"))
+      val ssPairs = ls.join(m2, "u")
+        .where(col("v") =!= col("m2"))
+        .select(col("v").as("u"), col("m2").as("v"))
+      val ssSelf = m2.select(col("u"), col("m2").as("v"))
+      // lazy checkpoint: the convergence aggregate below is the action
+      // that materializes the round, so each round is ONE job.
+      val next = ssPairs.union(ssSelf).localCheckpoint(eager = false)
+      val cur = labelSum(next)
+      edges = next
+      converged = prev != null && cur.compareTo(prev) == 0
+      prev = cur
+      iter += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG")) System.err.println(s"CCROUND $iter sum=$cur t=${System.nanoTime()}")
+    }
+    dbg("loop-done")
+    // every edge-incident node is adjacent to its root (certified by the
+    // stop condition)
+    sym(edges).groupBy("x").agg(min(col("y")).as("mn"))
+      .select(col("x").as("node"), least(col("x"), col("mn")).as("label"))
+  }
+
   /** Symmetric co-purchase edge list for the reachability walk. */
   private[graft] def reachEdgesSql(cast: String): String =
     s"""WITH e0 AS (SELECT DISTINCT 's' || CAST(l_suppkey AS $cast) AS src,
@@ -1369,67 +1441,13 @@ object TextOps {
       val pairs = s.sql(
         s"""$lshBandPairsCtesSpark
           |SELECT doc_id, doc_id_b FROM pairs""".stripMargin)
-      def dbg(m: String): Unit =
-        if (sys.env.contains("GRAFT_CC_DEBUG")) System.err.println(s"CCPHASE $m t=${System.nanoTime()}")
-      dbg("start")
-      // canonical undirected edges oriented (u > v); eager checkpoint —
-      // round 1 reads them twice (aggregate + join probe) and the LSH CTE
-      // is the expensive part of the plan
-      var edges = pairs.select(
-          greatest(col("doc_id"), col("doc_id_b")).as("u"),
-          least(col("doc_id"), col("doc_id_b")).as("v"))
-        .localCheckpoint()
-      dbg("init-ckpt")
-      def sym(e: DataFrame): DataFrame =
-        e.select(col("u").as("x"), col("v").as("y"))
-          .union(e.select(col("v").as("x"), col("u").as("y")))
-      // ΣL over edge-incident nodes (exact decimal — no long overflow at
-      // any scale); isolated docs never enter the loop and join back in
-      // the finale. (coalesce-to-0 covers the empty candidate graph.)
-      def labelSum(e: DataFrame): java.math.BigDecimal = {
-        val d = sym(e).groupBy("x").agg(min(col("y")).as("mn"))
-          .agg(sum(least(col("x"), col("mn")).cast(DecimalType(38, 0))))
-          .head().getDecimal(0)
-        if (d == null) java.math.BigDecimal.ZERO else d
-      }
-      var prev: java.math.BigDecimal = null
-      var converged = false
-      var iter = 0
-      while (!converged && iter < 50) {
-        // large-star: for every node x with m = min(N(x) ∪ {x}), rewire
-        // each larger neighbor y > x to (y, m). The groupBy and the join
-        // probe share one exchange of sym(edges) on x (ReuseExchange).
-        val s1 = sym(edges)
-        val m1 = s1.groupBy("x").agg(min(col("y")).as("mn"))
-          .select(col("x").as("mx"), least(col("x"), col("mn")).as("m"))
-        val ls = s1.join(m1, s1("x") === m1("mx"))
-          .where(col("y") > col("x"))
-          .select(col("y").as("u"), col("m").as("v"))
-        // ls is strictly (u > v): m ≤ x < y. small-star: every node u
-        // rewires its smaller neighbors (all of them, post-LS) to
-        // m2 = min(N≤(u)) — emit (v, m2) for v ≠ m2 plus the (u, m2) spine.
-        val m2 = ls.groupBy("u").agg(min(col("v")).as("m2"))
-        val ssPairs = ls.join(m2, "u")
-          .where(col("v") =!= col("m2"))
-          .select(col("v").as("u"), col("m2").as("v"))
-        val ssSelf = m2.select(col("u"), col("m2").as("v"))
-        // lazy checkpoint: the convergence aggregate below is the action
-        // that materializes the round, so each round is ONE job.
-        val next = ssPairs.union(ssSelf).localCheckpoint(eager = false)
-        val cur = labelSum(next)
-        edges = next
-        converged = prev != null && cur.compareTo(prev) == 0
-        prev = cur
-        iter += 1
-        if (sys.env.contains("GRAFT_CC_DEBUG")) System.err.println(s"CCROUND $iter sum=$cur t=${System.nanoTime()}")
-      }
-      dbg("loop-done")
-      // final labels: every edge-incident node is adjacent to its root
-      // (certified by the stop condition); isolated docs label themselves
-      val lab = sym(edges).groupBy("x").agg(min(col("y")).as("mn"))
-        .select(col("x").as("doc_id"), least(col("x"), col("mn")).as("label"))
+      // component labels for edge-incident docs; isolated docs label
+      // themselves via the corpus left-join
+      val lab = starContractLabels(pairs.select(
+        col("doc_id").as("a"), col("doc_id_b").as("b")))
       val labels = Tables.documents(s, sf).select(col("doc_id"))
-        .join(lab, Seq("doc_id"), "left")
+        .join(lab.select(col("node").as("doc_id"), col("label")),
+          Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("label"))
       val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
       // the returned plan reads the final checkpointed edges; intermediate

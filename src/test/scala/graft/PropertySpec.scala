@@ -244,6 +244,39 @@ class PropertySpec extends AnyFunSuite with SparkSessionTest {
     }
   }
 
+  test("star-contraction components == union-find on random and adversarial graphs") {
+    import spark.implicits._
+    val edgeGen: Gen[List[(Long, Long)]] = for {
+      n <- Gen.chooseNum(2, 40)
+      m <- Gen.chooseNum(1, 60)
+      es <- Gen.listOfN(m, Gen.zip(Gen.chooseNum(0L, n - 1L), Gen.chooseNum(0L, n - 1L)))
+    } yield es
+    val chain = (0L until 30L).map(i => (i, i + 1)).toList          // diameter-30 path
+    val clique = (for (i <- 0L until 12L; j <- 0L until i) yield (i, j)).toList
+    val twoComps = chain.map { case (a, b) => (a + 100, b + 100) } ++ clique
+    val cases = (samples(edgeGen, 5).map(_.filter(e => e._1 != e._2)) ++
+      Seq(chain, clique, twoComps)).filter(_.nonEmpty)
+    for (es <- cases) {
+      val got = graft.operators.TextOps.starContractLabels(es.toDF("a", "b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // naive union-find reference
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
+      val want = nodes.groupBy(find).flatMap { case (_, ns) =>
+        val m = ns.min; ns.map(_ -> m)
+      }.toMap
+      assert(got == want, s"edges=$es")
+    }
+  }
+
   test("KS statement == naive ECDF max-gap on random samples") {
     import spark.implicits._
     val vGen = Gen.chooseNum(0, 99999).map(_ / 100.0)
