@@ -42,22 +42,48 @@ object Search {
     loaders.foreach { case (n, l) => l(s, sf).createOrReplaceTempView(n) }
   }
 
+  /** Read a parquet directory that a concurrent `StreamOps.upsertBatch`
+    * may be mid-swap on: the rename-aside swap leaves the directory
+    * briefly absent (and deletes the superseded part files right after),
+    * so a read issued in that window can fail with path-not-found /
+    * FileNotFoundException even though both copies exist on disk. Retry
+    * a few times with a short backoff — the swap is two renames, so any
+    * retry lands after it completes. Searches that already hold a view
+    * from BEFORE a swap can still hit vanished part files at query time;
+    * the contract there is re-issue the search (which re-registers). */
+  private def readParquetRetry(s: SparkSession, dir: String): DataFrame = {
+    def isMissing(t: Throwable): Boolean =
+      t != null && (t.isInstanceOf[java.io.FileNotFoundException] ||
+        Option(t.getMessage).exists(m =>
+          m.contains("PATH_NOT_FOUND") || m.contains("does not exist")) ||
+        isMissing(t.getCause))
+    var last: Throwable = null
+    for (attempt <- 1 to 5) {
+      try return s.read.parquet(dir)
+      catch {
+        case t: Throwable if isMissing(t) => last = t; Thread.sleep(100L * attempt)
+      }
+    }
+    throw last
+  }
+
   /** Register a LIVE serving table (a parquet directory incrementally
     * upserted by `StreamOps.maintainDailyCounts` / `liveServingLoop`) as
     * the `daily_counts` view, so SQL mode can query the stream's
     * consolidated state while the stream is still running. Re-reads the
-    * directory per call — each search sees the latest completed swap. */
+    * directory per call — each search sees the latest completed swap;
+    * a call that races the swap's rename window retries. */
   def registerServing(s: SparkSession, dir: String): Unit =
-    s.read.parquet(dir).createOrReplaceTempView("daily_counts")
+    readParquetRetry(s, dir).createOrReplaceTempView("daily_counts")
 
   /** Register the CLEAN CORPUS view over a live document-firehose ingest:
     * `clean_docs` = the ingested docs anti-joined against the streaming
     * dedup registry (StreamOps.cleanCorpusLoop) — what a training run
     * reads. Re-reads both directories per call, so each search sees the
-    * latest completed registry swap. */
+    * latest completed registry swap; calls racing a swap retry. */
   def registerCleanCorpus(s: SparkSession, docsDir: String, registryDir: String): Unit = {
-    val docs = s.read.parquet(docsDir)
-    val dups = s.read.parquet(registryDir).filter(col("is_dup")).select("doc_id")
+    val docs = readParquetRetry(s, docsDir)
+    val dups = readParquetRetry(s, registryDir).filter(col("is_dup")).select("doc_id")
     docs.join(dups, Seq("doc_id"), "left_anti").createOrReplaceTempView("clean_docs")
   }
 

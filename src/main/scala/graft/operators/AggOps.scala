@@ -811,29 +811,37 @@ object AggOps {
     // averages (pairwise means), completing the robust toolkit next to
     // Theil–Sen (robust slope) and MAD (robust spread). Like Theil–Sen,
     // the pair stage is bounded by the CALENDAR, not rows: exact per-day
-    // decimal means first (one scan), then days² ≈ 435 Walsh averages and
-    // an exact lower median over that tiny relation. Every per-day mean
-    // is one identical double division from exact decimal sums, so the
-    // averages — and the order statistic picked from them — are
-    // engine-identical. Identical SQL text in both engines.
+    // decimal means first (one scan, materialized once — it feeds both
+    // sides of the pair join and the scalar counts), then days² ≈ 435
+    // Walsh averages. The lower median over them is WINDOW-FREE rank
+    // selection: min v whose ≤-count reaches k — one more calendar-
+    // bounded theta join (the Theil–Sen discipline), so the plan has no
+    // global-window stage at any scale (a constant partition key would
+    // not do it: Catalyst folds literal partition specs back to empty).
+    // Every per-day mean is one identical double division from exact
+    // decimal sums, so the averages — and the order statistic picked
+    // from them — are engine-identical.
     "q_agg_hodges_lehmann" -> ((s, sf) => {
       Tables.events(s, sf).createOrReplaceTempView("events")
       s.sql(
-        """WITH d AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
-          |        CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS s,
-          |        CAST(count(*) AS BIGINT) AS n
-          |      FROM events GROUP BY 1),
-          |m AS (SELECT day, s / n AS dm FROM d),
-          |w AS (SELECT (a.dm + b.dm) / 2 AS wa
-          |      FROM m a JOIN m b ON a.day <= b.day),
-          |r AS (SELECT wa, row_number() OVER (ORDER BY wa) AS rn,
-          |        count(*) OVER () AS np
-          |      FROM w)
-          |SELECT (SELECT CAST(count(*) AS BIGINT) FROM d) AS n_days,
-          |  CAST(max(np) AS BIGINT) AS n_pairs,
-          |  max(CASE WHEN rn = CAST(floor((np + 1) / 2.0) AS BIGINT)
-          |      THEN wa END) AS hl_estimate
-          |FROM r""".stripMargin)
+        """SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+          |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS s,
+          |  CAST(count(*) AS BIGINT) AS n
+          |FROM events GROUP BY 1""".stripMargin)
+        .localCheckpoint().createOrReplaceTempView("hl_d")
+      s.sql(
+        """WITH m AS (SELECT day, s / n AS dm FROM hl_d),
+          |gg AS (SELECT (a.dm + b.dm) / 2 AS v
+          |       FROM m a JOIN m b ON a.day <= b.day),
+          |kk AS (SELECT (count(*) + 1) DIV 2 AS k,
+          |         CAST(count(*) AS BIGINT) AS np FROM gg),
+          |r AS (SELECT d.v, count(*) AS le
+          |      FROM (SELECT DISTINCT v FROM gg) d JOIN gg b ON b.v <= d.v
+          |      GROUP BY d.v)
+          |SELECT (SELECT CAST(count(*) AS BIGINT) FROM hl_d) AS n_days,
+          |  (SELECT np FROM kk) AS n_pairs,
+          |  (SELECT min(r.v) FROM r JOIN kk ON r.le >= kk.k) AS hl_estimate
+          |FROM (SELECT 1) one""".stripMargin)
     }),
 
     // Conversion LAG: for every purchase, seconds since the user's most

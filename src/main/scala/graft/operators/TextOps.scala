@@ -322,6 +322,14 @@ object TextOps {
       iter += 1
       if (sys.env.contains("GRAFT_CC_DEBUG")) System.err.println(s"CCROUND $iter sum=$cur t=${System.nanoTime()}")
     }
+    // the cap is a runaway backstop (star contraction converges in
+    // O(log d) rounds — 50 covers any graph with diameter < 2^50); if it
+    // ever trips, labels are from an UNCONVERGED edge set, so say so
+    // loudly instead of silently emitting under-collapsed clusters.
+    if (!converged)
+      System.err.println(
+        "WARN starContractLabels: iteration cap (50) hit before the " +
+          s"ΣL fixpoint (last ΣL=$prev) — returned labels may be under-collapsed")
     dbg("loop-done")
     // every edge-incident node is adjacent to its root (certified by the
     // stop condition)
@@ -887,7 +895,15 @@ object TextOps {
       edges.createOrReplaceTempView("rch_e")
       val seed = edges.filter(col("src") >= "s").agg(min(col("src")))
         .head().getString(0)
-      s.sql(reachRecursiveSql("rch_e", s"'$seed'"))
+      // degenerate corpus (no qualifying edges): min(src) is NULL, and
+      // interpolating it would seed the walk with the literal string
+      // 'null' — a phantom depth-0 ring the oracle would never emit.
+      // Return the (correct) empty ring table instead.
+      if (seed == null)
+        s.sql("""SELECT CAST(NULL AS INT) AS min_depth,
+                |  CAST(NULL AS BIGINT) AS n_nodes,
+                |  CAST(NULL AS STRING) AS first_node WHERE 1 = 0""".stripMargin)
+      else s.sql(reachRecursiveSql("rch_e", s"'$seed'"))
     }),
 
     "q_text_langid" -> ((s, sf) => {
