@@ -332,6 +332,50 @@ object TextOps {
        |$iters""".stripMargin
   }
 
+  /** Min-depth BFS labels over a directed edge relation from a seed set —
+    * the UNBOUNDED-depth traversal [[reachRecursiveSql]]'s scaladoc
+    * defers: Spark 4's WITH RECURSIVE is UNION ALL-only (rows are PATHS),
+    * so past a small depth bound the declarative walk explodes; engines
+    * run UNION-dedup recursion as exactly this loop — expand the
+    * frontier one hop, dedup against everything visited, stop when the
+    * frontier empties. The [[starContractLabels]] discipline: per round
+    * ONE fused job (expand + distinct + anti-join, materialized by the
+    * eager checkpoint whose count decides termination), rounds bounded by
+    * graph eccentricity (O(diameter), not O(paths)), and each round's
+    * work is frontier-sized. `edges` must have columns (src, dst),
+    * `seeds` a column (node) type-compatible with src; returns
+    * (node, depth) with depth = minimum hop count from any seed.
+    * Dedup per round is what makes this scale: visited acts as the
+    * recursion's working table, so a node re-reached through a longer
+    * path is dropped before it can fan out again. */
+  private[graft] def reachLabels(edges: DataFrame, seeds: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    var visited = seeds.select(col("node")).distinct()
+      .withColumn("depth", lit(0)).localCheckpoint()
+    var frontier = visited
+    var depth = 0
+    var done = frontier.isEmpty
+    while (!done && depth < 1000) {
+      depth += 1
+      val next = frontier.join(e, frontier("node") === e("src"))
+        .select(e("dst").as("node")).distinct()
+        .join(visited.select("node"), Seq("node"), "left_anti")
+        .withColumn("depth", lit(depth))
+        .localCheckpoint()
+      if (next.isEmpty) done = true
+      else {
+        visited = visited.unionByName(next).localCheckpoint(eager = false)
+        frontier = next
+      }
+    }
+    // 1000 rounds = a graph with a 1000-hop shortest path; a runaway
+    // backstop in the starContractLabels mold, not an expected exit.
+    if (!done)
+      System.err.println("WARN reachLabels: round cap (1000) hit before " +
+        "the frontier emptied — depths past the cap are missing")
+    visited
+  }
+
   /** Connected-component labels for the nodes of an undirected edge list
     * (columns `a`, `b`: long node ids) by alternating LARGE-STAR /
     * SMALL-STAR contraction — the engine behind q_dedup_clusters,
@@ -413,11 +457,36 @@ object TextOps {
   }
 
   /** Symmetric co-purchase edge list for the reachability walk. */
-  private[graft] def reachEdgesSql(cast: String): String =
+  private[graft] def reachEdgesSql(cast: String, minQty: Int = 40): String =
     s"""WITH e0 AS (SELECT DISTINCT 's' || CAST(l_suppkey AS $cast) AS src,
        |         'p' || CAST(l_partkey AS $cast) AS dst
-       |       FROM lineitem WHERE l_quantity >= 40)
+       |       FROM lineitem WHERE l_quantity >= $minQty)
        |SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0""".stripMargin
+
+  /** DuckDB oracle for the unbounded-depth walk: UNION-dedup recursion
+    * over (node, depth) pairs — the single-node engine's native spelling
+    * of exactly the frontier-dedup loop [[reachLabels]] runs distributed.
+    * The depth < 30 guard only breaks the cycle-driven (node, depth+k)
+    * regeneration; it is far above the graph's eccentricity at every SF
+    * (probed: max min-depth 3 / 5 / 7 / shrinking with density at sf1),
+    * so it never truncates a real ring. */
+  private[graft] def reachDeepDuckSql(minQty: Int): String =
+    s"""WITH RECURSIVE
+       |e0 AS (SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+       |         'p' || CAST(l_partkey AS VARCHAR) AS dst
+       |       FROM lineitem WHERE l_quantity >= $minQty),
+       |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+       |seed AS (SELECT min(src) AS sd FROM e WHERE src >= 's'),
+       |reach(node, depth) AS (
+       |  SELECT sd, 0 FROM seed WHERE sd IS NOT NULL
+       |  UNION
+       |  SELECT e.dst, r.depth + 1
+       |  FROM reach r JOIN e ON e.src = r.node
+       |  WHERE r.depth < 30
+       |),
+       |md AS (SELECT node, min(depth) AS min_depth FROM reach GROUP BY node)
+       |SELECT min_depth, CAST(count(*) AS BIGINT) AS n_nodes, min(node) AS first_node
+       |FROM md GROUP BY min_depth ORDER BY min_depth""".stripMargin
 
   /** The recursive walk over an edge relation `eRef` from `seedExpr`
     * (see the q_graph_reachability registration for the plan
@@ -1020,6 +1089,28 @@ object TextOps {
                 |  CAST(NULL AS BIGINT) AS n_nodes,
                 |  CAST(NULL AS STRING) AS first_node WHERE 1 = 0""".stripMargin)
       else s.sql(reachRecursiveSql("rch_e", s"'$seed'"))
+    }),
+
+    // UNBOUNDED-depth BFS over a SPARSER co-purchase graph (l_quantity ≥
+    // 48 — sparse enough that the walk genuinely needs many hops: max
+    // min-depth is 3 / 5 / 7 at sf0.001/0.01/0.1), run by [[reachLabels]]
+    // — the frontier-dedup-per-round loop that IS distributed UNION-dedup
+    // recursion. This is the walk the bounded recursive CTE above can't
+    // express without path explosion: rounds cost O(frontier), total work
+    // O(edges × diameter), never O(paths). Output = ring sizes by minimum
+    // depth, the same readout as q_graph_reachability.
+    "q_graph_reach_deep" -> ((s, sf) => {
+      Tables.lineitem(s, sf).createOrReplaceTempView("lineitem")
+      val edges = s.sql(reachEdgesSql("STRING", minQty = 48)).localCheckpoint()
+      // 1-row seed relation (no driver handoff at all — the null guard is
+      // the isNotNull filter, so a degenerate corpus yields empty seeds,
+      // an empty visited set, and the correct empty ring table)
+      val seeds = edges.filter(col("src") >= "s")
+        .agg(min(col("src")).as("node")).filter(col("node").isNotNull)
+      reachLabels(edges, seeds)
+        .groupBy(col("depth").as("min_depth"))
+        .agg(count(lit(1)).as("n_nodes"), min(col("node")).as("first_node"))
+        .orderBy("min_depth")
     }),
 
     "q_text_langid" -> ((s, sf) => {
@@ -2050,6 +2141,7 @@ object TextOps {
 
     "q_graph_pagerank" -> pagerankOracleSql("VARCHAR"),
     "q_graph_reachability" -> reachabilitySql("VARCHAR"),
+    "q_graph_reach_deep" -> reachDeepDuckSql(48),
 
     "q_text_langid" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)

@@ -277,6 +277,41 @@ class PropertySpec extends AnyFunSuite with SparkSessionTest {
     }
   }
 
+  test("frontier-BFS labels == naive BFS min-depths on random and adversarial graphs") {
+    import spark.implicits._
+    val caseGen: Gen[(List[(Long, Long)], List[Long])] = for {
+      n <- Gen.chooseNum(2, 40)
+      m <- Gen.chooseNum(1, 70)
+      es <- Gen.listOfN(m, Gen.zip(Gen.chooseNum(0L, n - 1L), Gen.chooseNum(0L, n - 1L)))
+      ns <- Gen.chooseNum(1, 3)
+      seeds <- Gen.listOfN(ns, Gen.chooseNum(0L, n - 1L))
+    } yield (es, seeds)
+    val chain = ((0L until 30L).map(i => (i, i + 1)).toList, List(0L))    // 30 rounds deep
+    val cycle = ((0L until 12L).map(i => (i, (i + 1) % 12)).toList, List(3L))
+    val diamond = (List((0L, 1L), (0L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)), List(0L))
+    val twoIslands = (chain._1 ++ List((100L, 101L)), List(0L, 100L))
+    val unreachable = (List((5L, 6L), (7L, 8L)), List(5L))                // 7,8 never reached
+    for ((es, seeds) <- samples(caseGen, 5) ++
+           Seq(chain, cycle, diamond, twoIslands, unreachable)) {
+      val got = graft.operators.TextOps.reachLabels(
+          es.toDF("src", "dst"), seeds.toDF("node"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      // naive BFS reference (directed, multi-seed, min depth)
+      val adj = es.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      val depth = scala.collection.mutable.Map[Long, Int]()
+      seeds.distinct.foreach(sd => depth(sd) = 0)
+      var front = seeds.distinct
+      var d = 0
+      while (front.nonEmpty) {
+        d += 1
+        front = front.flatMap(u => adj.getOrElse(u, Nil)).distinct
+          .filterNot(depth.contains)
+        front.foreach(v => depth(v) = d)
+      }
+      assert(got == depth.toMap, s"edges=$es seeds=$seeds")
+    }
+  }
+
   test("KS statement == naive ECDF max-gap on random samples") {
     import spark.implicits._
     val vGen = Gen.chooseNum(0, 99999).map(_ / 100.0)
