@@ -603,6 +603,70 @@ object VectorOps {
     "q_dedup_embedding" -> ((s, sf) =>
       pairBounded(s, sf, 0.4, "keep_id", "dup_id")),
 
+    // SEMANTIC contamination check — the embedding-space companion to
+    // q_text_contamination's n-gram overlap: flag corpus vectors whose
+    // cosine to ANY benchmark vector (the vec_id % 50 = 0 eval split)
+    // reaches τ = 0.35 — the paraphrase-contamination signal n-grams
+    // miss. Architecture for a 100 TB corpus vs a benchmark-sized right
+    // side: the benchmark is grouped into cells (per-label centroids of
+    // the NORMALIZED bench vectors + cell radius), corpus rows prune
+    // cells by the triangle inequality on the unit sphere
+    // (d(x, cell) > r_cell + √(2−2τ) ⟹ no member can reach τ; an 1e-3
+    // slack absorbs float error so the prune is conservative), and only
+    // surviving (corpus row, cell) pairs run the exact vec_dot cosine
+    // against that cell's members. Everything on the right of the corpus
+    // scan is benchmark-sized and BROADCAST — there is no corpus×corpus
+    // (or corpus-sized shuffle) anywhere; per-row cost is |cells| kernel
+    // dots + surviving members. On THIS corpus (isotropic synthetic
+    // vectors, cell radii ≈ 1.5 rad — see pairBounded's record) the
+    // prune rarely fires; on a real clustered benchmark it is the lever.
+    // The DuckDB oracle states the unpruned all-pairs form, so the gate
+    // proves the prune exact.
+    "q_text_contamination_emb" -> ((s, sf) => {
+      graft.functions.GraftFunctions.register(s)
+      Tables.embeddings(s, sf).createOrReplaceTempView("embeddings")
+      val d2 = (u: String, c: String) =>
+        s"(vec_dot($u, $u) - 2 * vec_dot($u, $c) + vec_dot($c, $c))"
+      s.sql(
+        s"""WITH b AS (SELECT vec_id AS bench_id, label, embedding,
+           |             sqrt(${dot("embedding", "embedding")}) AS nrm
+           |           FROM embeddings WHERE vec_id % 50 = 0),
+           |bu AS (SELECT bench_id, label,
+           |         transform(embedding, v -> CAST(CAST(v AS DOUBLE) / nrm AS FLOAT)) AS u
+           |       FROM b),
+           |bx AS (SELECT label, posexplode(u) AS (pos, v) FROM bu),
+           |cm AS (SELECT label, pos,
+           |         CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE)
+           |           / COUNT(v) AS mv
+           |       FROM bx GROUP BY label, pos),
+           |cent AS (SELECT label,
+           |           transform(array_sort(collect_list(struct(pos, mv))),
+           |                     s -> CAST(s.mv AS FLOAT)) AS cvec
+           |         FROM cm GROUP BY label),
+           |rad AS (SELECT /*+ BROADCAST(c) */ u.label,
+           |          max(sqrt(${d2("u.u", "c.cvec")})) AS r
+           |        FROM bu u JOIN cent c ON u.label = c.label GROUP BY u.label),
+           |x AS (SELECT vec_id, embedding,
+           |        sqrt(${dot("embedding", "embedding")}) AS nrm
+           |      FROM embeddings WHERE vec_id % 50 <> 0),
+           |xu AS (SELECT vec_id, embedding, nrm,
+           |         transform(embedding, v -> CAST(CAST(v AS DOUBLE) / nrm AS FLOAT)) AS u
+           |       FROM x),
+           |cand AS (SELECT /*+ BROADCAST(c), BROADCAST(rad) */
+           |           x.vec_id, x.embedding, x.nrm, c.label
+           |         FROM xu x CROSS JOIN cent c JOIN rad ON c.label = rad.label
+           |         WHERE sqrt(${d2("x.u", "c.cvec")})
+           |               <= rad.r + sqrt(2 - 2 * 0.35) + 0.001),
+           |hit AS (SELECT /*+ BROADCAST(b) */ x.vec_id, b.bench_id,
+           |          round(${dot("x.embedding", "b.embedding")} / (x.nrm * b.nrm), 6) AS cos_sim
+           |        FROM cand x JOIN b ON x.label = b.label
+           |        WHERE round(${dot("x.embedding", "b.embedding")} / (x.nrm * b.nrm), 6) >= 0.35)
+           |SELECT vec_id, CAST(count(*) AS BIGINT) AS n_bench_hits,
+           |  min(named_struct('nc', -cos_sim, 'b', bench_id)).b AS best_bench,
+           |  -min(named_struct('nc', -cos_sim, 'b', bench_id)).nc AS best_cos
+           |FROM hit GROUP BY vec_id ORDER BY vec_id""".stripMargin)
+    }),
+
     "q_vec_ann_lsh_native" -> ((s, sf) => {
       graft.functions.GraftFunctions.register(s)
       Tables.embeddings(s, sf).createOrReplaceTempView("embeddings")
@@ -1150,6 +1214,29 @@ object VectorOps {
          |ORDER BY n.label""".stripMargin,
 
     "q_vec_knn_cosine" -> knnDuckSql,
+
+    // Unpruned all-pairs statement of the cell-blocked contamination
+    // check — the gate proves the Spark side's triangle-inequality
+    // prune drops nothing.
+    "q_text_contamination_emb" ->
+      s"""WITH b AS (SELECT vec_id AS bench_id, embedding,
+         |             sqrt(${odot("embedding", "embedding")}) AS nrm
+         |           FROM embeddings WHERE vec_id % 50 = 0),
+         |x AS (SELECT vec_id, embedding,
+         |        sqrt(${odot("embedding", "embedding")}) AS nrm
+         |      FROM embeddings WHERE vec_id % 50 <> 0),
+         |h AS (SELECT x.vec_id, b.bench_id,
+         |        round(${odot("x.embedding", "b.embedding")} / (x.nrm * b.nrm), 6) AS cos_sim
+         |      FROM x CROSS JOIN b),
+         |hh AS (SELECT * FROM h WHERE cos_sim >= 0.35),
+         |r AS (SELECT vec_id, bench_id, cos_sim,
+         |        row_number() OVER (PARTITION BY vec_id
+         |                           ORDER BY cos_sim DESC, bench_id) AS rn,
+         |        count(*) OVER (PARTITION BY vec_id) AS nh
+         |      FROM hh)
+         |SELECT vec_id, CAST(nh AS BIGINT) AS n_bench_hits,
+         |  bench_id AS best_bench, cos_sim AS best_cos
+         |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
 
     "q_vec_ann_lsh_native" -> lshSql(odot,
       signs => s"CAST([${signs.mkString(", ")}] AS FLOAT[])"),
