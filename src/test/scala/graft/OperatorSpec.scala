@@ -1551,6 +1551,32 @@ class OperatorSpec extends AnyFunSuite with SparkSessionTest
       s"got=$got\nwant=${wantMerges ++ wantSyms}")
   }
 
+  test("incremental dedup vs frozen registry == full recompute restricted to new docs") {
+    // the backfill equality claim, proven inside one engine too (the
+    // oracle proves it cross-engine): frozen old-vocab dict + bitmap
+    // registry must reproduce the naive unblocked new-vs-old Jaccard scan
+    val got = SparkEntry.queries("q_dedup_incremental")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    Tables.documents(spark, sf0001).createOrReplaceTempView("documents")
+    val want = spark.sql(
+      """WITH d AS (SELECT doc_id, lang, array_distinct(split(text, ' ')) AS toks
+        |           FROM documents),
+        |nw AS (SELECT * FROM d WHERE doc_id % 5 = 0),
+        |old AS (SELECT * FROM d WHERE doc_id % 5 <> 0),
+        |p AS (SELECT nw.doc_id AS doc_id, old.doc_id AS old_id,
+        |        size(array_intersect(nw.toks, old.toks)) AS i,
+        |        size(nw.toks) AS na, size(old.toks) AS nb
+        |      FROM nw JOIN old ON nw.lang = old.lang),
+        |h AS (SELECT doc_id, old_id, round(i / (na + nb - i), 6) AS jaccard
+        |      FROM p WHERE round(i / (na + nb - i), 6) >= 0.9)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dups,
+        |  min(named_struct('nj', -jaccard, 'd', old_id)).d AS dup_of,
+        |  -min(named_struct('nj', -jaccard, 'd', old_id)).nj AS best_j
+        |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got.nonEmpty && got == want, s"got=${got.take(5)}... want=${want.take(5)}...")
+  }
+
   test("column stats reconcile with direct aggregates off one scan") {
     val df = SparkEntry.queries("q_scan_column_stats")(spark, sf0001)
     val rows = df.collect().map(r => r.getString(0) ->
