@@ -708,6 +708,48 @@ object TextOps {
        |${nearDupPairSql("enc", probe).stripPrefix("WITH ")}""".stripMargin
   }
 
+  // ---- linear quality scorer -------------------------------------------
+
+  /** The fastText-style linear rung above the rule-based Gopher gates: a
+    * fixed vocabulary weight vector (the broadcast model — in production
+    * the trained classifier's weights, here a hand-set 12-term vector
+    * over this corpus's vocabulary), scored as Σ count(tok)·w(tok) /
+    * n_toks with a keep/drop threshold. Float discipline: counts are
+    * integers, weights exact decimals, the weighted sum an exact
+    * DECIMAL(30,6) — ONE double conversion at the final division, then
+    * quantization spelled floor(x·1e6 + 0.5)/1e6 (NOT round(double, 6):
+    * the raw/n quotients land on half-ulp boundaries where the engines'
+    * double-round directions diverge — the CHECK_sf1 rule), and the
+    * keep/drop gate compares that quantized double, so both engines
+    * threshold bit-identical values. Scale shape: explode → per-doc hash count →
+    * broadcast join with the 12-row weight table → per-doc sum; one
+    * corpus-keyed shuffle, model side broadcast — the fastText scoring
+    * plan at any corpus size. */
+  private val qualityWeights: String = Seq(
+    "('the', 1.5)", "('a', 1.2)", "('data', 0.6)", "('fast', 0.8)",
+    "('small', 0.4)", "('value', 0.3)", "('dup', -5.0)", "('slow', -1.0)",
+    "('big', -0.7)", "('spark', -0.4)", "('hash', -0.2)", "('batch', -0.1)")
+    .mkString(", ")
+
+  private[graft] def qualityScoreSql(valuesRel: String, unnest: String => String,
+                                     split: String, len: String): String =
+    s"""WITH w AS (SELECT tok, CAST(wt AS DECIMAL(10,4)) AS wt FROM $valuesRel),
+       |t AS (SELECT doc_id, ${unnest(s"$split(text, ' ')")} AS tok FROM documents),
+       |c AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY doc_id, tok),
+       |s AS (SELECT c.doc_id,
+       |        SUM(CAST(c.c * w.wt AS DECIMAL(30,6))) AS raw,
+       |        CAST(SUM(c.c) AS BIGINT) AS n_feat
+       |      FROM c JOIN w USING (tok) GROUP BY c.doc_id),
+       |n AS (SELECT doc_id, CAST($len($split(text, ' ')) AS BIGINT) AS n_toks
+       |      FROM documents)
+       |SELECT n.doc_id, n.n_toks,
+       |  coalesce(s.n_feat, CAST(0 AS BIGINT)) AS n_feat,
+       |  floor(CAST(coalesce(s.raw, 0) AS DOUBLE) / n.n_toks * 1e6 + 0.5) / 1e6 AS score,
+       |  CASE WHEN floor(CAST(coalesce(s.raw, 0) AS DOUBLE) / n.n_toks * 1e6 + 0.5) / 1e6 >= 0.05
+       |       THEN 'keep' ELSE 'drop' END AS label
+       |FROM n LEFT JOIN s ON n.doc_id = s.doc_id
+       |ORDER BY 1""".stripMargin
+
   // ---- incremental batch dedup against a frozen registry ---------------
 
   /** The backfill shape: the corpus is split at a deterministic cutover
@@ -1422,6 +1464,15 @@ object TextOps {
         tokTable = s"SELECT doc_id, lang, explode(array_distinct(split(text, ' '))) AS tok FROM ($docSampleSub)",
         shift = "shiftleft(CAST(1 AS BIGINT), id - %d)",
         probe = "explode(sequence((9 * n + 9) div 10, (10 * n) div 9))"))
+    }),
+
+    // Linear (fastText-style) quality scorer — see [[qualityScoreSql]]
+    // for the model shape, float discipline, and at-scale plan.
+    "q_text_quality_score" -> ((s, sf) => {
+      Tables.documents(s, sf).createOrReplaceTempView("documents")
+      s.sql(qualityScoreSql(
+        valuesRel = s"VALUES $qualityWeights AS v(tok, wt)",
+        unnest = e => s"explode($e)", split = "split", len = "size"))
     }),
 
     // Incremental batch dedup vs a FROZEN registry — the backfill shape
@@ -2221,6 +2272,9 @@ object TextOps {
     "q_text_bpe_merge" -> bpeMergeDuckSql,
     "q_text_bpe_train" -> bpeTrainDuckSql,
     "q_dedup_incremental" -> incDedupDuckSql,
+    "q_text_quality_score" -> qualityScoreSql(
+      valuesRel = s"(VALUES $qualityWeights) v(tok, wt)",
+      unnest = e => s"unnest($e)", split = "string_split", len = "len"),
 
     "q_dedup_minhash_error" -> minhashErrSql(
       distinctToks = "list_distinct(string_split(text, ' '))",
