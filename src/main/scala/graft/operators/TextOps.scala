@@ -217,11 +217,13 @@ object TextOps {
     * a production vocabulary just raises K. */
   private[graft] val bpeTrainRounds = 5
 
-  /** Round-0 trainer state: (word frequency c, spaced symbol string seq).
-    * The seq-as-spaced-string representation is what makes each merge
-    * round a single `replace` over vocab-sized state in BOTH engines. */
+  /** Round-0 trainer state: (word, frequency c, spaced symbol string
+    * seq). The seq-as-spaced-string representation is what makes each
+    * merge round a single `replace` over vocab-sized state in BOTH
+    * engines; `word` rides along untouched so the trained state doubles
+    * as the word → tokenization lookup q_text_bpe_tokenize applies. */
   private val bpeTrainStateSparkSql: String =
-    s"SELECT c, array_join(ch, ' ') AS seq FROM ($bpeStateSparkSql) st"
+    s"SELECT word, c, array_join(ch, ' ') AS seq FROM ($bpeStateSparkSql) st"
 
   /** THE merge for one round: most frequent adjacent symbol pair over the
     * current state, count-weighted, ties broken lexicographically —
@@ -238,7 +240,7 @@ object TextOps {
     * application order; see [[bpeMergeSql]]). The 1-row merge table is
     * broadcast — the state side streams. */
   private def bpeTrainStepSql(stateRef: String, topRef: String): String =
-    s"""SELECT /*+ BROADCAST(t) */ s.c,
+    s"""SELECT /*+ BROADCAST(t) */ s.word, s.c,
        |  trim(replace(concat(' ', s.seq, ' '),
        |               concat(' ', t.pair, ' '),
        |               concat(' ', replace(t.pair, ' ', ''), ' '))) AS seq
@@ -254,16 +256,41 @@ object TextOps {
     "zip_with(slice(ch, 1, size(ch) - 1), slice(ch, 2, size(ch) - 1), " +
       "(x, y) -> concat(x, ' ', y))"
 
-  /** DuckDB oracle for the K-round trainer: the SAME round semantics as
-    * the Spark driver loop, unrolled as a materialized CTE chain (state
-    * st0…stK, merges top1…topK). `AS MATERIALIZED` pins each state to
-    * one evaluation — the chain references every st twice (pair count +
-    * merge apply), so inlining would be 2^K word-freq scans. */
-  private[graft] val bpeTrainDuckSql: String = {
+  /** Runs the K-round trainer loop (see q_text_bpe_train's registration
+    * comment for the job-fusion discipline); leaves the final (word, c,
+    * seq) state registered as `bpe_tr_st` and returns the per-round
+    * merge-pick DataFrames (kind, rnd, item, cnt). */
+  private def bpeTrainLoop(s: SparkSession): Seq[DataFrame] = {
+    var st = s.sql(bpeTrainStateSparkSql).localCheckpoint()
+    val merges = Seq.newBuilder[DataFrame]
+    for (k <- 1 to bpeTrainRounds) {
+      st.createOrReplaceTempView("bpe_tr_st")
+      // eager 1-row checkpoint: pins THIS round's pick (the view name is
+      // reused next round) and, being the first action over the lazily
+      // checkpointed state, materializes the state as a side effect.
+      val top = s.sql(bpeTrainTopSql("bpe_tr_st", e => s"explode($e)",
+          bpeTrainSparkPairs, "split"))
+        .localCheckpoint()
+      top.createOrReplaceTempView("bpe_tr_top")
+      merges += top.select(lit("merge").as("kind"), lit(k).as("rnd"),
+        col("pair").as("item"), col("n").as("cnt"))
+      st = s.sql(bpeTrainStepSql("bpe_tr_st", "bpe_tr_top"))
+        .localCheckpoint(eager = false)
+    }
+    st.createOrReplaceTempView("bpe_tr_st")
+    merges.result()
+  }
+
+  /** DuckDB unrolled trainer chain (st0…stK, top1…topK): the SAME round
+    * semantics as the Spark driver loop. `AS MATERIALIZED` pins each
+    * state to one evaluation — the chain references every st twice
+    * (pair count + merge apply), so inlining would be 2^K word-freq
+    * scans. Shared by the train and tokenize oracles. */
+  private def bpeTrainDuckChain: String = {
     val duckPairs = "list_transform(list_zip(ch[1:len(ch)-1], ch[2:len(ch)]), " +
       "z -> concat(z[1], ' ', z[2]))"
     def un(e: String) = s"unnest($e)"
-    val st0 = "SELECT c, array_to_string(regexp_extract_all(word, '(.)', 1), ' ') AS seq " +
+    val st0 = "SELECT word, c, array_to_string(regexp_extract_all(word, '(.)', 1), ' ') AS seq " +
       "FROM (SELECT word, count(*) AS c " +
       "FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) w " +
       "WHERE word <> '' GROUP BY word) f"
@@ -272,17 +299,51 @@ object TextOps {
       ctes ++= s",\ntop$k AS MATERIALIZED (${bpeTrainTopSql(s"st${k - 1}", un, duckPairs, "string_split")})"
       ctes ++= s",\nst$k AS MATERIALIZED (${bpeTrainStepSql(s"st${k - 1}", s"top$k")})"
     }
-    ctes ++= s",\nsym AS (${bpeTrainSymSql(s"st$bpeTrainRounds", un, "string_split")})"
+    ctes.toString
+  }
+
+  /** DuckDB oracle for the K-round trainer. */
+  private[graft] val bpeTrainDuckSql: String = {
+    def un(e: String) = s"unnest($e)"
     val mergeRows = (1 to bpeTrainRounds)
       .map(k => s"SELECT 'merge' AS kind, $k AS rnd, pair AS item, n AS cnt FROM top$k")
       .mkString("\nUNION ALL\n")
-    s"""WITH $ctes
+    s"""WITH $bpeTrainDuckChain,
+       |sym AS (${bpeTrainSymSql(s"st$bpeTrainRounds", un, "string_split")})
        |SELECT * FROM (
        |$mergeRows
        |UNION ALL
        |SELECT 'symbol' AS kind, ${bpeTrainRounds + 1} AS rnd, token AS item, cnt FROM sym
        |) u ORDER BY kind, rnd, cnt DESC, item""".stripMargin
   }
+
+  /** Shared tokenize readout over the trained state `stRef`: the final
+    * state IS the word → tokenization lookup (every corpus word appears
+    * in it by construction), so tokenizing the corpus is a broadcast
+    * join of doc words against the vocab-sized lookup — no per-doc
+    * merge replay. Compression = chars per symbol, floor-quantized
+    * (the CHECK_sf1 rule). */
+  private def bpeTokenizeReadout(stRef: String, unnest: String => String,
+                                 split: String, len: String): String =
+    s"""lk AS (SELECT word, CAST($len($split(seq, ' ')) AS BIGINT) AS nsym
+       |       FROM $stRef),
+       |dw AS (SELECT doc_id, word FROM (
+       |         SELECT doc_id, ${unnest(s"$split(text, ' ')")} AS word
+       |         FROM documents) x
+       |       WHERE word <> ''),
+       |per AS (SELECT dw.doc_id,
+       |          CAST(count(*) AS BIGINT) AS n_words,
+       |          CAST(sum(length(dw.word)) AS BIGINT) AS n_chars,
+       |          CAST(sum(lk.nsym) AS BIGINT) AS n_symbols
+       |        FROM dw JOIN lk ON dw.word = lk.word
+       |        GROUP BY dw.doc_id)
+       |SELECT doc_id, n_words, n_chars, n_symbols,
+       |  floor(CAST(n_chars AS DOUBLE) / n_symbols * 1e6 + 0.5) / 1e6 AS compression
+       |FROM per ORDER BY 1""".stripMargin
+
+  private[graft] val bpeTokenizeDuckSql: String =
+    s"""WITH $bpeTrainDuckChain,
+       |${bpeTokenizeReadout(s"st$bpeTrainRounds", e => s"unnest($e)", "string_split", "len")}""".stripMargin
 
   private val bpeMergeDuckSql: String = bpeMergeSql(
     stateCte = "st AS (" +
@@ -1102,28 +1163,25 @@ object TextOps {
     // materialized CTE chain ([[bpeTrainDuckSql]]).
     "q_text_bpe_train" -> ((s, sf) => {
       Tables.documents(s, sf).createOrReplaceTempView("documents")
-      var st = s.sql(bpeTrainStateSparkSql).localCheckpoint()
-      val merges = Seq.newBuilder[DataFrame]
-      for (k <- 1 to bpeTrainRounds) {
-        st.createOrReplaceTempView("bpe_tr_st")
-        // eager 1-row checkpoint: pins THIS round's pick (the view name is
-        // reused next round) and, being the first action over the lazily
-        // checkpointed state, materializes the state as a side effect.
-        val top = s.sql(bpeTrainTopSql("bpe_tr_st", e => s"explode($e)",
-            bpeTrainSparkPairs, "split"))
-          .localCheckpoint()
-        top.createOrReplaceTempView("bpe_tr_top")
-        merges += top.select(lit("merge").as("kind"), lit(k).as("rnd"),
-          col("pair").as("item"), col("n").as("cnt"))
-        st = s.sql(bpeTrainStepSql("bpe_tr_st", "bpe_tr_top"))
-          .localCheckpoint(eager = false)
-      }
-      st.createOrReplaceTempView("bpe_tr_st")
+      val merges = bpeTrainLoop(s)
       val sym = s.sql(bpeTrainSymSql("bpe_tr_st", e => s"explode($e)", "split"))
         .select(lit("symbol").as("kind"), lit(bpeTrainRounds + 1).as("rnd"),
           col("token").as("item"), col("cnt"))
-      merges.result().reduce(_ unionByName _).unionByName(sym)
+      merges.reduce(_ unionByName _).unionByName(sym)
         .orderBy(col("kind"), col("rnd"), col("cnt").desc, col("item"))
+    }),
+
+    // TOKENIZE with the trained merges — the apply half of the tokenizer
+    // story: run the same K-round trainer, then tokenize the corpus by a
+    // broadcast join of doc words against the trained vocab-sized
+    // word → symbol-count lookup (the final state; no per-doc merge
+    // replay). Per-doc readout = word/char/symbol counts + chars-per-
+    // symbol compression, the number a tokenizer team actually tracks.
+    // Oracle = the unrolled DuckDB chain + the identical readout.
+    "q_text_bpe_tokenize" -> ((s, sf) => {
+      Tables.documents(s, sf).createOrReplaceTempView("documents")
+      bpeTrainLoop(s)
+      s.sql(s"WITH ${bpeTokenizeReadout("bpe_tr_st", e => s"explode($e)", "split", "size")}")
     }),
 
     // MinHash estimator quality — the sketch-metric companion to the
@@ -2271,6 +2329,7 @@ object TextOps {
 
     "q_text_bpe_merge" -> bpeMergeDuckSql,
     "q_text_bpe_train" -> bpeTrainDuckSql,
+    "q_text_bpe_tokenize" -> bpeTokenizeDuckSql,
     "q_dedup_incremental" -> incDedupDuckSql,
     "q_text_quality_score" -> qualityScoreSql(
       valuesRel = s"(VALUES $qualityWeights) v(tok, wt)",
