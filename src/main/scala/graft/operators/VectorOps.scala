@@ -522,7 +522,129 @@ object VectorOps {
        |  WHERE rn = 1""".stripMargin
   }
 
+  // ---- incremental IVF index maintenance -------------------------------
+
+  /** The vector-index twin of q_dedup_incremental: a new vector batch
+    * (vec_id % 5 = 0) lands against a FROZEN IVF index — codebook
+    * seeded and Lloyd-refined on the OLD 80% only, materialized once —
+    * and only the new batch is assigned. Readout per cell: registry
+    * occupancy, new-batch occupancy, and the new members' mean assign
+    * distance — the numbers that tell an index operator whether the
+    * incoming batch shifted cell balance (re-train trigger) without
+    * touching the existing index. Per-statement cost: codebook = two
+    * passes over old (seed pick + one Lloyd step); serve = one pass per
+    * side against the broadcast 16-row codebook, min-struct argmin (no
+    * per-vector sort), cells-bounded histogram. Same determinism story
+    * as q_vec_ann_ivf: md5-ordered seeds, exact-decimal cell means,
+    * fold-identical vec_dot distances. */
+  private val incIvfOldRel = "SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 <> 0"
+  private val incIvfNewRel = "SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0"
+
+  private val incIvfTrainSparkSql: String = {
+    val d2 = ivfDist2(dot) _
+    s"""WITH o AS ($incIvfOldRel),
+       |seedbase AS (SELECT vec_id, embedding FROM o
+       |             ORDER BY md5(CAST(vec_id AS STRING)), vec_id LIMIT $ivfK),
+       |seed AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS STRING)), vec_id) - 1 AS cid,
+       |                embedding AS cvec
+       |         FROM seedbase),
+       |a0 AS (SELECT m.c AS cid, embedding FROM (
+       |    SELECT e.embedding,
+       |      min(named_struct('d', ${d2("e.embedding", "c.cvec")}, 'c', c.cid)) AS m
+       |    FROM o e CROSS JOIN seed c
+       |    GROUP BY e.vec_id, e.embedding) t),
+       |x AS (SELECT cid, posexplode(embedding) AS (pos, v) FROM a0),
+       |mm AS (SELECT cid, pos,
+       |         CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(30,12))) AS DOUBLE) / COUNT(v) AS mv
+       |       FROM x GROUP BY cid, pos)
+       |SELECT cid, transform(array_sort(collect_list(struct(pos, mv))),
+       |                      s -> CAST(s.mv AS FLOAT)) AS cvec
+       |FROM mm GROUP BY cid""".stripMargin
+  }
+
+  private val incIvfServeSparkSql: String = {
+    val d2 = ivfDist2(dot) _
+    def asgn(rel: String) =
+      s"""SELECT vec_id, m.c AS cid, m.d AS d2 FROM (
+         |    SELECT /*+ BROADCAST(c) */ e.vec_id,
+         |      min(named_struct('d', ${d2("e.embedding", "c.cvec")}, 'c', c.cid)) AS m
+         |    FROM ($rel) e CROSS JOIN inc_ivf_cent c
+         |    GROUP BY e.vec_id, e.embedding) t""".stripMargin
+    s"""WITH ao AS (${asgn(incIvfOldRel)}),
+       |an AS (${asgn(incIvfNewRel)}),
+       |go AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_old FROM ao GROUP BY cid),
+       |gn AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_new,
+       |         round(CAST(SUM(CAST(round(sqrt(d2), 9) AS DECIMAL(30,12))) AS DOUBLE)
+       |               / count(*), 6) AS mean_dist_new
+       |       FROM an GROUP BY cid)
+       |SELECT c.cid, coalesce(go.n_old, CAST(0 AS BIGINT)) AS n_old,
+       |  coalesce(gn.n_new, CAST(0 AS BIGINT)) AS n_new,
+       |  gn.mean_dist_new
+       |FROM inc_ivf_cent c
+       |LEFT JOIN go ON c.cid = go.cid
+       |LEFT JOIN gn ON c.cid = gn.cid
+       |ORDER BY cid""".stripMargin
+  }
+
+  /** One-statement DuckDB oracle: same frozen-codebook fixpoint, argmin
+    * stated as the row_number window (the established equivalence). */
+  private val incIvfDuckSql: String = {
+    val d2 = ivfDist2(odot) _
+    def asgn(rel: String, centRef: String, keepD: Boolean) = {
+      val dcol = if (keepD) ", d2" else ""
+      s"""SELECT vec_id, cid$dcol FROM (
+         |    SELECT e.vec_id, c.cid, ${d2("e.embedding", "c.cvec")} AS d2,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |                         ORDER BY ${d2("e.embedding", "c.cvec")}, c.cid) AS rn
+         |    FROM ($rel) e CROSS JOIN $centRef c) t
+         |  WHERE rn = 1""".stripMargin
+    }
+    val oldRel = incIvfOldRel
+    val newRel = incIvfNewRel
+    s"""WITH o AS ($oldRel),
+       |seedbase AS (SELECT vec_id, embedding FROM o
+       |             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $ivfK),
+       |seed AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid,
+       |                embedding AS cvec
+       |         FROM seedbase),
+       |a0 AS (SELECT cid, embedding FROM (
+       |    SELECT e.embedding, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |                         ORDER BY ${d2("e.embedding", "c.cvec")}, c.cid) AS rn
+       |    FROM o e CROSS JOIN seed c) t
+       |  WHERE rn = 1),
+       |x AS (SELECT cid, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS v FROM a0),
+       |mm AS (SELECT cid, pos,
+       |         CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(30,12))) AS DOUBLE) / COUNT(v) AS mv
+       |       FROM x GROUP BY cid, pos),
+       |cent AS (SELECT cid, list_transform(list(mv ORDER BY pos), x -> CAST(x AS FLOAT)) AS cvec
+       |         FROM mm GROUP BY cid),
+       |ao AS (${asgn(oldRel, "cent", keepD = false)}),
+       |an AS (${asgn(newRel, "cent", keepD = true)}),
+       |go AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_old FROM ao GROUP BY cid),
+       |gn AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_new,
+       |         round(CAST(SUM(CAST(round(sqrt(d2), 9) AS DECIMAL(30,12))) AS DOUBLE)
+       |               / count(*), 6) AS mean_dist_new
+       |       FROM an GROUP BY cid)
+       |SELECT c.cid, coalesce(go.n_old, CAST(0 AS BIGINT)) AS n_old,
+       |  coalesce(gn.n_new, CAST(0 AS BIGINT)) AS n_new,
+       |  gn.mean_dist_new
+       |FROM cent c
+       |LEFT JOIN go ON c.cid = go.cid
+       |LEFT JOIN gn ON c.cid = gn.cid
+       |ORDER BY 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_vec_incremental_ivf" -> ((s, sf) => {
+      graft.functions.GraftFunctions.register(s)
+      Tables.embeddings(s, sf).createOrReplaceTempView("embeddings")
+      // the frozen index: 16-row codebook materialized once
+      s.sql(incIvfTrainSparkSql).localCheckpoint()
+        .createOrReplaceTempView("inc_ivf_cent")
+      s.sql(incIvfServeSparkSql)
+    }),
+
     "q_vec_norms" -> ((s, sf) => {
       graft.functions.GraftFunctions.register(s)
       Tables.embeddings(s, sf).createOrReplaceTempView("embeddings")
@@ -1214,6 +1336,7 @@ object VectorOps {
          |ORDER BY n.label""".stripMargin,
 
     "q_vec_knn_cosine" -> knnDuckSql,
+    "q_vec_incremental_ivf" -> incIvfDuckSql,
 
     // Unpruned all-pairs statement of the cell-blocked contamination
     // check — the gate proves the Spark side's triangle-inequality
