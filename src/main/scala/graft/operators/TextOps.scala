@@ -437,6 +437,86 @@ object TextOps {
     visited
   }
 
+  /** Single-source shortest-path distances over a weighted directed edge
+    * relation (src, dst, w ≥ 0: BIGINT) from a seed set — distributed
+    * Bellman–Ford in the same loop discipline as [[reachLabels]] /
+    * [[starContractLabels]]: per round ONE fused job (relax every
+    * settled node's out-edges, min-combine with the carried distances),
+    * certified by the (|nodes|, Σdist) fixpoint — distances only ever
+    * decrease and the node set only grows, so "count unchanged" rules
+    * out additions and then "Σ unchanged" rules out improvements; both
+    * stable IS convergence, exactly the ΣL argument. Rounds are bounded
+    * by the weighted-hop diameter (not V−1: full-frontier relaxation
+    * settles every node's final distance within eccentricity rounds);
+    * per-round work is one node-keyed shuffle of |dist| + |relaxed|
+    * rows — the textbook distributed SSSP. Integer weights keep every
+    * distance exact, so the fixpoint aggregate needs no float care. */
+  private[graft] def ssspLabels(edges: DataFrame, seeds: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst"), col("w"))
+    var dist = seeds.select(col("node")).distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint()
+    var prev: (Long, java.math.BigDecimal) = null
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 200) {
+      val cand = dist.join(e, dist("node") === e("src"))
+        .select(e("dst").as("node"), (dist("dist") + e("w")).as("dist"))
+      val next = dist.unionByName(cand)
+        .groupBy("node").agg(min(col("dist")).as("dist"))
+        .localCheckpoint(eager = false)
+      // the convergence aggregate is the action that materializes the round
+      val row = next.agg(count(lit(1)),
+        sum(col("dist").cast(DecimalType(38, 0)))).head()
+      val cur = (row.getLong(0),
+        Option(row.getDecimal(1)).getOrElse(java.math.BigDecimal.ZERO))
+      converged = prev != null && cur._1 == prev._1 &&
+        cur._2.compareTo(prev._2) == 0
+      prev = cur
+      dist = next
+      iter += 1
+    }
+    if (!converged)
+      System.err.println("WARN ssspLabels: round cap (200) hit before the " +
+        "(count, Σdist) fixpoint — distances may not be final")
+    dist
+  }
+
+  /** Weighted co-purchase edges for q_graph_sssp: per distinct
+    * (supplier, part) strong-purchase pair, weight = min quantity − 47
+    * (small positive integers, so the cheapest route is NOT the fewest
+    * hops — the walk is genuinely weighted), symmetrized. */
+  private[graft] def ssspEdgesSql(cast: String): String =
+    s"""WITH e0 AS (SELECT 's' || CAST(l_suppkey AS $cast) AS src,
+       |         'p' || CAST(l_partkey AS $cast) AS dst,
+       |         CAST(min(l_quantity) - 47 AS BIGINT) AS w
+       |       FROM lineitem WHERE l_quantity >= 48 GROUP BY 1, 2)
+       |SELECT src, dst, w FROM e0
+       |UNION ALL SELECT dst AS src, src AS dst, w FROM e0""".stripMargin
+
+  /** DuckDB SSSP oracle: UNION-dedup recursion over (node, cost) pairs;
+    * cost ≤ 40 only breaks cycle-driven cost regeneration (probed max
+    * true distance is 7 / 9 / 12 across SFs — the cap never clips a
+    * real shortest path), then min(cost) per node. */
+  private[graft] val ssspDuckSql: String =
+    s"""WITH RECURSIVE
+       |e0 AS (SELECT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+       |         'p' || CAST(l_partkey AS VARCHAR) AS dst,
+       |         CAST(min(l_quantity) - 47 AS BIGINT) AS w
+       |       FROM lineitem WHERE l_quantity >= 48 GROUP BY 1, 2),
+       |e AS (SELECT src, dst, w FROM e0
+       |      UNION ALL SELECT dst AS src, src AS dst, w FROM e0),
+       |seed AS (SELECT min(src) AS sd FROM e WHERE src >= 's'),
+       |walk(node, cost) AS (
+       |  SELECT sd, CAST(0 AS BIGINT) FROM seed WHERE sd IS NOT NULL
+       |  UNION
+       |  SELECT e.dst, w.cost + e.w
+       |  FROM walk w JOIN e ON e.src = w.node
+       |  WHERE w.cost + e.w <= 40
+       |),
+       |md AS (SELECT node, min(cost) AS dist FROM walk GROUP BY node)
+       |SELECT dist, CAST(count(*) AS BIGINT) AS n_nodes, min(node) AS first_node
+       |FROM md GROUP BY dist ORDER BY dist""".stripMargin
+
   /** Connected-component labels for the nodes of an undirected edge list
     * (columns `a`, `b`: long node ids) by alternating LARGE-STAR /
     * SMALL-STAR contraction — the engine behind q_dedup_clusters,
@@ -1305,6 +1385,26 @@ object TextOps {
         .groupBy(col("depth").as("min_depth"))
         .agg(count(lit(1)).as("n_nodes"), min(col("node")).as("first_node"))
         .orderBy("min_depth")
+    }),
+
+    // Weighted single-source shortest paths over the strong-purchase
+    // graph, run by [[ssspLabels]] (distributed Bellman–Ford, the
+    // reachLabels loop discipline with a (count, Σdist) fixpoint) —
+    // the third rung of the traversal ladder: reachability (bounded
+    // recursion) → min-depth BFS (frontier dedup) → weighted SSSP
+    // (min-combine relaxation). Output = distance rings, same readout
+    // shape as the BFS walks. Oracle = DuckDB UNION-dedup recursion
+    // over (node, cost) pairs (see [[ssspDuckSql]] for the cap
+    // argument).
+    "q_graph_sssp" -> ((s, sf) => {
+      Tables.lineitem(s, sf).createOrReplaceTempView("lineitem")
+      val edges = s.sql(ssspEdgesSql("STRING")).localCheckpoint()
+      val seeds = edges.filter(col("src") >= "s")
+        .agg(min(col("src")).as("node")).filter(col("node").isNotNull)
+      ssspLabels(edges, seeds)
+        .groupBy(col("dist"))
+        .agg(count(lit(1)).as("n_nodes"), min(col("node")).as("first_node"))
+        .orderBy("dist")
     }),
 
     "q_text_langid" -> ((s, sf) => {
@@ -2368,6 +2468,7 @@ object TextOps {
     "q_graph_pagerank" -> pagerankOracleSql("VARCHAR"),
     "q_graph_reachability" -> reachabilitySql("VARCHAR"),
     "q_graph_reach_deep" -> reachDeepDuckSql(48),
+    "q_graph_sssp" -> ssspDuckSql,
 
     "q_text_langid" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)

@@ -312,6 +312,41 @@ class PropertySpec extends AnyFunSuite with SparkSessionTest {
     }
   }
 
+  test("distributed SSSP == naive Dijkstra on random weighted graphs") {
+    import spark.implicits._
+    val caseGen: Gen[(List[(Long, Long, Long)], List[Long])] = for {
+      n <- Gen.chooseNum(2, 30)
+      m <- Gen.chooseNum(1, 60)
+      es <- Gen.listOfN(m, for {
+        a <- Gen.chooseNum(0L, n - 1L); b <- Gen.chooseNum(0L, n - 1L)
+        w <- Gen.chooseNum(1L, 9L)
+      } yield (a, b, w))
+      seeds <- Gen.listOfN(2, Gen.chooseNum(0L, n - 1L))
+    } yield (es, seeds)
+    // adversarial: a long cheap detour beating a short expensive hop
+    val detour = ((0L until 10L).map(i => (i, i + 1, 1L)).toList :+ (0L, 10L, 100L), List(0L))
+    val zeroIsh = (List((0L, 1L, 1L), (1L, 2L, 1L), (0L, 2L, 3L), (2L, 0L, 1L)), List(0L))
+    for ((es, seeds) <- samples(caseGen, 5) ++ Seq(detour, zeroIsh)) {
+      val got = graft.operators.TextOps.ssspLabels(
+          es.toDF("src", "dst", "w"), seeds.toDF("node"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // naive Dijkstra (multi-seed, directed)
+      val adj = es.groupBy(_._1).view.mapValues(_.map(e => (e._2, e._3))).toMap
+      val distm = scala.collection.mutable.Map[Long, Long]()
+      val pq = scala.collection.mutable.PriorityQueue[(Long, Long)]()(
+        Ordering.by[(Long, Long), Long](_._1).reverse)
+      seeds.distinct.foreach { sd => distm(sd) = 0L; pq.enqueue((0L, sd)) }
+      while (pq.nonEmpty) {
+        val (d, u) = pq.dequeue()
+        if (distm(u) == d)
+          adj.getOrElse(u, Nil).foreach { case (v, w) =>
+            if (distm.get(v).forall(_ > d + w)) { distm(v) = d + w; pq.enqueue((d + w, v)) }
+          }
+      }
+      assert(got == distm.toMap, s"edges=$es seeds=$seeds")
+    }
+  }
+
   test("KS statement == naive ECDF max-gap on random samples") {
     import spark.implicits._
     val vGen = Gen.chooseNum(0, 99999).map(_ / 100.0)
