@@ -866,11 +866,38 @@ object TextOps {
     * broadcast join with the 12-row weight table → per-doc sum; one
     * corpus-keyed shuffle, model side broadcast — the fastText scoring
     * plan at any corpus size. */
-  private val qualityWeights: String = Seq(
-    "('the', 1.5)", "('a', 1.2)", "('data', 0.6)", "('fast', 0.8)",
-    "('small', 0.4)", "('value', 0.3)", "('dup', -5.0)", "('slow', -1.0)",
-    "('big', -0.7)", "('spark', -0.4)", "('hash', -0.2)", "('batch', -0.1)")
-    .mkString(", ")
+  private[graft] val qualityWeightPairs: Seq[(String, String)] = Seq(
+    "the" -> "1.5", "a" -> "1.2", "data" -> "0.6", "fast" -> "0.8",
+    "small" -> "0.4", "value" -> "0.3", "dup" -> "-5.0", "slow" -> "-1.0",
+    "big" -> "-0.7", "spark" -> "-0.4", "hash" -> "-0.2", "batch" -> "-0.1")
+
+  private val qualityWeights: String =
+    qualityWeightPairs.map { case (t, w) => s"('$t', $w)" }.mkString(", ")
+
+  /** PER-ROW (no-join) statement of the same scorer — the weight vector
+    * as a literal map, features folded inside one expression — for
+    * surfaces where the corpus-keyed aggregate is unavailable or
+    * unwanted: the streaming ingest path scores each arriving doc
+    * statelessly with exactly these columns
+    * (StreamOps.streamingQualityScore), and OperatorSpec proves this
+    * form ≡ [[qualityScoreSql]]'s broadcast-join form. Same float
+    * discipline: exact-decimal fold, one double division,
+    * floor-quantized score. */
+  private[graft] def qualityScoreSelectExprs(textCol: String): Seq[String] = {
+    val entries = qualityWeightPairs
+      .map { case (t, w) => s"'$t', CAST($w AS DECIMAL(10,4))" }.mkString(", ")
+    val wm = s"map($entries)"
+    val toks = s"split($textCol, ' ')"
+    val raw = s"aggregate($toks, CAST(0 AS DECIMAL(30,6)), (acc, t) -> " +
+      s"CAST(acc + coalesce(element_at($wm, t), CAST(0 AS DECIMAL(10,4))) AS DECIMAL(30,6)))"
+    val score = s"floor(CAST($raw AS DOUBLE) / size($toks) * 1e6 + 0.5) / 1e6"
+    Seq(
+      s"CAST(size($toks) AS BIGINT) AS n_toks",
+      s"CAST(aggregate($toks, 0, (acc, t) -> acc + " +
+        s"CASE WHEN element_at($wm, t) IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_feat",
+      s"$score AS score",
+      s"CASE WHEN $score >= 0.05 THEN 'keep' ELSE 'drop' END AS label")
+  }
 
   private[graft] def qualityScoreSql(valuesRel: String, unnest: String => String,
                                      split: String, len: String): String =

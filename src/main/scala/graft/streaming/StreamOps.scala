@@ -639,6 +639,20 @@ object StreamOps {
       .select(col("doc_id"), col("dup_of").isNotNull.as("is_dup"), col("dup_of"))
   }
 
+  /** Ingest-time QUALITY scoring — the linear scorer
+    * (TextOps.qualityScoreSelectExprs: literal-map weight vector, exact
+    * decimal fold, floor-quantized score + keep/drop label) as a
+    * STATELESS streaming projection: a doc's verdict is final the moment
+    * it arrives, carries no state at any stream length, and composes in
+    * front of any downstream loop (dedup registry, serving table) as the
+    * first filter a training-data firehose applies. Streaming twin of
+    * q_text_quality_score; batch parity in StreamParity (the same
+    * projection over the replayed corpus), expression equivalence with
+    * the broadcast-join scorer proven in OperatorSpec. */
+  def streamingQualityScore(docs: Dataset[DocIn]): DataFrame =
+    docs.selectExpr("doc_id" +: "ts" +:
+      graft.operators.TextOps.qualityScoreSelectExprs("text"): _*)
+
   /** File-source ingest for the DOCUMENT firehose (doc_id, ts, text) —
     * the documents-shaped twin of [[ingest]]. */
   def ingestDocs(s: SparkSession, dir: String,

@@ -174,6 +174,30 @@ object StreamParity {
     (canon(s.table("sp_minhash")), canon(batch))
   }
 
+  /** Stateless-projection parity: the corpus docs replayed through the
+    * ingest-time quality scorer (append mode, 8 micro-batches) must emit
+    * row-for-row what the same projection computes in one batch — grades
+    * the stream-side expression evaluation (codegen'd lambda fold over a
+    * literal map) against the batch evaluation of the identical plan. */
+  private def qualityScoreParity(s: SparkSession, sf: String): (Seq[String], Seq[String]) = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val docs = Tables.documents(s, sf)
+      .selectExpr("doc_id", "timestamp_seconds(doc_id) AS ts", "text")
+      .as[StreamOps.DocIn].collect().sortBy(d => (d.ts.getTime, d.doc_id))
+    val batch = StreamOps.streamingQualityScore(s.createDataset(docs.toIndexedSeq))
+    val ms = MemoryStream[StreamOps.DocIn]
+    val q = StreamOps.streamingQualityScore(ms.toDS())
+      .writeStream.format("memory").queryName("sp_quality")
+      .outputMode("append").start()
+    try {
+      docs.grouped(math.max(1, docs.length / 8)).foreach { chunk =>
+        ms.addData(chunk.toSeq); q.processAllAvailable()
+      }
+    } finally q.stop()
+    (canon(s.table("sp_quality")), canon(batch))
+  }
+
   /** Live-loop parity: the corpus events replayed through the COMPOSED
     * ingest→serving pipeline (file source, 8 single-file micro-batches,
     * update-mode aggregate upserted into a parquet serving table by
@@ -245,11 +269,19 @@ object StreamParity {
       }
       ("serving_table", st.length, ba.length, st == ba)
     }
+    val quality = {
+      val (st, ba) = qualityScoreParity(spark, sfDir)
+      if (st != ba) {
+        (st.toSet -- ba.toSet).take(5).foreach(r => println(s"[parity] stream-only: $r"))
+        (ba.toSet -- st.toSet).take(5).foreach(r => println(s"[parity] batch-only:  $r"))
+      }
+      ("quality_score", st.length, ba.length, st == ba)
+    }
     val (ckWant, ckGot) = checkpointRestart(spark)
     val ckOk = ckWant == ckGot
 
-    val all = (parities :+ asof :+ minhash :+ serving).forall(_._4) && ckOk
-    val checksJson = (parities :+ asof :+ minhash :+ serving).map { case (n, sr, br, eq) =>
+    val all = (parities :+ asof :+ minhash :+ serving :+ quality).forall(_._4) && ckOk
+    val checksJson = (parities :+ asof :+ minhash :+ serving :+ quality).map { case (n, sr, br, eq) =>
       s""""$n": {"stream_rows": $sr, "batch_rows": $br, "equal": $eq}"""
     } :+ s""""checkpoint_restart": {"expected": ${ckWant.mkString("[", ",", "]")}, "got": ${ckGot.mkString("[", ",", "]")}, "exactly_once": $ckOk}"""
     val json =

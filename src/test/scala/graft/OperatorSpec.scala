@@ -1551,6 +1551,24 @@ class OperatorSpec extends AnyFunSuite with SparkSessionTest
       s"got=$got\nwant=${wantMerges ++ wantSyms}")
   }
 
+  test("per-row quality-score expression == broadcast-join scorer") {
+    // the streaming ingest path scores with the literal-map fold
+    // (qualityScoreSelectExprs); the graded batch query scores with the
+    // explode + broadcast-join form — same model, same verdicts
+    import graft.operators.TextOps
+    val join = SparkEntry.queries("q_text_quality_score")(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getString(4)))
+      .toSeq
+    val expr = Tables.documents(spark, sf0001)
+      .selectExpr("doc_id" +: TextOps.qualityScoreSelectExprs("text"): _*)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getString(4)))
+      .toSeq
+    assert(join.nonEmpty && join == expr,
+      s"first diffs: ${join.zip(expr).filter(p => p._1 != p._2).take(3)}")
+  }
+
   test("incremental dedup vs frozen registry == full recompute restricted to new docs") {
     // the backfill equality claim, proven inside one engine too (the
     // oracle proves it cross-engine): frozen old-vocab dict + bitmap
