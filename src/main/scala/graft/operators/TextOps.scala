@@ -1414,6 +1414,42 @@ object TextOps {
         .orderBy("min_depth")
     }),
 
+    // k-CORE decomposition (k=4, fixed 8 peel rounds) over the sparse
+    // co-purchase graph: repeatedly drop nodes of degree < 4 and the
+    // edges they carry — the standard graph-mining densest-region
+    // preprocessing. The graded semantics is the BOUNDED peel (identical
+    // rounds in both engines whether or not the cascade has finished —
+    // no convergence claim the oracle can't check), and the per-round
+    // (n_nodes, n_edges) readout shows the cascade AND its
+    // stabilization: probed, the peel settles by round 3 at sf0.01/0.1
+    // and cascades all the way to the empty graph by round 7 at sf0.001.
+    // Loop discipline: each peeled edge set is one localCheckpoint
+    // (degree aggregate + two semi-joins per round — the edge relation
+    // is consumed twice, so inlining would double the plan per round:
+    // the 2^8 blowup the DuckDB oracle avoids the same way with AS
+    // MATERIALIZED). Per-round cost at scale: one degree shuffle + two
+    // co-partitioned semi-joins on the node key.
+    "q_graph_kcore" -> ((s, sf) => {
+      Tables.lineitem(s, sf).createOrReplaceTempView("lineitem")
+      var g = s.sql(reachEdgesSql("STRING", minQty = 48)).localCheckpoint()
+      def stat(r: Int, e: DataFrame): DataFrame =
+        e.agg(countDistinct(col("src")).as("n_nodes"),
+            count(lit(1)).as("n_edges"))
+          .select(lit(r).as("round"), col("n_nodes"), col("n_edges"))
+      val stats = Seq.newBuilder[DataFrame]
+      stats += stat(0, g)
+      for (r <- 1 to 8) {
+        val keep = g.groupBy("src").agg(count(lit(1)).as("d"))
+          .filter(col("d") >= 4).select(col("src").as("node"))
+        val keep2 = keep.select(col("node").as("node2"))
+        g = g.join(keep, g("src") === keep("node"), "left_semi")
+          .join(keep2, col("dst") === keep2("node2"), "left_semi")
+          .localCheckpoint(eager = false)
+        stats += stat(r, g)
+      }
+      stats.result().reduce(_ unionByName _).orderBy("round")
+    }),
+
     // Weighted single-source shortest paths over the strong-purchase
     // graph, run by [[ssspLabels]] (distributed Bellman–Ford, the
     // reachLabels loop discipline with a (count, Σdist) fixpoint) —
@@ -2496,6 +2532,25 @@ object TextOps {
     "q_graph_reachability" -> reachabilitySql("VARCHAR"),
     "q_graph_reach_deep" -> reachDeepDuckSql(48),
     "q_graph_sssp" -> ssspDuckSql,
+    "q_graph_kcore" -> {
+      val e0 = "SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src, " +
+        "'p' || CAST(l_partkey AS VARCHAR) AS dst " +
+        "FROM lineitem WHERE l_quantity >= 48"
+      val ctes = new StringBuilder(
+        s"e0 AS MATERIALIZED ($e0),\n" +
+          "g0 AS MATERIALIZED (SELECT src, dst FROM e0 " +
+          "UNION ALL SELECT dst AS src, src AS dst FROM e0)")
+      for (i <- 1 to 8) {
+        ctes ++= s",\nk$i AS MATERIALIZED (SELECT src AS node FROM g${i - 1} " +
+          "GROUP BY src HAVING count(*) >= 4)"
+        ctes ++= s",\ng$i AS MATERIALIZED (SELECT g.src, g.dst FROM g${i - 1} g " +
+          s"JOIN k$i a ON g.src = a.node JOIN k$i b ON g.dst = b.node)"
+      }
+      val stats = (0 to 8).map(i =>
+        s"SELECT $i AS round, CAST(count(DISTINCT src) AS BIGINT) AS n_nodes, " +
+          s"CAST(count(*) AS BIGINT) AS n_edges FROM g$i").mkString("\nUNION ALL\n")
+      s"WITH $ctes\nSELECT * FROM (\n$stats\n) x ORDER BY round"
+    },
 
     "q_text_langid" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
