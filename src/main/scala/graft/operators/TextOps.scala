@@ -1012,6 +1012,23 @@ object TextOps {
        |  old_id AS dup_of, jaccard AS best_j
        |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
+  /** Shared readout of the cluster-keyed split (q_pipeline_split_grouped):
+    * CTE body + final select, to be prefixed with the engine's WITH
+    * chain ending in `labRel(doc_id, cluster_id)`. */
+  private def groupedSplitReadout(labRel: String, cast: String): String = {
+    val dig = s"(instr('0123456789abcdef', substring(md5(CAST(cluster_id AS $cast)), 1, 1)) - 1) % 10"
+    s"""a AS (SELECT doc_id, cluster_id,
+       |        CASE WHEN $dig < 8 THEN 'train'
+       |             WHEN $dig < 9 THEN 'val' ELSE 'test' END AS split
+       |      FROM $labRel)
+       |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM (
+       |     SELECT cluster_id FROM a GROUP BY cluster_id
+       |     HAVING count(DISTINCT split) > 1) s) AS n_straddling
+       |FROM a GROUP BY split ORDER BY split""".stripMargin
+  }
+
   /** Shared CTE chain producing the LSH band candidate `pairs`
     * (lang, doc_id, doc_id_b, n_bands) — the full banding pipeline described
     * on q_dedup_lsh_bands; consumed by that query and as the edge set of
@@ -2066,6 +2083,31 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // LEAKAGE-SAFE train/val/test split: assignment is keyed on the
+    // near-dup CLUSTER id (portable md5 hex arithmetic, ~87.5/6.25/6.25),
+    // so two near-duplicate documents can never straddle splits — the
+    // eval-contamination failure mode the doc-level q_pipeline_split
+    // cannot prevent. Readout = per-split doc/cluster counts plus the
+    // straddling-cluster count, which the DuckDB oracle (recursive-CTE
+    // components + the same hash split) re-derives — 0 by construction
+    // in both engines, but graded rather than asserted. Same cluster
+    // machinery as q_dedup_clusters (starContractLabels; isolated docs
+    // self-label via the corpus left-join).
+    "q_pipeline_split_grouped" -> ((s, sf) => {
+      Tables.documentsPar(s, sf).createOrReplaceTempView("documents")
+      val pairs = s.sql(
+        s"""$lshBandPairsCtesSpark
+          |SELECT doc_id, doc_id_b FROM pairs""".stripMargin)
+      val lab = starContractLabels(pairs.select(
+        col("doc_id").as("a"), col("doc_id_b").as("b")))
+      Tables.documents(s, sf).select(col("doc_id"))
+        .join(lab.select(col("node").as("doc_id"), col("label")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
+        .createOrReplaceTempView("gsplit_lab")
+      s.sql(s"WITH ${groupedSplitReadout("gsplit_lab", "STRING")}")
+    }),
+
     // Triangle counting over the near-dup candidate graph — the graph
     // statistic that separates "chain" components (low transitivity, LSH
     // banding artifacts) from true duplicate cliques. Uses the standard
@@ -2860,6 +2902,18 @@ object TextOps {
         |  doc_id = cluster_id AS is_canonical
         |FROM lab JOIN sz USING (cluster_id)
         |ORDER BY doc_id""".stripMargin,
+
+    "q_pipeline_split_grouped" ->
+      s"""WITH RECURSIVE $lshBandPairsCtesDuck,
+        |e AS (SELECT doc_id AS src, doc_id_b AS dst FROM pairs
+        |      UNION ALL
+        |      SELECT doc_id_b AS src, doc_id AS dst FROM pairs),
+        |reach(src, v) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN e ON r.v = e.src),
+        |lab AS (SELECT src AS doc_id, min(v) AS cluster_id FROM reach GROUP BY src),
+        |${groupedSplitReadout("lab", "VARCHAR")}""".stripMargin,
 
     "q_text_rollhash" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
