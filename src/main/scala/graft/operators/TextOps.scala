@@ -1467,6 +1467,45 @@ object TextOps {
       stats.result().reduce(_ unionByName _).orderBy("round")
     }),
 
+    // Label-propagation communities (4 synchronized rounds) over the
+    // sparse co-purchase graph — the classic near-linear community
+    // detector, stated as the SAME bounded-round loop discipline as
+    // q_graph_kcore: each round every node adopts the most frequent
+    // label among its neighbors PLUS itself (the self-vote damps the
+    // 2-cycling sync LPA exhibits on bipartite graphs), ties broken by
+    // the smaller label — fully deterministic, so the bounded peel is
+    // exactly checkable instead of a convergence claim. Per round: one
+    // label-count shuffle + a min-struct argmax (no per-node sort);
+    // labels materialized per round (the loop invariant). Readout =
+    // the 15 largest communities + the community count.
+    "q_graph_labelprop" -> ((s, sf) => {
+      Tables.lineitem(s, sf).createOrReplaceTempView("lineitem")
+      val e = s.sql(reachEdgesSql("STRING", minQty = 48)).localCheckpoint()
+      e.createOrReplaceTempView("lp_e")
+      var lbl = e.select(col("src").as("node")).distinct()
+        .withColumn("lab", col("node")).localCheckpoint()
+      for (_ <- 1 to 4) {
+        lbl.createOrReplaceTempView("lp_lbl")
+        lbl = s.sql(
+          """SELECT node, m.l AS lab FROM (
+            |  SELECT node, min(named_struct('nc', -cnt, 'l', lab)) AS m FROM (
+            |    SELECT v.node, v.lab, count(*) AS cnt FROM (
+            |      SELECT e.dst AS node, l.lab
+            |      FROM lp_e e JOIN lp_lbl l ON e.src = l.node
+            |      UNION ALL SELECT node, lab FROM lp_lbl) v
+            |    GROUP BY v.node, v.lab) c
+            |  GROUP BY node) t""".stripMargin)
+          .localCheckpoint()
+      }
+      lbl.createOrReplaceTempView("lp_lbl")
+      s.sql(
+        """WITH comm AS (SELECT lab, CAST(count(*) AS BIGINT) AS n_members
+          |              FROM lp_lbl GROUP BY lab)
+          |SELECT lab AS community, n_members,
+          |  (SELECT CAST(count(*) AS BIGINT) FROM comm) AS n_comms
+          |FROM comm ORDER BY n_members DESC, community LIMIT 15""".stripMargin)
+    }),
+
     // Weighted single-source shortest paths over the strong-purchase
     // graph, run by [[ssspLabels]] (distributed Bellman–Ford, the
     // reachLabels loop discipline with a (count, Σdist) fixpoint) —
@@ -2574,6 +2613,35 @@ object TextOps {
     "q_graph_reachability" -> reachabilitySql("VARCHAR"),
     "q_graph_reach_deep" -> reachDeepDuckSql(48),
     "q_graph_sssp" -> ssspDuckSql,
+    "q_graph_labelprop" -> {
+      val e0 = "SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src, " +
+        "'p' || CAST(l_partkey AS VARCHAR) AS dst " +
+        "FROM lineitem WHERE l_quantity >= 48"
+      val ctes = new StringBuilder(
+        s"e0 AS MATERIALIZED ($e0),\n" +
+          "e AS MATERIALIZED (SELECT src, dst FROM e0 " +
+          "UNION ALL SELECT dst AS src, src AS dst FROM e0),\n" +
+          "l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lab FROM e)")
+      for (i <- 1 to 4) {
+        ctes ++= s""",
+          |l$i AS MATERIALIZED (SELECT node, lab FROM (
+          |  SELECT node, lab,
+          |    row_number() OVER (PARTITION BY node ORDER BY cnt DESC, lab) AS rn
+          |  FROM (SELECT v.node, v.lab, count(*) AS cnt FROM (
+          |          SELECT e.dst AS node, l.lab
+          |          FROM e JOIN l${i - 1} l ON e.src = l.node
+          |          UNION ALL SELECT node, lab FROM l${i - 1}) v
+          |        GROUP BY v.node, v.lab) c) r
+          |  WHERE rn = 1)""".stripMargin
+      }
+      s"""WITH $ctes,
+         |comm AS (SELECT lab, CAST(count(*) AS BIGINT) AS n_members
+         |         FROM l4 GROUP BY lab)
+         |SELECT lab AS community, n_members,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM comm) AS n_comms
+         |FROM comm ORDER BY n_members DESC, community LIMIT 15""".stripMargin
+    },
+
     "q_graph_kcore" -> {
       val e0 = "SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src, " +
         "'p' || CAST(l_partkey AS VARCHAR) AS dst " +
