@@ -360,6 +360,21 @@ object AggOps {
           |ORDER BY event_type""".stripMargin)
     }),
 
+    // SEASONAL anomaly detection: hourly event-count buckets scored
+    // against a (day-of-week, hour-of-day) baseline — the "is this
+    // Tuesday 3pm weird FOR a Tuesday 3pm" readout that a flat z-score
+    // (q_anomaly_zscore) cannot give on traffic with daily/weekly shape.
+    // Baseline moments are exact integer/decimal sums per seasonal cell
+    // (168 cells — broadcast back over the hourly buckets, big side
+    // never reshuffles); day-of-week is the portable epoch-day % 7 (both
+    // engines' native dow functions disagree on numbering); z is
+    // floor-quantized and the top-20 rank orders by the quantized |z|
+    // with a timestamp tiebreak, so the LIMIT boundary is deterministic.
+    "q_anomaly_seasonal" -> ((s, sf) => {
+      registerEvents(s, sf)
+      s.sql(seasonalAnomalySql(epoch = "unix_timestamp", idiv = "DIV"))
+    }),
+
     // Statistical anomaly detection: per-type z-score of `value`, flagging
     // |z| ≥ 2.5 — the per-severity outlier sweep a log monitor runs.
     // Moments come from exact decimal sums (order-independent, map-side
@@ -1140,6 +1155,34 @@ object AggOps {
     * replaces; any spread at all bounds the sorted set by n/1024.
     * `p` prefixes the CTE names so two selections compose in one query;
     * the result relation is `<p>m(event_type, med)`. */
+  /** Shared text of the seasonal-anomaly statement; `epoch` = the
+    * engine's timestamp→seconds function, `idiv` = integer division. */
+  private def seasonalAnomalySql(epoch: String, idiv: String): String = {
+    val z = "floor((cnt - mu) / sig * 1e6 + 0.5) / 1e6"
+    s"""WITH hb AS (SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr_ts,
+       |        CAST(count(*) AS BIGINT) AS cnt
+       |      FROM events GROUP BY 1),
+       |k AS (SELECT hr_ts, cnt,
+       |        (CAST($epoch(CAST(date_trunc('day', hr_ts) AS TIMESTAMP)) AS BIGINT)
+       |           $idiv 86400) % 7 AS dow,
+       |        CAST(hour(hr_ts) AS BIGINT) AS hh
+       |      FROM hb),
+       |b AS (SELECT dow, hh, CAST(count(*) AS BIGINT) AS n,
+       |        SUM(CAST(cnt AS DECIMAL(38,0))) AS s,
+       |        SUM(CAST(cnt * cnt AS DECIMAL(38,0))) AS s2
+       |      FROM k GROUP BY dow, hh),
+       |zt AS (SELECT k.hr_ts, k.cnt,
+       |        CAST(b.s AS DOUBLE) / b.n AS mu,
+       |        sqrt(greatest((CAST(b.s2 AS DOUBLE)
+       |            - CAST(b.s AS DOUBLE) * CAST(b.s AS DOUBLE) / b.n)
+       |          / nullif(b.n - 1, 0), CAST(0 AS DOUBLE))) AS sig
+       |      FROM k JOIN b ON k.dow = b.dow AND k.hh = b.hh)
+       |SELECT hr_ts, cnt, $z AS z
+       |FROM zt WHERE sig IS NOT NULL AND sig > 0
+       |ORDER BY abs($z) DESC, hr_ts
+       |LIMIT 20""".stripMargin
+  }
+
   private[graft] def medSelCtes(p: String, src: String): String = {
     def bk(v: String, lo: String, hi: String): String =
       s"coalesce(least(CAST(floor(($v - $lo) / nullif($hi - $lo, CAST(0.0 AS DOUBLE)) * 1024) AS INT), 1023), 0)"
@@ -1535,6 +1578,8 @@ object AggOps {
         |  max(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN value END) AS p99
         |FROM r GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+
+    "q_anomaly_seasonal" -> seasonalAnomalySql(epoch = "epoch", idiv = "//"),
 
     "q_agg_chi2_hourly" ->
       """WITH h AS (SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr,
