@@ -406,7 +406,9 @@ object PipelineOps {
     "q_pipeline_curriculum" -> ((s, sf) => run(s, sf, curriculumSparkSql)),
     "q_pipeline_interleave" -> ((s, sf) => run(s, sf, interleaveSql("STRING"))),
     "q_pipeline_token_budget" -> ((s, sf) => run(s, sf,
-      tokenBudgetSql(toklen = "size(split(text, ' '))", idiv = "DIV")))
+      tokenBudgetSql(toklen = "size(split(text, ' '))", idiv = "DIV"))),
+    "q_pipeline_temperature_mix" -> ((s, sf) => run(s, sf,
+      temperatureMixSql(idiv = "DIV")))
   )
 
   /** Largest-remainder apportionment of a fixed token budget across
@@ -433,7 +435,39 @@ object PipelineOps {
        |  CAST(floor_alloc + CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc
        |FROM r ORDER BY source""".stripMargin
 
+  /** Temperature-based source mixing (α = 0.5): sampling weight ∝ √n_s —
+    * the standard upsample-the-rare-source schedule multilingual /
+    * multi-domain training uses, at the one temperature whose power is
+    * IEEE-exact in both engines (sqrt; a libm pow(x, 0.7) is not
+    * portable). The weight is integer-scaled (floor(√n·1e9 + 0.5) —
+    * exact BIGINT), so the Hamilton apportionment of the 10,000-doc
+    * budget runs in pure integer arithmetic like [[tokenBudgetSql]]:
+    * ledger sums to the budget exactly, remainder ranks break ties by
+    * source. Products stay far under 2⁶³ (≤ ~2e16). The windows run
+    * over the sources-bounded relation — the same bounded pattern as
+    * the token budget. */
+  private[graft] def temperatureMixSql(idiv: String): String =
+    s"""WITH sc AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+       |            FROM documents GROUP BY source),
+       |w AS (SELECT source, n_docs,
+       |        CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1e9 + 0.5) AS BIGINT) AS iw
+       |      FROM sc),
+       |t AS (SELECT CAST(sum(iw) AS BIGINT) AS tw FROM w),
+       |q AS (SELECT source, n_docs, iw, tw,
+       |        (iw * 10000) $idiv tw AS floor_alloc,
+       |        (iw * 10000) % tw AS rem
+       |      FROM w CROSS JOIN t),
+       |r AS (SELECT source, n_docs, iw, tw, floor_alloc,
+       |        row_number() OVER (ORDER BY rem DESC, source) AS rr,
+       |        10000 - sum(floor_alloc) OVER () AS leftover
+       |      FROM q)
+       |SELECT source, n_docs,
+       |  floor(CAST(iw AS DOUBLE) / tw * 1e6 + 0.5) / 1e6 AS share,
+       |  CAST(floor_alloc + CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS BIGINT) AS target_docs
+       |FROM r ORDER BY source""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q_pipeline_temperature_mix" -> temperatureMixSql(idiv = "//"),
     "q_pipeline_split" -> splitSql("VARCHAR"),
     "q_text_contamination" -> contaminationDuckSql,
     "q_pipeline_pack" -> packDuckSql,
