@@ -375,6 +375,35 @@ object AggOps {
       s.sql(seasonalAnomalySql(epoch = "unix_timestamp", idiv = "DIV"))
     }),
 
+    // CUSUM change-point detection over the per-type daily-mean series —
+    // the drift alarm a data-quality monitor runs on slow level shifts a
+    // z-score misses (many small same-sign deviations). The recursive
+    // S_t = max(0, S_{t-1} + d_t − k) is rewritten as the closed form
+    // S_t = R_t − min(0, min_{j≤t} R_j) over the running sum R of (d−k),
+    // so it is TWO running windows (sum + min) partitioned by event_type
+    // — parallel across types, series-bounded rows. Every step is 64-bit
+    // integer micro-units (ONE double division per day under 2⁵³, then
+    // floor-quantized), so both engines produce bit-identical ledgers
+    // with no float accumulation anywhere.
+    "q_anomaly_cusum" -> ((s, sf) => {
+      registerEvents(s, sf)
+      s.sql(cusumSql(epoch = "unix_timestamp", idiv = "DIV"))
+    }),
+
+    // Peak-concurrency sweep line: each event opens a value-scaled session
+    // interval (clamped to its UTC day), +1/−1 boundary points, running sum
+    // = live sessions, per-day peak + first time it is reached. The window
+    // is PARTITION BY day — embarrassingly parallel across days at 100 TB
+    // (the clamp is what buys that; an unpartitioned global running sum
+    // would serialize the whole corpus through one task). Tie rule −1
+    // before +1 at the same second (ends don't overlap the next start);
+    // the peak and its first time are order-independent within tie groups
+    // because only group-complete prefix sums can reach the maximum.
+    "q_report_concurrency" -> ((s, sf) => {
+      registerEvents(s, sf)
+      s.sql(concurrencySql(epoch = "unix_timestamp", idiv = "DIV"))
+    }),
+
     // Statistical anomaly detection: per-type z-score of `value`, flagging
     // |z| ≥ 2.5 — the per-severity outlier sweep a log monitor runs.
     // Moments come from exact decimal sums (order-independent, map-side
@@ -1183,6 +1212,73 @@ object AggOps {
        |LIMIT 20""".stripMargin
   }
 
+  /** CUSUM ledger SQL shared across engines (`epoch`/`idiv` = the two
+    * engine spelling gaps). Daily mean → micro-unit BIGINT (exact double
+    * path: decimal sum unscaled < 2⁵³, one division, floor-quantize);
+    * reference μ = integer mean of the daily means; slack k = 2.0 units,
+    * alarm threshold h = 5.0 units, both in micro. DuckDB windowed SUM
+    * returns HUGEINT — every window/aggregate output is cast back to
+    * BIGINT before use (the recurring cross-engine dtype rule). */
+  private def cusumSql(epoch: String, idiv: String): String =
+    s"""WITH d AS (SELECT event_type,
+       |        CAST($epoch(CAST(date_trunc('day', ts) AS TIMESTAMP)) AS BIGINT)
+       |          $idiv 86400 AS day_num,
+       |        SUM(CAST(value AS DECIMAL(18,2))) AS sv,
+       |        CAST(count(value) AS BIGINT) AS n
+       |      FROM events WHERE value IS NOT NULL
+       |      GROUP BY 1, 2),
+       |dm AS (SELECT event_type, day_num,
+       |        CAST(floor(CAST(sv AS DOUBLE) / n * 1e6 + 0.5) AS BIGINT) AS mean_micro
+       |      FROM d),
+       |mu AS (SELECT event_type,
+       |        CAST(CAST(SUM(mean_micro) AS BIGINT)
+       |          $idiv CAST(count(*) AS BIGINT) AS BIGINT) AS mu_micro
+       |      FROM dm GROUP BY event_type),
+       |r AS (SELECT dm.event_type, dm.day_num, dm.mean_micro,
+       |        CAST(SUM(dm.mean_micro - mu.mu_micro - 2000000) OVER (
+       |          PARTITION BY dm.event_type ORDER BY dm.day_num
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS rsum
+       |      FROM dm JOIN mu ON dm.event_type = mu.event_type),
+       |c AS (SELECT event_type, day_num, mean_micro, rsum,
+       |        least(CAST(min(rsum) OVER (PARTITION BY event_type ORDER BY day_num
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT),
+       |          CAST(0 AS BIGINT)) AS low
+       |      FROM r)
+       |SELECT event_type, day_num, mean_micro,
+       |  rsum - low AS cusum_micro,
+       |  CAST(CASE WHEN rsum - low > 5000000 THEN 1 ELSE 0 END AS BIGINT) AS alarm
+       |FROM c ORDER BY event_type, day_num""".stripMargin
+
+  /** Peak-concurrency SQL shared across engines. Interval duration =
+    * 60 + min(max(floor(value·60), 0), 3600) seconds (value is a shared
+    * double, so floor is bit-identical); end clamped to the start's UTC
+    * day so the running sum partitions by day. Day/hour math is pure
+    * integer epoch arithmetic — no engine date functions past
+    * date_trunc. */
+  private def concurrencySql(epoch: String, idiv: String): String =
+    s"""WITH iv AS (SELECT
+       |        CAST($epoch(CAST(date_trunc('second', ts) AS TIMESTAMP)) AS BIGINT) AS s,
+       |        least(greatest(CAST(floor(coalesce(value, CAST(0.0 AS DOUBLE)) * 60.0)
+       |            AS BIGINT), CAST(0 AS BIGINT)), 3600) + 60 AS dur
+       |      FROM events),
+       |cl AS (SELECT s, (s $idiv 86400) AS day_num,
+       |         least(s + dur, (s $idiv 86400) * 86400 + 86400) AS e
+       |       FROM iv),
+       |pts AS (SELECT day_num, s AS t, 1 AS delta FROM cl
+       |        UNION ALL
+       |        SELECT day_num, e AS t, -1 AS delta FROM cl),
+       |run AS (SELECT t, day_num,
+       |        CAST(sum(delta) OVER (PARTITION BY day_num
+       |          ORDER BY t, delta
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS conc
+       |      FROM pts),
+       |pk AS (SELECT day_num, CAST(max(conc) AS BIGINT) AS peak
+       |       FROM run GROUP BY day_num)
+       |SELECT r.day_num, p.peak AS peak_conc, CAST(min(r.t) AS BIGINT) AS at_tsec
+       |FROM run r JOIN pk p ON r.day_num = p.day_num AND r.conc = p.peak
+       |GROUP BY r.day_num, p.peak
+       |ORDER BY 1""".stripMargin
+
   private[graft] def medSelCtes(p: String, src: String): String = {
     def bk(v: String, lo: String, hi: String): String =
       s"coalesce(least(CAST(floor(($v - $lo) / nullif($hi - $lo, CAST(0.0 AS DOUBLE)) * 1024) AS INT), 1023), 0)"
@@ -1580,6 +1676,10 @@ object AggOps {
         |ORDER BY event_type""".stripMargin,
 
     "q_anomaly_seasonal" -> seasonalAnomalySql(epoch = "epoch", idiv = "//"),
+
+    "q_anomaly_cusum" -> cusumSql(epoch = "epoch", idiv = "//"),
+
+    "q_report_concurrency" -> concurrencySql(epoch = "epoch", idiv = "//"),
 
     "q_agg_chi2_hourly" ->
       """WITH h AS (SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr,

@@ -28,7 +28,51 @@ object WindowOps {
   private val byUserTime = Window.partitionBy("user_id").orderBy(col("ts_s"), col("event_id"))
   private val byUserValue = Window.partitionBy("user_id").orderBy(col("value"), col("event_id"))
 
+  /** Union-of-intervals coverage SQL shared across engines (`epoch` =
+    * `unix_timestamp` / `epoch`). Each event opens a value-scaled session
+    * interval; overlapping intervals merge via gaps-and-islands (running
+    * max of prior ends per user — a new island starts when s > that max;
+    * within an island the union is one contiguous segment, so coverage =
+    * max(e) − min(s)). Both windows are PARTITION BY user_id — parallel
+    * across users at 100 TB — and all arithmetic is BIGINT epoch seconds
+    * (one shared-double floor for the duration), so the ledger is
+    * bit-identical across engines. DuckDB windowed/grouped SUMs return
+    * HUGEINT → cast back to BIGINT everywhere. */
+  private def intervalsCoverageSql(epoch: String): String =
+    s"""WITH iv AS (SELECT user_id, event_id,
+       |        CAST($epoch(CAST(date_trunc('second', ts) AS TIMESTAMP)) AS BIGINT) AS s,
+       |        least(greatest(CAST(floor(coalesce(value, CAST(0.0 AS DOUBLE)) * 60.0)
+       |            AS BIGINT), CAST(0 AS BIGINT)), 3600) + 60 AS dur
+       |      FROM events),
+       |p AS (SELECT user_id, event_id, s, s + dur AS e,
+       |        max(s + dur) OVER (PARTITION BY user_id ORDER BY s, s + dur, event_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+       |      FROM iv),
+       |f AS (SELECT user_id, event_id, s, e,
+       |        CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END AS new_isl
+       |      FROM p),
+       |g AS (SELECT user_id, s, e,
+       |        CAST(sum(new_isl) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS isl
+       |      FROM f),
+       |i AS (SELECT user_id, isl, CAST(count(*) AS BIGINT) AS cnt,
+       |        CAST(min(s) AS BIGINT) AS s0, CAST(max(e) AS BIGINT) AS e1
+       |      FROM g GROUP BY user_id, isl)
+       |SELECT user_id, CAST(sum(cnt) AS BIGINT) AS n_intervals,
+       |  CAST(count(*) AS BIGINT) AS n_islands,
+       |  CAST(sum(e1 - s0) AS BIGINT) AS covered_s
+       |FROM i GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Total busy time per user after merging overlapping session
+    // intervals — the classic union-of-intervals readout (how long was
+    // each user actually active, counting overlaps once) that billing /
+    // utilization reports need and a plain sum of durations overstates.
+    "q_intervals_coverage" -> ((s, sf) => {
+      Tables.events(s, sf).createOrReplaceTempView("events")
+      s.sql(intervalsCoverageSql(epoch = "unix_timestamp"))
+    }),
+
     "q_win_rank" -> ((s, sf) => {
       val w = Window.partitionBy("user_id").orderBy(col("value").desc, col("event_id"))
       eventsTs(s, sf)
@@ -527,6 +571,7 @@ object WindowOps {
       |ORDER BY user_id, event_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_intervals_coverage" -> intervalsCoverageSql(epoch = "epoch"),
     "q_win_interval_range" -> intervalRangeSql,
     "q_win_rank" ->
       """SELECT user_id, event_id, value,
