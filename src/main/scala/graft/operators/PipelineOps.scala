@@ -363,6 +363,69 @@ object PipelineOps {
        |ORDER BY pos
        |LIMIT 100""".stripMargin
 
+  /** CCNet-style perplexity bucketing: score each doc with the corpus
+    * unigram LM ([[logprobRestSql]]'s exact-decimal discipline: per-token
+    * ln quantized to DECIMAL(30,6) before the per-doc sum, ONE double
+    * division, floor-quantize), then per language rank docs by quantized
+    * avg-logprob (DESC = least-perplexing first, doc_id tiebreak) and cut
+    * ntile(3) head/middle/tail buckets — the standard keep-the-head /
+    * downsample-the-tail corpus filter. The per-doc quantized double is
+    * bit-identical across engines, so its DECIMAL(20,6) re-read is exact
+    * and the bucket means are order-independent. Shuffles: token groupBy,
+    * doc groupBy, the per-lang window — all key-partitioned; nothing
+    * corpus-sized crosses a single task. */
+  private def perplexityBucketSql(tokRef: String): String =
+    s"""WITH freq AS (SELECT tok, count(*) AS c FROM $tokRef GROUP BY tok),
+       |tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM $tokRef),
+       |sc AS (SELECT doc_id, count(*) AS n_tok,
+       |         CAST(sum(CAST(ln(c / n) AS DECIMAL(30,6))) AS DOUBLE) AS slp
+       |       FROM $tokRef tk JOIN freq USING (tok) CROSS JOIN tot
+       |       GROUP BY doc_id),
+       |pp AS (SELECT d.lang, sc.doc_id, sc.n_tok,
+       |         floor(slp / n_tok * 1e6 + 0.5) / 1e6 AS alp
+       |       FROM sc JOIN documents d ON sc.doc_id = d.doc_id),
+       |bk AS (SELECT lang, doc_id, n_tok, alp,
+       |         ntile(3) OVER (PARTITION BY lang ORDER BY alp DESC, doc_id) AS b
+       |       FROM pp)
+       |SELECT lang,
+       |  CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       |  floor(CAST(sum(CAST(alp AS DECIMAL(20,6))) AS DOUBLE) / count(*)
+       |    * 1e6 + 0.5) / 1e6 AS mean_logprob
+       |FROM bk GROUP BY lang, b ORDER BY lang, bucket""".stripMargin
+
+  /** Sliding-window token chunking (64-token chunks, stride 48 → 16-token
+    * overlap) — the RAG / context-window prep step that turns documents
+    * into retrievable passages. Pure map-side fan-out: explode a stride
+    * sequence per doc, slice the token array, fingerprint the chunk
+    * (md5 of the re-joined window, so downstream chunk-level dedup can
+    * equi-join on it). No shuffle until the output sort; at 100 TB this
+    * is a linear scan with ~n_tok/48 output rows per doc. Engine texts
+    * differ only in list spellings (slice/explode vs [a:b]/unnest). */
+  private val chunkSparkSql: String =
+    """WITH t AS (SELECT doc_id, split(text, ' ') AS toks FROM documents),
+      |s AS (SELECT doc_id, toks, size(toks) AS n FROM t),
+      |c AS (SELECT doc_id, n, pos, slice(toks, pos, 64) AS w
+      |      FROM s LATERAL VIEW explode(sequence(1, greatest(n, 1), 48)) x AS pos)
+      |SELECT doc_id, CAST((pos - 1) DIV 48 + 1 AS BIGINT) AS chunk_idx,
+      |  CAST(pos AS BIGINT) AS start_pos, CAST(size(w) AS BIGINT) AS n_tok,
+      |  md5(concat_ws(' ', w)) AS chunk_md5
+      |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
+  private val chunkDuckSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |s AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+      |e AS (SELECT doc_id, toks, n,
+      |        unnest(generate_series(1, greatest(n, 1), 48)) AS pos
+      |      FROM s),
+      |c AS (SELECT doc_id, n, pos, toks[pos:least(pos + 63, n)] AS w
+      |      FROM e)
+      |SELECT doc_id, CAST((pos - 1) // 48 + 1 AS BIGINT) AS chunk_idx,
+      |  CAST(pos AS BIGINT) AS start_pos, CAST(len(w) AS BIGINT) AS n_tok,
+      |  md5(array_to_string(w, ' ')) AS chunk_md5
+      |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
   private def run(s: SparkSession, sf: String, sql: String): DataFrame = {
     Tables.documents(s, sf).createOrReplaceTempView("documents")
     s.sql(sql)
@@ -402,6 +465,14 @@ object PipelineOps {
         .createOrReplaceTempView("lp_bg")
       s.sql(bigramRestSql("lp_bg"))
     }),
+    "q_text_perplexity_bucket" -> ((s, sf) => {
+      Tables.documents(s, sf).createOrReplaceTempView("documents")
+      // token relation feeds freq, tot AND the scoring join — materialize once
+      s.sql(logprobTokSparkSql).localCheckpoint()
+        .createOrReplaceTempView("ppb_tok")
+      s.sql(perplexityBucketSql("ppb_tok"))
+    }),
+    "q_text_chunk" -> ((s, sf) => run(s, sf, chunkSparkSql)),
     "q_pipeline_mix" -> ((s, sf) => run(s, sf, mixSparkSql)),
     "q_pipeline_curriculum" -> ((s, sf) => run(s, sf, curriculumSparkSql)),
     "q_pipeline_interleave" -> ((s, sf) => run(s, sf, interleaveSql("STRING"))),
@@ -474,6 +545,9 @@ object PipelineOps {
     "q_pipeline_dataset_card" -> cardDuckSql,
     "q_text_unigram_logprob" -> logprobDuckSql,
     "q_text_bigram_logprob" -> bigramLogprobDuckSql,
+    "q_text_perplexity_bucket" -> perplexityBucketSql(
+      """(SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)"""),
+    "q_text_chunk" -> chunkDuckSql,
     "q_pipeline_epoch_shuffle" -> epochShuffleSql(
       epochs = "SELECT unnest(generate_series(1, 3)) AS epoch", cast = "VARCHAR"),
     "q_pipeline_mix" -> mixDuckSql,
