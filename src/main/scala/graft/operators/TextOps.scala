@@ -604,6 +604,96 @@ object TextOps {
        |       FROM lineitem WHERE l_quantity >= $minQty)
        |SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0""".stripMargin
 
+  /** URL-canonicalization dedup SQL shared across engines (`cast` =
+    * string type, `g` = DuckDB's global-replace flag — Spark replaces all
+    * matches by default, DuckDB only the first without 'g'; `idiv` =
+    * integer division). A deterministic messy URL is synthesized per doc
+    * (scheme-case / host-case / trailing-slash / tracking-params /
+    * fragment variants keyed on doc_id residues, doc_id÷3 gives 3-doc
+    * collision groups), then canonicalized the aggressive web-pipeline
+    * way: scheme normalized to https, host lowercased, fragment dropped,
+    * utm_* / ref tracking params stripped (other params kept), trailing
+    * path slash removed. Dedup = ONE hash-agg shuffle on the canonical
+    * key — the q_dedup_exact shape, linear at 100 TB. */
+  private def urlDedupSql(cast: String, g: String, idiv: String): String =
+    s"""WITH u AS (SELECT doc_id,
+       |        concat(
+       |          CASE WHEN doc_id % 3 = 0 THEN 'http://'
+       |               WHEN doc_id % 3 = 1 THEN 'HTTP://' ELSE 'https://' END,
+       |          CASE WHEN doc_id % 2 = 0 THEN 'WWW' ELSE 'www' END,
+       |          '.example.com/docs/', CAST(doc_id $idiv 3 AS $cast),
+       |          CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END,
+       |          CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&utm_campaign=x'
+       |               WHEN doc_id % 4 = 1 THEN '?id=9&utm_medium=social' ELSE '' END,
+       |          CASE WHEN doc_id % 6 = 0 THEN '#section-2' ELSE '' END) AS url
+       |      FROM documents),
+       |p AS (SELECT doc_id, url,
+       |        split_part(regexp_replace(url, '#.*$$', ''$g), '://', 2) AS rest
+       |      FROM u),
+       |h AS (SELECT doc_id, url,
+       |        split_part(split_part(rest, '?', 1), '/', 1) AS host,
+       |        substring(split_part(rest, '?', 1),
+       |          length(split_part(split_part(rest, '?', 1), '/', 1)) + 1) AS path,
+       |        CASE WHEN instr(rest, '?') > 0
+       |             THEN split_part(rest, '?', 2) ELSE '' END AS qs
+       |      FROM p),
+       |c AS (SELECT doc_id, url,
+       |        concat('https://', lower(host),
+       |          regexp_replace(path, '/+$$', ''$g),
+       |          CASE WHEN regexp_replace(regexp_replace(qs,
+       |                 '(^|&)(utm_[a-z]+|ref)=[^&]*', ''$g), '^&+', ''$g) <> ''
+       |               THEN concat('?', regexp_replace(regexp_replace(qs,
+       |                 '(^|&)(utm_[a-z]+|ref)=[^&]*', ''$g), '^&+', ''$g))
+       |               ELSE '' END) AS canon
+       |      FROM h)
+       |SELECT canon AS canon_url,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(count(DISTINCT url) AS BIGINT) AS n_raw_variants,
+       |  CAST(min(doc_id) AS BIGINT) AS keep_doc
+       |FROM c GROUP BY canon ORDER BY canon""".stripMargin
+
+  /** Vocabulary-concentration stats per language: hapax share (fraction
+    * of the vocabulary seen exactly once — the classic
+    * noise/OOV-pressure signal a tokenizer-training run reads first) and
+    * type-token ratio, both as exact integer parts-per-million. Two
+    * key-partitioned hash aggs (token counts, then per-lang rollup);
+    * map-side combinable, linear at 100 TB. */
+  private def hapaxSql(tokRel: String, idiv: String): String =
+    s"""WITH tk AS ($tokRel),
+       |f AS (SELECT lang, tok, count(*) AS c FROM tk GROUP BY lang, tok)
+       |SELECT lang, CAST(sum(c) AS BIGINT) AS n_tokens,
+       |  CAST(count(*) AS BIGINT) AS vocab,
+       |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+       |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000
+       |    $idiv count(*) AS BIGINT) AS hapax_ppm,
+       |  CAST(count(*) * 1000000 $idiv CAST(sum(c) AS BIGINT) AS BIGINT) AS ttr_ppm
+       |FROM f GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Neighbor-set Jaccard over the co-purchase bipartite graph (supplier
+    * ~ its qty≥48 parts) — the link-prediction / entity-similarity scorer.
+    * Common neighbors come from wedge enumeration (self-join on the part
+    * key), which is Σ deg(part)² work: parts with more than 50 qualifying
+    * suppliers are excluded from wedge generation (the documented hub cap
+    * that bounds the quadratic term at ANY corpus size; exact degrees are
+    * still computed on the uncapped edge set, so J is a lower bound on
+    * hub-adjacent pairs and exact elsewhere). Top-50 by integer-ppm
+    * Jaccard with full tiebreak — deterministic LIMIT boundary. */
+  private def neighborJaccardSql(idiv: String): String =
+    s"""WITH w AS (SELECT l_partkey AS p, l_suppkey AS u
+       |      FROM lineitem WHERE l_quantity >= 48 GROUP BY 1, 2),
+       |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM w GROUP BY u),
+       |pd AS (SELECT p, count(*) AS pc FROM w GROUP BY p),
+       |wf AS (SELECT w.p, w.u FROM w JOIN pd ON w.p = pd.p WHERE pd.pc <= 50),
+       |pr AS (SELECT a.u AS u1, b.u AS u2, CAST(count(*) AS BIGINT) AS common
+       |       FROM wf a JOIN wf b ON a.p = b.p AND a.u < b.u
+       |       GROUP BY a.u, b.u),
+       |j AS (SELECT u1, u2, common, d1.d AS deg1, d2.d AS deg2,
+       |        CAST(common * 1000000 $idiv (d1.d + d2.d - common) AS BIGINT) AS jac_ppm
+       |      FROM pr JOIN deg d1 ON u1 = d1.u JOIN deg d2 ON u2 = d2.u)
+       |SELECT CAST(u1 AS BIGINT) AS u1, CAST(u2 AS BIGINT) AS u2,
+       |  common, deg1, deg2, jac_ppm
+       |FROM j ORDER BY jac_ppm DESC, u1, u2 LIMIT 50""".stripMargin
+
   /** DuckDB oracle for the unbounded-depth walk: UNION-dedup recursion
     * over (node, depth) pairs — the single-node engine's native spelling
     * of exactly the frontier-dedup loop [[reachLabels]] runs distributed.
@@ -1682,6 +1772,24 @@ object TextOps {
           |  count(DISTINCT nk) AS n_norm_distinct,
           |  count(*) - count(DISTINCT nk) AS n_norm_dups
           |FROM k GROUP BY lang ORDER BY lang""".stripMargin)
+    }),
+
+    "q_dedup_url" -> ((s, sf) => {
+      Tables.documents(s, sf).createOrReplaceTempView("documents")
+      s.sql(urlDedupSql(cast = "STRING", g = "", idiv = "DIV"))
+    }),
+
+    "q_text_hapax" -> ((s, sf) => {
+      Tables.documents(s, sf).createOrReplaceTempView("documents")
+      s.sql(hapaxSql(
+        tokRel = "SELECT lang, t AS tok FROM documents " +
+          "LATERAL VIEW explode(split(text, ' ')) x AS t",
+        idiv = "DIV"))
+    }),
+
+    "q_graph_neighbor_jaccard" -> ((s, sf) => {
+      Tables.lineitem(s, sf).createOrReplaceTempView("lineitem")
+      s.sql(neighborJaccardSql(idiv = "DIV"))
     }),
 
     "q_dedup_minhash" -> ((s, sf) =>
@@ -2782,6 +2890,14 @@ object TextOps {
         |  count(DISTINCT nk) AS n_norm_distinct,
         |  count(*) - count(DISTINCT nk) AS n_norm_dups
         |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_dedup_url" -> urlDedupSql(cast = "VARCHAR", g = ", 'g'", idiv = "//"),
+
+    "q_text_hapax" -> hapaxSql(
+      tokRel = "SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents",
+      idiv = "//"),
+
+    "q_graph_neighbor_jaccard" -> neighborJaccardSql(idiv = "//"),
 
     "q_dedup_near" -> nearDupSql(
       tokTable = s"SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS tok FROM ($docSampleSub)",
