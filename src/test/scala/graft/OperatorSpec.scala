@@ -1755,4 +1755,181 @@ class OperatorSpec extends AnyFunSuite with SparkSessionTest
     assert(r.getLong(1) == 2L)
     assert(r.getLong(2) == ev.count())
   }
+
+  // --- round-10 widening wave -------------------------------------------
+
+  /** The (s, dur) interval list the concurrency/coverage queries derive
+    * from events, recomputed naively on the driver. */
+  private def naiveIntervals(): Seq[(Long, Long, Long)] =
+    Tables.events(spark, sf0001)
+      .selectExpr("user_id", "CAST(unix_timestamp(date_trunc('second', ts)) AS BIGINT) AS s",
+        "value")
+      .collect().toSeq.map { r =>
+        val v = Option(r.getAs[java.lang.Double]("value")).map(_.doubleValue).getOrElse(0.0)
+        val dur = math.min(math.max(math.floor(v * 60.0).toLong, 0L), 3600L) + 60L
+        (r.getAs[Long]("user_id"), r.getAs[Long]("s"), dur)
+      }
+
+  test("cusum closed form equals the naive max(0, S+d-k) recursion") {
+    val rows = SparkEntry.queries("q_anomaly_cusum")(spark, sf0001)
+      .collect().groupBy(_.getAs[String]("event_type"))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, rs) =>
+      val series = rs.sortBy(_.getAs[Long]("day_num"))
+      val means = series.map(_.getAs[Long]("mean_micro"))
+      val mu = means.sum / means.length // integer floor-div, as in SQL
+      var s = 0L
+      series.zip(means).foreach { case (r, m) =>
+        s = math.max(0L, s + (m - mu - 2000000L))
+        assert(r.getAs[Long]("cusum_micro") == s,
+          s"cusum mismatch at day ${r.getAs[Long]("day_num")}")
+        assert((r.getAs[Long]("alarm") == 1L) == (s > 5000000L))
+      }
+    }
+  }
+
+  test("peak concurrency matches a brute-force per-day sweep") {
+    val ivs = naiveIntervals().map { case (_, s, dur) =>
+      val day = s / 86400
+      (day, s, math.min(s + dur, day * 86400 + 86400))
+    }
+    val expected = ivs.groupBy(_._1).map { case (day, list) =>
+      val pts = list.flatMap { case (_, s, e) => Seq((s, 1), (e, -1)) }
+        .sortBy(p => (p._1, p._2))
+      var run = 0L; var peak = 0L; var at = 0L
+      pts.foreach { case (t, d) =>
+        run += d
+        if (run > peak) { peak = run; at = t }
+      }
+      day -> ((peak, at))
+    }
+    val got = SparkEntry.queries("q_report_concurrency")(spark, sf0001).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val (peak, at) = expected(r.getAs[Long]("day_num"))
+      assert(r.getAs[Long]("peak_conc") == peak)
+      assert(r.getAs[Long]("at_tsec") == at)
+    }
+  }
+
+  test("interval coverage equals a brute-force union of clamped intervals") {
+    val byUser = naiveIntervals().groupBy(_._1)
+    val got = SparkEntry.queries("q_intervals_coverage")(spark, sf0001).collect()
+    assert(got.length == byUser.size)
+    got.foreach { r =>
+      val list = byUser(r.getAs[Long]("user_id"))
+        .map { case (_, s, dur) => (s, s + dur) }.sortBy(identity)
+      // merge overlapping intervals
+      var covered = 0L; var islands = 0L
+      var curS = -1L; var curE = -1L
+      list.foreach { case (s, e) =>
+        if (curE < 0 || s > curE) {
+          if (curE >= 0) covered += curE - curS
+          islands += 1; curS = s; curE = e
+        } else curE = math.max(curE, e)
+      }
+      if (curE >= 0) covered += curE - curS
+      assert(r.getAs[Long]("n_intervals") == list.length)
+      assert(r.getAs[Long]("n_islands") == islands)
+      assert(r.getAs[Long]("covered_s") == covered)
+    }
+  }
+
+  test("chunking covers every doc with stride-48 windows capped at 64 tokens") {
+    val docTok = Tables.documents(spark, sf0001)
+      .selectExpr("doc_id", "size(split(text, ' ')) AS n")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("n")).toMap
+    val chunks = SparkEntry.queries("q_text_chunk")(spark, sf0001).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    assert(chunks.keySet == docTok.keySet)
+    chunks.foreach { case (doc, cs) =>
+      val n = docTok(doc).max(1)
+      val sorted = cs.sortBy(_.getAs[Long]("chunk_idx"))
+      // exactly the stride sequence 1, 49, 97, ... ≤ n
+      val expStarts = 1L.to(n.toLong, 48L)
+      assert(sorted.map(_.getAs[Long]("start_pos")).toSeq == expStarts)
+      assert(sorted.map(_.getAs[Long]("chunk_idx")).toSeq ==
+        (1L to expStarts.length))
+      sorted.foreach { c =>
+        val len = math.min(64L, n - c.getAs[Long]("start_pos") + 1)
+        assert(c.getAs[Long]("n_tok") == len)
+      }
+    }
+  }
+
+  test("perplexity buckets are balanced ntiles ordered head ≥ middle ≥ tail") {
+    val rows = SparkEntry.queries("q_text_perplexity_bucket")(spark, sf0001)
+      .collect().groupBy(_.getAs[String]("lang"))
+    val nDocs = Tables.documents(spark, sf0001).count()
+    assert(rows.map(_._2.map(_.getAs[Long]("n_docs")).sum).sum == nDocs)
+    rows.foreach { case (_, rs) =>
+      val byBucket = rs.map(r => r.getAs[String]("bucket") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Double]("mean_logprob"))).toMap
+      assert(byBucket.keySet == Set("head", "middle", "tail"))
+      val sizes = byBucket.values.map(_._1)
+      assert(sizes.max - sizes.min <= 1) // ntile balance
+      assert(byBucket("head")._2 >= byBucket("middle")._2)
+      assert(byBucket("middle")._2 >= byBucket("tail")._2)
+    }
+  }
+
+  test("hapax stats recompute exactly from a naive token count") {
+    val docs = Tables.documents(spark, sf0001)
+      .selectExpr("lang", "text").collect()
+      .groupBy(_.getAs[String]("lang"))
+    val got = SparkEntry.queries("q_text_hapax")(spark, sf0001).collect()
+    assert(got.length == docs.size)
+    got.foreach { r =>
+      val toks = docs(r.getAs[String]("lang"))
+        .flatMap(_.getAs[String]("text").split(" ", -1))
+      val freq = toks.groupBy(identity).map { case (_, v) => v.length }
+      val vocab = freq.size.toLong
+      val hapax = freq.count(_ == 1).toLong
+      assert(r.getAs[Long]("n_tokens") == toks.length.toLong)
+      assert(r.getAs[Long]("vocab") == vocab)
+      assert(r.getAs[Long]("hapax") == hapax)
+      assert(r.getAs[Long]("hapax_ppm") == hapax * 1000000L / vocab)
+      assert(r.getAs[Long]("ttr_ppm") == vocab * 1000000L / toks.length)
+    }
+  }
+
+  test("url dedup: canonical keys are clean and account for every doc") {
+    val rows = SparkEntry.queries("q_dedup_url")(spark, sf0001).collect()
+    val nDocs = Tables.documents(spark, sf0001).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    rows.foreach { r =>
+      val u = r.getAs[String]("canon_url")
+      assert(u.startsWith("https://www.example.com/docs/"))
+      assert(!u.contains("utm_") && !u.contains("#") && !u.contains("ref="))
+      assert(!u.stripPrefix("https://").split('?').head.endsWith("/"))
+      assert(r.getAs[Long]("n_docs") <= 3) // ÷3 collision groups
+      assert(r.getAs[Long]("n_raw_variants") <= r.getAs[Long]("n_docs"))
+    }
+    assert(rows.exists(_.getAs[Long]("n_docs") > 1)) // it actually dedups
+  }
+
+  test("neighbor jaccard matches a naive hub-capped wedge count") {
+    val edges = Tables.lineitem(spark, sf0001)
+      .filter(col("l_quantity") >= 48)
+      .select("l_partkey", "l_suppkey").distinct().collect()
+      .map(r => (r.getAs[Long]("l_partkey"), r.getAs[Long]("l_suppkey")))
+    val deg = edges.groupBy(_._2).map { case (u, l) => u -> l.length.toLong }
+    val byPart = edges.groupBy(_._1).filter(_._2.length <= 50)
+    val common = scala.collection.mutable.Map[(Long, Long), Long]()
+    byPart.values.foreach { l =>
+      val us = l.map(_._2).sorted
+      for (i <- us.indices; j <- (i + 1) until us.length)
+        common((us(i), us(j))) = common.getOrElse((us(i), us(j)), 0L) + 1
+    }
+    val expTop = common.toSeq.map { case ((u1, u2), c) =>
+      val jac = c * 1000000L / (deg(u1) + deg(u2) - c)
+      (jac, u1, u2, c)
+    }.sortBy { case (j, u1, u2, _) => (-j, u1, u2) }.take(50)
+    val got = SparkEntry.queries("q_graph_neighbor_jaccard")(spark, sf0001).collect()
+    assert(got.length == expTop.length)
+    got.zip(expTop).foreach { case (r, (jac, u1, u2, c)) =>
+      assert(r.getAs[Long]("u1") == u1 && r.getAs[Long]("u2") == u2)
+      assert(r.getAs[Long]("jac_ppm") == jac && r.getAs[Long]("common") == c)
+    }
+  }
 }
