@@ -404,6 +404,16 @@ object AggOps {
       s.sql(concurrencySql(epoch = "unix_timestamp", idiv = "DIV"))
     }),
 
+    "q_agg_winsorized" -> ((s, sf) => {
+      registerEvents(s, sf)
+      s.sql(winsorizedSql(idiv = "DIV"))
+    }),
+
+    "q_report_error_ci" -> ((s, sf) => {
+      registerEvents(s, sf)
+      s.sql(wilsonSql(epoch = "unix_timestamp", idiv = "DIV"))
+    }),
+
     // Statistical anomaly detection: per-type z-score of `value`, flagging
     // |z| ≥ 2.5 — the per-severity outlier sweep a log monitor runs.
     // Moments come from exact decimal sums (order-independent, map-side
@@ -1249,6 +1259,62 @@ object AggOps {
        |  CAST(CASE WHEN rsum - low > 5000000 THEN 1 ELSE 0 END AS BIGINT) AS alarm
        |FROM c ORDER BY event_type, day_num""".stripMargin
 
+  /** Winsorized mean per event_type — the robust-stats sibling of
+    * q_agg_trimmed that CLAMPS tail values at the exact p10/p90 order
+    * statistics instead of dropping them. Percentile selection is exact
+    * rank selection (row_number per type, k = ceil(q·n)); the clamped
+    * sum stays in DECIMAL(18,2) (exact, order-independent) with ONE
+    * double division, floor-quantized. Windows and aggregates all
+    * partition by event_type — parallel across types at 100 TB. */
+  private def winsorizedSql(idiv: String): String =
+    s"""WITH v AS (SELECT event_type, event_id, CAST(value AS DECIMAL(18,2)) AS x
+       |           FROM events WHERE value IS NOT NULL),
+       |r AS (SELECT event_type, x,
+       |        row_number() OVER (PARTITION BY event_type ORDER BY x, event_id) AS rn,
+       |        count(*) OVER (PARTITION BY event_type) AS n
+       |      FROM v),
+       |b AS (SELECT event_type,
+       |        max(CASE WHEN rn = (n + 9) $idiv 10 THEN x END) AS lo,
+       |        max(CASE WHEN rn = (9 * n + 9) $idiv 10 THEN x END) AS hi,
+       |        CAST(max(n) AS BIGINT) AS n
+       |      FROM r GROUP BY event_type),
+       |w AS (SELECT v.event_type, least(greatest(v.x, b.lo), b.hi) AS cx
+       |      FROM v JOIN b ON v.event_type = b.event_type),
+       |m AS (SELECT event_type, SUM(cx) AS scx FROM w GROUP BY event_type)
+       |SELECT b.event_type, b.n,
+       |  CAST(b.lo AS DOUBLE) AS p10, CAST(b.hi AS DOUBLE) AS p90,
+       |  floor(CAST(m.scx AS DOUBLE) / b.n * 1e6 + 0.5) / 1e6 AS winsor_mean
+       |FROM b JOIN m ON b.event_type = m.event_type ORDER BY 1""".stripMargin
+
+  /** Daily error-rate with a Wilson 95% score interval — the SRE report
+    * rung above a raw ratio: the interval stays honest at small n where
+    * the normal approximation lies. One map-side-combinable day rollup;
+    * z is spelled as an exact double literal (e0 suffix — a bare decimal
+    * literal would parse as DECIMAL in Spark and change the arithmetic),
+    * and the identical expression text gives identical IEEE doubles in
+    * both engines before the final floor-quantize. */
+  private def wilsonSql(epoch: String, idiv: String): String = {
+    val z = "1.959963984540054e0"
+    s"""WITH d AS (SELECT
+       |        CAST($epoch(CAST(date_trunc('day', ts) AS TIMESTAMP)) AS BIGINT)
+       |          $idiv 86400 AS day_num,
+       |        CAST(count(*) AS BIGINT) AS n,
+       |        CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+       |          AS BIGINT) AS n_err
+       |      FROM events GROUP BY 1),
+       |w AS (SELECT day_num, n, n_err, CAST(n_err AS DOUBLE) / n AS p
+       |      FROM d)
+       |SELECT day_num, n, n_err,
+       |  floor(p * 1e6 + 0.5) / 1e6 AS rate,
+       |  floor((p + $z * $z / (2 * n)
+       |      - $z * sqrt((p * (1 - p) + $z * $z / (4 * n)) / n))
+       |    / (1 + $z * $z / n) * 1e6 + 0.5) / 1e6 AS wilson_lo,
+       |  floor((p + $z * $z / (2 * n)
+       |      + $z * sqrt((p * (1 - p) + $z * $z / (4 * n)) / n))
+       |    / (1 + $z * $z / n) * 1e6 + 0.5) / 1e6 AS wilson_hi
+       |FROM w ORDER BY day_num""".stripMargin
+  }
+
   /** Peak-concurrency SQL shared across engines. Interval duration =
     * 60 + min(max(floor(value·60), 0), 3600) seconds (value is a shared
     * double, so floor is bit-identical); end clamped to the start's UTC
@@ -1680,6 +1746,10 @@ object AggOps {
     "q_anomaly_cusum" -> cusumSql(epoch = "epoch", idiv = "//"),
 
     "q_report_concurrency" -> concurrencySql(epoch = "epoch", idiv = "//"),
+
+    "q_agg_winsorized" -> winsorizedSql(idiv = "//"),
+
+    "q_report_error_ci" -> wilsonSql(epoch = "epoch", idiv = "//"),
 
     "q_agg_chi2_hourly" ->
       """WITH h AS (SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr,

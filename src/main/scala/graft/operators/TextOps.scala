@@ -345,6 +345,36 @@ object TextOps {
     s"""WITH $bpeTrainDuckChain,
        |${bpeTokenizeReadout(s"st$bpeTrainRounds", e => s"unnest($e)", "string_split", "len")}""".stripMargin
 
+  /** Per-language tokenizer fertility over the trained BPE state — the
+    * readout a tokenizer-training run is judged by: fertility =
+    * subword symbols per whitespace word (lower = the merges learned
+    * that language), compression = chars per symbol. Same join shape as
+    * [[bpeTokenizeReadout]] (corpus words equi-join the vocabulary-sized
+    * symbol table — broadcastable), aggregated per lang instead of per
+    * doc; exact integer sums, ONE double division each, floor-quantized. */
+  private def bpeFertilityReadout(stRef: String, unnest: String => String,
+                                  split: String, len: String): String =
+    s"""lk AS (SELECT word, CAST($len($split(seq, ' ')) AS BIGINT) AS nsym
+       |       FROM $stRef),
+       |dw AS (SELECT lang, word FROM (
+       |         SELECT lang, ${unnest(s"$split(text, ' ')")} AS word
+       |         FROM documents) x
+       |       WHERE word <> ''),
+       |per AS (SELECT dw.lang,
+       |          CAST(count(*) AS BIGINT) AS n_words,
+       |          CAST(sum(length(dw.word)) AS BIGINT) AS n_chars,
+       |          CAST(sum(lk.nsym) AS BIGINT) AS n_symbols
+       |        FROM dw JOIN lk ON dw.word = lk.word
+       |        GROUP BY dw.lang)
+       |SELECT lang, n_words, n_chars, n_symbols,
+       |  floor(CAST(n_symbols AS DOUBLE) / n_words * 1e6 + 0.5) / 1e6 AS fertility,
+       |  floor(CAST(n_chars AS DOUBLE) / n_symbols * 1e6 + 0.5) / 1e6 AS compression
+       |FROM per ORDER BY 1""".stripMargin
+
+  private[graft] val bpeFertilityDuckSql: String =
+    s"""WITH $bpeTrainDuckChain,
+       |${bpeFertilityReadout(s"st$bpeTrainRounds", e => s"unnest($e)", "string_split", "len")}""".stripMargin
+
   private val bpeMergeDuckSql: String = bpeMergeSql(
     stateCte = "st AS (" +
       bpeStateSql(unnest = e => s"unnest($e)", split = "string_split") + "), ",
@@ -1396,6 +1426,12 @@ object TextOps {
       Tables.documents(s, sf).createOrReplaceTempView("documents")
       bpeTrainLoop(s)
       s.sql(s"WITH ${bpeTokenizeReadout("bpe_tr_st", e => s"explode($e)", "split", "size")}")
+    }),
+
+    "q_text_fertility" -> ((s, sf) => {
+      Tables.documents(s, sf).createOrReplaceTempView("documents")
+      bpeTrainLoop(s)
+      s.sql(s"WITH ${bpeFertilityReadout("bpe_tr_st", e => s"explode($e)", "split", "size")}")
     }),
 
     // MinHash estimator quality — the sketch-metric companion to the
@@ -2682,6 +2718,7 @@ object TextOps {
     "q_text_bpe_merge" -> bpeMergeDuckSql,
     "q_text_bpe_train" -> bpeTrainDuckSql,
     "q_text_bpe_tokenize" -> bpeTokenizeDuckSql,
+    "q_text_fertility" -> bpeFertilityDuckSql,
     "q_dedup_incremental" -> incDedupDuckSql,
     "q_text_quality_score" -> qualityScoreSql(
       valuesRel = s"(VALUES $qualityWeights) v(tok, wt)",

@@ -671,6 +671,13 @@ object VectorOps {
       s.sql(knnSparkSql)
     }),
 
+    "q_vec_knn_join" -> ((s, sf) => {
+      graft.functions.GraftFunctions.register(s)
+      Tables.embeddings(s, sf).createOrReplaceTempView("embeddings")
+      s.sql(knnJoinSql((a, b) =>
+        s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"))
+    }),
+
     "q_vec_mmr_diversify" -> ((s, sf) => {
       graft.functions.GraftFunctions.register(s)
       Tables.embeddings(s, sf).createOrReplaceTempView("embeddings")
@@ -1098,6 +1105,29 @@ object VectorOps {
        |ORDER BY cos_sim DESC, vec_id
        |LIMIT 10""".stripMargin
 
+  /** Batched KNN join — the many-probes sibling of [[knnSparkSql]]'s
+    * single-probe scan: every query vector (deterministic vec_id % 100
+    * sample, the bounded-probe-set shape) gets its top-5 corpus
+    * neighbors. The plan at scale: the query side is tiny → broadcast
+    * nested-loop against ONE linear corpus scan; the per-query top-k is
+    * a rank filter (WindowGroupLimit: per-partition top-k, no global
+    * sort). Cosines are floor-quantized at 6 dp BEFORE ranking so both
+    * engines rank identical keys; vec_id breaks ties. */
+  private def knnJoinSql(cos: (String, String) => String): String = {
+    val c = cos("e.embedding", "q.qe")
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+       |           WHERE vec_id % 100 = 0),
+       |s AS (SELECT q.qid, e.vec_id, e.label,
+       |        floor($c * 1e6 + 0.5) / 1e6 AS cos_sim
+       |      FROM embeddings e JOIN q ON e.vec_id <> q.qid),
+       |r AS (SELECT qid, vec_id, label, cos_sim,
+       |        row_number() OVER (PARTITION BY qid
+       |          ORDER BY cos_sim DESC, vec_id) AS rk
+       |      FROM s)
+       |SELECT qid, CAST(rk AS BIGINT) AS rk, vec_id, label, cos_sim
+       |FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
+  }
+
   /** Spark statement 1: train the 16-row codebook (driver-sized). */
   private val ivfCentSparkSql: String =
     s"""WITH ${ivfCentCtes(dot, md5Cast = "STRING",
@@ -1336,6 +1366,8 @@ object VectorOps {
          |ORDER BY n.label""".stripMargin,
 
     "q_vec_knn_cosine" -> knnDuckSql,
+    "q_vec_knn_join" -> knnJoinSql((a, b) =>
+      s"${odot(a, b)} / (sqrt(${odot(a, a)}) * sqrt(${odot(b, b)}))"),
     "q_vec_incremental_ivf" -> incIvfDuckSql,
 
     // Unpruned all-pairs statement of the cell-blocked contamination

@@ -63,7 +63,40 @@ object WindowOps {
        |  CAST(sum(e1 - s0) AS BIGINT) AS covered_s
        |FROM i GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Hourly OHLC resample per event_type — the candle/downsample readout
+    * every metric store serves (open/close = deterministic first/last by
+    * (second-truncated ts, event_id); high/low = min/max). One shared
+    * text in both engines: the first/last picks are rank-1 filters over
+    * (type, hour)-partitioned windows — per-partition top-1, fully
+    * parallel, no global sort; values pass through untouched (shared
+    * doubles), so the whole row hashes exactly. */
+  private val ohlcSql: String =
+    """WITH e AS (SELECT event_type,
+      |        CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
+      |        CAST(date_trunc('second', ts) AS TIMESTAMP) AS tss,
+      |        event_id, value
+      |      FROM events WHERE value IS NOT NULL),
+      |r AS (SELECT event_type, hr, value,
+      |        row_number() OVER (PARTITION BY event_type, hr
+      |          ORDER BY tss, event_id) AS ra,
+      |        row_number() OVER (PARTITION BY event_type, hr
+      |          ORDER BY tss DESC, event_id DESC) AS rd
+      |      FROM e)
+      |SELECT event_type, hr,
+      |  max(CASE WHEN ra = 1 THEN value END) AS open,
+      |  max(value) AS high, min(value) AS low,
+      |  max(CASE WHEN rd = 1 THEN value END) AS close,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM r GROUP BY event_type, hr
+      |ORDER BY event_type, hr""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Hourly OHLC candles per event_type.
+    "q_win_ohlc" -> ((s, sf) => {
+      Tables.events(s, sf).createOrReplaceTempView("events")
+      s.sql(ohlcSql)
+    }),
+
     // Total busy time per user after merging overlapping session
     // intervals — the classic union-of-intervals readout (how long was
     // each user actually active, counting overlaps once) that billing /
@@ -572,6 +605,7 @@ object WindowOps {
 
   val oracle: Map[String, String] = Map(
     "q_intervals_coverage" -> intervalsCoverageSql(epoch = "epoch"),
+    "q_win_ohlc" -> ohlcSql,
     "q_win_interval_range" -> intervalRangeSql,
     "q_win_rank" ->
       """SELECT user_id, event_id, value,
