@@ -1908,6 +1908,84 @@ class OperatorSpec extends AnyFunSuite with SparkSessionTest
     assert(rows.exists(_.getAs[Long]("n_docs") > 1)) // it actually dedups
   }
 
+  test("knn join: every probe gets 5 ranked neighbors, none itself") {
+    val rows = SparkEntry.queries("q_vec_knn_join")(spark, sf0001).collect()
+    val probes = Tables.embeddings(spark, sf0001)
+      .filter(col("vec_id") % 100 === 0).count()
+    assert(rows.length == probes * 5)
+    rows.groupBy(_.getAs[Long]("qid")).foreach { case (qid, rs) =>
+      assert(rs.map(_.getAs[Long]("rk")).sorted.toSeq == (1L to 5L))
+      assert(rs.forall(_.getAs[Long]("vec_id") != qid))
+      val sims = rs.sortBy(_.getAs[Long]("rk")).map(_.getAs[Double]("cos_sim"))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("fertility: per-lang symbol mass reconciles with the per-doc tokenize readout") {
+    val perDoc = SparkEntry.queries("q_text_bpe_tokenize")(spark, sf0001)
+      .join(Tables.documents(spark, sf0001).select("doc_id", "lang"), "doc_id")
+      .groupBy("lang")
+      .agg(sum("n_words").as("w"), sum("n_chars").as("c"), sum("n_symbols").as("s"))
+      .collect().map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("w"), r.getAs[Long]("c"), r.getAs[Long]("s"))).toMap
+    val got = SparkEntry.queries("q_text_fertility")(spark, sf0001).collect()
+    assert(got.length == perDoc.size)
+    got.foreach { r =>
+      val (w, c, sy) = perDoc(r.getAs[String]("lang"))
+      assert(r.getAs[Long]("n_words") == w)
+      assert(r.getAs[Long]("n_chars") == c)
+      assert(r.getAs[Long]("n_symbols") == sy)
+      val fert = r.getAs[Double]("fertility")
+      assert(fert >= 1.0 && fert == math.floor(sy.toDouble / w * 1e6 + 0.5) / 1e6)
+    }
+  }
+
+  test("winsorized mean sits between p10 and p90 and clamps exactly") {
+    val ev = Tables.events(spark, sf0001)
+      .filter(col("value").isNotNull)
+      .select("event_type", "event_id", "value").collect()
+      .groupBy(_.getAs[String]("event_type"))
+    val got = SparkEntry.queries("q_agg_winsorized")(spark, sf0001).collect()
+    assert(got.length == ev.size)
+    got.foreach { r =>
+      val xs = ev(r.getAs[String]("event_type"))
+        .map(x => (BigDecimal(x.getAs[Double]("value")).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP), x.getAs[Long]("event_id")))
+        .sortBy(identity).map(_._1)
+      val n = xs.length
+      val lo = xs((n + 9) / 10 - 1); val hi = xs((9 * n + 9) / 10 - 1)
+      assert(r.getAs[Double]("p10") == lo.toDouble)
+      assert(r.getAs[Double]("p90") == hi.toDouble)
+      val mean = xs.map(x => x.max(lo).min(hi)).sum.toDouble / n
+      assert(r.getAs[Double]("winsor_mean") == math.floor(mean * 1e6 + 0.5) / 1e6)
+      assert(r.getAs[Long]("n") == n.toLong)
+    }
+  }
+
+  test("wilson interval brackets the rate and tightens with n") {
+    val rows = SparkEntry.queries("q_report_error_ci")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val lo = r.getAs[Double]("wilson_lo"); val hi = r.getAs[Double]("wilson_hi")
+      val p = r.getAs[Double]("rate")
+      assert(lo >= 0.0 && hi <= 1.0 && lo <= p && p <= hi)
+      // interval is never wider than the worst case at this n
+      val n = r.getAs[Long]("n").toDouble
+      assert(hi - lo <= 2 * 1.96 * math.sqrt(0.25 / n) + 1e-4)
+    }
+  }
+
+  test("ohlc: high/low bound open/close and counts conserve events") {
+    val rows = SparkEntry.queries("q_win_ohlc")(spark, sf0001).collect()
+    val total = Tables.events(spark, sf0001).filter(col("value").isNotNull).count()
+    assert(rows.map(_.getAs[Long]("n")).sum == total)
+    rows.foreach { r =>
+      val (o, h, l, c) = (r.getAs[Double]("open"), r.getAs[Double]("high"),
+        r.getAs[Double]("low"), r.getAs[Double]("close"))
+      assert(l <= o && o <= h && l <= c && c <= h && l <= h)
+    }
+  }
+
   test("neighbor jaccard matches a naive hub-capped wedge count") {
     val edges = Tables.lineitem(spark, sf0001)
       .filter(col("l_quantity") >= 48)
