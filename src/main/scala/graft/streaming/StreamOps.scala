@@ -57,6 +57,25 @@ object StreamOps {
       .agg(count(lit(1)).as("cnt"))
       .select(col("window.start").as("w_start"), col("event_type"), col("cnt"))
 
+  /** Hourly OHLC candles per event_type — the streaming twin of
+    * q_win_ohlc. open/close are min_by/max_by over the (ts, event_id)
+    * struct (unique key → deterministic picks), which Spark merges
+    * ACROSS micro-batches as ordered partial state: the parity replay
+    * is what proves a candle whose open arrived in batch 2 and close in
+    * batch 7 still matches the one-shot batch plan row-for-row. */
+  def ohlcCandles(events: DataFrame): DataFrame =
+    events
+      .filter(col("value").isNotNull)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
+        count(lit(1)).as("n"))
+      .select(col("window.start").as("hr"), col("event_type"),
+        col("open"), col("high"), col("low"), col("close"), col("n"))
+
   /** Session windows with a 30-minute gap. */
   def sessionCounts(events: DataFrame): DataFrame =
     events

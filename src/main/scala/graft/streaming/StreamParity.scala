@@ -240,7 +240,8 @@ object StreamParity {
       ("tumbling", StreamOps.tumblingCounts),
       ("sliding", StreamOps.slidingCounts),
       ("session", StreamOps.sessionCounts),
-      ("hdr_buckets", StreamOps.hdrBucketCounts))
+      ("hdr_buckets", StreamOps.hdrBucketCounts),
+      ("ohlc", StreamOps.ohlcCandles))
       .map { case (name, t) =>
         val (st, ba) = replay(spark, sfDir, name, t)
         (name, st.length, ba.length, st == ba)
