@@ -409,6 +409,11 @@ object AggOps {
       s.sql(winsorizedSql(idiv = "DIV"))
     }),
 
+    "q_report_churn" -> ((s, sf) => {
+      registerEvents(s, sf)
+      s.sql(churnSql(epoch = "unix_timestamp", idiv = "DIV"))
+    }),
+
     "q_report_error_ci" -> ((s, sf) => {
       registerEvents(s, sf)
       s.sql(wilsonSql(epoch = "unix_timestamp", idiv = "DIV"))
@@ -1315,6 +1320,34 @@ object AggOps {
        |FROM w ORDER BY day_num""".stripMargin
   }
 
+  /** Weekly churn SQL shared across engines. Churn(w) = share of week-w
+    * actives absent in the NEXT observed week (lead over the
+    * weeks-bounded calendar, so a corpus gap doesn't turn into a
+    * 100%-churn artifact). Weeks are pure integer epoch-day÷7 — no
+    * engine week-numbering functions, which disagree on ISO/locale. The
+    * heavy relation is the distinct (week, user) set — one hash-dedup
+    * shuffle; the probe is a key-partitioned LEFT self-join on
+    * (next-week, user). Exact integer ppm output. */
+  private def churnSql(epoch: String, idiv: String): String =
+    s"""WITH am AS (SELECT DISTINCT
+       |              CAST($epoch(CAST(date_trunc('day', ts) AS TIMESTAMP)) AS BIGINT)
+       |                $idiv 604800 AS week_num,
+       |              user_id
+       |            FROM events),
+       |mm AS (SELECT DISTINCT week_num FROM am),
+       |nx AS (SELECT week_num, lead(week_num) OVER (ORDER BY week_num) AS nwk
+       |       FROM mm),
+       |j AS (SELECT a.week_num, a.user_id,
+       |        CASE WHEN b.user_id IS NULL THEN 1 ELSE 0 END AS churned
+       |      FROM am a JOIN nx ON a.week_num = nx.week_num
+       |      LEFT JOIN am b ON b.week_num = nx.nwk AND b.user_id = a.user_id
+       |      WHERE nx.nwk IS NOT NULL)
+       |SELECT week_num, CAST(count(*) AS BIGINT) AS n_active,
+       |  CAST(sum(churned) AS BIGINT) AS n_churned,
+       |  CAST(CAST(sum(churned) AS BIGINT) * 1000000
+       |    $idiv count(*) AS BIGINT) AS churn_ppm
+       |FROM j GROUP BY week_num ORDER BY week_num""".stripMargin
+
   /** Peak-concurrency SQL shared across engines. Interval duration =
     * 60 + min(max(floor(value·60), 0), 3600) seconds (value is a shared
     * double, so floor is bit-identical); end clamped to the start's UTC
@@ -1748,6 +1781,8 @@ object AggOps {
     "q_report_concurrency" -> concurrencySql(epoch = "epoch", idiv = "//"),
 
     "q_agg_winsorized" -> winsorizedSql(idiv = "//"),
+
+    "q_report_churn" -> churnSql(epoch = "epoch", idiv = "//"),
 
     "q_report_error_ci" -> wilsonSql(epoch = "epoch", idiv = "//"),
 

@@ -426,6 +426,41 @@ object PipelineOps {
       |  md5(array_to_string(w, ' ')) AS chunk_md5
       |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
 
+  /** Chunk-level boilerplate detection — the passage-granular rung of the
+    * dedup ladder: fingerprint every 64-token window ([[chunkSparkSql]]'s
+    * grid) and keep fingerprints seen in MORE THAN ONE distinct document
+    * (headers/footers/license blocks that doc-level dedup can't see
+    * because the surrounding text differs). One hash-agg shuffle on the
+    * chunk fingerprint — q_dedup_exact's linear shape at passage
+    * cardinality (~n_tok/48 rows per doc). */
+  private val chunkDedupSparkSql: String =
+    """WITH t AS (SELECT doc_id, split(text, ' ') AS toks FROM documents),
+      |s AS (SELECT doc_id, toks, size(toks) AS n FROM t),
+      |c AS (SELECT doc_id, slice(toks, pos, 64) AS w
+      |      FROM s LATERAL VIEW explode(sequence(1, greatest(n, 1), 48)) x AS pos),
+      |h AS (SELECT doc_id, md5(concat_ws(' ', w)) AS ch, size(w) AS ntok FROM c)
+      |SELECT ch AS chunk_md5, CAST(count(*) AS BIGINT) AS n_occ,
+      |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      |  CAST(min(doc_id) AS BIGINT) AS first_doc,
+      |  CAST(min(ntok) AS BIGINT) AS n_tok
+      |FROM h GROUP BY ch HAVING count(DISTINCT doc_id) > 1
+      |ORDER BY 1""".stripMargin
+
+  private val chunkDedupDuckSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |s AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+      |e AS (SELECT doc_id, toks, n,
+      |        unnest(generate_series(1, greatest(n, 1), 48)) AS pos
+      |      FROM s),
+      |c AS (SELECT doc_id, toks[pos:least(pos + 63, n)] AS w FROM e),
+      |h AS (SELECT doc_id, md5(array_to_string(w, ' ')) AS ch, len(w) AS ntok FROM c)
+      |SELECT ch AS chunk_md5, CAST(count(*) AS BIGINT) AS n_occ,
+      |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      |  CAST(min(doc_id) AS BIGINT) AS first_doc,
+      |  CAST(min(ntok) AS BIGINT) AS n_tok
+      |FROM h GROUP BY ch HAVING count(DISTINCT doc_id) > 1
+      |ORDER BY 1""".stripMargin
+
   private def run(s: SparkSession, sf: String, sql: String): DataFrame = {
     Tables.documents(s, sf).createOrReplaceTempView("documents")
     s.sql(sql)
@@ -473,6 +508,7 @@ object PipelineOps {
       s.sql(perplexityBucketSql("ppb_tok"))
     }),
     "q_text_chunk" -> ((s, sf) => run(s, sf, chunkSparkSql)),
+    "q_dedup_chunks" -> ((s, sf) => run(s, sf, chunkDedupSparkSql)),
     "q_pipeline_mix" -> ((s, sf) => run(s, sf, mixSparkSql)),
     "q_pipeline_curriculum" -> ((s, sf) => run(s, sf, curriculumSparkSql)),
     "q_pipeline_interleave" -> ((s, sf) => run(s, sf, interleaveSql("STRING"))),
@@ -548,6 +584,7 @@ object PipelineOps {
     "q_text_perplexity_bucket" -> perplexityBucketSql(
       """(SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)"""),
     "q_text_chunk" -> chunkDuckSql,
+    "q_dedup_chunks" -> chunkDedupDuckSql,
     "q_pipeline_epoch_shuffle" -> epochShuffleSql(
       epochs = "SELECT unnest(generate_series(1, 3)) AS epoch", cast = "VARCHAR"),
     "q_pipeline_mix" -> mixDuckSql,

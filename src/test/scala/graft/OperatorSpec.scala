@@ -1986,6 +1986,43 @@ class OperatorSpec extends AnyFunSuite with SparkSessionTest
     }
   }
 
+  test("chunk dedup finds only cross-doc repeats consistent with the chunk grid") {
+    val chunks = SparkEntry.queries("q_text_chunk")(spark, sf0001).collect()
+    val byHash = chunks.groupBy(_.getAs[String]("chunk_md5"))
+    val exp = byHash.filter { case (_, cs) =>
+      cs.map(_.getAs[Long]("doc_id")).distinct.length > 1
+    }
+    val got = SparkEntry.queries("q_dedup_chunks")(spark, sf0001).collect()
+    assert(got.length == exp.size && got.nonEmpty)
+    got.foreach { r =>
+      val cs = exp(r.getAs[String]("chunk_md5"))
+      assert(r.getAs[Long]("n_occ") == cs.length.toLong)
+      assert(r.getAs[Long]("n_docs") ==
+        cs.map(_.getAs[Long]("doc_id")).distinct.length.toLong)
+      assert(r.getAs[Long]("first_doc") == cs.map(_.getAs[Long]("doc_id")).min)
+    }
+  }
+
+  test("weekly churn matches a naive set-difference recompute") {
+    val aw = Tables.events(spark, sf0001)
+      .selectExpr("CAST(unix_timestamp(date_trunc('day', ts)) AS BIGINT) DIV 604800 AS w",
+        "user_id").distinct().collect()
+      .groupBy(_.getAs[Long]("w"))
+      .map { case (w, rs) => w -> rs.map(_.getAs[Long]("user_id")).toSet }
+    val weeks = aw.keys.toSeq.sorted
+    val got = SparkEntry.queries("q_report_churn")(spark, sf0001).collect()
+    assert(got.length == weeks.length - 1)
+    got.foreach { r =>
+      val w = r.getAs[Long]("week_num")
+      val next = weeks(weeks.indexOf(w) + 1)
+      val active = aw(w); val churned = active -- aw(next)
+      assert(r.getAs[Long]("n_active") == active.size.toLong)
+      assert(r.getAs[Long]("n_churned") == churned.size.toLong)
+      assert(r.getAs[Long]("churn_ppm") ==
+        churned.size.toLong * 1000000L / active.size)
+    }
+  }
+
   test("neighbor jaccard matches a naive hub-capped wedge count") {
     val edges = Tables.lineitem(spark, sf0001)
       .filter(col("l_quantity") >= 48)
