@@ -414,6 +414,11 @@ object AggOps {
       s.sql(churnSql(epoch = "unix_timestamp", idiv = "DIV"))
     }),
 
+    "q_agg_geo_harmonic" -> ((s, sf) => {
+      registerEvents(s, sf)
+      s.sql(geoHarmonicSql)
+    }),
+
     "q_report_error_ci" -> ((s, sf) => {
       registerEvents(s, sf)
       s.sql(wilsonSql(epoch = "unix_timestamp", idiv = "DIV"))
@@ -1320,6 +1325,24 @@ object AggOps {
        |FROM w ORDER BY day_num""".stripMargin
   }
 
+  /** Geometric + harmonic means per event_type — the mean-family rungs a
+    * metrics layer needs for ratio/rate data where the arithmetic mean
+    * lies. Identical text in both engines: per-row ln(x) and 1/x are
+    * shared doubles quantized to exact decimals BEFORE the sum (the Det
+    * order-independence discipline), one double division each, floor-
+    * quantized readouts. One map-side-combinable pass. */
+  private val geoHarmonicSql: String =
+    """WITH v AS (SELECT event_type, value AS x FROM events
+      |           WHERE value IS NOT NULL AND value > 0),
+      |a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |        CAST(sum(CAST(ln(x) AS DECIMAL(30,6))) AS DOUBLE) AS sln,
+      |        CAST(sum(CAST(CAST(1 AS DOUBLE) / x AS DECIMAL(30,9))) AS DOUBLE) AS sinv
+      |      FROM v GROUP BY event_type)
+      |SELECT event_type, n,
+      |  floor(exp(floor(sln / n * 1e6 + 0.5) / 1e6) * 1e6 + 0.5) / 1e6 AS geo_mean,
+      |  floor(n / sinv * 1e6 + 0.5) / 1e6 AS harm_mean
+      |FROM a ORDER BY event_type""".stripMargin
+
   /** Weekly churn SQL shared across engines. Churn(w) = share of week-w
     * actives absent in the NEXT observed week (lead over the
     * weeks-bounded calendar, so a corpus gap doesn't turn into a
@@ -1783,6 +1806,8 @@ object AggOps {
     "q_agg_winsorized" -> winsorizedSql(idiv = "//"),
 
     "q_report_churn" -> churnSql(epoch = "epoch", idiv = "//"),
+
+    "q_agg_geo_harmonic" -> geoHarmonicSql,
 
     "q_report_error_ci" -> wilsonSql(epoch = "epoch", idiv = "//"),
 

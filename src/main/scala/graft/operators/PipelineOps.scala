@@ -461,6 +461,40 @@ object PipelineOps {
       |FROM h GROUP BY ch HAVING count(DISTINCT doc_id) > 1
       |ORDER BY 1""".stripMargin
 
+  /** Dedup-funnel report: survivors through exact → normalized → minhash
+    * stages, each stage keeping the min-doc_id representative of its key
+    * group among the PREVIOUS stage's survivors (the real pipeline runs
+    * stages in this order because each is strictly coarser). Three
+    * cascaded hash-agg + key-join rounds — every stage linear,
+    * map-side-combinable, no pair joins anywhere. `g` = DuckDB's global
+    * regex flag; `sig` = the engine's 4-slice minhash spelling (same
+    * signature as q_dedup_minhash's). */
+  private def dedupFunnelSql(g: String, sig: String): String =
+    s"""WITH k AS (SELECT doc_id, md5(text) AS ek,
+       |        md5(trim(regexp_replace(regexp_replace(lower(text),
+       |          '[^a-z0-9 ]', ''$g), '  +', ' '$g))) AS nk,
+       |        $sig AS mk
+       |      FROM documents),
+       |s1 AS (SELECT min(doc_id) AS doc_id FROM k GROUP BY ek),
+       |k1 AS (SELECT k.doc_id, k.nk, k.mk FROM k JOIN s1 ON k.doc_id = s1.doc_id),
+       |s2 AS (SELECT min(doc_id) AS doc_id FROM k1 GROUP BY nk),
+       |k2 AS (SELECT k1.doc_id, k1.mk FROM k1 JOIN s2 ON k1.doc_id = s2.doc_id),
+       |s3 AS (SELECT min(doc_id) AS doc_id FROM k2 GROUP BY mk),
+       |c0 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM k),
+       |c1 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s1),
+       |c2 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s2),
+       |c3 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s3)
+       |SELECT CAST(1 AS BIGINT) AS stage_id, 'exact' AS stage,
+       |  c0.n AS n_in, c1.n AS n_out, c0.n - c1.n AS n_removed
+       |FROM c0 CROSS JOIN c1
+       |UNION ALL
+       |SELECT CAST(2 AS BIGINT), 'normalized', c1.n, c2.n, c1.n - c2.n
+       |FROM c1 CROSS JOIN c2
+       |UNION ALL
+       |SELECT CAST(3 AS BIGINT), 'minhash', c2.n, c3.n, c2.n - c3.n
+       |FROM c2 CROSS JOIN c3
+       |ORDER BY 1""".stripMargin
+
   private def run(s: SparkSession, sf: String, sql: String): DataFrame = {
     Tables.documents(s, sf).createOrReplaceTempView("documents")
     s.sql(sql)
@@ -509,6 +543,10 @@ object PipelineOps {
     }),
     "q_text_chunk" -> ((s, sf) => run(s, sf, chunkSparkSql)),
     "q_dedup_chunks" -> ((s, sf) => run(s, sf, chunkDedupSparkSql)),
+    "q_pipeline_dedup_funnel" -> ((s, sf) => run(s, sf, dedupFunnelSql(
+      g = "",
+      sig = "concat_ws(',', slice(sort_array(transform(" +
+        "array_distinct(split(text, ' ')), t -> md5(t))), 1, 4))"))),
     "q_pipeline_mix" -> ((s, sf) => run(s, sf, mixSparkSql)),
     "q_pipeline_curriculum" -> ((s, sf) => run(s, sf, curriculumSparkSql)),
     "q_pipeline_interleave" -> ((s, sf) => run(s, sf, interleaveSql("STRING"))),
@@ -585,6 +623,10 @@ object PipelineOps {
       """(SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)"""),
     "q_text_chunk" -> chunkDuckSql,
     "q_dedup_chunks" -> chunkDedupDuckSql,
+    "q_pipeline_dedup_funnel" -> dedupFunnelSql(
+      g = ", 'g'",
+      sig = "array_to_string(list_slice(list_sort(list_transform(" +
+        "list_distinct(string_split(text, ' ')), t -> md5(t))), 1, 4), ',')"),
     "q_pipeline_epoch_shuffle" -> epochShuffleSql(
       epochs = "SELECT unnest(generate_series(1, 3)) AS epoch", cast = "VARCHAR"),
     "q_pipeline_mix" -> mixDuckSql,

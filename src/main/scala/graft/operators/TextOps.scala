@@ -699,6 +699,28 @@ object TextOps {
        |  CAST(count(*) * 1000000 $idiv CAST(sum(c) AS BIGINT) AS BIGINT) AS ttr_ppm
        |FROM f GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** OOV-rate SQL shared across engines: freeze the top-1000 corpus
+    * tokens (by count, token tiebreak — the rank filter compiles to
+    * per-partition top-k, never a corpus-sized sort) as the vocabulary,
+    * then per language report the share of token OCCURRENCES outside it
+    * — the coverage readout that decides whether a tokenizer/vocab is
+    * usable for a language. The vocab is 1000 rows → broadcast probe
+    * join; exact integer ppm. */
+  private def oovSql(tokRel: String, idiv: String): String =
+    s"""WITH tk AS ($tokRel),
+       |f AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok),
+       |v AS (SELECT tok FROM (
+       |        SELECT tok, row_number() OVER (ORDER BY c DESC, tok) AS rk
+       |        FROM f) r
+       |      WHERE rk <= 1000),
+       |o AS (SELECT tk.lang, CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov
+       |      FROM tk LEFT JOIN v ON tk.tok = v.tok)
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens,
+       |  CAST(sum(oov) AS BIGINT) AS n_oov,
+       |  CAST(CAST(sum(oov) AS BIGINT) * 1000000
+       |    $idiv count(*) AS BIGINT) AS oov_ppm
+       |FROM o GROUP BY lang ORDER BY lang""".stripMargin
+
   /** Neighbor-set Jaccard over the co-purchase bipartite graph (supplier
     * ~ its qty≥48 parts) — the link-prediction / entity-similarity scorer.
     * Common neighbors come from wedge enumeration (self-join on the part
@@ -1823,6 +1845,14 @@ object TextOps {
         idiv = "DIV"))
     }),
 
+    "q_text_oov" -> ((s, sf) => {
+      Tables.documents(s, sf).createOrReplaceTempView("documents")
+      s.sql(oovSql(
+        tokRel = "SELECT lang, t AS tok FROM documents " +
+          "LATERAL VIEW explode(split(text, ' ')) x AS t",
+        idiv = "DIV"))
+    }),
+
     "q_graph_neighbor_jaccard" -> ((s, sf) => {
       Tables.lineitem(s, sf).createOrReplaceTempView("lineitem")
       s.sql(neighborJaccardSql(idiv = "DIV"))
@@ -2931,6 +2961,10 @@ object TextOps {
     "q_dedup_url" -> urlDedupSql(cast = "VARCHAR", g = ", 'g'", idiv = "//"),
 
     "q_text_hapax" -> hapaxSql(
+      tokRel = "SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents",
+      idiv = "//"),
+
+    "q_text_oov" -> oovSql(
       tokRel = "SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents",
       idiv = "//"),
 

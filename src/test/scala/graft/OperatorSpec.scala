@@ -2047,4 +2047,74 @@ class OperatorSpec extends AnyFunSuite with SparkSessionTest
       assert(r.getAs[Long]("jac_ppm") == jac && r.getAs[Long]("common") == c)
     }
   }
+
+  test("geo/harmonic means match a per-row-quantized recompute") {
+    import BigDecimal.RoundingMode.HALF_UP
+    val ev = Tables.events(spark, sf0001)
+      .filter(col("value").isNotNull && col("value") > 0)
+      .select("event_type", "value").collect()
+      .groupBy(_.getAs[String]("event_type"))
+    val got = SparkEntry.queries("q_agg_geo_harmonic")(spark, sf0001).collect()
+    assert(got.length == ev.size && got.nonEmpty)
+    def q6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    got.foreach { r =>
+      val xs = ev(r.getAs[String]("event_type")).map(_.getAs[Double]("value"))
+      val n = xs.length
+      assert(r.getAs[Long]("n") == n.toLong)
+      val sln = xs.map(x => BigDecimal(math.log(x)).setScale(6, HALF_UP)).sum.toDouble
+      val sinv = xs.map(x => BigDecimal(1.0 / x).setScale(9, HALF_UP)).sum.toDouble
+      assert(r.getAs[Double]("geo_mean") == q6(math.exp(q6(sln / n))))
+      assert(r.getAs[Double]("harm_mean") == q6(n / sinv))
+      // sanity: harmonic <= geometric for positive data (quantization slack)
+      assert(r.getAs[Double]("harm_mean") <= r.getAs[Double]("geo_mean") + 1e-5)
+    }
+  }
+
+  test("oov rate matches a frozen top-1000 vocab recompute") {
+    val docs = Tables.documents(spark, sf0001)
+      .select("lang", "text").collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("text")))
+    val toks = docs.flatMap { case (lang, t) => t.split(" ", -1).map(lang -> _) }
+    val vocab = toks.groupBy(_._2).map { case (t, l) => t -> l.length.toLong }
+      .toSeq.sortBy { case (t, c) => (-c, t) }.take(1000).map(_._1).toSet
+    val got = SparkEntry.queries("q_text_oov")(spark, sf0001).collect()
+    assert(got.length == toks.map(_._1).distinct.length && got.nonEmpty)
+    got.foreach { r =>
+      val mine = toks.filter(_._1 == r.getAs[String]("lang"))
+      val oov = mine.count(p => !vocab.contains(p._2)).toLong
+      assert(r.getAs[Long]("n_tokens") == mine.length.toLong)
+      assert(r.getAs[Long]("n_oov") == oov)
+      assert(r.getAs[Long]("oov_ppm") == oov * 1000000L / mine.length)
+    }
+  }
+
+  test("dedup funnel stages cascade and conserve counts") {
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+    def nk(t: String) = md5(t.toLowerCase
+      .replaceAll("[^a-z0-9 ]", "").replaceAll("  +", " ").trim)
+    def mk(t: String) = t.split(" ", -1).distinct
+      .map(md5).sorted.take(4).mkString(",")
+    val s1 = docs.groupBy { case (_, t) => md5(t) }.map(_._2.map(_._1).min).toSet
+    val k1 = docs.filter(d => s1(d._1))
+    val s2 = k1.groupBy { case (_, t) => nk(t) }.map(_._2.map(_._1).min).toSet
+    val k2 = k1.filter(d => s2(d._1))
+    val s3 = k2.groupBy { case (_, t) => mk(t) }.map(_._2.map(_._1).min).toSet
+    val got = SparkEntry.queries("q_pipeline_dedup_funnel")(spark, sf0001)
+      .collect().sortBy(_.getAs[Long]("stage_id"))
+    val exp = Seq(
+      (1L, "exact", docs.length.toLong, s1.size.toLong),
+      (2L, "normalized", s1.size.toLong, s2.size.toLong),
+      (3L, "minhash", s2.size.toLong, s3.size.toLong))
+    assert(got.length == 3)
+    got.zip(exp).foreach { case (r, (id, st, nin, nout)) =>
+      assert(r.getAs[Long]("stage_id") == id && r.getAs[String]("stage") == st)
+      assert(r.getAs[Long]("n_in") == nin && r.getAs[Long]("n_out") == nout)
+      assert(r.getAs[Long]("n_removed") == nin - nout)
+    }
+    assert(got.head.getAs[Long]("n_in") > got.last.getAs[Long]("n_out")) // it dedups
+  }
 }
