@@ -419,6 +419,33 @@ object AggOps {
       s.sql(geoHarmonicSql)
     }),
 
+    "q_report_dau_wau_mau" -> ((s, sf) => {
+      registerEvents(s, sf)
+      s.sql(dauWauMauSql(epoch = "unix_timestamp", idiv = "DIV"))
+    }),
+
+    "q_report_apdex" -> ((s, sf) => {
+      registerEvents(s, sf)
+      s.sql(apdexSql(idiv = "DIV"))
+    }),
+
+    "q_report_rfm" -> ((s, sf) => {
+      Tables.orders(s, sf).createOrReplaceTempView("orders")
+      s.sql(rfmSql(epoch = "unix_timestamp", idiv = "DIV"))
+    }),
+
+    "q_agg_corr_matrix" -> ((s, sf) => {
+      registerEvents(s, sf)
+      s.sql(corrMatrixSql(epoch = "unix_timestamp", idiv = "DIV"))
+    }),
+
+    "q_events_acf" -> ((s, sf) => {
+      registerEvents(s, sf)
+      s.sql(acfSql(epoch = "unix_timestamp", idiv = "DIV",
+        series = "explode(sequence(mn, mx))",
+        lagSeries = "explode(sequence(1, 24))"))
+    }),
+
     "q_report_error_ci" -> ((s, sf) => {
       registerEvents(s, sf)
       s.sql(wilsonSql(epoch = "unix_timestamp", idiv = "DIV"))
@@ -1343,6 +1370,184 @@ object AggOps {
       |  floor(n / sinv * 1e6 + 0.5) / 1e6 AS harm_mean
       |FROM a ORDER BY event_type""".stripMargin
 
+  /** Rolling distinct actives — DAU / WAU(7-day) / MAU(28-day) per day.
+    * Scale shape: ONE corpus-sized reduction to the distinct (user, day)
+    * relation, then an integer ≤28-day range join against the tiny day
+    * dimension (broadcast side) and three filtered distinct counts. At
+    * 100 TB the user-day relation is |users|×|days| at worst — the exact
+    * path; for wider windows the sketch route is q_agg_hll_sketch's
+    * mergeable HLL. Day numbers are epoch DIV 86400 integers (the
+    * wilsonSql discipline) so the window arithmetic is engine-exact. */
+  private def dauWauMauSql(epoch: String, idiv: String): String =
+    s"""WITH ud AS (SELECT DISTINCT
+       |        CAST($epoch(CAST(date_trunc('day', ts) AS TIMESTAMP)) AS BIGINT)
+       |          $idiv 86400 AS day_num, user_id
+       |      FROM events),
+       |days AS (SELECT DISTINCT day_num FROM ud)
+       |SELECT d.day_num,
+       |  CAST(count(DISTINCT CASE WHEN u.day_num = d.day_num
+       |    THEN u.user_id END) AS BIGINT) AS dau,
+       |  CAST(count(DISTINCT CASE WHEN u.day_num >= d.day_num - 6
+       |    THEN u.user_id END) AS BIGINT) AS wau,
+       |  CAST(count(DISTINCT u.user_id) AS BIGINT) AS mau
+       |FROM days d JOIN ud u ON u.day_num BETWEEN d.day_num - 27 AND d.day_num
+       |GROUP BY d.day_num ORDER BY d.day_num""".stripMargin
+
+  /** Apdex score per event_type (value as latency; satisfied ≤ 100,
+    * tolerating ≤ 400 = 4T). Pure integer arithmetic end to end —
+    * apdex = (sat + tol/2)/n spelled in ppm with integer division, so
+    * there is no float anywhere to disagree on. One map-side-combinable
+    * hash aggregate; the canonical SRE satisfaction readout. */
+  private def apdexSql(idiv: String): String =
+    s"""WITH a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       |        CAST(sum(CASE WHEN value <= 100 THEN 1 ELSE 0 END)
+       |          AS BIGINT) AS n_sat,
+       |        CAST(sum(CASE WHEN value > 100 AND value <= 400 THEN 1 ELSE 0 END)
+       |          AS BIGINT) AS n_tol
+       |      FROM events WHERE value IS NOT NULL GROUP BY event_type)
+       |SELECT event_type, n, n_sat, n_tol,
+       |  CAST((n_sat * 1000000 + n_tol * 500000) $idiv n AS BIGINT) AS apdex_ppm
+       |FROM a ORDER BY event_type""".stripMargin
+
+  /** RFM segmentation over orders: recency (days since last order vs the
+    * corpus max), frequency, monetary (exact decimal sum → ONE double),
+    * each cut into exact ntile(4) quartiles with a custkey tiebreak.
+    *
+    * NO global window anywhere: a global ntile would serialize the
+    * customer relation through one task (and fire WindowExec's
+    * single-partition warning). Instead each metric's global rank is
+    * COMPOSED the distributed way — row_number partitioned by a
+    * monotone value band (parallel across bands) + band offsets from a
+    * bounded band×band theta join (tens of rows) — and the ntile bucket
+    * comes from the rank via the closed form over (n DIV 4, n % 4).
+    * Bands are monotone in the order key and ties can't straddle a band
+    * (equal values share a band), so composed rank ≡ global rank. All
+    * arithmetic on non-negative integers (DESC orders flip the offset
+    * comparison instead of negating keys — Spark DIV truncates while
+    * DuckDB // floors, so negative operands are banned). */
+  private def rfmSql(epoch: String, idiv: String): String = {
+    // Rank composition for one metric over the `r` relation.
+    def rankCtes(tag: String, band: String, ord: String, cmp: String): String =
+      s"""k_$tag AS (SELECT custkey, $band AS bd,
+         |        CAST(row_number() OVER (PARTITION BY $band ORDER BY $ord)
+         |          AS BIGINT) AS rn
+         |      FROM r),
+         |c_$tag AS (SELECT bd, CAST(count(*) AS BIGINT) AS cnt
+         |      FROM k_$tag GROUP BY bd),
+         |o_$tag AS (SELECT c.bd, CAST(coalesce(sum(c2.cnt), 0) AS BIGINT) AS off
+         |      FROM c_$tag c LEFT JOIN c_$tag c2 ON c2.bd $cmp c.bd
+         |      GROUP BY c.bd),
+         |r_$tag AS (SELECT k.custkey, o.off + k.rn AS rk
+         |      FROM k_$tag k JOIN o_$tag o ON k.bd = o.bd)""".stripMargin
+    // Exact ntile(4) from a 1-based rank: first `rem` buckets get base+1.
+    def nt(rk: String): String =
+      s"""CASE WHEN $rk <= (base + 1) * rem
+         |    THEN ($rk - 1) $idiv (base + 1) + 1
+         |    ELSE rem + ($rk - (base + 1) * rem - 1) $idiv base + 1 END""".stripMargin
+    s"""WITH m AS (SELECT o_custkey AS custkey,
+       |        CAST(count(*) AS BIGINT) AS freq,
+       |        max(o_orderdate) AS last_dt,
+       |        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS money
+       |      FROM orders GROUP BY 1),
+       |r AS (SELECT custkey, freq, money,
+       |        (CAST($epoch(mx) AS BIGINT) - CAST($epoch(last_dt) AS BIGINT))
+       |          $idiv 86400 AS rec_days
+       |      FROM m CROSS JOIN (SELECT max(last_dt) AS mx FROM m) g),
+       |${rankCtes("rec", s"rec_days $idiv 64", "rec_days, custkey", "<")},
+       |${rankCtes("frq", s"freq $idiv 2", "freq DESC, custkey", ">")},
+       |${rankCtes("mny", "CAST(floor(money / 500e0) AS BIGINT)",
+                   "money DESC, custkey", ">")},
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |        CAST(count(*) AS BIGINT) $idiv 4 AS base,
+       |        CAST(count(*) AS BIGINT) % 4 AS rem FROM r),
+       |q AS (SELECT r.custkey, r.rec_days, r.freq, r.money,
+       |        CAST(${nt("rr.rk")} AS BIGINT) AS r_q,
+       |        CAST(${nt("rf.rk")} AS BIGINT) AS f_q,
+       |        CAST(${nt("rm.rk")} AS BIGINT) AS m_q
+       |      FROM r
+       |      JOIN r_rec rr ON r.custkey = rr.custkey
+       |      JOIN r_frq rf ON r.custkey = rf.custkey
+       |      JOIN r_mny rm ON r.custkey = rm.custkey
+       |      CROSS JOIN tot)
+       |SELECT custkey, rec_days, freq, money, r_q, f_q, m_q,
+       |  r_q * 100 + f_q * 10 + m_q AS rfm_code
+       |FROM q ORDER BY custkey""".stripMargin
+  }
+
+  /** Pairwise Pearson correlation matrix of DENSE hourly count series
+    * across event_types (zeros filled via the hour × type grid — without
+    * densification the correlation silently conditions on "both active").
+    * All five sufficient statistics are integer sums over BIGINT counts —
+    * exact and map-side-combinable — and the only float math is the final
+    * guarded division, floor-quantized. The hour grid is time-range ×
+    * |types| (bounded), never corpus-sized; BIGINT headroom holds past
+    * sf1 (n·Σxy ≤ ~1e15 there; the DECIMAL(38) spelling is the next rung
+    * if a deployment ever runs century-long ranges). */
+  private def corrMatrixSql(epoch: String, idiv: String): String =
+    s"""WITH h AS (SELECT
+       |        CAST($epoch(CAST(date_trunc('hour', ts) AS TIMESTAMP)) AS BIGINT)
+       |          $idiv 3600 AS hr, event_type, CAST(count(*) AS BIGINT) AS c
+       |      FROM events GROUP BY 1, 2),
+       |hours AS (SELECT DISTINCT hr FROM h),
+       |types AS (SELECT DISTINCT event_type FROM h),
+       |g AS (SELECT hours.hr AS hr, types.event_type AS event_type,
+       |        CAST(coalesce(h.c, 0) AS BIGINT) AS c
+       |      FROM hours CROSS JOIN types
+       |      LEFT JOIN h ON h.hr = hours.hr AND h.event_type = types.event_type),
+       |p AS (SELECT a.event_type AS t1, b.event_type AS t2,
+       |        CAST(count(*) AS BIGINT) AS n,
+       |        CAST(sum(a.c) AS BIGINT) AS sx, CAST(sum(b.c) AS BIGINT) AS sy,
+       |        CAST(sum(a.c * a.c) AS BIGINT) AS sxx,
+       |        CAST(sum(b.c * b.c) AS BIGINT) AS syy,
+       |        CAST(sum(a.c * b.c) AS BIGINT) AS sxy
+       |      FROM g a JOIN g b ON a.hr = b.hr AND a.event_type < b.event_type
+       |      GROUP BY 1, 2)
+       |SELECT t1, t2, n,
+       |  CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+       |       THEN CAST(NULL AS DOUBLE)
+       |       ELSE floor(CAST(n * sxy - sx * sy AS DOUBLE)
+       |         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+       |            * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) * 1e6 + 0.5) / 1e6
+       |  END AS corr
+       |FROM p ORDER BY t1, t2""".stripMargin
+
+  /** Autocorrelation function of the hourly TOTAL event-count series,
+    * lags 1..24 — the "is traffic periodic, at what period" readout that
+    * sits under the seasonal-anomaly baseline. The series is densified
+    * over the full min..max hour range (a generated integer series — gaps
+    * as zeros, not dropped rows). ACF_k is computed from integer
+    * sufficient statistics only (Σx, Σx², Σ head/tail, Σ lag products),
+    * assembled with the n²-scaled identity
+    *   num = n²·P_k − n·S·(S_head+S_tail) + (n−k)·S²,  den = n²·Q − n·S²
+    * so the ONLY float op is the final division (floor-quantized).
+    * BIGINT headroom holds through sf1 (~5e16 worst term). */
+  private def acfSql(epoch: String, idiv: String, series: String,
+                     lagSeries: String): String =
+    s"""WITH h AS (SELECT
+       |        CAST($epoch(CAST(date_trunc('hour', ts) AS TIMESTAMP)) AS BIGINT)
+       |          $idiv 3600 AS hr, CAST(count(*) AS BIGINT) AS c
+       |      FROM events GROUP BY 1),
+       |bnd AS (SELECT min(hr) AS mn, max(hr) AS mx FROM h),
+       |s AS (SELECT $series AS i FROM bnd),
+       |x AS (SELECT s.i, CAST(coalesce(h.c, 0) AS BIGINT) AS c
+       |      FROM s LEFT JOIN h ON h.hr = s.i),
+       |t AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS sm,
+       |        CAST(sum(c * c) AS BIGINT) AS q FROM x),
+       |l AS (SELECT CAST(lg0 AS BIGINT) AS lg
+       |      FROM (SELECT $lagSeries AS lg0) l0),
+       |j AS (SELECT l.lg, CAST(count(*) AS BIGINT) AS n_pairs,
+       |        CAST(sum(a.c * b.c) AS BIGINT) AS pk,
+       |        CAST(sum(a.c) AS BIGINT) AS sh, CAST(sum(b.c) AS BIGINT) AS st
+       |      FROM l CROSS JOIN x a JOIN x b ON b.i = a.i + l.lg
+       |      GROUP BY l.lg)
+       |SELECT j.lg AS lag_hr, j.n_pairs,
+       |  CASE WHEN n * n * q - n * sm * sm = 0 THEN CAST(NULL AS DOUBLE)
+       |       ELSE floor(CAST(n * n * pk - n * sm * (sh + st)
+       |                       + (n - j.lg) * sm * sm AS DOUBLE)
+       |         / CAST(n * n * q - n * sm * sm AS DOUBLE) * 1e6 + 0.5) / 1e6
+       |  END AS acf
+       |FROM j CROSS JOIN t ORDER BY lag_hr""".stripMargin
+
   /** Weekly churn SQL shared across engines. Churn(w) = share of week-w
     * actives absent in the NEXT observed week (lead over the
     * weeks-bounded calendar, so a corpus gap doesn't turn into a
@@ -1808,6 +2013,18 @@ object AggOps {
     "q_report_churn" -> churnSql(epoch = "epoch", idiv = "//"),
 
     "q_agg_geo_harmonic" -> geoHarmonicSql,
+
+    "q_report_dau_wau_mau" -> dauWauMauSql(epoch = "epoch", idiv = "//"),
+
+    "q_report_apdex" -> apdexSql(idiv = "//"),
+
+    "q_report_rfm" -> rfmSql(epoch = "epoch", idiv = "//"),
+
+    "q_agg_corr_matrix" -> corrMatrixSql(epoch = "epoch", idiv = "//"),
+
+    "q_events_acf" -> acfSql(epoch = "epoch", idiv = "//",
+      series = "unnest(generate_series(mn, mx))",
+      lagSeries = "unnest(generate_series(1, 24))"),
 
     "q_report_error_ci" -> wilsonSql(epoch = "epoch", idiv = "//"),
 

@@ -706,6 +706,66 @@ object TextOps {
     * — the coverage readout that decides whether a tokenizer/vocab is
     * usable for a language. The vocab is 1000 rows → broadcast probe
     * join; exact integer ppm. */
+  /** Flesch-style readability per language: words from the whitespace
+    * tokenizer, sentences from [.!?]+ runs, syllables from the classic
+    * vowel-group heuristic ([aeiouy]+ matches per word, min 1) — the
+    * standard cheap readability gate for a training-data quality stack.
+    * Float discipline: the per-doc score is pure IEEE double arithmetic
+    * (identical op sequence in both engines; constants spelled as
+    * exponent literals so Spark doesn't parse them as DECIMAL), quantized
+    * to an exact DECIMAL(18,4) per doc BEFORE the per-lang sum — the
+    * order-independence rule — with ONE final double division.
+    * Scale shape: explode → per-doc hash aggregate → per-lang rollup;
+    * every stage map-side-combinable, nothing corpus-quadratic.
+    * `rc` = the engine's regex-match-count spelling. */
+  private def readabilitySql(tokRel: String,
+                             rc: (String, String) => String): String =
+    s"""WITH tk AS ($tokRel),
+       |w AS (SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_words,
+       |        CAST(sum(greatest(1, ${rc("tok", "[aeiouy]+")}))
+       |          AS BIGINT) AS n_syl
+       |      FROM tk GROUP BY doc_id, lang),
+       |sd AS (SELECT doc_id,
+       |        CAST(greatest(1, ${rc("text", "[.!?]+")}) AS BIGINT) AS n_sent
+       |      FROM documents),
+       |f AS (SELECT w.lang,
+       |        CAST(206835e-3
+       |           - 1015e-3 * (CAST(n_words AS DOUBLE) / n_sent)
+       |           - 846e-1 * (CAST(n_syl AS DOUBLE) / n_words)
+       |          AS DECIMAL(18,4)) AS fl
+       |      FROM w JOIN sd ON w.doc_id = sd.doc_id)
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |  floor(CAST(sum(fl) AS DOUBLE) / count(*) * 1e4 + 0.5) / 1e4
+       |    AS avg_flesch,
+       |  CAST(sum(CASE WHEN fl >= 60 THEN 1 ELSE 0 END) AS BIGINT) AS n_easy,
+       |  CAST(sum(CASE WHEN fl < 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_hard
+       |FROM f GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Character-level near-dup: Levenshtein distance ≤ 10 within
+    * (lang, 20-char length band) blocks — the edit-distance rung of the
+    * dedup ladder, catching small in-place edits that token-set Jaccard
+    * (q_dedup_near) treats as unrelated and MinHash can miss. Both
+    * engines ship the same classic DP `levenshtein`; blocking is part of
+    * the operator's contract (candidates must share lang + band and
+    * differ ≤ 10 chars in length — a necessary condition for dist ≤ 10
+    * within a band). Cost: pairs only within bounded blocks over the
+    * deterministic ≤5000-doc verification sample (the docSampleSub
+    * guard shared with the exact-Jaccard family); the production
+    * sub-quadratic route stays the banded LSH path. */
+  private def editDistSql(idiv: String): String =
+    s"""WITH d AS ($docSampleSub),
+       |b AS (SELECT doc_id, lang, text, n_chars, n_chars $idiv 20 AS band
+       |      FROM d),
+       |p AS (SELECT a.lang AS lang, a.doc_id AS doc_id,
+       |        b2.doc_id AS doc_id_b,
+       |        CAST(levenshtein(a.text, b2.text) AS BIGINT) AS dist
+       |      FROM b a JOIN b b2
+       |        ON a.lang = b2.lang AND a.band = b2.band
+       |       AND a.doc_id < b2.doc_id
+       |       AND abs(a.n_chars - b2.n_chars) <= 10)
+       |SELECT lang, doc_id, doc_id_b, dist FROM p WHERE dist <= 10
+       |ORDER BY lang, doc_id, doc_id_b""".stripMargin
+
   private def oovSql(tokRel: String, idiv: String): String =
     s"""WITH tk AS ($tokRel),
        |f AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok),
@@ -1853,6 +1913,19 @@ object TextOps {
         idiv = "DIV"))
     }),
 
+    "q_text_readability" -> ((s, sf) => {
+      Tables.documents(s, sf).createOrReplaceTempView("documents")
+      s.sql(readabilitySql(
+        tokRel = "SELECT doc_id, lang, t AS tok FROM documents " +
+          "LATERAL VIEW explode(split(text, ' ')) x AS t",
+        rc = (c, re) => s"regexp_count($c, '$re')"))
+    }),
+
+    "q_dedup_editdist" -> ((s, sf) => {
+      Tables.documents(s, sf).createOrReplaceTempView("documents")
+      s.sql(editDistSql(idiv = "DIV"))
+    }),
+
     "q_graph_neighbor_jaccard" -> ((s, sf) => {
       Tables.lineitem(s, sf).createOrReplaceTempView("lineitem")
       s.sql(neighborJaccardSql(idiv = "DIV"))
@@ -2967,6 +3040,13 @@ object TextOps {
     "q_text_oov" -> oovSql(
       tokRel = "SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents",
       idiv = "//"),
+
+    "q_text_readability" -> readabilitySql(
+      tokRel = "SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok " +
+        "FROM documents",
+      rc = (c, re) => s"len(regexp_extract_all($c, '$re'))"),
+
+    "q_dedup_editdist" -> editDistSql(idiv = "//"),
 
     "q_graph_neighbor_jaccard" -> neighborJaccardSql(idiv = "//"),
 

@@ -2117,4 +2117,179 @@ class OperatorSpec extends AnyFunSuite with SparkSessionTest
     }
     assert(got.head.getAs[Long]("n_in") > got.last.getAs[Long]("n_out")) // it dedups
   }
+
+  test("dau/wau/mau match brute-force rolling distinct sets") {
+    val ud = Tables.events(spark, sf0001)
+      .select(col("user_id"), (unix_timestamp(date_trunc("day", col("ts"))) / 86400)
+        .cast("long").as("d")).distinct().collect()
+      .map(r => (r.getAs[Long]("d"), r.getAs[Long]("user_id")))
+    val days = ud.map(_._1).distinct.sorted
+    val got = SparkEntry.queries("q_report_dau_wau_mau")(spark, sf0001)
+      .collect().sortBy(_.getAs[Long]("day_num"))
+    assert(got.map(_.getAs[Long]("day_num")).toSeq == days.toSeq)
+    got.foreach { r =>
+      val d = r.getAs[Long]("day_num")
+      def actives(win: Long) =
+        ud.filter(p => p._1 >= d - win + 1 && p._1 <= d).map(_._2).distinct.length
+      assert(r.getAs[Long]("dau") == actives(1).toLong)
+      assert(r.getAs[Long]("wau") == actives(7).toLong)
+      assert(r.getAs[Long]("mau") == actives(28).toLong)
+    }
+  }
+
+  test("apdex is exact integer ppm over the latency buckets") {
+    val ev = Tables.events(spark, sf0001).filter(col("value").isNotNull)
+      .select("event_type", "value").collect()
+      .groupBy(_.getAs[String]("event_type"))
+    val got = SparkEntry.queries("q_report_apdex")(spark, sf0001).collect()
+    assert(got.length == ev.size && got.nonEmpty)
+    got.foreach { r =>
+      val vs = ev(r.getAs[String]("event_type")).map(_.getAs[Double]("value"))
+      val sat = vs.count(_ <= 100).toLong
+      val tol = vs.count(v => v > 100 && v <= 400).toLong
+      assert(r.getAs[Long]("n") == vs.length.toLong)
+      assert(r.getAs[Long]("n_sat") == sat && r.getAs[Long]("n_tol") == tol)
+      assert(r.getAs[Long]("apdex_ppm") == (sat * 1000000L + tol * 500000L) / vs.length)
+    }
+  }
+
+  test("rfm rank composition equals Spark's own global ntile") {
+    import org.apache.spark.sql.expressions.Window
+    val got = SparkEntry.queries("q_report_rfm")(spark, sf0001)
+    val exp = got.select("custkey", "rec_days", "freq", "money")
+      .withColumn("r_q", ntile(4).over(Window.orderBy(col("rec_days"), col("custkey"))).cast("long"))
+      .withColumn("f_q", ntile(4).over(Window.orderBy(col("freq").desc, col("custkey"))).cast("long"))
+      .withColumn("m_q", ntile(4).over(Window.orderBy(col("money").desc, col("custkey"))).cast("long"))
+      .collect().map(r => r.getAs[Long]("custkey") ->
+        (r.getAs[Long]("r_q"), r.getAs[Long]("f_q"), r.getAs[Long]("m_q"))).toMap
+    val rows = got.collect()
+    assert(rows.length == exp.size && rows.nonEmpty)
+    rows.foreach { r =>
+      val (rq, fq, mq) = exp(r.getAs[Long]("custkey"))
+      assert(r.getAs[Long]("r_q") == rq && r.getAs[Long]("f_q") == fq
+        && r.getAs[Long]("m_q") == mq)
+      assert(r.getAs[Long]("rfm_code") == rq * 100 + fq * 10 + mq)
+    }
+    // metrics themselves: brute recompute from orders
+    val ords = Tables.orders(spark, sf0001)
+      .select(col("o_custkey"), col("o_totalprice"),
+        unix_timestamp(col("o_orderdate")).as("sec")).collect()
+      .map(r => (r.getAs[Long]("o_custkey"),
+        r.getAs[Double]("o_totalprice"), r.getAs[Long]("sec")))
+    val globalMax = ords.map(_._3).max
+    rows.foreach { r =>
+      val mine = ords.filter(_._1 == r.getAs[Long]("custkey"))
+      assert(r.getAs[Long]("freq") == mine.length.toLong)
+      assert(r.getAs[Long]("rec_days") ==
+        (globalMax - mine.map(_._3).max) / 86400)
+      val money = mine.map(o => BigDecimal(o._2).setScale(2,
+        BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+      assert(r.getAs[Double]("money") == money)
+    }
+  }
+
+  test("corr matrix matches brute-force pearson on dense hourly counts") {
+    val hv = Tables.events(spark, sf0001)
+      .select((unix_timestamp(date_trunc("hour", col("ts"))) / 3600).cast("long").as("hr"),
+        col("event_type")).collect()
+      .map(r => (r.getAs[Long]("hr"), r.getAs[String]("event_type")))
+    val hours = hv.map(_._1).distinct.sorted
+    val types = hv.map(_._2).distinct.sorted
+    val cnt = hv.groupBy(identity).map { case (k, l) => k -> l.length.toLong }
+    val series = types.map(t => t -> hours.map(h => cnt.getOrElse((h, t), 0L))).toMap
+    val got = SparkEntry.queries("q_agg_corr_matrix")(spark, sf0001).collect()
+    assert(got.length == types.length * (types.length - 1) / 2)
+    got.foreach { r =>
+      val (x, y) = (series(r.getAs[String]("t1")), series(r.getAs[String]("t2")))
+      val n = hours.length.toLong
+      assert(r.getAs[Long]("n") == n)
+      val (sx, sy) = (x.sum, y.sum)
+      val sxx = x.map(v => v * v).sum; val syy = y.map(v => v * v).sum
+      val sxy = x.zip(y).map { case (a, b) => a * b }.sum
+      val num = (n * sxy - sx * sy).toDouble
+      val den = math.sqrt((n * sxx - sx * sx).toDouble) * math.sqrt((n * syy - sy * sy).toDouble)
+      assert(r.getAs[Double]("corr") == math.floor(num / den * 1e6 + 0.5) / 1e6)
+    }
+  }
+
+  test("acf matches the integer-identity recompute on the densified series") {
+    val hc = Tables.events(spark, sf0001)
+      .select((unix_timestamp(date_trunc("hour", col("ts"))) / 3600).cast("long").as("hr"))
+      .collect().map(_.getAs[Long]("hr"))
+    val byHr = hc.groupBy(identity).map { case (h, l) => h -> l.length.toLong }
+    val xs = (hc.min to hc.max).map(h => byHr.getOrElse(h, 0L)).toArray
+    val n = xs.length.toLong
+    val s = xs.sum; val q = xs.map(v => v * v).sum
+    val got = SparkEntry.queries("q_events_acf")(spark, sf0001)
+      .collect().sortBy(_.getAs[Long]("lag_hr"))
+    assert(got.map(_.getAs[Long]("lag_hr")).toSeq == (1L to 24L))
+    got.foreach { r =>
+      val k = r.getAs[Long]("lag_hr").toInt
+      val head = xs.dropRight(k); val tail = xs.drop(k)
+      assert(r.getAs[Long]("n_pairs") == (n - k))
+      val pk = head.zip(tail).map { case (a, b) => a * b }.sum
+      val num = (n * n * pk - n * s * (head.sum + tail.sum) + (n - k) * s * s).toDouble
+      val den = (n * n * q - n * s * s).toDouble
+      assert(r.getAs[Double]("acf") == math.floor(num / den * 1e6 + 0.5) / 1e6)
+      assert(math.abs(r.getAs[Double]("acf")) <= 1.000001)
+    }
+  }
+
+  test("readability matches per-doc scala recompute of the flesch heuristic") {
+    import BigDecimal.RoundingMode.HALF_UP
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"), r.getAs[String]("text")))
+    val vg = "[aeiouy]+".r; val sr = "[.!?]+".r
+    val perDoc = docs.map { case (_, lang, t) =>
+      val toks = t.split(" ", -1)
+      val w = toks.length.toLong
+      val syl = toks.map(tok => math.max(1, vg.findAllIn(tok).length).toLong).sum
+      val sent = math.max(1, sr.findAllIn(t).length).toLong
+      val fl = 206.835 - 1.015 * (w.toDouble / sent) - 84.6 * (syl.toDouble / w)
+      lang -> BigDecimal(fl).setScale(4, HALF_UP)
+    }
+    val got = SparkEntry.queries("q_text_readability")(spark, sf0001).collect()
+    assert(got.length == perDoc.map(_._1).distinct.length)
+    got.foreach { r =>
+      val fls = perDoc.filter(_._1 == r.getAs[String]("lang")).map(_._2)
+      assert(r.getAs[Long]("n_docs") == fls.length.toLong)
+      assert(r.getAs[Double]("avg_flesch") ==
+        math.floor(fls.sum.toDouble / fls.length * 1e4 + 0.5) / 1e4)
+      assert(r.getAs[Long]("n_easy") == fls.count(_ >= 60).toLong)
+      assert(r.getAs[Long]("n_hard") == fls.count(_ < 30).toLong)
+    }
+  }
+
+  test("editdist near-dup matches brute-force levenshtein within blocks") {
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(b.length + 1)(identity)
+      for (i <- 1 to a.length) {
+        var prev = dp(0); dp(0) = i
+        for (j <- 1 to b.length) {
+          val t = dp(j)
+          dp(j) = math.min(math.min(dp(j) + 1, dp(j - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = t
+        }
+      }
+      dp(b.length)
+    }
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "lang", "text", "n_chars").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[String]("text"), r.getAs[Long]("n_chars")))
+    val exp = (for {
+      a <- docs; b <- docs
+      if a._2 == b._2 && a._4 / 20 == b._4 / 20 && a._1 < b._1 &&
+        math.abs(a._4 - b._4) <= 10
+      d = lev(a._3, b._3) if d <= 10
+    } yield (a._2, a._1, b._1, d.toLong)).sortBy(t => (t._1, t._2, t._3))
+    val got = SparkEntry.queries("q_dedup_editdist")(spark, sf0001).collect()
+    assert(got.length == exp.length && got.nonEmpty)
+    got.zip(exp).foreach { case (r, (lang, id, idb, d)) =>
+      assert(r.getAs[String]("lang") == lang && r.getAs[Long]("doc_id") == id)
+      assert(r.getAs[Long]("doc_id_b") == idb && r.getAs[Long]("dist") == d)
+    }
+  }
 }
