@@ -446,6 +446,17 @@ object AggOps {
         lagSeries = "explode(sequence(1, 24))"))
     }),
 
+    "q_report_forecast_error" -> ((s, sf) => {
+      registerEvents(s, sf)
+      s.sql(forecastErrorSql(epoch = "unix_timestamp", idiv = "DIV",
+        series = "explode(sequence(mn, mx))"))
+    }),
+
+    "q_retention_ltv" -> ((s, sf) => {
+      registerEvents(s, sf)
+      s.sql(ltvSql((a, b) => s"datediff($a, $b) div 7"))
+    }),
+
     "q_report_error_ci" -> ((s, sf) => {
       registerEvents(s, sf)
       s.sql(wilsonSql(epoch = "unix_timestamp", idiv = "DIV"))
@@ -1548,6 +1559,68 @@ object AggOps {
        |  END AS acf
        |FROM j CROSS JOIN t ORDER BY lag_hr""".stripMargin
 
+  /** Seasonal-naive forecast error per event_type: predict each hour by
+    * the same hour yesterday (period 24) and score MAE plus MASE (the
+    * ratio to the lag-1 naive error — the scale-free accuracy readout
+    * used to sanity-check any real forecaster). Series densified over the
+    * full hour range per type (gaps = zeros); the error sums are pure
+    * BIGINT aggregates over self-joins on the hour index — only the final
+    * divisions are floats, floor-quantized. The per-type series join is
+    * keyed (event_type, hour): co-partitioned, never corpus-quadratic. */
+  private def forecastErrorSql(epoch: String, idiv: String,
+                               series: String): String =
+    s"""WITH h AS (SELECT
+       |        CAST($epoch(CAST(date_trunc('hour', ts) AS TIMESTAMP)) AS BIGINT)
+       |          $idiv 3600 AS hr, event_type, CAST(count(*) AS BIGINT) AS c
+       |      FROM events GROUP BY 1, 2),
+       |bnd AS (SELECT min(hr) AS mn, max(hr) AS mx FROM h),
+       |s AS (SELECT $series AS i FROM bnd),
+       |types AS (SELECT DISTINCT event_type FROM h),
+       |x AS (SELECT s.i, t.event_type, CAST(coalesce(h.c, 0) AS BIGINT) AS c
+       |      FROM s CROSS JOIN types t
+       |      LEFT JOIN h ON h.hr = s.i AND h.event_type = t.event_type),
+       |e AS (SELECT a.event_type, CAST(count(*) AS BIGINT) AS n,
+       |        CAST(sum(abs(a.c - p.c)) AS BIGINT) AS sae_seasonal,
+       |        CAST(sum(abs(a.c - q.c)) AS BIGINT) AS sae_naive
+       |      FROM x a
+       |      JOIN x p ON p.event_type = a.event_type AND p.i = a.i - 24
+       |      JOIN x q ON q.event_type = a.event_type AND q.i = a.i - 1
+       |      GROUP BY a.event_type)
+       |SELECT event_type, n,
+       |  floor(CAST(sae_seasonal AS DOUBLE) / n * 1e6 + 0.5) / 1e6 AS mae_seasonal,
+       |  floor(CAST(sae_naive AS DOUBLE) / n * 1e6 + 0.5) / 1e6 AS mae_naive,
+       |  CASE WHEN sae_naive = 0 THEN CAST(NULL AS DOUBLE)
+       |       ELSE floor(CAST(sae_seasonal AS DOUBLE) / sae_naive * 1e6 + 0.5) / 1e6
+       |  END AS mase
+       |FROM e ORDER BY event_type""".stripMargin
+
+  /** Cohort LTV curve: cumulative per-user revenue by (signup-week
+    * cohort × week offset) — the revenue twin of q_retention_cohort.
+    * Weekly revenue is an exact DECIMAL(30,6) sum; the cumulative sum is
+    * a window PARTITIONED by cohort (parallel across cohorts), and the
+    * per-user division is the single double op, floor-quantized.
+    * `wdiff(ts, cohort)` = whole weeks between, per engine. */
+  private def ltvSql(wdiff: (String, String) => String): String =
+    s"""WITH f AS (SELECT user_id, min(date_trunc('week', ts)) AS cohort
+       |      FROM events GROUP BY user_id),
+       |cs AS (SELECT cohort, CAST(count(*) AS BIGINT) AS n_users
+       |      FROM f GROUP BY cohort),
+       |r AS (SELECT f.cohort,
+       |        CAST(${wdiff("date_trunc('week', e.ts)", "f.cohort")} AS BIGINT)
+       |          AS week_offset,
+       |        sum(CAST(coalesce(e.value, 0) AS DECIMAL(30,6))) AS rev
+       |      FROM events e JOIN f ON e.user_id = f.user_id
+       |      GROUP BY 1, 2),
+       |c AS (SELECT cohort, week_offset, rev,
+       |        sum(rev) OVER (PARTITION BY cohort ORDER BY week_offset) AS cum
+       |      FROM r)
+       |SELECT CAST(c.cohort AS DATE) AS cohort_week, c.week_offset, cs.n_users,
+       |  CAST(c.rev AS DOUBLE) AS week_revenue,
+       |  floor(CAST(c.cum AS DOUBLE) / cs.n_users * 1e6 + 0.5) / 1e6
+       |    AS ltv_per_user
+       |FROM c JOIN cs ON c.cohort = cs.cohort
+       |ORDER BY cohort_week, week_offset""".stripMargin
+
   /** Weekly churn SQL shared across engines. Churn(w) = share of week-w
     * actives absent in the NEXT observed week (lead over the
     * weeks-bounded calendar, so a corpus gap doesn't turn into a
@@ -2025,6 +2098,11 @@ object AggOps {
     "q_events_acf" -> acfSql(epoch = "epoch", idiv = "//",
       series = "unnest(generate_series(mn, mx))",
       lagSeries = "unnest(generate_series(1, 24))"),
+
+    "q_report_forecast_error" -> forecastErrorSql(epoch = "epoch", idiv = "//",
+      series = "unnest(generate_series(mn, mx))"),
+
+    "q_retention_ltv" -> ltvSql((a, b) => s"date_diff('day', $b, $a) // 7"),
 
     "q_report_error_ci" -> wilsonSql(epoch = "epoch", idiv = "//"),
 

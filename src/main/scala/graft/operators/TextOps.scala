@@ -806,6 +806,62 @@ object TextOps {
        |  common, deg1, deg2, jac_ppm
        |FROM j ORDER BY jac_ppm DESC, u1, u2 LIMIT 50""".stripMargin
 
+  /** Adamic–Adar link score over the same co-purchase bipartite graph as
+    * [[neighborJaccardSql]]: AA(u1,u2) = Σ_{shared part z} 1/ln(deg(z)) —
+    * rarer shared neighbors weigh more, the standard link-prediction
+    * upgrade over raw common-neighbor counts. Same wedge enumeration and
+    * 50-supplier hub cap (bounds the Σdeg² term at any scale). Float
+    * discipline: the per-part weight is ONE double 1/ln(pc) quantized to
+    * an exact DECIMAL(18,9) BEFORE the per-pair sum (order-independent),
+    * final score floor-quantized; parts with one supplier generate no
+    * wedge so ln ≥ ln 2. Top-50 with full tiebreak — deterministic LIMIT
+    * boundary. */
+  private def adamicAdarSql(idiv: String): String =
+    s"""WITH w AS (SELECT l_partkey AS p, l_suppkey AS u
+       |      FROM lineitem WHERE l_quantity >= 48 GROUP BY 1, 2),
+       |pd AS (SELECT p, CAST(count(*) AS BIGINT) AS pc FROM w GROUP BY p),
+       |pw AS (SELECT p, CAST(CAST(1 AS DOUBLE) / ln(pc) AS DECIMAL(18,9)) AS wgt
+       |       FROM pd WHERE pc BETWEEN 2 AND 50),
+       |wf AS (SELECT w.p, w.u, pw.wgt FROM w JOIN pw ON w.p = pw.p),
+       |pr AS (SELECT a.u AS u1, b.u AS u2, CAST(count(*) AS BIGINT) AS common,
+       |         CAST(sum(a.wgt) AS DOUBLE) AS aa
+       |       FROM wf a JOIN wf b ON a.p = b.p AND a.u < b.u
+       |       GROUP BY a.u, b.u)
+       |SELECT CAST(u1 AS BIGINT) AS u1, CAST(u2 AS BIGINT) AS u2, common,
+       |  floor(aa * 1e6 + 0.5) / 1e6 AS aa_score
+       |FROM pr
+       |ORDER BY aa_score DESC, u1, u2 LIMIT 50""".stripMargin
+
+  /** Per-vertex local clustering coefficient of the near-dup doc graph
+    * (the same LSH band-pair edge set q_graph_triangles counts over):
+    * lcc(v) = 2·T(v) / (d(v)·(d(v)−1)) in integer ppm. T(v) comes from
+    * unpivoting the ORIENTED (a<b<c) triangle enumeration — each
+    * triangle counted once, then credited to its three corners — so the
+    * quadratic blowup of per-vertex neighborhood joins never appears;
+    * degrees from the symmetrized edge list. Everything integer. */
+  private[graft] def clusterCoefSql(eRef: String, idiv: String): String =
+    s"""und AS (SELECT lang, a AS v, b AS w FROM $eRef
+       |        UNION ALL SELECT lang, b AS v, a AS w FROM $eRef),
+       |dg AS (SELECT lang, v, CAST(count(*) AS BIGINT) AS d
+       |       FROM und GROUP BY lang, v),
+       |tri AS (SELECT e1.lang AS lang, e1.a AS a, e1.b AS b, e2.b AS c
+       |        FROM $eRef e1
+       |        JOIN $eRef e2 ON e1.lang = e2.lang AND e1.b = e2.a
+       |        JOIN $eRef e3 ON e3.lang = e1.lang AND e3.a = e1.a AND e3.b = e2.b),
+       |tv AS (SELECT lang, a AS v FROM tri
+       |       UNION ALL SELECT lang, b AS v FROM tri
+       |       UNION ALL SELECT lang, c AS v FROM tri),
+       |tc AS (SELECT lang, v, CAST(count(*) AS BIGINT) AS t
+       |       FROM tv GROUP BY lang, v)
+       |SELECT dg.lang AS lang, CAST(dg.v AS BIGINT) AS doc_id, dg.d AS degree,
+       |  CAST(coalesce(tc.t, 0) AS BIGINT) AS n_tri,
+       |  CASE WHEN dg.d >= 2
+       |       THEN CAST(coalesce(tc.t, 0) * 2000000
+       |              $idiv (dg.d * (dg.d - 1)) AS BIGINT)
+       |       ELSE CAST(0 AS BIGINT) END AS lcc_ppm
+       |FROM dg LEFT JOIN tc ON dg.lang = tc.lang AND dg.v = tc.v
+       |ORDER BY lang, doc_id""".stripMargin
+
   /** DuckDB oracle for the unbounded-depth walk: UNION-dedup recursion
     * over (node, depth) pairs — the single-node engine's native spelling
     * of exactly the frontier-dedup loop [[reachLabels]] runs distributed.
@@ -1931,6 +1987,22 @@ object TextOps {
       s.sql(neighborJaccardSql(idiv = "DIV"))
     }),
 
+    "q_graph_adamic_adar" -> ((s, sf) => {
+      Tables.lineitem(s, sf).createOrReplaceTempView("lineitem")
+      s.sql(adamicAdarSql(idiv = "DIV"))
+    }),
+
+    "q_graph_cluster_coef" -> ((s, sf) => {
+      Tables.documentsPar(s, sf).createOrReplaceTempView("documents")
+      // Same materialize-once discipline as q_graph_triangles: the edge
+      // list feeds five consumers (degree legs + three triangle legs).
+      s.sql(
+        s"""$lshBandPairsCtesSpark
+           |SELECT DISTINCT lang, doc_id AS a, doc_id_b AS b FROM pairs""".stripMargin)
+        .localCheckpoint().createOrReplaceTempView("lcc_e")
+      s.sql("WITH " + clusterCoefSql("lcc_e", idiv = "DIV"))
+    }),
+
     "q_dedup_minhash" -> ((s, sf) =>
       docs(s, sf)
         .withColumn("sig",
@@ -3049,6 +3121,13 @@ object TextOps {
     "q_dedup_editdist" -> editDistSql(idiv = "//"),
 
     "q_graph_neighbor_jaccard" -> neighborJaccardSql(idiv = "//"),
+
+    "q_graph_adamic_adar" -> adamicAdarSql(idiv = "//"),
+
+    "q_graph_cluster_coef" ->
+      s"""WITH $lshBandPairsCtesDuck,
+         |e AS (SELECT DISTINCT lang, doc_id AS a, doc_id_b AS b FROM pairs),
+         |${clusterCoefSql("e", idiv = "//")}""".stripMargin,
 
     "q_dedup_near" -> nearDupSql(
       tokTable = s"SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS tok FROM ($docSampleSub)",

@@ -810,6 +810,15 @@ object VectorOps {
       s.sql(ivfServeSparkSql)
     }),
 
+    "q_vec_cluster_purity" -> ((s, sf) => {
+      graft.functions.GraftFunctions.register(s)
+      Tables.embeddings(s, sf).createOrReplaceTempView("embeddings")
+      ivfPrep(s, sf)
+      s.sql(s"""WITH asgn AS (${sparkArgmin("ivf_cent",
+        ivfDist2(dot)("e.embedding", "c.cvec"), "e.label, ")}),
+        |${purityTail(idiv = "DIV")}""".stripMargin)
+    }),
+
     // Embedding DRIFT monitor: split the corpus into two cohorts (vec_id
     // parity stands in for old/new ingest batches), compare per-label
     // centroids across cohorts by cosine — the dashboard number that says
@@ -1150,6 +1159,26 @@ object VectorOps {
   private def ivfPrep(s: SparkSession, sf: String): Unit =
     cachedHandoff(s, s"ivf:$sf", ivfCentSparkSql, "ivf_cent")
 
+  /** Cluster-purity readout over an `asgn(vec_id, label, cid)` relation:
+    * per IVF cell, the majority label's share in integer ppm — the
+    * standard external clustering-quality metric (how well do the
+    * geometry-trained cells recover the labels). Hash aggregates +
+    * a PARTITIONED top-1 window; nothing global, nothing float. */
+  private def purityTail(idiv: String): String =
+    s"""lc AS (SELECT cid, label, CAST(count(*) AS BIGINT) AS c
+       |       FROM asgn GROUP BY cid, label),
+       |cs AS (SELECT cid, CAST(sum(c) AS BIGINT) AS n FROM lc GROUP BY cid),
+       |tp AS (SELECT cid, label AS top_label, c AS top_n FROM (
+       |         SELECT cid, label, c,
+       |           row_number() OVER (PARTITION BY cid ORDER BY c DESC, label) AS rn
+       |         FROM lc) t
+       |       WHERE rn = 1)
+       |SELECT CAST(cs.cid AS BIGINT) AS cid, cs.n,
+       |  CAST(tp.top_label AS BIGINT) AS top_label, tp.top_n,
+       |  CAST(tp.top_n * 1000000 $idiv cs.n AS BIGINT) AS purity_ppm
+       |FROM cs JOIN tp ON cs.cid = tp.cid
+       |ORDER BY cid""".stripMargin
+
   private val ivfDuckSql: String =
     s"""WITH ${ivfCentCtes(odot, md5Cast = "VARCHAR",
          explodeFrom = t => s"SELECT cid, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS v FROM $t",
@@ -1369,6 +1398,15 @@ object VectorOps {
     "q_vec_knn_join" -> knnJoinSql((a, b) =>
       s"${odot(a, b)} / (sqrt(${odot(a, a)}) * sqrt(${odot(b, b)}))"),
     "q_vec_incremental_ivf" -> incIvfDuckSql,
+
+    "q_vec_cluster_purity" ->
+      s"""WITH ${ivfCentCtes(odot, md5Cast = "VARCHAR",
+           explodeFrom = t => s"SELECT cid, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS v FROM $t",
+           assemble = "list_transform(list(mv ORDER BY pos), x -> CAST(x AS FLOAT))",
+           argmin = duckArgmin)},
+         |asgn AS (${duckArgmin("cent",
+             ivfDist2(odot)("e.embedding", "c.cvec"), "e.label, ")}),
+         |${purityTail(idiv = "//")}""".stripMargin,
 
     // Unpruned all-pairs statement of the cell-blocked contamination
     // check — the gate proves the Spark side's triangle-inequality

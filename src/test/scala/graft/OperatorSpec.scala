@@ -2261,6 +2261,126 @@ class OperatorSpec extends AnyFunSuite with SparkSessionTest
     }
   }
 
+  test("adamic-adar matches a naive hub-capped weighted wedge count") {
+    import BigDecimal.RoundingMode.HALF_UP
+    val edges = Tables.lineitem(spark, sf0001)
+      .filter(col("l_quantity") >= 48)
+      .select("l_partkey", "l_suppkey").distinct().collect()
+      .map(r => (r.getAs[Long]("l_partkey"), r.getAs[Long]("l_suppkey")))
+    val byPart = edges.groupBy(_._1).filter { case (_, l) =>
+      l.length >= 2 && l.length <= 50 }
+    val acc = scala.collection.mutable.Map[(Long, Long), (Long, BigDecimal)]()
+    byPart.foreach { case (_, l) =>
+      val w = BigDecimal(1.0 / math.log(l.length)).setScale(9, HALF_UP)
+      val us = l.map(_._2).sorted
+      for (i <- us.indices; j <- (i + 1) until us.length) {
+        val k = (us(i), us(j))
+        val (c, s) = acc.getOrElse(k, (0L, BigDecimal(0)))
+        acc(k) = (c + 1, s + w)
+      }
+    }
+    val expTop = acc.toSeq.map { case ((u1, u2), (c, s)) =>
+      (math.floor(s.toDouble * 1e6 + 0.5) / 1e6, u1, u2, c)
+    }.sortBy { case (sc, u1, u2, _) => (-sc, u1, u2) }.take(50)
+    val got = SparkEntry.queries("q_graph_adamic_adar")(spark, sf0001).collect()
+    assert(got.length == expTop.length && got.nonEmpty)
+    got.zip(expTop).foreach { case (r, (sc, u1, u2, c)) =>
+      assert(r.getAs[Long]("u1") == u1 && r.getAs[Long]("u2") == u2)
+      assert(r.getAs[Long]("common") == c && r.getAs[Double]("aa_score") == sc)
+    }
+  }
+
+  test("cluster coef reconciles with the per-lang triangle count") {
+    val got = SparkEntry.queries("q_graph_cluster_coef")(spark, sf0001).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (d, t, lcc) = (r.getAs[Long]("degree"), r.getAs[Long]("n_tri"),
+        r.getAs[Long]("lcc_ppm"))
+      assert(d >= 1)
+      assert(lcc == (if (d >= 2) t * 2000000L / (d * (d - 1)) else 0L))
+      assert(lcc <= 1000000L)
+      assert(t <= d * (d - 1) / 2)
+    }
+    // Σ per-vertex triangle credits = 3 × per-lang triangle count
+    val triPerLang = SparkEntry.queries("q_graph_triangles")(spark, sf0001)
+      .collect().map(r => r.getAs[String]("lang") -> r.getAs[Long]("n_triangles")).toMap
+    val creditPerLang = got.groupBy(_.getAs[String]("lang"))
+      .map { case (l, rs) => l -> rs.map(_.getAs[Long]("n_tri")).sum }
+    creditPerLang.foreach { case (l, c) => assert(c == 3 * triPerLang(l)) }
+  }
+
+  test("cluster purity cells partition the corpus and bound the majority") {
+    val got = SparkEntry.queries("q_vec_cluster_purity")(spark, sf0001).collect()
+    val total = Tables.embeddings(spark, sf0001).count()
+    assert(got.map(_.getAs[Long]("n")).sum == total)
+    assert(got.map(_.getAs[Long]("cid")).distinct.length == got.length)
+    got.foreach { r =>
+      val (n, tn, p) = (r.getAs[Long]("n"), r.getAs[Long]("top_n"),
+        r.getAs[Long]("purity_ppm"))
+      assert(tn >= 1 && tn <= n)
+      assert(p == tn * 1000000L / n)
+    }
+  }
+
+  test("forecast error matches brute seasonal-naive recompute") {
+    val hv = Tables.events(spark, sf0001)
+      .select((unix_timestamp(date_trunc("hour", col("ts"))) / 3600).cast("long").as("hr"),
+        col("event_type")).collect()
+      .map(r => (r.getAs[Long]("hr"), r.getAs[String]("event_type")))
+    val mn = hv.map(_._1).min; val mx = hv.map(_._1).max
+    val cnt = hv.groupBy(identity).map { case (k, l) => k -> l.length.toLong }
+    val got = SparkEntry.queries("q_report_forecast_error")(spark, sf0001).collect()
+    assert(got.length == hv.map(_._2).distinct.length)
+    got.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      def x(h: Long) = cnt.getOrElse((h, t), 0L)
+      val idx = (mn + 24) to mx
+      assert(r.getAs[Long]("n") == idx.length.toLong)
+      val saeS = idx.map(h => math.abs(x(h) - x(h - 24))).sum
+      val saeN = idx.map(h => math.abs(x(h) - x(h - 1))).sum
+      assert(r.getAs[Double]("mae_seasonal") ==
+        math.floor(saeS.toDouble / idx.length * 1e6 + 0.5) / 1e6)
+      assert(r.getAs[Double]("mae_naive") ==
+        math.floor(saeN.toDouble / idx.length * 1e6 + 0.5) / 1e6)
+      assert(r.getAs[Double]("mase") ==
+        math.floor(saeS.toDouble / saeN * 1e6 + 0.5) / 1e6)
+    }
+  }
+
+  test("cohort ltv curve is cumulative and conserves revenue") {
+    import BigDecimal.RoundingMode.HALF_UP
+    val ev = Tables.events(spark, sf0001)
+      .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("w"),
+        col("value")).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[java.sql.Date]("w").toString,
+        Option(r.getAs[java.lang.Double]("value")).map(_.doubleValue).getOrElse(0.0)))
+    val cohort = ev.groupBy(_._1).map { case (u, l) => u -> l.map(_._2).min }
+    val got = SparkEntry.queries("q_retention_ltv")(spark, sf0001).collect()
+    assert(got.nonEmpty)
+    val byCohort = got.groupBy(_.getAs[java.sql.Date]("cohort_week").toString)
+    byCohort.foreach { case (cw, rows) =>
+      val users = cohort.filter(_._2 == cw).keySet
+      val sorted = rows.sortBy(_.getAs[Long]("week_offset"))
+      assert(sorted.forall(_.getAs[Long]("n_users") == users.size.toLong))
+      // week revenues reconcile and the ltv curve is their running mean
+      var cum = BigDecimal(0)
+      sorted.foreach { r =>
+        val wk = r.getAs[Long]("week_offset")
+        val rev = ev.filter(e => users(e._1) &&
+            weeksBetween(cw, e._2) == wk)
+          .map(e => BigDecimal(e._3).setScale(6, HALF_UP)).sum
+        assert(r.getAs[Double]("week_revenue") == rev.toDouble)
+        cum += rev
+        assert(r.getAs[Double]("ltv_per_user") ==
+          math.floor(cum.toDouble / users.size * 1e6 + 0.5) / 1e6)
+      }
+    }
+  }
+
+  private def weeksBetween(cohortWeek: String, week: String): Long =
+    java.time.temporal.ChronoUnit.DAYS.between(
+      java.time.LocalDate.parse(cohortWeek), java.time.LocalDate.parse(week)) / 7
+
   test("editdist near-dup matches brute-force levenshtein within blocks") {
     def lev(a: String, b: String): Int = {
       val dp = Array.tabulate(b.length + 1)(identity)
