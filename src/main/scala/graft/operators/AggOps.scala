@@ -457,6 +457,20 @@ object AggOps {
       s.sql(ltvSql((a, b) => s"datediff($a, $b) div 7"))
     }),
 
+    "q_win_twap" -> ((s, sf) => {
+      registerEvents(s, sf)
+      s.sql(twapSql(us = "unix_micros"))
+    }),
+
+    "q_agg_bootstrap_ci" -> ((s, sf) => {
+      registerEvents(s, sf)
+      s.sql(bootstrapSql(
+        hex32 = x => s"CAST(conv(substring(md5($x), 1, 8), 16, 10) AS BIGINT)",
+        cast = "STRING",
+        series = "explode(sequence(1, 64))",
+        idiv = "DIV"))
+    }),
+
     "q_report_error_ci" -> ((s, sf) => {
       registerEvents(s, sf)
       s.sql(wilsonSql(epoch = "unix_timestamp", idiv = "DIV"))
@@ -1621,6 +1635,77 @@ object AggOps {
        |FROM c JOIN cs ON c.cohort = cs.cohort
        |ORDER BY cohort_week, week_offset""".stripMargin
 
+  /** Time-weighted average value (TWAP) per event_type over the irregular
+    * event stream: step interpolation — each observation holds until the
+    * next, weight = microsecond gap from a PARTITIONED lead() window.
+    * Per-row value·dt is one IEEE double multiply quantized to an exact
+    * DECIMAL(38,6) BEFORE the order-independent sum; gap totals are
+    * BIGINT; one final double division, floor-quantized. The metric that
+    * replaces the plain mean whenever sampling is bursty. */
+  private def twapSql(us: String): String =
+    s"""WITH o AS (SELECT event_type, value,
+       |        CAST($us(ts) AS BIGINT) AS t0,
+       |        lead(CAST($us(ts) AS BIGINT))
+       |          OVER (PARTITION BY event_type ORDER BY ts, event_id) AS t1
+       |      FROM events WHERE value IS NOT NULL),
+       |d AS (SELECT event_type, value, t1 - t0 AS dt
+       |      FROM o WHERE t1 IS NOT NULL),
+       |a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       |        CAST(sum(CAST(value * dt AS DECIMAL(38,6))) AS DOUBLE) AS swv,
+       |        CAST(sum(dt) AS BIGINT) AS sdt
+       |      FROM d GROUP BY event_type)
+       |SELECT event_type, n, sdt AS span_us,
+       |  floor(swv / sdt * 1e6 + 0.5) / 1e6 AS twap
+       |FROM a ORDER BY event_type""".stripMargin
+
+  /** Poisson-bootstrap confidence interval for the mean value per
+    * event_type — the DISTRIBUTED bootstrap: instead of B global
+    * resamples (impossible without coordinated sampling), every row
+    * draws an independent Poisson(1) replicate weight, which converges
+    * to the classic bootstrap for large n. Weights are DETERMINISTIC:
+    * the first 8 md5 hex digits of (event_id, replicate) compared
+    * against fixed cumulative-Poisson thresholds pre-scaled to 2³² —
+    * pure integer compares, reproducible in both engines at any
+    * parallelism. Replicate means come from exact decimal sums; the
+    * p5/p95 replicate quantiles use window-free rank selection (a
+    * B×B theta join over the 64-row replicate relation — the
+    * Theil–Sen / hodges discipline, no global window). Expansion is
+    * rows × B, linear and map-side-combinable. */
+  private def bootstrapSql(hex32: String => String, cast: String,
+                           series: String, idiv: String): String =
+    s"""WITH b AS (SELECT $series AS rep),
+       |w AS (SELECT event_type, value, rep,
+       |        CASE WHEN h < 1580030168 THEN 0
+       |             WHEN h < 3160060337 THEN 1
+       |             WHEN h < 3950075421 THEN 2
+       |             WHEN h < 4213413783 THEN 3
+       |             WHEN h < 4279248373 THEN 4
+       |             WHEN h < 4292415291 THEN 5
+       |             ELSE 6 END AS wt
+       |      FROM (SELECT e.event_type, e.value, b.rep,
+       |              ${hex32(s"concat(CAST(e.event_id AS $cast), '_', " +
+                        s"CAST(b.rep AS $cast))")} AS h
+       |            FROM events e CROSS JOIN b
+       |            WHERE e.value IS NOT NULL) t),
+       |m AS (SELECT event_type, rep, CAST(sum(wt) AS BIGINT) AS nw,
+       |        CAST(sum(CAST(value * wt AS DECIMAL(30,6))) AS DOUBLE) AS sv
+       |      FROM w GROUP BY event_type, rep),
+       |mm AS (SELECT event_type, rep, floor(sv / nw * 1e6 + 0.5) / 1e6 AS mean_v
+       |      FROM m WHERE nw > 0),
+       |rk AS (SELECT a.event_type, a.rep, a.mean_v, CAST(count(*) AS BIGINT) AS r
+       |      FROM mm a JOIN mm c ON a.event_type = c.event_type
+       |        AND (c.mean_v < a.mean_v
+       |             OR (c.mean_v = a.mean_v AND c.rep <= a.rep))
+       |      GROUP BY a.event_type, a.rep, a.mean_v),
+       |nn AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nb
+       |      FROM mm GROUP BY event_type)
+       |SELECT rk.event_type, nn.nb,
+       |  max(CASE WHEN r = (nb * 5 + 99) $idiv 100 THEN mean_v END) AS ci_lo,
+       |  max(CASE WHEN r = (nb * 95 + 99) $idiv 100 THEN mean_v END) AS ci_hi
+       |FROM rk JOIN nn ON rk.event_type = nn.event_type
+       |GROUP BY rk.event_type, nn.nb
+       |ORDER BY rk.event_type""".stripMargin
+
   /** Weekly churn SQL shared across engines. Churn(w) = share of week-w
     * actives absent in the NEXT observed week (lead over the
     * weeks-bounded calendar, so a corpus gap doesn't turn into a
@@ -2103,6 +2188,14 @@ object AggOps {
       series = "unnest(generate_series(mn, mx))"),
 
     "q_retention_ltv" -> ltvSql((a, b) => s"date_diff('day', $b, $a) // 7"),
+
+    "q_win_twap" -> twapSql(us = "epoch_us"),
+
+    "q_agg_bootstrap_ci" -> bootstrapSql(
+      hex32 = x => s"CAST(concat('0x', substring(md5($x), 1, 8)) AS BIGINT)",
+      cast = "VARCHAR",
+      series = "unnest(generate_series(1, 64))",
+      idiv = "//"),
 
     "q_report_error_ci" -> wilsonSql(epoch = "epoch", idiv = "//"),
 

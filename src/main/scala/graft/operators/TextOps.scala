@@ -862,6 +862,37 @@ object TextOps {
        |FROM dg LEFT JOIN tc ON dg.lang = tc.lang AND dg.v = tc.v
        |ORDER BY lang, doc_id""".stripMargin
 
+  /** Degree assortativity of the near-dup doc graph per language: the
+    * Pearson correlation of (deg(u), deg(v)) over DIRECTED edge
+    * endpoints (both orientations — the standard Newman r). Positive ⟹
+    * hubs link to hubs (one giant template family), negative ⟹
+    * hub-and-spoke duplication. All five sufficient statistics are
+    * BIGINT sums over the symmetrized edge list joined to the degree
+    * table — integers until the single guarded division. */
+  private[graft] def assortativitySql(eRef: String, idiv: String): String =
+    s"""und AS (SELECT lang, a AS src, b AS dst FROM $eRef
+       |        UNION ALL SELECT lang, b AS src, a AS dst FROM $eRef),
+       |dg AS (SELECT lang, src AS v, CAST(count(*) AS BIGINT) AS d
+       |       FROM und GROUP BY lang, src),
+       |ed AS (SELECT u.lang, d1.d AS x, d2.d AS y
+       |       FROM und u
+       |       JOIN dg d1 ON u.lang = d1.lang AND u.src = d1.v
+       |       JOIN dg d2 ON u.lang = d2.lang AND u.dst = d2.v),
+       |st AS (SELECT lang, CAST(count(*) AS BIGINT) AS m,
+       |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       |         CAST(sum(x * x) AS BIGINT) AS sxx,
+       |         CAST(sum(y * y) AS BIGINT) AS syy,
+       |         CAST(sum(x * y) AS BIGINT) AS sxy
+       |       FROM ed GROUP BY lang)
+       |SELECT lang, m $idiv 2 AS n_edges,
+       |  CASE WHEN m * sxx - sx * sx = 0 OR m * syy - sy * sy = 0
+       |       THEN CAST(NULL AS DOUBLE)
+       |       ELSE floor(CAST(m * sxy - sx * sy AS DOUBLE)
+       |         / (sqrt(CAST(m * sxx - sx * sx AS DOUBLE))
+       |            * sqrt(CAST(m * syy - sy * sy AS DOUBLE))) * 1e6 + 0.5) / 1e6
+       |  END AS assortativity
+       |FROM st ORDER BY lang""".stripMargin
+
   /** DuckDB oracle for the unbounded-depth walk: UNION-dedup recursion
     * over (node, depth) pairs — the single-node engine's native spelling
     * of exactly the frontier-dedup loop [[reachLabels]] runs distributed.
@@ -2003,6 +2034,15 @@ object TextOps {
       s.sql("WITH " + clusterCoefSql("lcc_e", idiv = "DIV"))
     }),
 
+    "q_graph_assortativity" -> ((s, sf) => {
+      Tables.documentsPar(s, sf).createOrReplaceTempView("documents")
+      s.sql(
+        s"""$lshBandPairsCtesSpark
+           |SELECT DISTINCT lang, doc_id AS a, doc_id_b AS b FROM pairs""".stripMargin)
+        .localCheckpoint().createOrReplaceTempView("ast_e")
+      s.sql("WITH " + assortativitySql("ast_e", idiv = "DIV"))
+    }),
+
     "q_dedup_minhash" -> ((s, sf) =>
       docs(s, sf)
         .withColumn("sig",
@@ -3128,6 +3168,11 @@ object TextOps {
       s"""WITH $lshBandPairsCtesDuck,
          |e AS (SELECT DISTINCT lang, doc_id AS a, doc_id_b AS b FROM pairs),
          |${clusterCoefSql("e", idiv = "//")}""".stripMargin,
+
+    "q_graph_assortativity" ->
+      s"""WITH $lshBandPairsCtesDuck,
+         |e AS (SELECT DISTINCT lang, doc_id AS a, doc_id_b AS b FROM pairs),
+         |${assortativitySql("e", idiv = "//")}""".stripMargin,
 
     "q_dedup_near" -> nearDupSql(
       tokTable = s"SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS tok FROM ($docSampleSub)",

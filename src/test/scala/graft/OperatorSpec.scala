@@ -2381,6 +2381,91 @@ class OperatorSpec extends AnyFunSuite with SparkSessionTest
     java.time.temporal.ChronoUnit.DAYS.between(
       java.time.LocalDate.parse(cohortWeek), java.time.LocalDate.parse(week)) / 7
 
+  test("assortativity: known graph value, corpus consistency with triangles") {
+    // star K1,3 ∪ triangle in one lang: hand-computed Newman r
+    import spark.implicits._
+    Seq(("en", 1L, 2L), ("en", 1L, 3L), ("en", 1L, 4L),
+      ("en", 10L, 11L), ("en", 10L, 12L), ("en", 11L, 12L))
+      .toDF("lang", "a", "b").createOrReplaceTempView("ast_t")
+    val tiny = spark.sql("WITH " + TextOps.assortativitySql("ast_t", "DIV")).collect()
+    assert(tiny.length == 1 && tiny.head.getAs[Long]("n_edges") == 6L)
+    // directed endpoints: star gives (3,1)×3 and (1,3)×3; triangle (2,2)×6
+    val xs = Seq(3, 3, 3, 1, 1, 1, 2, 2, 2, 2, 2, 2).map(_.toLong)
+    val ys = Seq(1, 1, 1, 3, 3, 3, 2, 2, 2, 2, 2, 2).map(_.toLong)
+    val m = xs.length.toLong
+    val (sx, sy) = (xs.sum, ys.sum)
+    val num = (m * xs.zip(ys).map { case (a, b) => a * b }.sum - sx * sy).toDouble
+    val den = math.sqrt((m * xs.map(v => v * v).sum - sx * sx).toDouble) *
+      math.sqrt((m * ys.map(v => v * v).sum - sy * sy).toDouble)
+    assert(tiny.head.getAs[Double]("assortativity") ==
+      math.floor(num / den * 1e6 + 0.5) / 1e6)
+    // corpus: edge counts reconcile with q_graph_triangles, |r| <= 1
+    val got = SparkEntry.queries("q_graph_assortativity")(spark, sf0001).collect()
+    val triEdges = SparkEntry.queries("q_graph_triangles")(spark, sf0001)
+      .collect().map(r => r.getAs[String]("lang") -> r.getAs[Long]("n_edges")).toMap
+    got.foreach { r =>
+      assert(r.getAs[Long]("n_edges") == triEdges(r.getAs[String]("lang")))
+      Option(r.getAs[java.lang.Double]("assortativity"))
+        .foreach(v => assert(math.abs(v) <= 1.000001))
+    }
+  }
+
+  test("twap matches a brute step-interpolated recompute") {
+    import BigDecimal.RoundingMode.HALF_UP
+    val ev = Tables.events(spark, sf0001).filter(col("value").isNotNull)
+      .select(col("event_type"), col("event_id"), col("value"),
+        unix_micros(col("ts")).as("us"), col("ts")).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("us"),
+        r.getAs[Long]("event_id"), r.getAs[Double]("value")))
+      .groupBy(_._1)
+    val got = SparkEntry.queries("q_win_twap")(spark, sf0001).collect()
+    assert(got.length == ev.size && got.nonEmpty)
+    got.foreach { r =>
+      val rows = ev(r.getAs[String]("event_type")).sortBy(e => (e._2, e._3))
+      val gaps = rows.zip(rows.tail).map { case (a, b) =>
+        (a._4, b._2 - a._2) }
+      assert(r.getAs[Long]("n") == gaps.length.toLong)
+      val sdt = gaps.map(_._2).sum
+      assert(r.getAs[Long]("span_us") == sdt)
+      val swv = gaps.map { case (v, dt) =>
+        BigDecimal(v * dt).setScale(6, HALF_UP) }.sum.toDouble
+      assert(r.getAs[Double]("twap") == math.floor(swv / sdt * 1e6 + 0.5) / 1e6)
+    }
+  }
+
+  test("bootstrap ci matches a deterministic poisson-weight replay") {
+    import BigDecimal.RoundingMode.HALF_UP
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val th = Seq(1580030168L, 3160060337L, 3950075421L, 4213413783L,
+      4279248373L, 4292415291L)
+    val ev = Tables.events(spark, sf0001).filter(col("value").isNotNull)
+      .select("event_type", "event_id", "value").collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("event_id"),
+        r.getAs[Double]("value")))
+      .groupBy(_._1)
+    val got = SparkEntry.queries("q_agg_bootstrap_ci")(spark, sf0001).collect()
+    assert(got.length == ev.size && got.nonEmpty)
+    got.foreach { r =>
+      val rows = ev(r.getAs[String]("event_type"))
+      val means = (1 to 64).flatMap { rep =>
+        var nw = 0L; var sv = BigDecimal(0)
+        rows.foreach { case (_, id, v) =>
+          val h = java.lang.Long.parseLong(md5(s"${id}_$rep").take(8), 16)
+          val wt = th.indexWhere(h < _) match { case -1 => 6; case i => i }
+          nw += wt; sv += BigDecimal(v * wt).setScale(6, HALF_UP)
+        }
+        if (nw > 0) Some((math.floor(sv.toDouble / nw * 1e6 + 0.5) / 1e6, rep))
+        else None
+      }.sorted
+      val nb = means.length
+      assert(r.getAs[Long]("nb") == nb.toLong)
+      assert(r.getAs[Double]("ci_lo") == means((nb * 5 + 99) / 100 - 1)._1)
+      assert(r.getAs[Double]("ci_hi") == means((nb * 95 + 99) / 100 - 1)._1)
+      assert(r.getAs[Double]("ci_lo") <= r.getAs[Double]("ci_hi"))
+    }
+  }
+
   test("editdist near-dup matches brute-force levenshtein within blocks") {
     def lev(a: String, b: String): Int = {
       val dp = Array.tabulate(b.length + 1)(identity)
