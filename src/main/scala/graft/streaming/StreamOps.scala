@@ -100,6 +100,40 @@ object StreamOps {
       .agg(count(lit(1)).as("cnt"))
       .select(col("window.start").as("w_start"), col("bucket"), col("cnt"))
 
+  /** Streaming hourly Apdex per event_type — the incremental twin of
+    * q_report_apdex: satisfied/tolerating bucket sums are plain windowed
+    * aggregates (map-side-combinable partial state, O(windows × types)
+    * regardless of throughput) and the ppm readout is pure integer
+    * arithmetic, so the stream and the one-shot batch plan agree
+    * bit-for-bit — proven by the replay parity. */
+  def apdexWindows(events: DataFrame): DataFrame =
+    events
+      .filter(col("value").isNotNull)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("value") <= 100, 1L).otherwise(0L)).as("n_sat"),
+        sum(when(col("value") > 100 && col("value") <= 400, 1L).otherwise(0L))
+          .as("n_tol"))
+      .select(col("window.start").as("hr"), col("event_type"),
+        col("n"), col("n_sat"), col("n_tol"),
+        ((col("n_sat") * 1000000L + col("n_tol") * 500000L) / col("n"))
+          .cast("long").as("apdex_ppm"))
+
+  /** Streaming daily distinct actives (DAU) — CHAINED stateful operators:
+    * a streaming dropDuplicates on (user_id, day) in front of the
+    * windowed count, the standard exact-DAU topology (state = one row
+    * per user-day, the same |users|×|days| bound as the batch
+    * q_report_dau_wau_mau reduction; the sketch route past that is HLL).
+    * The replay proves the dedup state merges correctly across
+    * micro-batches — a user seen in batches 2 and 7 counts once. */
+  def dauCounts(events: DataFrame): DataFrame =
+    events
+      .withColumn("day", date_trunc("day", col("ts")))
+      .dropDuplicates("user_id", "day")
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("dau"))
+
   /** Windowed counts that drop events later than 10 minutes (append mode). */
   def lateDropCounts(events: DataFrame): DataFrame =
     events

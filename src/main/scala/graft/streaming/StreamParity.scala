@@ -241,7 +241,9 @@ object StreamParity {
       ("sliding", StreamOps.slidingCounts),
       ("session", StreamOps.sessionCounts),
       ("hdr_buckets", StreamOps.hdrBucketCounts),
-      ("ohlc", StreamOps.ohlcCandles))
+      ("ohlc", StreamOps.ohlcCandles),
+      ("apdex", StreamOps.apdexWindows),
+      ("dau", StreamOps.dauCounts))
       .map { case (name, t) =>
         val (st, ba) = replay(spark, sfDir, name, t)
         (name, st.length, ba.length, st == ba)

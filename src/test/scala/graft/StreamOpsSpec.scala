@@ -54,6 +54,45 @@ class StreamOpsSpec extends AnyFunSuite with SparkSessionTest {
     } finally q.stop()
   }
 
+  test("streaming dau dedups a user across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val q = StreamOps.dauCounts(ms.toDF())
+      .writeStream.format("memory").queryName("t_dau").outputMode("complete").start()
+    try {
+      ms.addData(ev(1, "2024-01-01 10:00:10", u = 1), ev(2, "2024-01-01 11:00:00", u = 2))
+      q.processAllAvailable()
+      // same user again (later batch, same day) + a third user + next day
+      ms.addData(ev(3, "2024-01-01 15:00:00", u = 1), ev(4, "2024-01-01 16:00:00", u = 3),
+        ev(5, "2024-01-02 09:00:00", u = 1))
+      q.processAllAvailable()
+      val out = spark.table("t_dau").orderBy("day").collect()
+      assert(out.length == 2)
+      assert(out(0).getAs[Long]("dau") == 3) // user 1 counted once on day 1
+      assert(out(1).getAs[Long]("dau") == 1)
+    } finally q.stop()
+  }
+
+  test("streaming apdex ppm is exact over windowed bucket sums") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val q = StreamOps.apdexWindows(ms.toDF())
+      .writeStream.format("memory").queryName("t_apdex").outputMode("complete").start()
+    try {
+      ms.addData(Event(1, ts("2024-01-01 10:00:10"), 1, "click", 50.0),
+        Event(2, ts("2024-01-01 10:10:00"), 1, "click", 200.0))
+      q.processAllAvailable()
+      ms.addData(Event(3, ts("2024-01-01 10:20:00"), 1, "click", 500.0))
+      q.processAllAvailable()
+      val r = spark.table("t_apdex").head()
+      assert(r.getAs[Long]("n") == 3 && r.getAs[Long]("n_sat") == 1
+        && r.getAs[Long]("n_tol") == 1)
+      assert(r.getAs[Long]("apdex_ppm") == (1000000L + 500000L) / 3)
+    } finally q.stop()
+  }
+
   test("watermark drops events later than 10 minutes") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
