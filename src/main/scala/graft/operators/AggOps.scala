@@ -462,6 +462,19 @@ object AggOps {
       s.sql(twapSql(us = "unix_micros"))
     }),
 
+    "q_quality_psi" -> ((s, sf) => {
+      registerEvents(s, sf)
+      s.sql(psiSql(epoch = "unix_timestamp", idiv = "DIV",
+        series = "explode(sequence(1, 9))"))
+    }),
+
+    "q_events_ccf" -> ((s, sf) => {
+      registerEvents(s, sf)
+      s.sql(ccfSql(epoch = "unix_timestamp", idiv = "DIV",
+        series = "explode(sequence(mn, mx))",
+        lagSeries = "explode(sequence(-12, 12))"))
+    }),
+
     "q_agg_bootstrap_ci" -> ((s, sf) => {
       registerEvents(s, sf)
       s.sql(bootstrapSql(
@@ -1706,6 +1719,109 @@ object AggOps {
        |GROUP BY rk.event_type, nn.nb
        |ORDER BY rk.event_type""".stripMargin
 
+  /** Population Stability Index per event_type — THE production drift
+    * gate for score/metric distributions: reference = first half of the
+    * corpus time range, current = second half, bins = reference-decile
+    * edges (rank-selected with a PARTITIONED row_number — parallel per
+    * type), PSI = Σ (p−q)·ln(p/q) with Laplace smoothing (+1 per bin)
+    * so empty bins stay finite. Bin assignment is an exact count of
+    * edges below the value (broadcast 9-edge relation — no float
+    * binning); per-bin terms are quantized to DECIMAL(18,9) before the
+    * order-independent sum. PSI > 0.2 is the conventional "investigate"
+    * line reported as the drifted flag. */
+  private def psiSql(epoch: String, idiv: String, series: String): String =
+    s"""WITH v AS (SELECT event_type, value, event_id,
+       |        CAST($epoch(CAST(date_trunc('day', ts) AS TIMESTAMP)) AS BIGINT)
+       |          $idiv 86400 AS day_num
+       |      FROM events WHERE value IS NOT NULL),
+       |bd AS (SELECT (min(day_num) + max(day_num) + 1) $idiv 2 AS mid FROM v),
+       |rf AS (SELECT v.event_type, v.value, v.event_id
+       |      FROM v CROSS JOIN bd WHERE v.day_num < bd.mid),
+       |cu AS (SELECT v.event_type, v.value, v.event_id
+       |      FROM v CROSS JOIN bd WHERE v.day_num >= bd.mid),
+       |rn AS (SELECT event_type, value,
+       |        CAST(row_number() OVER (PARTITION BY event_type
+       |          ORDER BY value, event_id) AS BIGINT) AS rk
+       |      FROM rf),
+       |nt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM rf
+       |      GROUP BY event_type),
+       |ks AS (SELECT $series AS k),
+       |ed AS (SELECT rn.event_type, rn.value AS edge
+       |      FROM rn JOIN nt ON rn.event_type = nt.event_type
+       |      JOIN ks ON rn.rk = (ks.k * nt.n + 9) $idiv 10),
+       |br AS (SELECT r.event_type, CAST(count(ed.edge) AS BIGINT) AS bin
+       |      FROM rf r LEFT JOIN ed
+       |        ON ed.event_type = r.event_type AND r.value > ed.edge
+       |      GROUP BY r.event_type, r.value, r.event_id),
+       |bc AS (SELECT c.event_type, CAST(count(ed.edge) AS BIGINT) AS bin
+       |      FROM cu c LEFT JOIN ed
+       |        ON ed.event_type = c.event_type AND c.value > ed.edge
+       |      GROUP BY c.event_type, c.value, c.event_id),
+       |pr AS (SELECT event_type, bin, CAST(count(*) AS BIGINT) AS cp
+       |      FROM br GROUP BY event_type, bin),
+       |qc AS (SELECT event_type, bin, CAST(count(*) AS BIGINT) AS cq
+       |      FROM bc GROUP BY event_type, bin),
+       |bins AS (SELECT nt.event_type, CAST(b.k AS BIGINT) AS bin
+       |      FROM nt CROSS JOIN (SELECT $series AS k) b
+       |      UNION ALL SELECT event_type, CAST(0 AS BIGINT) FROM nt),
+       |tot AS (SELECT p.event_type,
+       |        CAST(sum(coalesce(pr.cp, 0)) AS BIGINT) AS np,
+       |        CAST(sum(coalesce(qc.cq, 0)) AS BIGINT) AS nq
+       |      FROM bins p
+       |      LEFT JOIN pr ON pr.event_type = p.event_type AND pr.bin = p.bin
+       |      LEFT JOIN qc ON qc.event_type = p.event_type AND qc.bin = p.bin
+       |      GROUP BY p.event_type),
+       |terms AS (SELECT b.event_type,
+       |        CAST((CAST(coalesce(pr.cp, 0) + 1 AS DOUBLE) / (tot.np + 10)
+       |            - CAST(coalesce(qc.cq, 0) + 1 AS DOUBLE) / (tot.nq + 10))
+       |          * ln((CAST(coalesce(pr.cp, 0) + 1 AS DOUBLE) * (tot.nq + 10))
+       |             / (CAST(coalesce(qc.cq, 0) + 1 AS DOUBLE) * (tot.np + 10)))
+       |          AS DECIMAL(18,9)) AS term
+       |      FROM bins b
+       |      JOIN tot ON tot.event_type = b.event_type
+       |      LEFT JOIN pr ON pr.event_type = b.event_type AND pr.bin = b.bin
+       |      LEFT JOIN qc ON qc.event_type = b.event_type AND qc.bin = b.bin)
+       |SELECT event_type,
+       |  floor(CAST(sum(term) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS psi,
+       |  CASE WHEN CAST(sum(term) AS DOUBLE) > 0.2 THEN 1 ELSE 0 END AS drifted
+       |FROM terms GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Cross-correlation function between the 'click' and 'purchase'
+    * hourly count series at lags −12..+12 — "do purchases follow clicks,
+    * with what delay": the lead/lag discovery readout over the same
+    * densified integer series as q_events_acf, Pearson per lag from
+    * BIGINT sufficient statistics with one guarded division. */
+  private def ccfSql(epoch: String, idiv: String, series: String,
+                     lagSeries: String): String =
+    s"""WITH h AS (SELECT
+       |        CAST($epoch(CAST(date_trunc('hour', ts) AS TIMESTAMP)) AS BIGINT)
+       |          $idiv 3600 AS hr, event_type, CAST(count(*) AS BIGINT) AS c
+       |      FROM events WHERE event_type IN ('click', 'purchase')
+       |      GROUP BY 1, 2),
+       |bnd AS (SELECT min(hr) AS mn, max(hr) AS mx FROM h),
+       |s AS (SELECT $series AS i FROM bnd),
+       |xa AS (SELECT s.i, CAST(coalesce(h.c, 0) AS BIGINT) AS c FROM s
+       |      LEFT JOIN h ON h.hr = s.i AND h.event_type = 'click'),
+       |xb AS (SELECT s.i, CAST(coalesce(h.c, 0) AS BIGINT) AS c FROM s
+       |      LEFT JOIN h ON h.hr = s.i AND h.event_type = 'purchase'),
+       |l AS (SELECT CAST(lg0 AS BIGINT) AS lg
+       |      FROM (SELECT $lagSeries AS lg0) l0),
+       |j AS (SELECT l.lg, CAST(count(*) AS BIGINT) AS n,
+       |        CAST(sum(a.c) AS BIGINT) AS sx, CAST(sum(b.c) AS BIGINT) AS sy,
+       |        CAST(sum(a.c * a.c) AS BIGINT) AS sxx,
+       |        CAST(sum(b.c * b.c) AS BIGINT) AS syy,
+       |        CAST(sum(a.c * b.c) AS BIGINT) AS sxy
+       |      FROM l CROSS JOIN xa a JOIN xb b ON b.i = a.i + l.lg
+       |      GROUP BY l.lg)
+       |SELECT lg AS lag_hr, n,
+       |  CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+       |       THEN CAST(NULL AS DOUBLE)
+       |       ELSE floor(CAST(n * sxy - sx * sy AS DOUBLE)
+       |         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+       |            * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) * 1e6 + 0.5) / 1e6
+       |  END AS ccf
+       |FROM j ORDER BY lag_hr""".stripMargin
+
   /** Weekly churn SQL shared across engines. Churn(w) = share of week-w
     * actives absent in the NEXT observed week (lead over the
     * weeks-bounded calendar, so a corpus gap doesn't turn into a
@@ -2190,6 +2306,13 @@ object AggOps {
     "q_retention_ltv" -> ltvSql((a, b) => s"date_diff('day', $b, $a) // 7"),
 
     "q_win_twap" -> twapSql(us = "epoch_us"),
+
+    "q_quality_psi" -> psiSql(epoch = "epoch", idiv = "//",
+      series = "unnest(generate_series(1, 9))"),
+
+    "q_events_ccf" -> ccfSql(epoch = "epoch", idiv = "//",
+      series = "unnest(generate_series(mn, mx))",
+      lagSeries = "unnest(generate_series(-12, 12))"),
 
     "q_agg_bootstrap_ci" -> bootstrapSql(
       hex32 = x => s"CAST(concat('0x', substring(md5($x), 1, 8)) AS BIGINT)",

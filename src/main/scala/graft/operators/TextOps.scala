@@ -766,6 +766,20 @@ object TextOps {
        |SELECT lang, doc_id, doc_id_b, dist FROM p WHERE dist <= 10
        |ORDER BY lang, doc_id, doc_id_b""".stripMargin
 
+  /** Hashing-trick bag-of-words features: every token maps to one of 64
+    * slots via the portable md5-hex32 hash (no vocabulary to build or
+    * broadcast — THE trick that makes feature extraction embarrassingly
+    * parallel and schema-free at 100 TB), emitted long-form as
+    * (doc_id, slot, cnt) so the output is engine-comparable without
+    * array-literal formatting differences. Pure integers. */
+  private def featureHashSql(tokRel: String, hex32: String => String): String =
+    s"""WITH tk AS ($tokRel),
+       |sl AS (SELECT doc_id, ${hex32("md5(tok)")} % 64 AS slot FROM tk)
+       |SELECT doc_id, CAST(slot AS BIGINT) AS slot,
+       |  CAST(count(*) AS BIGINT) AS cnt
+       |FROM sl GROUP BY doc_id, slot
+       |ORDER BY doc_id, slot""".stripMargin
+
   private def oovSql(tokRel: String, idiv: String): String =
     s"""WITH tk AS ($tokRel),
        |f AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok),
@@ -2000,6 +2014,14 @@ object TextOps {
         idiv = "DIV"))
     }),
 
+    "q_text_feature_hash" -> ((s, sf) => {
+      Tables.documents(s, sf).createOrReplaceTempView("documents")
+      s.sql(featureHashSql(
+        tokRel = "SELECT doc_id, t AS tok FROM documents " +
+          "LATERAL VIEW explode(split(text, ' ')) x AS t",
+        hex32 = x => s"CAST(conv(substring($x, 1, 8), 16, 10) AS BIGINT)"))
+    }),
+
     "q_text_readability" -> ((s, sf) => {
       Tables.documents(s, sf).createOrReplaceTempView("documents")
       s.sql(readabilitySql(
@@ -3152,6 +3174,11 @@ object TextOps {
     "q_text_oov" -> oovSql(
       tokRel = "SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents",
       idiv = "//"),
+
+    "q_text_feature_hash" -> featureHashSql(
+      tokRel = "SELECT doc_id, unnest(string_split(text, ' ')) AS tok " +
+        "FROM documents",
+      hex32 = x => s"CAST(concat('0x', substring($x, 1, 8)) AS BIGINT)"),
 
     "q_text_readability" -> readabilitySql(
       tokRel = "SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok " +

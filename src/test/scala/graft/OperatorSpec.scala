@@ -2466,6 +2466,89 @@ class OperatorSpec extends AnyFunSuite with SparkSessionTest
     }
   }
 
+  test("psi matches a brute decile-binned recompute with laplace smoothing") {
+    import BigDecimal.RoundingMode.HALF_UP
+    val ev = Tables.events(spark, sf0001).filter(col("value").isNotNull)
+      .select(col("event_type"), col("event_id"), col("value"),
+        (unix_timestamp(date_trunc("day", col("ts"))) / 86400).cast("long").as("d"))
+      .collect().map(r => (r.getAs[String]("event_type"), r.getAs[Long]("event_id"),
+        r.getAs[Double]("value"), r.getAs[Long]("d")))
+    val mid = (ev.map(_._4).min + ev.map(_._4).max + 1) / 2
+    val got = SparkEntry.queries("q_quality_psi")(spark, sf0001).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val rf = ev.filter(e => e._1 == t && e._4 < mid)
+      val cu = ev.filter(e => e._1 == t && e._4 >= mid)
+      val sortedRef = rf.sortBy(e => (e._3, e._2))
+      val n = sortedRef.length
+      val edges = (1 to 9).map(k => sortedRef((k * n + 9) / 10 - 1)._3)
+      def bin(v: Double) = edges.count(v > _)
+      val cp = rf.groupBy(e => bin(e._3)).map { case (b, l) => b -> l.length.toLong }
+      val cq = cu.groupBy(e => bin(e._3)).map { case (b, l) => b -> l.length.toLong }
+      val (np, nq) = (rf.length.toLong, cu.length.toLong)
+      val psi = (0 to 9).map { b =>
+        val p = (cp.getOrElse(b, 0L) + 1).toDouble / (np + 10)
+        val q = (cq.getOrElse(b, 0L) + 1).toDouble / (nq + 10)
+        val lr = math.log((cp.getOrElse(b, 0L) + 1).toDouble * (nq + 10) /
+          ((cq.getOrElse(b, 0L) + 1).toDouble * (np + 10)))
+        BigDecimal((p - q) * lr).setScale(9, HALF_UP)
+      }.sum.toDouble
+      assert(r.getAs[Double]("psi") == math.floor(psi * 1e6 + 0.5) / 1e6)
+      assert(r.getAs[Int]("drifted") == (if (psi > 0.2) 1 else 0))
+    }
+  }
+
+  test("ccf matches brute cross-correlation of the dense hourly series") {
+    val hv = Tables.events(spark, sf0001)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select((unix_timestamp(date_trunc("hour", col("ts"))) / 3600).cast("long").as("hr"),
+        col("event_type")).collect()
+      .map(r => (r.getAs[Long]("hr"), r.getAs[String]("event_type")))
+    val mn = hv.map(_._1).min; val mx = hv.map(_._1).max
+    val cnt = hv.groupBy(identity).map { case (k, l) => k -> l.length.toLong }
+    def series(t: String) = (mn to mx).map(h => cnt.getOrElse((h, t), 0L)).toArray
+    val (xa, xb) = (series("click"), series("purchase"))
+    val got = SparkEntry.queries("q_events_ccf")(spark, sf0001)
+      .collect().sortBy(_.getAs[Long]("lag_hr"))
+    assert(got.map(_.getAs[Long]("lag_hr")).toSeq == (-12L to 12L))
+    got.foreach { r =>
+      val l = r.getAs[Long]("lag_hr").toInt
+      val pairs = xa.indices.flatMap { i =>
+        val j = i + l
+        if (j >= 0 && j < xb.length) Some((xa(i), xb(j))) else None
+      }
+      val n = pairs.length.toLong
+      assert(r.getAs[Long]("n") == n)
+      val sx = pairs.map(_._1).sum; val sy = pairs.map(_._2).sum
+      val sxx = pairs.map(p => p._1 * p._1).sum
+      val syy = pairs.map(p => p._2 * p._2).sum
+      val sxy = pairs.map(p => p._1 * p._2).sum
+      val den = math.sqrt((n * sxx - sx * sx).toDouble) *
+        math.sqrt((n * syy - sy * sy).toDouble)
+      assert(r.getAs[Double]("ccf") ==
+        math.floor((n * sxy - sx * sy).toDouble / den * 1e6 + 0.5) / 1e6)
+    }
+  }
+
+  test("feature hash matches a scala md5-slot recompute") {
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+    val exp = docs.flatMap { case (id, t) =>
+      t.split(" ", -1).map { tok =>
+        (id, java.lang.Long.parseLong(md5(tok).take(8), 16) % 64) }
+    }.groupBy(identity).map { case ((id, sl), l) => (id, sl) -> l.length.toLong }
+    val got = SparkEntry.queries("q_text_feature_hash")(spark, sf0001).collect()
+    assert(got.length == exp.size && got.nonEmpty)
+    got.foreach { r =>
+      assert(exp((r.getAs[Long]("doc_id"), r.getAs[Long]("slot"))) ==
+        r.getAs[Long]("cnt"))
+    }
+  }
+
   test("editdist near-dup matches brute-force levenshtein within blocks") {
     def lev(a: String, b: String): Int = {
       val dp = Array.tabulate(b.length + 1)(identity)
