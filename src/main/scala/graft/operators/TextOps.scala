@@ -907,6 +907,31 @@ object TextOps {
        |  END AS assortativity
        |FROM st ORDER BY lang""".stripMargin
 
+  /** Modularity readout over a symmetrized (directed-both-ways) edge
+    * relation and a node→community label relation: Q stated with
+    * directed counts (m2 = 2m), all-BIGINT sufficient statistics,
+    * one final float expression. */
+  private[graft] def modularityReadoutSql(eRef: String, lblRef: String,
+                                           idiv: String): String =
+    s"""WITH d AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+       |      FROM $eRef GROUP BY src),
+       |mm AS (SELECT CAST(count(*) AS BIGINT) AS m2 FROM $eRef),
+       |wi AS (SELECT CAST(count(*) AS BIGINT) AS intra2
+       |      FROM $eRef e
+       |      JOIN $lblRef la ON e.src = la.node
+       |      JOIN $lblRef lb ON e.dst = lb.node
+       |      WHERE la.lab = lb.lab),
+       |dc AS (SELECT l.lab, CAST(sum(d.deg) AS BIGINT) AS dsum
+       |      FROM $lblRef l JOIN d ON l.node = d.node GROUP BY l.lab),
+       |s2 AS (SELECT CAST(sum(dsum * dsum) AS BIGINT) AS ss,
+       |        CAST(count(*) AS BIGINT) AS n_comms FROM dc)
+       |SELECT s2.n_comms, mm.m2 $idiv 2 AS n_edges,
+       |  wi.intra2 $idiv 2 AS intra_edges,
+       |  floor((CAST(wi.intra2 AS DOUBLE) / mm.m2
+       |       - CAST(s2.ss AS DOUBLE) / (CAST(mm.m2 AS DOUBLE) * mm.m2))
+       |    * 1e6 + 0.5) / 1e6 AS modularity
+       |FROM mm CROSS JOIN wi CROSS JOIN s2""".stripMargin
+
   /** DuckDB oracle for the unbounded-depth walk: UNION-dedup recursion
     * over (node, depth) pairs — the single-node engine's native spelling
     * of exactly the frontier-dedup loop [[reachLabels]] runs distributed.
@@ -1813,6 +1838,37 @@ object TextOps {
           |SELECT lab AS community, n_members,
           |  (SELECT CAST(count(*) AS BIGINT) FROM comm) AS n_comms
           |FROM comm ORDER BY n_members DESC, community LIMIT 15""".stripMargin)
+    }),
+
+    // Newman modularity of the 4-round label-propagation partition — the
+    // readout that says whether the communities are real structure or
+    // noise: Q = intra/2m − Σ_c (d_c/2m)². Runs the SAME deterministic
+    // LPA loop as q_graph_labelprop (self-vote, min-label ties), then
+    // three integer aggregates over the symmetrized edge list (directed
+    // counts, so 2m falls out naturally); the only float math is the
+    // final two-term expression, floor-quantized. Scale: the loop is the
+    // LPA cost; the readout adds one co-partitioned edge-label join.
+    "q_graph_modularity" -> ((s, sf) => {
+      Tables.lineitem(s, sf).createOrReplaceTempView("lineitem")
+      val e = s.sql(reachEdgesSql("STRING", minQty = 48)).localCheckpoint()
+      e.createOrReplaceTempView("md_e")
+      var lbl = e.select(col("src").as("node")).distinct()
+        .withColumn("lab", col("node")).localCheckpoint()
+      for (_ <- 1 to 4) {
+        lbl.createOrReplaceTempView("md_lbl")
+        lbl = s.sql(
+          """SELECT node, m.l AS lab FROM (
+            |  SELECT node, min(named_struct('nc', -cnt, 'l', lab)) AS m FROM (
+            |    SELECT v.node, v.lab, count(*) AS cnt FROM (
+            |      SELECT e.dst AS node, l.lab
+            |      FROM md_e e JOIN md_lbl l ON e.src = l.node
+            |      UNION ALL SELECT node, lab FROM md_lbl) v
+            |    GROUP BY v.node, v.lab) c
+            |  GROUP BY node) t""".stripMargin)
+          .localCheckpoint()
+      }
+      lbl.createOrReplaceTempView("md_lbl")
+      s.sql(modularityReadoutSql(eRef = "md_e", lblRef = "md_lbl", idiv = "DIV"))
     }),
 
     // Weighted single-source shortest paths over the strong-purchase
@@ -3022,6 +3078,32 @@ object TextOps {
          |SELECT lab AS community, n_members,
          |  (SELECT CAST(count(*) AS BIGINT) FROM comm) AS n_comms
          |FROM comm ORDER BY n_members DESC, community LIMIT 15""".stripMargin
+    },
+
+    "q_graph_modularity" -> {
+      val e0 = "SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src, " +
+        "'p' || CAST(l_partkey AS VARCHAR) AS dst " +
+        "FROM lineitem WHERE l_quantity >= 48"
+      val ctes = new StringBuilder(
+        s"e0 AS MATERIALIZED ($e0),\n" +
+          "e AS MATERIALIZED (SELECT src, dst FROM e0 " +
+          "UNION ALL SELECT dst AS src, src AS dst FROM e0),\n" +
+          "l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lab FROM e)")
+      for (i <- 1 to 4) {
+        ctes ++= s""",
+          |l$i AS MATERIALIZED (SELECT node, lab FROM (
+          |  SELECT node, lab,
+          |    row_number() OVER (PARTITION BY node ORDER BY cnt DESC, lab) AS rn
+          |  FROM (SELECT v.node, v.lab, count(*) AS cnt FROM (
+          |          SELECT e.dst AS node, l.lab
+          |          FROM e JOIN l${i - 1} l ON e.src = l.node
+          |          UNION ALL SELECT node, lab FROM l${i - 1}) v
+          |        GROUP BY v.node, v.lab) c) r
+          |  WHERE rn = 1)""".stripMargin
+      }
+      // fold the readout's WITH-chain into this one
+      val readout = modularityReadoutSql("e", "l4", idiv = "//").stripPrefix("WITH ")
+      s"WITH $ctes,\n$readout"
     },
 
     "q_graph_kcore" -> {

@@ -2549,6 +2549,35 @@ class OperatorSpec extends AnyFunSuite with SparkSessionTest
     }
   }
 
+  test("modularity matches a scala lpa replay and newman formula") {
+    val base = Tables.lineitem(spark, sf0001).filter(col("l_quantity") >= 48)
+      .select(concat(lit("s"), col("l_suppkey").cast("string")).as("src"),
+        concat(lit("p"), col("l_partkey").cast("string")).as("dst"))
+      .distinct().collect().map(r => (r.getString(0), r.getString(1)))
+    val edges = base ++ base.map(_.swap) // symmetrized, directed both ways
+    val nodes = edges.map(_._1).distinct
+    var lab = nodes.map(n => n -> n).toMap
+    for (_ <- 1 to 4) {
+      val votes = edges.map { case (s, d) => (d, lab(s)) } ++ nodes.map(n => (n, lab(n)))
+      lab = votes.groupBy(_._1).map { case (n, vs) =>
+        val best = vs.groupBy(_._2).toSeq.map { case (l, g) => (g.size, l) }
+          .sortBy { case (c, l) => (-c, l) }.head._2
+        n -> best
+      }
+    }
+    val m2 = edges.length.toLong
+    val intra2 = edges.count { case (s, d) => lab(s) == lab(d) }.toLong
+    val deg = edges.groupBy(_._1).map { case (n, l) => n -> l.length.toLong }
+    val dsum = lab.groupBy(_._2).map { case (_, g) => g.keys.toSeq.map(deg).sum }
+    val q = intra2.toDouble / m2 -
+      dsum.map(d => d * d).sum.toDouble / (m2.toDouble * m2)
+    val r = SparkEntry.queries("q_graph_modularity")(spark, sf0001).head()
+    assert(r.getAs[Long]("n_comms") == lab.values.toSeq.distinct.length.toLong)
+    assert(r.getAs[Long]("n_edges") == m2 / 2)
+    assert(r.getAs[Long]("intra_edges") == intra2 / 2)
+    assert(r.getAs[Double]("modularity") == math.floor(q * 1e6 + 0.5) / 1e6)
+  }
+
   test("editdist near-dup matches brute-force levenshtein within blocks") {
     def lev(a: String, b: String): Int = {
       val dp = Array.tabulate(b.length + 1)(identity)
