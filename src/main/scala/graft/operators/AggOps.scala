@@ -468,6 +468,11 @@ object AggOps {
         series = "explode(sequence(1, 9))"))
     }),
 
+    "q_events_audience_overlap" -> ((s, sf) => {
+      registerEvents(s, sf)
+      s.sql(audienceOverlapSql(idiv = "DIV"))
+    }),
+
     "q_events_ccf" -> ((s, sf) => {
       registerEvents(s, sf)
       s.sql(ccfSql(epoch = "unix_timestamp", idiv = "DIV",
@@ -1822,6 +1827,33 @@ object AggOps {
        |  END AS ccf
        |FROM j ORDER BY lag_hr""".stripMargin
 
+  /** Audience-overlap matrix: exact Jaccard + containment of the DISTINCT
+    * user sets between every event_type pair. The corpus-sized step is
+    * the one distinct (type, user) reduction; the pair stage is a
+    * per-user wedge self-join (≤ |types|² rows per user — bounded
+    * fan-out, the co-occurrence discipline), then integer ppm readouts.
+    * The grid LEFT join keeps zero-overlap pairs visible. */
+  private def audienceOverlapSql(idiv: String): String =
+    s"""WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+       |n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nu
+       |      FROM tu GROUP BY event_type),
+       |p AS (SELECT a.event_type AS t1, b.event_type AS t2,
+       |        CAST(count(*) AS BIGINT) AS n_both
+       |      FROM tu a JOIN tu b
+       |        ON a.user_id = b.user_id AND a.event_type < b.event_type
+       |      GROUP BY a.event_type, b.event_type),
+       |g AS (SELECT n1.event_type AS t1, n2.event_type AS t2,
+       |        n1.nu AS nu1, n2.nu AS nu2
+       |      FROM n n1 JOIN n n2 ON n1.event_type < n2.event_type)
+       |SELECT g.t1, g.t2, g.nu1, g.nu2,
+       |  CAST(coalesce(p.n_both, 0) AS BIGINT) AS n_both,
+       |  CAST(coalesce(p.n_both, 0) * 1000000
+       |    $idiv (g.nu1 + g.nu2 - coalesce(p.n_both, 0)) AS BIGINT) AS jaccard_ppm,
+       |  CAST(coalesce(p.n_both, 0) * 1000000
+       |    $idiv least(g.nu1, g.nu2) AS BIGINT) AS containment_ppm
+       |FROM g LEFT JOIN p ON g.t1 = p.t1 AND g.t2 = p.t2
+       |ORDER BY g.t1, g.t2""".stripMargin
+
   /** Weekly churn SQL shared across engines. Churn(w) = share of week-w
     * actives absent in the NEXT observed week (lead over the
     * weeks-bounded calendar, so a corpus gap doesn't turn into a
@@ -2309,6 +2341,8 @@ object AggOps {
 
     "q_quality_psi" -> psiSql(epoch = "epoch", idiv = "//",
       series = "unnest(generate_series(1, 9))"),
+
+    "q_events_audience_overlap" -> audienceOverlapSql(idiv = "//"),
 
     "q_events_ccf" -> ccfSql(epoch = "epoch", idiv = "//",
       series = "unnest(generate_series(mn, mx))",

@@ -2578,6 +2578,26 @@ class OperatorSpec extends AnyFunSuite with SparkSessionTest
     assert(r.getAs[Double]("modularity") == math.floor(q * 1e6 + 0.5) / 1e6)
   }
 
+  test("audience overlap matches brute user-set intersections") {
+    val tu = Tables.events(spark, sf0001)
+      .select("event_type", "user_id").distinct().collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("user_id")))
+    val sets = tu.groupBy(_._1).map { case (t, l) => t -> l.map(_._2).toSet }
+    val types = sets.keys.toSeq.sorted
+    val got = SparkEntry.queries("q_events_audience_overlap")(spark, sf0001)
+      .collect()
+    assert(got.length == types.length * (types.length - 1) / 2)
+    got.foreach { r =>
+      val (a, b) = (sets(r.getAs[String]("t1")), sets(r.getAs[String]("t2")))
+      val both = (a intersect b).size.toLong
+      assert(r.getAs[Long]("nu1") == a.size.toLong)
+      assert(r.getAs[Long]("nu2") == b.size.toLong)
+      assert(r.getAs[Long]("n_both") == both)
+      assert(r.getAs[Long]("jaccard_ppm") == both * 1000000L / (a.size + b.size - both))
+      assert(r.getAs[Long]("containment_ppm") == both * 1000000L / math.min(a.size, b.size))
+    }
+  }
+
   test("editdist near-dup matches brute-force levenshtein within blocks") {
     def lev(a: String, b: String): Int = {
       val dp = Array.tabulate(b.length + 1)(identity)
