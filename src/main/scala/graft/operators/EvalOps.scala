@@ -1,0 +1,234 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Classifier-evaluation suite — the metrics layer a training-data
+  * pipeline needs the moment it trains a quality / language / topic
+  * classifier on the corpus: confusion matrix, per-class precision /
+  * recall / F1, Cohen's kappa, exact ROC-AUC, calibration table and
+  * Brier score.
+  *
+  * The classifier under evaluation is self-contained and deterministic:
+  * per-language top-30 character-trigram profiles are trained on the
+  * `doc_id % 4 = 0` split (the q_text_langid_ngram discipline) and every
+  * HELD-OUT document (`doc_id % 4 <> 0`) is scored by profile-hit counts
+  * with an argmax-lexicographic tie rule. The synthetic corpus shares one
+  * vocabulary across languages, so the classifier is intentionally weak —
+  * what these queries grade is the EVALUATION math, which is engine-exact:
+  * every metric is integer counting until a single quantized division
+  * (ppm integer division or one floor(x*1e6+0.5)/1e6 double readout).
+  *
+  * Scale shape: profile build reads the 25% train split once; scoring is
+  * a broadcast hash join of test-doc trigrams against 150 profile rows +
+  * one (doc, lang) count shuffle; every metric then reduces the per-doc
+  * prediction relation — map-side-combinable aggregates, and the P/R/F1
+  * math runs on the ≤|langs|² confusion matrix, not the corpus. At 100 TB
+  * nothing here is wider than the one prediction shuffle.
+  */
+object EvalOps {
+
+  /** Shared prediction CTE chain, dialect-parameterized.
+    * Produces `pred(doc_id, lang, predicted)` over held-out docs and
+    * `sc(doc_id, y, s_en, stot)` (binary task: is it English) for the
+    * threshold-free metrics. Identical relational text in both engines;
+    * only trigram extraction, explode, integer mod, and the broadcast
+    * hint differ by dialect.
+    */
+  private def ctes(grams: String, un: String, train: String,
+                   test: String, testT: String, bc: String): String =
+    s"""d AS (SELECT doc_id, lang, $grams AS gs
+       |      FROM documents WHERE length(text) >= 3),
+       |tg AS (SELECT doc_id, lang, $un AS g FROM d),
+       |prof AS (SELECT lang, g, count(*) AS c FROM tg
+       |         WHERE $train GROUP BY lang, g),
+       |top AS (SELECT lang AS plang, g FROM
+       |          (SELECT lang, g,
+       |             row_number() OVER (PARTITION BY lang ORDER BY c DESC, g) AS rn
+       |           FROM prof) r
+       |        WHERE rn <= 30),
+       |hits AS (SELECT $bc t.doc_id, p.plang, count(*) AS s
+       |         FROM tg t JOIN top p ON t.g = p.g
+       |         WHERE $testT GROUP BY t.doc_id, p.plang),
+       |best AS (SELECT doc_id, plang FROM
+       |           (SELECT doc_id, plang,
+       |              row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, plang) AS rn
+       |            FROM hits) x
+       |         WHERE rn = 1),
+       |minl AS (SELECT min(lang) AS ml FROM documents
+       |         WHERE $train AND length(text) >= 3),
+       |tst AS (SELECT doc_id, lang FROM documents
+       |        WHERE length(text) >= 3 AND $test),
+       |pred AS (SELECT tst.doc_id, tst.lang, coalesce(b.plang, minl.ml) AS predicted
+       |         FROM tst LEFT JOIN best b ON b.doc_id = tst.doc_id
+       |         CROSS JOIN minl),
+       |sagg AS (SELECT doc_id,
+       |           CAST(sum(CASE WHEN plang = 'en' THEN s ELSE 0 END) AS BIGINT) AS s_en,
+       |           CAST(sum(s) AS BIGINT) AS stot
+       |         FROM hits GROUP BY doc_id),
+       |sc AS (SELECT tst.doc_id,
+       |         CAST(CASE WHEN tst.lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS y,
+       |         coalesce(a.s_en, CAST(0 AS BIGINT)) AS s_en,
+       |         coalesce(a.stot, CAST(0 AS BIGINT)) AS stot
+       |       FROM tst LEFT JOIN sagg a ON a.doc_id = tst.doc_id)""".stripMargin
+
+  /** Confusion matrix over held-out docs — the raw (true, predicted, n)
+    * relation every downstream metric derives from. Integer-exact. */
+  private def confusionSql(g: String, u: String, tr: String, te: String,
+                           tet: String, bc: String): String =
+    s"""WITH ${ctes(g, u, tr, te, tet, bc)}
+       |SELECT lang AS true_lang, predicted AS pred_lang,
+       |  CAST(count(*) AS BIGINT) AS n
+       |FROM pred GROUP BY lang, predicted ORDER BY true_lang, pred_lang""".stripMargin
+
+  /** Per-class precision / recall / F1 in exact ppm integer arithmetic,
+    * computed from the ≤|langs|² confusion matrix (never the corpus);
+    * zero denominators surface as NULL, not a division error. */
+  private def prfSql(g: String, u: String, tr: String, te: String,
+                     tet: String, bc: String, idiv: String): String =
+    s"""WITH ${ctes(g, u, tr, te, tet, bc)},
+       |conf AS (SELECT lang AS t, predicted AS p, CAST(count(*) AS BIGINT) AS n
+       |         FROM pred GROUP BY lang, predicted),
+       |cls AS (SELECT t AS cl FROM conf UNION SELECT p FROM conf),
+       |m AS (SELECT c.cl,
+       |        CAST(sum(CASE WHEN f.t = c.cl AND f.p = c.cl THEN f.n ELSE 0 END) AS BIGINT) AS tp,
+       |        CAST(sum(CASE WHEN f.p = c.cl AND f.t <> c.cl THEN f.n ELSE 0 END) AS BIGINT) AS fp,
+       |        CAST(sum(CASE WHEN f.t = c.cl AND f.p <> c.cl THEN f.n ELSE 0 END) AS BIGINT) AS fnn
+       |      FROM cls c CROSS JOIN conf f GROUP BY c.cl)
+       |SELECT cl AS lang, tp, fp, fnn AS fn,
+       |  CASE WHEN tp + fp = 0 THEN CAST(NULL AS BIGINT)
+       |       ELSE CAST(tp * 1000000 $idiv (tp + fp) AS BIGINT) END AS precision_ppm,
+       |  CASE WHEN tp + fnn = 0 THEN CAST(NULL AS BIGINT)
+       |       ELSE CAST(tp * 1000000 $idiv (tp + fnn) AS BIGINT) END AS recall_ppm,
+       |  CASE WHEN 2 * tp + fp + fnn = 0 THEN CAST(NULL AS BIGINT)
+       |       ELSE CAST(2 * tp * 1000000 $idiv (2 * tp + fp + fnn) AS BIGINT) END AS f1_ppm
+       |FROM m ORDER BY cl""".stripMargin
+
+  /** Cohen's kappa — chance-corrected agreement between truth and
+    * prediction. Observed and expected agreement are exact BIGINT counts
+    * (pe = Σ rowtotal·coltotal); the single double division is
+    * floor-quantized. Accuracy rides along in ppm. */
+  private def kappaSql(g: String, u: String, tr: String, te: String,
+                       tet: String, bc: String, idiv: String): String =
+    s"""WITH ${ctes(g, u, tr, te, tet, bc)},
+       |k AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |        CAST(sum(CASE WHEN lang = predicted THEN 1 ELSE 0 END) AS BIGINT) AS agree
+       |      FROM pred),
+       |rt AS (SELECT lang AS cl, CAST(count(*) AS BIGINT) AS r FROM pred GROUP BY lang),
+       |ct AS (SELECT predicted AS cl, CAST(count(*) AS BIGINT) AS c FROM pred GROUP BY predicted),
+       |pe AS (SELECT CAST(sum(rt.r * ct.c) AS BIGINT) AS pen
+       |       FROM rt JOIN ct ON rt.cl = ct.cl)
+       |SELECT n, agree,
+       |  CAST(agree * 1000000 $idiv n AS BIGINT) AS accuracy_ppm,
+       |  CASE WHEN n * n = pen THEN CAST(NULL AS DOUBLE)
+       |       ELSE floor(CAST(n * agree - pen AS DOUBLE)
+       |              / CAST(n * n - pen AS DOUBLE) * 1e6 + 0.5) / 1e6
+       |  END AS kappa
+       |FROM k CROSS JOIN pe""".stripMargin
+
+  /** Exact ROC-AUC of the integer English-profile score against the
+    * is-English label, via the grouped rank-sum (Mann–Whitney) identity
+    * with the trapezoidal tie correction:
+    *   AUC = Σ_s n_pos(s)·(2·cumneg_below(s) + n_neg(s)) / (2·P·N).
+    * The numerator is an exact BIGINT (the window runs over the ≤31
+    * distinct integer scores, not the corpus), so AUC lands as one exact
+    * ppm integer division — no floating-point rank arithmetic anywhere.
+    * DuckDB's windowed SUM returns HUGEINT, hence the explicit casts. */
+  private def aucSql(g: String, u: String, tr: String, te: String,
+                     tet: String, bc: String, idiv: String): String =
+    s"""WITH ${ctes(g, u, tr, te, tet, bc)},
+       |gs2 AS (SELECT s_en AS sv, CAST(sum(y) AS BIGINT) AS np,
+       |          CAST(count(*) - sum(y) AS BIGINT) AS nn
+       |        FROM sc GROUP BY s_en),
+       |w AS (SELECT sv, np, nn,
+       |        CAST(sum(nn) OVER (ORDER BY sv) - nn AS BIGINT) AS cum_lt
+       |      FROM gs2),
+       |t AS (SELECT CAST(sum(np) AS BIGINT) AS p, CAST(sum(nn) AS BIGINT) AS nneg,
+       |        CAST(sum(np * (2 * cum_lt + nn)) AS BIGINT) AS num2
+       |      FROM w)
+       |SELECT p AS n_pos, nneg AS n_neg,
+       |  CASE WHEN p = 0 OR nneg = 0 THEN CAST(NULL AS BIGINT)
+       |       ELSE CAST(num2 * 1000000 $idiv (2 * p * nneg) AS BIGINT) END AS auc_ppm
+       |FROM t""".stripMargin
+
+  /** 10-bin calibration table for the Laplace-smoothed English
+    * probability p = (s_en+1)/(stot+5). p is carried as an exact ppb
+    * integer ((1e9·num) idiv den), the bin is the exact integer
+    * (10·num) idiv den, and mean-predicted vs empirical rate per bin are
+    * both exact ppm integer divisions — the whole table is float-free. */
+  private def calibrationSql(g: String, u: String, tr: String, te: String,
+                             tet: String, bc: String, idiv: String): String =
+    s"""WITH ${ctes(g, u, tr, te, tet, bc)},
+       |c AS (SELECT y, s_en + 1 AS pn, stot + 5 AS pd FROM sc),
+       |b AS (SELECT least(9, (10 * pn) $idiv pd) AS bin, y,
+       |        (1000000000 * pn) $idiv pd AS p_ppb FROM c)
+       |SELECT bin, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS n_pos,
+       |  CAST(sum(p_ppb) $idiv (count(*) * 1000) AS BIGINT) AS mean_p_ppm,
+       |  CAST(sum(y) * 1000000 $idiv count(*) AS BIGINT) AS rate_ppm
+       |FROM b GROUP BY bin ORDER BY bin""".stripMargin
+
+  /** Brier score of the same smoothed probability. Per-row squared error
+    * is exact in ppb² BIGINT space (|p_ppb − y·1e9| ≤ 1e9 so the square
+    * fits), summed as DECIMAL(38,0) to survive any corpus size, with ONE
+    * double division at the end — the CHECK_sf1 float discipline. */
+  private def brierSql(g: String, u: String, tr: String, te: String,
+                       tet: String, bc: String, idiv: String): String =
+    s"""WITH ${ctes(g, u, tr, te, tet, bc)},
+       |c AS (SELECT y, s_en + 1 AS pn, stot + 5 AS pd FROM sc),
+       |d2 AS (SELECT y, (1000000000 * pn) $idiv pd AS p_ppb FROM c),
+       |e AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |        sum(CAST((p_ppb - y * 1000000000) * (p_ppb - y * 1000000000)
+       |            AS DECIMAL(38,0))) AS se
+       |      FROM d2)
+       |SELECT n,
+       |  floor(CAST(se AS DOUBLE) / (CAST(n AS DOUBLE) * 1e18) * 1e6 + 0.5) / 1e6 AS brier
+       |FROM e""".stripMargin
+
+  // ---- dialect bindings ----------------------------------------------
+
+  private val sparkG = "array_distinct(char_ngrams(lower(text), 3))"
+  private val sparkU = "explode(gs)"
+  private val sparkTr = "pmod(doc_id, 4) = 0"
+  private val sparkTe = "pmod(doc_id, 4) <> 0"
+  private val sparkTeT = "pmod(t.doc_id, 4) <> 0"
+  private val sparkBc = "/*+ BROADCAST(p) */"
+
+  private val duckG =
+    """list_distinct(list_transform(
+      |             generate_series(1, length(lower(text)) - 2),
+      |             i -> substring(lower(text), i, 3)))""".stripMargin
+  private val duckU = "unnest(gs)"
+  private val duckTr = "doc_id % 4 = 0"
+  private val duckTe = "doc_id % 4 <> 0"
+  private val duckTeT = "t.doc_id % 4 <> 0"
+
+  private def run(s: SparkSession, sf: String, sql: String): DataFrame = {
+    // documentsPar: the trigram Generate is compute-bound on one input
+    // split — same rationale as q_text_langid_ngram (TextOps).
+    Tables.documentsPar(s, sf).createOrReplaceTempView("documents")
+    graft.functions.GraftFunctions.register(s)
+    s.sql(sql)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_eval_confusion" -> ((s, sf) =>
+      run(s, sf, confusionSql(sparkG, sparkU, sparkTr, sparkTe, sparkTeT, sparkBc))),
+    "q_eval_prf" -> ((s, sf) =>
+      run(s, sf, prfSql(sparkG, sparkU, sparkTr, sparkTe, sparkTeT, sparkBc, "DIV"))),
+    "q_eval_kappa" -> ((s, sf) =>
+      run(s, sf, kappaSql(sparkG, sparkU, sparkTr, sparkTe, sparkTeT, sparkBc, "DIV"))),
+    "q_eval_auc" -> ((s, sf) =>
+      run(s, sf, aucSql(sparkG, sparkU, sparkTr, sparkTe, sparkTeT, sparkBc, "DIV"))),
+    "q_eval_calibration" -> ((s, sf) =>
+      run(s, sf, calibrationSql(sparkG, sparkU, sparkTr, sparkTe, sparkTeT, sparkBc, "DIV"))),
+    "q_eval_brier" -> ((s, sf) =>
+      run(s, sf, brierSql(sparkG, sparkU, sparkTr, sparkTe, sparkTeT, sparkBc, "DIV"))))
+
+  def oracle: Map[String, String] = Map(
+    "q_eval_confusion" -> confusionSql(duckG, duckU, duckTr, duckTe, duckTeT, ""),
+    "q_eval_prf" -> prfSql(duckG, duckU, duckTr, duckTe, duckTeT, "", "//"),
+    "q_eval_kappa" -> kappaSql(duckG, duckU, duckTr, duckTe, duckTeT, "", "//"),
+    "q_eval_auc" -> aucSql(duckG, duckU, duckTr, duckTe, duckTeT, "", "//"),
+    "q_eval_calibration" -> calibrationSql(duckG, duckU, duckTr, duckTe, duckTeT, "", "//"),
+    "q_eval_brier" -> brierSql(duckG, duckU, duckTr, duckTe, duckTeT, "", "//"))
+}

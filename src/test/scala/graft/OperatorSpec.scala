@@ -2629,4 +2629,100 @@ class OperatorSpec extends AnyFunSuite with SparkSessionTest
       assert(r.getAs[Long]("doc_id_b") == idb && r.getAs[Long]("dist") == d)
     }
   }
+
+  test("eval family matches an independent scala classifier replay") {
+    // Full reimplementation of EvalOps' trigram-profile classifier and all
+    // six metrics, collection-side, against the sf0.001 corpus.
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[String]("text").toLowerCase))
+      .filter(_._3.length >= 3)
+    def grams(t: String): Set[String] =
+      (1 to t.length - 2).map(i => t.substring(i - 1, i + 2)).toSet
+    val train = docs.filter(d => d._1 % 4 == 0)
+    val test0 = docs.filter(d => d._1 % 4 != 0)
+    val prof: Map[String, Set[String]] = train.groupBy(_._2).map { case (l, ds) =>
+      val cnt = ds.flatMap(d => grams(d._3)).groupBy(identity)
+        .map { case (g, o) => (g, o.length) }
+      l -> cnt.toSeq.sortBy { case (g, c) => (-c, g) }.take(30).map(_._1).toSet
+    }
+    val minTrainLang = train.map(_._2).min
+    // per test doc: hit count per language, argmax with lexicographic ties
+    val scored = test0.map { case (id, lang, t) =>
+      val gs = grams(t)
+      val hits = prof.map { case (l, p) => l -> gs.count(p.contains) }
+        .filter(_._2 > 0)
+      val pred = if (hits.isEmpty) minTrainLang
+        else hits.toSeq.minBy { case (l, s) => (-s, l) }._1
+      val sEn = hits.getOrElse("en", 0).toLong
+      val sTot = hits.values.map(_.toLong).sum
+      (id, lang, pred, sEn, sTot)
+    }
+    // confusion
+    val expConf = scored.groupBy(s => (s._2, s._3))
+      .map { case (k, v) => (k._1, k._2, v.length.toLong) }
+    val gotConfRows = SparkEntry.queries("q_eval_confusion")(spark, sf0001).collect()
+      .map(r => (r.getAs[String]("true_lang"), r.getAs[String]("pred_lang"),
+        r.getAs[Long]("n")))
+    assert(gotConfRows.toSet == expConf.toSet)
+    assert(gotConfRows.map(_._3).sum == test0.length.toLong)
+    // prf per class (from the brute confusion)
+    val classes = (scored.map(_._2) ++ scored.map(_._3)).distinct.sorted
+    val gotPrf = SparkEntry.queries("q_eval_prf")(spark, sf0001).collect()
+    assert(gotPrf.map(_.getAs[String]("lang")).toSeq == classes.toSeq)
+    gotPrf.foreach { r =>
+      val cl = r.getAs[String]("lang")
+      val tp = scored.count(s => s._2 == cl && s._3 == cl).toLong
+      val fp = scored.count(s => s._3 == cl && s._2 != cl).toLong
+      val fn = scored.count(s => s._2 == cl && s._3 != cl).toLong
+      assert(r.getAs[Long]("tp") == tp && r.getAs[Long]("fp") == fp &&
+        r.getAs[Long]("fn") == fn)
+      if (tp + fp > 0) assert(r.getAs[Long]("precision_ppm") == tp * 1000000L / (tp + fp))
+      if (tp + fn > 0) assert(r.getAs[Long]("recall_ppm") == tp * 1000000L / (tp + fn))
+      if (2 * tp + fp + fn > 0)
+        assert(r.getAs[Long]("f1_ppm") == 2 * tp * 1000000L / (2 * tp + fp + fn))
+    }
+    // kappa
+    val n = scored.length.toLong
+    val agree = scored.count(s => s._2 == s._3).toLong
+    val pe = classes.map { cl =>
+      scored.count(_._2 == cl).toLong * scored.count(_._3 == cl).toLong }.sum
+    val kRow = SparkEntry.queries("q_eval_kappa")(spark, sf0001).head()
+    assert(kRow.getAs[Long]("n") == n && kRow.getAs[Long]("agree") == agree)
+    assert(kRow.getAs[Long]("accuracy_ppm") == agree * 1000000L / n)
+    assert(kRow.getAs[Double]("kappa") ==
+      math.floor((n * agree - pe).toDouble / (n * n - pe).toDouble * 1e6 + 0.5) / 1e6)
+    // auc: brute pair count with half-credit ties, scaled by 2 to stay integer
+    val pos = scored.filter(_._2 == "en").map(_._4)
+    val neg = scored.filter(_._2 != "en").map(_._4)
+    val num2 = (for { p <- pos; q <- neg } yield
+      if (p > q) 2L else if (p == q) 1L else 0L).sum
+    val aRow = SparkEntry.queries("q_eval_auc")(spark, sf0001).head()
+    assert(aRow.getAs[Long]("n_pos") == pos.length.toLong)
+    assert(aRow.getAs[Long]("n_neg") == neg.length.toLong)
+    assert(aRow.getAs[Long]("auc_ppm") ==
+      num2 * 1000000L / (2L * pos.length * neg.length))
+    // calibration + brier from the smoothed probability in ppb space
+    val ppb = scored.map { s =>
+      val (pn, pd) = (s._4 + 1, s._5 + 5)
+      (math.min(9L, 10 * pn / pd), 1000000000L * pn / pd,
+        if (s._2 == "en") 1L else 0L)
+    }
+    val gotCal = SparkEntry.queries("q_eval_calibration")(spark, sf0001).collect()
+    val expBins = ppb.groupBy(_._1)
+    assert(gotCal.map(_.getAs[Long]("bin")).toSet == expBins.keySet)
+    gotCal.foreach { r =>
+      val rows = expBins(r.getAs[Long]("bin"))
+      assert(r.getAs[Long]("n") == rows.length.toLong)
+      assert(r.getAs[Long]("n_pos") == rows.map(_._3).sum)
+      assert(r.getAs[Long]("mean_p_ppm") == rows.map(_._2).sum / (rows.length * 1000L))
+      assert(r.getAs[Long]("rate_ppm") == rows.map(_._3).sum * 1000000L / rows.length)
+    }
+    val se = ppb.map { case (_, p, y) => val d = p - y * 1000000000L; BigInt(d) * d }.sum
+    val bRow = SparkEntry.queries("q_eval_brier")(spark, sf0001).head()
+    assert(bRow.getAs[Long]("n") == n)
+    assert(bRow.getAs[Double]("brier") ==
+      math.floor(se.toDouble / (n.toDouble * 1e18) * 1e6 + 0.5) / 1e6)
+  }
 }
