@@ -1076,6 +1076,53 @@ object AggOps {
     "q_report_error_bursts" -> ((s, sf) => {
       Tables.events(s, sf).createOrReplaceTempView("events")
       s.sql(errorBurstsSql)
+    }),
+
+    // Kendall tau-b between the hourly click and purchase series — the
+    // rank-correlation rung below Spearman (robust to any monotone
+    // transform, exact tie handling). Concordant / discordant / tie
+    // counts are exact BIGINTs from a theta self-join of the DENSE hourly
+    // series — calendar-bounded (hours², not corpus²), the same bound as
+    // q_events_ccf; one sqrt+division at the end, floor-quantized.
+    "q_agg_kendall" -> ((s, sf) => {
+      Tables.events(s, sf).createOrReplaceTempView("events")
+      s.sql(kendallSql(epoch = "unix_timestamp", idiv = "DIV",
+        series = "explode(sequence(mn, mx))"))
+    }),
+
+    // Spearman rho over the same hourly pair — Pearson over average
+    // ranks. Ranks are kept in doubled-integer space (2·avgrank =
+    // 2·cum_below + ties + 1, exact BIGINT via a cumulative window over
+    // the ≤|distinct values| grouped domain), so every sum in the
+    // correlation is integer-exact; one final division, floor-quantized.
+    "q_agg_spearman" -> ((s, sf) => {
+      Tables.events(s, sf).createOrReplaceTempView("events")
+      s.sql(spearmanSql(epoch = "unix_timestamp", idiv = "DIV",
+        series = "explode(sequence(mn, mx))"))
+    }),
+
+    // Per-type OLS trend of daily event volume: slope, intercept and R²
+    // from the closed-form normal equations. Day offsets are per-type
+    // rebased so all five sums are small exact BIGINTs; slope/intercept/
+    // R² are single divisions of exact integers (R²'s square is carried
+    // as DECIMAL(19,0)² = DECIMAL(38,0) to survive any corpus size).
+    // One map-side-combinable daily aggregate — the trend test every
+    // volume dashboard runs.
+    "q_agg_ols_trend" -> ((s, sf) => {
+      Tables.events(s, sf).createOrReplaceTempView("events")
+      s.sql(olsTrendSql(epoch = "unix_timestamp", idiv = "DIV"))
+    }),
+
+    // Kaplan–Meier survival over user lifetimes (days from first to last
+    // event; users still active on the corpus' last day are censored —
+    // the estimator's whole point vs the naive empirical CDF). Users
+    // reduce to a ≤|days| (lifetime, n, deaths) relation before any
+    // window; at-risk counts are an exact suffix sum; the product is
+    // exp(Σ quantized ln factors) — the geo-mean ln discipline — with
+    // the all-die tail emitted as exact 0.
+    "q_report_kaplan_meier" -> ((s, sf) => {
+      Tables.events(s, sf).createOrReplaceTempView("events")
+      s.sql(kaplanMeierSql(epoch = "unix_timestamp", idiv = "DIV"))
     })
   )
 
@@ -1827,6 +1874,154 @@ object AggOps {
        |  END AS ccf
        |FROM j ORDER BY lag_hr""".stripMargin
 
+  /** Kendall tau-b, shared statement. The pair scan is a theta self-join
+    * of the dense hourly series on i < j — CALENDAR-bounded (a year is
+    * ~8.8k hours → ≤39M pairs regardless of corpus size), so the
+    * quadratic term never touches row counts. All counts exact BIGINT;
+    * tau-b = (C−D)/√((n0−Tx)(n0−Ty)) is the one quantized double. */
+  private def kendallSql(epoch: String, idiv: String, series: String): String =
+    s"""WITH h AS (SELECT
+       |        CAST($epoch(CAST(date_trunc('hour', ts) AS TIMESTAMP)) AS BIGINT)
+       |          $idiv 3600 AS hr, event_type, CAST(count(*) AS BIGINT) AS c
+       |      FROM events WHERE event_type IN ('click', 'purchase')
+       |      GROUP BY 1, 2),
+       |bnd AS (SELECT min(hr) AS mn, max(hr) AS mx FROM h),
+       |s AS (SELECT $series AS i FROM bnd),
+       |t AS (SELECT s.i,
+       |        CAST(coalesce(a.c, 0) AS BIGINT) AS x,
+       |        CAST(coalesce(b.c, 0) AS BIGINT) AS y
+       |      FROM s LEFT JOIN h a ON a.hr = s.i AND a.event_type = 'click'
+       |             LEFT JOIN h b ON b.hr = s.i AND b.event_type = 'purchase'),
+       |p AS (SELECT
+       |        CAST(sum(CASE WHEN (u.x - v.x) * (u.y - v.y) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS conc,
+       |        CAST(sum(CASE WHEN (u.x - v.x) * (u.y - v.y) < 0 THEN 1 ELSE 0 END) AS BIGINT) AS disc,
+       |        CAST(sum(CASE WHEN u.x = v.x THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+       |        CAST(sum(CASE WHEN u.y = v.y THEN 1 ELSE 0 END) AS BIGINT) AS ty,
+       |        CAST(count(*) AS BIGINT) AS n0
+       |      FROM t u JOIN t v ON u.i < v.i)
+       |SELECT n0 AS n_pairs, conc, disc, tx AS ties_x, ty AS ties_y,
+       |  CASE WHEN n0 = tx OR n0 = ty THEN CAST(NULL AS DOUBLE)
+       |       ELSE floor(CAST(conc - disc AS DOUBLE)
+       |              / (sqrt(CAST(n0 - tx AS DOUBLE)) * sqrt(CAST(n0 - ty AS DOUBLE)))
+       |              * 1e6 + 0.5) / 1e6 END AS tau_b
+       |FROM p""".stripMargin
+
+  /** Spearman rho, shared statement. Average ranks are exact doubled
+    * integers (2·rank = 2·cum_below + ties + 1) built from the GROUPED
+    * value domain (≤|distinct hourly counts| rows — the q_agg_trimmed
+    * compressed-domain trick), then Pearson runs over integer ranks with
+    * every sum a BIGINT. The cumulative-below counts are a theta join of
+    * the tiny value domain against itself (the hodges rank-selection
+    * discipline — no global window anywhere). */
+  private def spearmanSql(epoch: String, idiv: String, series: String): String =
+    s"""WITH h AS (SELECT
+       |        CAST($epoch(CAST(date_trunc('hour', ts) AS TIMESTAMP)) AS BIGINT)
+       |          $idiv 3600 AS hr, event_type, CAST(count(*) AS BIGINT) AS c
+       |      FROM events WHERE event_type IN ('click', 'purchase')
+       |      GROUP BY 1, 2),
+       |bnd AS (SELECT min(hr) AS mn, max(hr) AS mx FROM h),
+       |s AS (SELECT $series AS i FROM bnd),
+       |t AS (SELECT s.i,
+       |        CAST(coalesce(a.c, 0) AS BIGINT) AS x,
+       |        CAST(coalesce(b.c, 0) AS BIGINT) AS y
+       |      FROM s LEFT JOIN h a ON a.hr = s.i AND a.event_type = 'click'
+       |             LEFT JOIN h b ON b.hr = s.i AND b.event_type = 'purchase'),
+       |gx AS (SELECT x AS v, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY x),
+       |rx AS (SELECT a.v, CAST(2 * coalesce(sum(b.c), 0) + a.c + 1 AS BIGINT) AS r2
+       |       FROM gx a LEFT JOIN gx b ON b.v < a.v GROUP BY a.v, a.c),
+       |gy AS (SELECT y AS v, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY y),
+       |ry AS (SELECT a.v, CAST(2 * coalesce(sum(b.c), 0) + a.c + 1 AS BIGINT) AS r2
+       |       FROM gy a LEFT JOIN gy b ON b.v < a.v GROUP BY a.v, a.c),
+       |r AS (SELECT rx.r2 AS a, ry.r2 AS b
+       |      FROM t JOIN rx ON rx.v = t.x JOIN ry ON ry.v = t.y),
+       |q AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |        CAST(sum(a) AS BIGINT) AS sx, CAST(sum(b) AS BIGINT) AS sy,
+       |        CAST(sum(a * a) AS BIGINT) AS sxx, CAST(sum(b * b) AS BIGINT) AS syy,
+       |        CAST(sum(a * b) AS BIGINT) AS sxy
+       |      FROM r)
+       |SELECT n AS n_hours,
+       |  CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+       |       THEN CAST(NULL AS DOUBLE)
+       |       ELSE floor(CAST(n * sxy - sx * sy AS DOUBLE)
+       |         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+       |            * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) * 1e6 + 0.5) / 1e6
+       |  END AS rho
+       |FROM q""".stripMargin
+
+  /** Per-type OLS daily-volume trend, shared statement. x is the day
+    * offset from each type's first day (keeps every sum small); slope =
+    * num/den and intercept = (Σy·den − num·Σx)/(n·den) are single
+    * divisions of exact BIGINTs; R² = num²/(den·Syy) carries both
+    * squares as DECIMAL(19,0)² → DECIMAL(38,0) (exact at any corpus
+    * size). NULL when a type has one day (den=0) or constant volume. */
+  private def olsTrendSql(epoch: String, idiv: String): String =
+    s"""WITH d AS (SELECT event_type,
+       |        CAST($epoch(CAST(date_trunc('day', ts) AS TIMESTAMP)) AS BIGINT)
+       |          $idiv 86400 AS day_num,
+       |        CAST(count(*) AS BIGINT) AS c
+       |      FROM events GROUP BY 1, 2),
+       |m AS (SELECT event_type, min(day_num) AS d0 FROM d GROUP BY event_type),
+       |t AS (SELECT d.event_type, d.day_num - m.d0 AS x, d.c AS y
+       |      FROM d JOIN m ON d.event_type = m.event_type),
+       |a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       |        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       |        CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(x * y) AS BIGINT) AS sxy,
+       |        CAST(sum(y * y) AS BIGINT) AS syy
+       |      FROM t GROUP BY event_type),
+       |f AS (SELECT event_type, n,
+       |        n * sxy - sx * sy AS num, n * sxx - sx * sx AS den,
+       |        n * syy - sy * sy AS deny, sy, sx
+       |      FROM a)
+       |SELECT event_type, n AS n_days,
+       |  CASE WHEN den = 0 THEN CAST(NULL AS DOUBLE)
+       |       ELSE floor(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) * 1e6 + 0.5) / 1e6
+       |  END AS slope_per_day,
+       |  CASE WHEN den = 0 THEN CAST(NULL AS DOUBLE)
+       |       ELSE floor(CAST(sy * den - num * sx AS DOUBLE)
+       |              / CAST(n * den AS DOUBLE) * 1e6 + 0.5) / 1e6
+       |  END AS intercept,
+       |  CASE WHEN den = 0 OR deny = 0 THEN CAST(NULL AS DOUBLE)
+       |       ELSE floor(CAST(CAST(num AS DECIMAL(19,0)) * CAST(num AS DECIMAL(19,0)) AS DOUBLE)
+       |              / CAST(CAST(den AS DECIMAL(19,0)) * CAST(deny AS DECIMAL(19,0)) AS DOUBLE)
+       |              * 1e6 + 0.5) / 1e6
+       |  END AS r2
+       |FROM f ORDER BY event_type""".stripMargin
+
+  /** Kaplan–Meier, shared statement. Lifetimes collapse to a ≤|days|
+    * grouped relation BEFORE any window (the 100 TB shape: users never
+    * meet in one sort); at-risk = exact suffix sum; survival =
+    * exp(cumulative Σ of per-factor ln(1−d/n) quantized to DECIMAL(30,9)
+    * pre-sum — the geoHarmonicSql discipline), floor-quantized. A death
+    * time where the whole risk set dies has no finite ln: it and any
+    * later rows read exact 0 via the zt guard (zt is a scalar cross
+    * join, not an empty-frame window). */
+  private def kaplanMeierSql(epoch: String, idiv: String): String =
+    s"""WITH ud AS (SELECT user_id,
+       |        CAST($epoch(CAST(date_trunc('day', ts) AS TIMESTAMP)) AS BIGINT)
+       |          $idiv 86400 AS day_num
+       |      FROM events),
+       |u AS (SELECT user_id, max(day_num) - min(day_num) AS lt,
+       |        max(day_num) AS lastd
+       |      FROM ud GROUP BY user_id),
+       |mx AS (SELECT max(day_num) AS m FROM ud),
+       |g AS (SELECT lt, CAST(count(*) AS BIGINT) AS n_all,
+       |        CAST(sum(CASE WHEN lastd < m THEN 1 ELSE 0 END) AS BIGINT) AS d
+       |      FROM u CROSS JOIN mx GROUP BY lt),
+       |r AS (SELECT a.lt, a.d, CAST(sum(b.n_all) AS BIGINT) AS nr
+       |      FROM g a JOIN g b ON b.lt >= a.lt GROUP BY a.lt, a.d),
+       |e AS (SELECT lt, d, nr,
+       |        CASE WHEN nr > d
+       |             THEN CAST(ln(CAST(nr - d AS DOUBLE) / nr) AS DECIMAL(30,9))
+       |        END AS lnf
+       |      FROM r WHERE d > 0),
+       |zz AS (SELECT min(CASE WHEN nr = d THEN lt END) AS zt FROM e),
+       |k AS (SELECT a.lt, a.d, a.nr, CAST(sum(b.lnf) AS DOUBLE) AS cum
+       |      FROM e a JOIN e b ON b.lt <= a.lt GROUP BY a.lt, a.d, a.nr)
+       |SELECT lt AS lifetime_days, nr AS n_at_risk, d AS n_churned,
+       |  CASE WHEN zz.zt IS NOT NULL AND lt >= zz.zt THEN CAST(0 AS DOUBLE)
+       |       ELSE floor(exp(cum) * 1e6 + 0.5) / 1e6 END AS survival
+       |FROM k CROSS JOIN zz ORDER BY lt""".stripMargin
+
   /** Audience-overlap matrix: exact Jaccard + containment of the DISTINCT
     * user sets between every event_type pair. The corpus-sized step is
     * the one distinct (type, user) reduction; the pair stage is a
@@ -2530,6 +2725,16 @@ object AggOps {
         |      FROM gg)
         |SELECT wks AS week, CAST(max(n) AS BIGINT) AS n_conv,
         |  max(CASE WHEN rn = (n + 1) // 2 THEN v END) AS median_lag_s
-        |FROM m GROUP BY wks ORDER BY week""".stripMargin
+        |FROM m GROUP BY wks ORDER BY week""".stripMargin,
+
+    "q_agg_kendall" -> kendallSql(epoch = "epoch", idiv = "//",
+      series = "unnest(generate_series(mn, mx))"),
+
+    "q_agg_spearman" -> spearmanSql(epoch = "epoch", idiv = "//",
+      series = "unnest(generate_series(mn, mx))"),
+
+    "q_agg_ols_trend" -> olsTrendSql(epoch = "epoch", idiv = "//"),
+
+    "q_report_kaplan_meier" -> kaplanMeierSql(epoch = "epoch", idiv = "//")
   )
 }

@@ -130,19 +130,20 @@ object EvalOps {
     * is-English label, via the grouped rank-sum (Mann–Whitney) identity
     * with the trapezoidal tie correction:
     *   AUC = Σ_s n_pos(s)·(2·cumneg_below(s) + n_neg(s)) / (2·P·N).
-    * The numerator is an exact BIGINT (the window runs over the ≤31
-    * distinct integer scores, not the corpus), so AUC lands as one exact
-    * ppm integer division — no floating-point rank arithmetic anywhere.
-    * DuckDB's windowed SUM returns HUGEINT, hence the explicit casts. */
+    * The numerator is an exact BIGINT (cumulative-below counts come from
+    * a theta join of the ≤31 distinct integer scores against themselves —
+    * no global window, never the corpus), so AUC lands as one exact ppm
+    * integer division — no floating-point rank arithmetic anywhere. */
   private def aucSql(g: String, u: String, tr: String, te: String,
                      tet: String, bc: String, idiv: String): String =
     s"""WITH ${ctes(g, u, tr, te, tet, bc)},
        |gs2 AS (SELECT s_en AS sv, CAST(sum(y) AS BIGINT) AS np,
        |          CAST(count(*) - sum(y) AS BIGINT) AS nn
        |        FROM sc GROUP BY s_en),
-       |w AS (SELECT sv, np, nn,
-       |        CAST(sum(nn) OVER (ORDER BY sv) - nn AS BIGINT) AS cum_lt
-       |      FROM gs2),
+       |w AS (SELECT a.sv, a.np, a.nn,
+       |        CAST(coalesce(sum(b.nn), 0) AS BIGINT) AS cum_lt
+       |      FROM gs2 a LEFT JOIN gs2 b ON b.sv < a.sv
+       |      GROUP BY a.sv, a.np, a.nn),
        |t AS (SELECT CAST(sum(np) AS BIGINT) AS p, CAST(sum(nn) AS BIGINT) AS nneg,
        |        CAST(sum(np * (2 * cum_lt + nn)) AS BIGINT) AS num2
        |      FROM w)

@@ -2725,4 +2725,116 @@ class OperatorSpec extends AnyFunSuite with SparkSessionTest
     assert(bRow.getAs[Double]("brier") ==
       math.floor(se.toDouble / (n.toDouble * 1e18) * 1e6 + 0.5) / 1e6)
   }
+
+  test("kendall and spearman match brute rank recomputes of the hourly series") {
+    val ev = Tables.events(spark, sf0001)
+      .select("event_type", "ts").collect()
+      .map(r => (r.getAs[String]("event_type"),
+        Math.floorDiv(r.getAs[java.sql.Timestamp]("ts").getTime / 1000L, 3600L)))
+      .filter(e => e._1 == "click" || e._1 == "purchase")
+    val byHr = ev.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val hrs = ev.map(_._2)
+    val series = (hrs.min to hrs.max).map(h =>
+      (byHr.getOrElse(("click", h), 0L), byHr.getOrElse(("purchase", h), 0L)))
+    // kendall tau-b
+    var (conc, disc, tx, ty, n0) = (0L, 0L, 0L, 0L, 0L)
+    for (i <- series.indices; j <- i + 1 until series.length) {
+      val ((xi, yi), (xj, yj)) = (series(i), series(j))
+      n0 += 1
+      if ((xi - xj) * (yi - yj) > 0) conc += 1
+      if ((xi - xj) * (yi - yj) < 0) disc += 1
+      if (xi == xj) tx += 1
+      if (yi == yj) ty += 1
+    }
+    val kRow = SparkEntry.queries("q_agg_kendall")(spark, sf0001).head()
+    assert(kRow.getAs[Long]("n_pairs") == n0 && kRow.getAs[Long]("conc") == conc)
+    assert(kRow.getAs[Long]("disc") == disc && kRow.getAs[Long]("ties_x") == tx &&
+      kRow.getAs[Long]("ties_y") == ty)
+    assert(kRow.getAs[Double]("tau_b") ==
+      math.floor((conc - disc).toDouble /
+        (math.sqrt((n0 - tx).toDouble) * math.sqrt((n0 - ty).toDouble)) * 1e6 + 0.5) / 1e6)
+    // spearman: pearson over doubled average ranks
+    def r2s(vs: Seq[Long]): Seq[Long] =
+      vs.map(v => 2 * vs.count(_ < v).toLong + vs.count(_ == v).toLong + 1)
+    val (ra, rb) = (r2s(series.map(_._1)), r2s(series.map(_._2)))
+    val n = series.length.toLong
+    val (sx, sy) = (ra.sum, rb.sum)
+    val (sxx, syy) = (ra.map(a => a * a).sum, rb.map(b => b * b).sum)
+    val sxy = ra.zip(rb).map { case (a, b) => a * b }.sum
+    val sRow = SparkEntry.queries("q_agg_spearman")(spark, sf0001).head()
+    assert(sRow.getAs[Long]("n_hours") == n)
+    assert(sRow.getAs[Double]("rho") ==
+      math.floor((n * sxy - sx * sy).toDouble /
+        (math.sqrt((n * sxx - sx * sx).toDouble) *
+         math.sqrt((n * syy - sy * sy).toDouble)) * 1e6 + 0.5) / 1e6)
+  }
+
+  test("ols trend matches the closed-form normal equations per type") {
+    val ev = Tables.events(spark, sf0001)
+      .select("event_type", "ts").collect()
+      .map(r => (r.getAs[String]("event_type"),
+        Math.floorDiv(r.getAs[java.sql.Timestamp]("ts").getTime / 1000L, 86400L)))
+    val got = SparkEntry.queries("q_agg_ols_trend")(spark, sf0001).collect()
+    assert(got.map(_.getAs[String]("event_type")).toSeq ==
+      ev.map(_._1).distinct.sorted.toSeq)
+    got.foreach { r =>
+      val tpe = r.getAs[String]("event_type")
+      val daily = ev.filter(_._1 == tpe).groupBy(_._2)
+        .map { case (d, v) => (d, v.length.toLong) }.toSeq.sortBy(_._1)
+      val d0 = daily.map(_._1).min
+      val pts = daily.map { case (d, c) => (d - d0, c) }
+      val n = pts.length.toLong
+      val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+      val sxx = pts.map(p => p._1 * p._1).sum
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val syy = pts.map(p => p._2 * p._2).sum
+      val num = n * sxy - sx * sy; val den = n * sxx - sx * sx
+      val deny = n * syy - sy * sy
+      assert(r.getAs[Long]("n_days") == n)
+      if (den != 0) {
+        assert(r.getAs[Double]("slope_per_day") ==
+          math.floor(num.toDouble / den.toDouble * 1e6 + 0.5) / 1e6)
+        assert(r.getAs[Double]("intercept") ==
+          math.floor((sy * den - num * sx).toDouble / (n * den).toDouble * 1e6 + 0.5) / 1e6)
+        if (deny != 0)
+          assert(r.getAs[Double]("r2") ==
+            math.floor((BigInt(num) * num).toDouble /
+              (BigInt(den) * deny).toDouble * 1e6 + 0.5) / 1e6)
+      }
+    }
+  }
+
+  test("kaplan-meier matches a direct survival-product replay") {
+    val ud = Tables.events(spark, sf0001)
+      .select("user_id", "ts").collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        Math.floorDiv(r.getAs[java.sql.Timestamp]("ts").getTime / 1000L, 86400L)))
+    val mx = ud.map(_._2).max
+    val users = ud.groupBy(_._1).toSeq.map { case (_, v) =>
+      val ds = v.map(_._2)
+      (ds.max - ds.min, ds.max < mx) // (lifetime, churned?)
+    }
+    val deathTimes = users.filter(_._2).map(_._1).distinct.sorted
+    val got = SparkEntry.queries("q_report_kaplan_meier")(spark, sf0001).collect()
+    assert(got.map(_.getAs[Long]("lifetime_days")).toSeq == deathTimes.map(_.toLong))
+    var logSum = BigDecimal(0)
+    var dead = false
+    got.foreach { r =>
+      val t = r.getAs[Long]("lifetime_days")
+      val nr = users.count(_._1 >= t).toLong
+      val d = users.count(u => u._1 == t && u._2).toLong
+      assert(r.getAs[Long]("n_at_risk") == nr && r.getAs[Long]("n_churned") == d)
+      if (nr == d) dead = true
+      if (!dead) {
+        // replicate the quantize-ln-before-cumsum discipline exactly
+        logSum += BigDecimal(math.log((nr - d).toDouble / nr))
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+        assert(r.getAs[Double]("survival") ==
+          math.floor(math.exp(logSum.toDouble) * 1e6 + 0.5) / 1e6)
+      } else assert(r.getAs[Double]("survival") == 0.0)
+    }
+    // survival is non-increasing and starts below 1
+    val surv = got.map(_.getAs[Double]("survival"))
+    assert(surv.zip(surv.drop(1)).forall { case (a, b) => b <= a })
+  }
 }
