@@ -1095,6 +1095,40 @@ object VectorOps {
           |        CAST(0.0 AS DOUBLE), (acc, e) -> acc + e)), 6) AS rmse,
           |  CAST(size(filter(qv, qq -> abs(qq) = 127.0D)) AS BIGINT) AS n_sat
           |FROM q ORDER BY vec_id""".stripMargin)
+    }),
+
+    // Binary (sign-bit) quantization + Hamming top-k — the 32×-compression
+    // serving path modern vector stores run before an exact rerank: each
+    // 64-dim float vector collapses to two 32-bit sign words packed in
+    // BIGINTs, and candidate retrieval is bit_count(xor) — pure integer
+    // SIMD work, engine-exact by construction (no float distance anywhere
+    // in the graded output). Probes (vec_id % 101 = 0, a bounded query
+    // set) broadcast against the corpus signature table: one linear scan
+    // per batch of probes, the same scale shape as q_vec_knn_cosine; the
+    // sub-linear route at 100 TB is IVF-blocking the signature table
+    // exactly like the float path. Recall vs exact cosine is asserted in
+    // OperatorSpec (planted-free, corpus-real).
+    "q_vec_binary_quant" -> ((s, sf) => {
+      Tables.embeddings(s, sf).createOrReplaceTempView("embeddings")
+      s.sql(
+        """WITH b AS (SELECT vec_id,
+          |    aggregate(sequence(1, 32), CAST(0 AS BIGINT), (acc, i) -> acc +
+          |      CASE WHEN element_at(embedding, i) >= 0
+          |           THEN shiftleft(CAST(1 AS BIGINT), i - 1) ELSE CAST(0 AS BIGINT) END) AS lo,
+          |    aggregate(sequence(33, 64), CAST(0 AS BIGINT), (acc, i) -> acc +
+          |      CASE WHEN element_at(embedding, i) >= 0
+          |           THEN shiftleft(CAST(1 AS BIGINT), i - 33) ELSE CAST(0 AS BIGINT) END) AS hi
+          |  FROM embeddings),
+          |p AS (SELECT vec_id AS pid, lo AS plo, hi AS phi FROM b WHERE vec_id % 101 = 0),
+          |d AS (SELECT /*+ BROADCAST(p) */ p.pid, b.vec_id AS cand,
+          |        CAST(bit_count(p.plo ^ b.lo) + bit_count(p.phi ^ b.hi) AS BIGINT) AS hd
+          |      FROM p JOIN b ON b.vec_id <> p.pid),
+          |r AS (SELECT pid, cand, hd,
+          |        row_number() OVER (PARTITION BY pid ORDER BY hd, cand) AS rn
+          |      FROM d)
+          |SELECT pid AS probe_id, CAST(rn AS BIGINT) AS rank, cand AS cand_id,
+          |  hd AS hamming
+          |FROM r WHERE rn <= 10 ORDER BY probe_id, rank""".stripMargin)
     })
   )
 
@@ -1551,6 +1585,26 @@ object VectorOps {
 
     "q_vec_mmr_diversify" -> mmrSql(odot),
 
-    "q_dedup_embedding" -> pairSqlDuck(0.4, "keep_id", "dup_id")
+    "q_dedup_embedding" -> pairSqlDuck(0.4, "keep_id", "dup_id"),
+
+    "q_vec_binary_quant" ->
+      """WITH b AS (SELECT vec_id,
+        |    CAST(list_sum(list_transform(generate_series(1, 32), i ->
+        |      CASE WHEN embedding[i] >= 0
+        |           THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS lo,
+        |    CAST(list_sum(list_transform(generate_series(33, 64), i ->
+        |      CASE WHEN embedding[i] >= 0
+        |           THEN (CAST(1 AS BIGINT) << (i - 33)) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS hi
+        |  FROM embeddings),
+        |p AS (SELECT vec_id AS pid, lo AS plo, hi AS phi FROM b WHERE vec_id % 101 = 0),
+        |d AS (SELECT p.pid, b.vec_id AS cand,
+        |        CAST(bit_count(xor(p.plo, b.lo)) + bit_count(xor(p.phi, b.hi)) AS BIGINT) AS hd
+        |      FROM p JOIN b ON b.vec_id <> p.pid),
+        |r AS (SELECT pid, cand, hd,
+        |        row_number() OVER (PARTITION BY pid ORDER BY hd, cand) AS rn
+        |      FROM d)
+        |SELECT pid AS probe_id, CAST(rn AS BIGINT) AS rank, cand AS cand_id,
+        |  hd AS hamming
+        |FROM r WHERE rn <= 10 ORDER BY probe_id, rank""".stripMargin
   )
 }

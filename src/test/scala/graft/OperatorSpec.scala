@@ -2837,4 +2837,50 @@ class OperatorSpec extends AnyFunSuite with SparkSessionTest
     val surv = got.map(_.getAs[Double]("survival"))
     assert(surv.zip(surv.drop(1)).forall { case (a, b) => b <= a })
   }
+
+  test("binary quant hamming is popcount-exact and beats random recall") {
+    val vecs = Tables.embeddings(spark, sf0001)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getSeq[Float](1).toArray))
+    val bits: Map[Long, Array[Boolean]] =
+      vecs.map { case (id, v) => id -> v.map(_ >= 0f) }.toMap
+    def ham(a: Array[Boolean], b: Array[Boolean]): Long =
+      a.zip(b).count { case (x, y) => x != y }.toLong
+    val got = SparkEntry.queries("q_vec_binary_quant")(spark, sf0001).collect()
+    assert(got.nonEmpty)
+    // 1. every returned distance is the exact 64-bit popcount
+    got.foreach { r =>
+      assert(r.getAs[Long]("hamming") ==
+        ham(bits(r.getAs[Long]("probe_id")), bits(r.getAs[Long]("cand_id"))))
+    }
+    // 2. per probe: ranks 1..10, distances non-decreasing, and the list IS
+    //    the true hamming top-10 under the (hd, cand_id) tie order
+    val probes = vecs.map(_._1).filter(_ % 101 == 0)
+    val byProbe = got.groupBy(_.getAs[Long]("probe_id"))
+    assert(byProbe.keySet == probes.toSet)
+    byProbe.foreach { case (pid, rows) =>
+      assert(rows.map(_.getAs[Long]("rank")).sorted.toSeq == (1L to 10L))
+      val ordered = rows.sortBy(_.getAs[Long]("rank"))
+      val hds = ordered.map(_.getAs[Long]("hamming"))
+      assert(hds.zip(hds.drop(1)).forall { case (a, b) => a <= b })
+      val exp = vecs.map(_._1).filter(_ != pid)
+        .map(c => (ham(bits(pid), bits(c)), c)).sorted.take(10)
+      assert(ordered.map(r => (r.getAs[Long]("hamming"), r.getAs[Long]("cand_id"))).toSeq == exp.toSeq)
+    }
+    // 3. quality: mean recall@10 vs exact cosine far above the ~0.02 of a
+    //    random pick (empirically ~0.3 on this corpus)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var (d, na, nb) = (0.0, 0.0, 0.0)
+      for (i <- a.indices) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val vm = vecs.toMap
+    val recalls = probes.map { pid =>
+      val exact = vecs.map(_._1).filter(_ != pid)
+        .map(c => (-cos(vm(pid), vm(c)), c)).sorted.take(10).map(_._2).toSet
+      val hamTop = byProbe(pid).map(_.getAs[Long]("cand_id")).toSet
+      (exact intersect hamTop).size / 10.0
+    }
+    assert(recalls.sum / recalls.length >= 0.15)
+  }
 }
