@@ -243,6 +243,49 @@ object PipelineOps {
        |             * 1e4 + 0.5) / 1e4 AS ppl
        |FROM sc ORDER BY doc_id""".stripMargin
 
+  /** Interpolated Kneser–Ney bigram LM (fixed discount D = 0.75) — the
+    * smoothing every real n-gram LM ships instead of add-k:
+    *   P(w2|w1) = (c12 − D)/c1 + (D·N1+(w1·)/c1) · N1+(·w2)/T
+    * where N1+(w1·) / N1+(·w2) are distinct-successor / predecessor type
+    * counts and T the total distinct bigram types — the continuation
+    * distribution that makes KN fix add-k's over-smoothing of frequent-
+    * but-unproductive prefixes. All stats derive from ONE grouped pass
+    * over the bigram-type relation (c1 = Σc12, N1+ = count(*) per side —
+    * vocabulary-bounded reduced state, co-partitionable on the bigram key
+    * at 100 TB). Trained on the full corpus, so every scored bigram has
+    * c12 ≥ 1 and c12 − D ≥ 0.25 > 0 — no zero-probability path exists by
+    * construction. The probability expression is written in ONE shared
+    * double spelling (exponent literal 0.75e0 — a bare 0.75 parses as
+    * DECIMAL in Spark and would flip the arithmetic type), per-bigram ln
+    * quantized to DECIMAL(30,6) pre-sum (the unigram determinism
+    * discipline), per-doc readout identical to [[bigramRestSql]]. */
+  private def knRestSql(bgRef: String): String =
+    s"""WITH bstats AS (SELECT bg, CAST(count(*) AS BIGINT) AS c12
+       |               FROM $bgRef b GROUP BY bg),
+       |ustats AS (SELECT split_part(bg, ' ', 1) AS w1,
+       |             CAST(sum(c12) AS BIGINT) AS c1,
+       |             CAST(count(*) AS BIGINT) AS n1p
+       |           FROM bstats GROUP BY split_part(bg, ' ', 1)),
+       |cstats AS (SELECT split_part(bg, ' ', 2) AS w2,
+       |             CAST(count(*) AS BIGINT) AS t2
+       |           FROM bstats GROUP BY split_part(bg, ' ', 2)),
+       |tt AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM bstats),
+       |sc AS (SELECT doc_id, count(*) AS n_bg,
+       |         CAST(sum(CAST(ln(
+       |             (CAST(c12 AS DOUBLE) - 0.75e0) / c1
+       |             + (0.75e0 * n1p / c1) * (CAST(t2 AS DOUBLE) / t)
+       |           ) AS DECIMAL(30,6))) AS DOUBLE) AS slp
+       |       FROM $bgRef b JOIN bstats USING (bg)
+       |       JOIN ustats ON split_part(b.bg, ' ', 1) = ustats.w1
+       |       JOIN cstats ON split_part(b.bg, ' ', 2) = cstats.w2
+       |       CROSS JOIN tt
+       |       GROUP BY doc_id)
+       |SELECT doc_id, n_bg,
+       |       floor(slp / n_bg * 1e6 + 0.5) / 1e6 AS avg_logprob,
+       |       floor(exp(-(floor(slp / n_bg * 1e6 + 0.5) / 1e6))
+       |             * 1e4 + 0.5) / 1e4 AS ppl
+       |FROM sc ORDER BY doc_id""".stripMargin
+
   /** Epoch-reshuffle SQL shared across engines (`epochs` = 3-row
     * generator subquery, `cast` = string-type name). */
   private def epochShuffleSql(epochs: String, cast: String): String =
@@ -534,6 +577,14 @@ object PipelineOps {
         .createOrReplaceTempView("lp_bg")
       s.sql(bigramRestSql("lp_bg"))
     }),
+    "q_text_kneser_ney" -> ((s, sf) => {
+      Tables.documents(s, sf).createOrReplaceTempView("documents")
+      // the bigram relation feeds four statements (pair/prefix/suffix
+      // stats + the scoring join) — materialize it once
+      s.sql(bigramTokSparkSql).localCheckpoint()
+        .createOrReplaceTempView("kn_bg")
+      s.sql(knRestSql("kn_bg"))
+    }),
     "q_text_perplexity_bucket" -> ((s, sf) => {
       Tables.documents(s, sf).createOrReplaceTempView("documents")
       // token relation feeds freq, tot AND the scoring join — materialize once
@@ -619,6 +670,12 @@ object PipelineOps {
     "q_pipeline_dataset_card" -> cardDuckSql,
     "q_text_unigram_logprob" -> logprobDuckSql,
     "q_text_bigram_logprob" -> bigramLogprobDuckSql,
+
+    "q_text_kneser_ney" -> knRestSql(
+      """(SELECT doc_id,
+        |   unnest(list_transform(list_zip(toks[1:len(toks)-1], toks[2:len(toks)]),
+        |                         z -> concat(z[1], ' ', z[2]))) AS bg
+        | FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))""".stripMargin),
     "q_text_perplexity_bucket" -> perplexityBucketSql(
       """(SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)"""),
     "q_text_chunk" -> chunkDuckSql,

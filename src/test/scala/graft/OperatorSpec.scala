@@ -2883,4 +2883,47 @@ class OperatorSpec extends AnyFunSuite with SparkSessionTest
     }
     assert(recalls.sum / recalls.length >= 0.15)
   }
+
+  test("kneser-ney matches a scala replay and the conditional normalizes") {
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text").split(" ", -1)))
+    val bigrams = docs.flatMap { case (id, ts) =>
+      ts.dropRight(1).zip(ts.drop(1)).map { case (a, b) => (id, a + " " + b) } }
+    val c12 = bigrams.groupBy(_._2).map { case (bg, v) => bg -> v.length.toLong }
+    val types = c12.keys.toSeq
+    def w1(bg: String) = bg.substring(0, bg.indexOf(' '))
+    def w2(bg: String) = bg.substring(bg.indexOf(' ') + 1)
+    val c1 = types.groupBy(w1).map { case (w, ts) => w -> ts.map(c12).sum }
+    val n1p = types.groupBy(w1).map { case (w, ts) => w -> ts.length.toLong }
+    val t2 = types.groupBy(w2).map { case (w, ts) => w -> ts.length.toLong }
+    val bigT = types.length.toDouble
+    val d = 0.75
+    def p(bg: String): Double =
+      (c12(bg).toDouble - d) / c1(w1(bg)) +
+        (d * n1p(w1(bg)) / c1(w1(bg))) * (t2(w2(bg)).toDouble / bigT)
+    // normalization: for each prefix, mass over seen continuations plus
+    // the interpolation weight times the unseen continuation mass is 1
+    c1.keys.take(20).foreach { w =>
+      val seen = types.filter(bg => w1(bg) == w)
+      val seenMass = seen.map(p).sum
+      val lam = d * n1p(w) / c1(w)
+      val unseenPc = 1.0 - seen.map(bg => t2(w2(bg)).toDouble / bigT).sum
+      assert(math.abs(seenMass + lam * unseenPc - 1.0) < 1e-9)
+    }
+    // per-doc replay with the engine's quantize-before-sum discipline
+    val got = SparkEntry.queries("q_text_kneser_ney")(spark, sf0001).collect()
+    val byDoc = bigrams.groupBy(_._1)
+    assert(got.length == byDoc.size)
+    got.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val bgs = byDoc(id).map(_._2)
+      assert(r.getAs[Long]("n_bg") == bgs.length.toLong)
+      val slp = bgs.map(bg => BigDecimal(math.log(p(bg)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+      val avg = math.floor(slp / bgs.length * 1e6 + 0.5) / 1e6
+      assert(r.getAs[Double]("avg_logprob") == avg)
+      assert(r.getAs[Double]("ppl") == math.floor(math.exp(-avg) * 1e4 + 0.5) / 1e4)
+    }
+  }
 }
