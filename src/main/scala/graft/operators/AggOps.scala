@@ -1113,6 +1113,32 @@ object AggOps {
       s.sql(olsTrendSql(epoch = "unix_timestamp", idiv = "DIV"))
     }),
 
+    // Mutual information (nats) between event type and hour-of-day — the
+    // info-theory dependence readout between a categorical and the time
+    // axis (the "is traffic mix time-dependent" question). Joint and
+    // marginal counts are exact BIGINTs from one hash aggregate over the
+    // (type, hour) cells (≤ |types|·24 reduced rows); each cell's
+    // p·ln(p_xy·N/(p_x·p_y)) term keeps the ln argument as a ratio of
+    // exact integer products and is quantized to DECIMAL(30,9) before the
+    // cells-bounded sum. H(X), H(Y) ride along, giving the normalized
+    // uncertainty coefficient from the same pass.
+    "q_agg_mutual_info" -> ((s, sf) => {
+      Tables.events(s, sf).createOrReplaceTempView("events")
+      s.sql(mutualInfoSql)
+    }),
+
+    // Mann–Kendall trend test over the daily event-volume series — the
+    // standard monotone-trend significance test (the hypothesis-test
+    // companion of q_agg_theilsen's slope). S = Σ sign differences over
+    // a theta join of day pairs (calendar-bounded, like q_agg_kendall);
+    // Var(S) carries the tie correction and is emitted ×18 as an exact
+    // BIGINT; z applies the ±1 continuity correction with one quantized
+    // division.
+    "q_agg_mann_kendall" -> ((s, sf) => {
+      Tables.events(s, sf).createOrReplaceTempView("events")
+      s.sql(mannKendallSql(epoch = "unix_timestamp", idiv = "DIV"))
+    }),
+
     // Kaplan–Meier survival over user lifetimes (days from first to last
     // event; users still active on the corpus' last day are censored —
     // the estimator's whole point vs the naive empirical CDF). Users
@@ -1987,6 +2013,69 @@ object AggOps {
        |  END AS r2
        |FROM f ORDER BY event_type""".stripMargin
 
+  /** Mutual information + marginal entropies, shared statement. The only
+    * corpus-sized work is the (type, hour) hash aggregate; every term
+    * after that lives on the ≤|types|·24 cell relation. Term doubles are
+    * quantized to DECIMAL(30,9) pre-sum (order independence), the ln
+    * arguments are ratios of exact BIGINT products, readouts floor-
+    * quantized once. */
+  private val mutualInfoSql: String =
+    """WITH j AS (SELECT event_type AS x, CAST(hour(ts) AS BIGINT) AS y,
+      |        CAST(count(*) AS BIGINT) AS nxy
+      |      FROM events GROUP BY 1, 2),
+      |mx AS (SELECT x, CAST(sum(nxy) AS BIGINT) AS nx FROM j GROUP BY x),
+      |my AS (SELECT y, CAST(sum(nxy) AS BIGINT) AS ny FROM j GROUP BY y),
+      |nn AS (SELECT CAST(sum(nxy) AS BIGINT) AS n FROM j),
+      |mi AS (SELECT CAST(sum(CAST(
+      |         CAST(j.nxy AS DOUBLE) / nn.n
+      |           * ln(CAST(j.nxy AS DOUBLE) * nn.n
+      |                / (CAST(mx.nx AS DOUBLE) * my.ny))
+      |         AS DECIMAL(30,9))) AS DOUBLE) AS mi
+      |       FROM j JOIN mx ON mx.x = j.x JOIN my ON my.y = j.y
+      |       CROSS JOIN nn),
+      |hx AS (SELECT CAST(sum(CAST(
+      |         -(CAST(nx AS DOUBLE) / nn.n) * ln(CAST(nx AS DOUBLE) / nn.n)
+      |         AS DECIMAL(30,9))) AS DOUBLE) AS h
+      |       FROM mx CROSS JOIN nn),
+      |hy AS (SELECT CAST(sum(CAST(
+      |         -(CAST(ny AS DOUBLE) / nn.n) * ln(CAST(ny AS DOUBLE) / nn.n)
+      |         AS DECIMAL(30,9))) AS DOUBLE) AS h
+      |       FROM my CROSS JOIN nn)
+      |SELECT nn.n, floor(mi.mi * 1e6 + 0.5) / 1e6 AS mi_nats,
+      |  floor(hx.h * 1e6 + 0.5) / 1e6 AS h_x,
+      |  floor(hy.h * 1e6 + 0.5) / 1e6 AS h_y,
+      |  CASE WHEN hx.h * hy.h = 0 THEN CAST(NULL AS DOUBLE)
+      |       ELSE floor(mi.mi / sqrt(hx.h * hy.h) * 1e6 + 0.5) / 1e6 END AS nmi
+      |FROM mi CROSS JOIN hx CROSS JOIN hy CROSS JOIN nn""".stripMargin
+
+  /** Mann–Kendall, shared statement. S from a theta join of the daily
+    * series against itself (days², calendar-bounded); the tie-corrected
+    * variance is the exact integer n(n−1)(2n+5) − Σ t(t−1)(2t+5) kept
+    * ×18 (var18) so the only float is the final continuity-corrected z. */
+  private def mannKendallSql(epoch: String, idiv: String): String =
+    s"""WITH d AS (SELECT
+       |        CAST($epoch(CAST(date_trunc('day', ts) AS TIMESTAMP)) AS BIGINT)
+       |          $idiv 86400 AS day_num,
+       |        CAST(count(*) AS BIGINT) AS c
+       |      FROM events GROUP BY 1),
+       |p AS (SELECT CAST(sum(CASE WHEN b.c > a.c THEN 1
+       |                           WHEN b.c < a.c THEN -1 ELSE 0 END) AS BIGINT) AS s
+       |      FROM d a JOIN d b ON b.day_num > a.day_num),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+       |t AS (SELECT CAST(coalesce(sum(tc * (tc - 1) * (2 * tc + 5)), 0) AS BIGINT) AS tie
+       |      FROM (SELECT CAST(count(*) AS BIGINT) AS tc FROM d GROUP BY c) g
+       |      WHERE tc > 1),
+       |v AS (SELECT n.n, n.n * (n.n - 1) * (2 * n.n + 5) - t.tie AS var18
+       |      FROM n CROSS JOIN t)
+       |SELECT v.n AS n_days, p.s AS s_stat, v.var18,
+       |  CASE WHEN v.var18 = 0 THEN CAST(NULL AS DOUBLE)
+       |       WHEN p.s > 0 THEN floor(CAST(p.s - 1 AS DOUBLE)
+       |         / sqrt(CAST(v.var18 AS DOUBLE) / 18e0) * 1e6 + 0.5) / 1e6
+       |       WHEN p.s < 0 THEN floor(CAST(p.s + 1 AS DOUBLE)
+       |         / sqrt(CAST(v.var18 AS DOUBLE) / 18e0) * 1e6 + 0.5) / 1e6
+       |       ELSE CAST(0 AS DOUBLE) END AS z
+       |FROM p CROSS JOIN v""".stripMargin
+
   /** Kaplan–Meier, shared statement. Lifetimes collapse to a ≤|days|
     * grouped relation BEFORE any window (the 100 TB shape: users never
     * meet in one sort); at-risk = exact suffix sum; survival =
@@ -2734,6 +2823,10 @@ object AggOps {
       series = "unnest(generate_series(mn, mx))"),
 
     "q_agg_ols_trend" -> olsTrendSql(epoch = "epoch", idiv = "//"),
+
+    "q_agg_mutual_info" -> mutualInfoSql,
+
+    "q_agg_mann_kendall" -> mannKendallSql(epoch = "epoch", idiv = "//"),
 
     "q_report_kaplan_meier" -> kaplanMeierSql(epoch = "epoch", idiv = "//")
   )

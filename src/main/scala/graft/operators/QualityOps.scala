@@ -134,10 +134,63 @@ object QualityOps {
       |JOIN t nt ON nt.coh = 1
       |ORDER BY event_type""".stripMargin
 
+  /** Per-column profiling report over `events` — the first thing any
+    * ingest pipeline runs on an unknown drop: row count, null count/rate,
+    * distinct cardinality and top-value share per column. Every column is
+    * projected to an ENGINE-PORTABLE string domain first (integers/strings
+    * verbatim, ts as epoch seconds, value as round-half-up cents — a raw
+    * double→string cast formats differently per engine and would poison
+    * the hash gate). The unpivot is dialect-parameterized: Spark uses a
+    * single-scan stack() generator, the oracle a UNION ALL — both produce
+    * the same (name, v) relation, and everything downstream is two hash
+    * aggregates over it (distinct counts shuffle on (name, v): the 100 TB
+    * shape, no per-column full scans). */
+  private def profileSql(unpivot: String, idiv: String): String =
+    s"""WITH u AS ($unpivot),
+       |base AS (SELECT name, CAST(count(*) AS BIGINT) AS n,
+       |           CAST(count(v) AS BIGINT) AS n_nonnull
+       |         FROM u GROUP BY name),
+       |g AS (SELECT name, v, CAST(count(*) AS BIGINT) AS c
+       |      FROM u WHERE v IS NOT NULL GROUP BY name, v),
+       |s AS (SELECT name, CAST(count(*) AS BIGINT) AS n_distinct,
+       |        CAST(max(c) AS BIGINT) AS top_c
+       |      FROM g GROUP BY name)
+       |SELECT b.name AS column_name, b.n, b.n - b.n_nonnull AS n_null,
+       |  CAST((b.n - b.n_nonnull) * 1000000 $idiv b.n AS BIGINT) AS null_ppm,
+       |  s.n_distinct,
+       |  CASE WHEN b.n_nonnull = 0 THEN CAST(NULL AS BIGINT)
+       |       ELSE CAST(s.top_c * 1000000 $idiv b.n_nonnull AS BIGINT) END AS top1_ppm
+       |FROM base b LEFT JOIN s ON s.name = b.name
+       |ORDER BY column_name""".stripMargin
+
+  private def profCols(epoch: String): Seq[(String, String)] = Seq(
+    "event_id" -> "CAST(event_id AS STRING)",
+    "user_id" -> "CAST(user_id AS STRING)",
+    "event_type" -> "event_type",
+    "props" -> "props",
+    "ts_sec" ->
+      s"CAST(CAST($epoch(CAST(date_trunc('second', ts) AS TIMESTAMP)) AS BIGINT) AS STRING)",
+    "value_cents" -> "CAST(CAST(floor(value * 100e0 + 0.5) AS BIGINT) AS STRING)")
+
+  private val profileSparkUnpivot: String =
+    "SELECT stack(6, " + profCols("unix_timestamp")
+      .map { case (n, e) => s"'$n', $e" }.mkString(", ") +
+      ") AS (name, v) FROM events"
+
+  private val profileDuckUnpivot: String = profCols("epoch")
+    .map { case (n, e) =>
+      s"SELECT '$n' AS name, ${e.replace("AS STRING", "AS VARCHAR")} AS v FROM events" }
+    .mkString("\n       UNION ALL\n       ")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_quality_report" -> ((s, sf) => {
       Tables.events(s, sf).createOrReplaceTempView("events")
       s.sql(sparkSql)
+    }),
+
+    "q_quality_profile" -> ((s, sf) => {
+      Tables.events(s, sf).createOrReplaceTempView("events")
+      s.sql(profileSql(profileSparkUnpivot, "DIV"))
     }),
 
     "q_quality_drift" -> ((s, sf) => {
@@ -174,5 +227,6 @@ object QualityOps {
   val oracle: Map[String, String] = Map(
     "q_quality_report" -> duckSql,
     "q_quality_referential" -> referentialSql,
-    "q_quality_drift" -> driftSql)
+    "q_quality_drift" -> driftSql,
+    "q_quality_profile" -> profileSql(profileDuckUnpivot, "//"))
 }

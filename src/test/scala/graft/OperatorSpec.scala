@@ -2884,6 +2884,82 @@ class OperatorSpec extends AnyFunSuite with SparkSessionTest
     assert(recalls.sum / recalls.length >= 0.15)
   }
 
+  test("mutual info and mann-kendall match brute info/pair recomputes") {
+    val ev = Tables.events(spark, sf0001)
+      .select("event_type", "ts").collect()
+      .map { r =>
+        val sec = Math.floorDiv(r.getAs[java.sql.Timestamp]("ts").getTime, 1000L)
+        (r.getAs[String]("event_type"),
+          Math.floorMod(sec, 86400L) / 3600L, Math.floorDiv(sec, 86400L))
+      }
+    // mutual information over (type, hour) with the quantize discipline
+    val n = ev.length.toLong
+    val joint = ev.groupBy(e => (e._1, e._2)).map { case (k, v) => k -> v.length.toLong }
+    val mx = ev.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    val my = ev.groupBy(_._2).map { case (k, v) => k -> v.length.toLong }
+    def q9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val mi = joint.map { case ((x, y), nxy) =>
+      q9(nxy.toDouble / n * math.log(nxy.toDouble * n / (mx(x).toDouble * my(y)))) }.sum.toDouble
+    val hx = mx.values.map(c => q9(-(c.toDouble / n) * math.log(c.toDouble / n))).sum.toDouble
+    val hy = my.values.map(c => q9(-(c.toDouble / n) * math.log(c.toDouble / n))).sum.toDouble
+    val miRow = SparkEntry.queries("q_agg_mutual_info")(spark, sf0001).head()
+    assert(miRow.getAs[Long]("n") == n)
+    assert(miRow.getAs[Double]("mi_nats") == math.floor(mi * 1e6 + 0.5) / 1e6)
+    assert(miRow.getAs[Double]("h_x") == math.floor(hx * 1e6 + 0.5) / 1e6)
+    assert(miRow.getAs[Double]("h_y") == math.floor(hy * 1e6 + 0.5) / 1e6)
+    assert(miRow.getAs[Double]("nmi") ==
+      math.floor(mi / math.sqrt(hx * hy) * 1e6 + 0.5) / 1e6)
+    // MI bounds: 0 ≤ MI ≤ min(H(X), H(Y))
+    assert(mi >= -1e-9 && mi <= math.min(hx, hy) + 1e-9)
+    // mann-kendall over the daily series
+    val daily = ev.groupBy(_._3).toSeq.map { case (d, v) => (d, v.length.toLong) }
+      .sortBy(_._1)
+    val s0 = (for { i <- daily.indices; j <- i + 1 until daily.length } yield
+      java.lang.Long.signum(daily(j)._2 - daily(i)._2).toLong).sum
+    val nd = daily.length.toLong
+    val tie = daily.groupBy(_._2).values.map(_.length.toLong).filter(_ > 1)
+      .map(t => t * (t - 1) * (2 * t + 5)).sum
+    val var18 = nd * (nd - 1) * (2 * nd + 5) - tie
+    val mkRow = SparkEntry.queries("q_agg_mann_kendall")(spark, sf0001).head()
+    assert(mkRow.getAs[Long]("n_days") == nd && mkRow.getAs[Long]("s_stat") == s0)
+    assert(mkRow.getAs[Long]("var18") == var18)
+    val zExp =
+      if (var18 == 0) Double.NaN
+      else if (s0 > 0) math.floor((s0 - 1) / math.sqrt(var18 / 18.0) * 1e6 + 0.5) / 1e6
+      else if (s0 < 0) math.floor((s0 + 1) / math.sqrt(var18 / 18.0) * 1e6 + 0.5) / 1e6
+      else 0.0
+    if (var18 != 0) assert(mkRow.getAs[Double]("z") == zExp)
+  }
+
+  test("quality profile matches per-column brute counting") {
+    val rows = Tables.events(spark, sf0001).collect()
+    def colVals(f: org.apache.spark.sql.Row => Option[String]): Seq[Option[String]] =
+      rows.toSeq.map(f)
+    val cols: Seq[(String, Seq[Option[String]])] = Seq(
+      "event_id" -> colVals(r => Option(r.getAs[Any]("event_id")).map(_.toString)),
+      "event_type" -> colVals(r => Option(r.getAs[String]("event_type"))),
+      "props" -> colVals(r => Option(r.getAs[String]("props"))),
+      "ts_sec" -> colVals(r => Option(r.getAs[java.sql.Timestamp]("ts"))
+        .map(t => Math.floorDiv(t.getTime, 1000L).toString)),
+      "user_id" -> colVals(r => Option(r.getAs[Any]("user_id")).map(_.toString)),
+      "value_cents" -> colVals(r => if (r.isNullAt(r.fieldIndex("value"))) None
+        else Some(math.floor(r.getAs[Double]("value") * 100 + 0.5).toLong.toString)))
+    val got = SparkEntry.queries("q_quality_profile")(spark, sf0001).collect()
+    assert(got.map(_.getAs[String]("column_name")).toSeq == cols.map(_._1))
+    got.zip(cols).foreach { case (r, (_, vs)) =>
+      val n = vs.length.toLong
+      val nonnull = vs.flatten
+      assert(r.getAs[Long]("n") == n)
+      assert(r.getAs[Long]("n_null") == n - nonnull.length)
+      assert(r.getAs[Long]("null_ppm") == (n - nonnull.length) * 1000000L / n)
+      assert(r.getAs[Long]("n_distinct") == nonnull.distinct.length.toLong)
+      if (nonnull.nonEmpty) {
+        val top = nonnull.groupBy(identity).values.map(_.length.toLong).max
+        assert(r.getAs[Long]("top1_ppm") == top * 1000000L / nonnull.length)
+      }
+    }
+  }
+
   test("kneser-ney matches a scala replay and the conditional normalizes") {
     val docs = Tables.documents(spark, sf0001)
       .select("doc_id", "text").collect()
