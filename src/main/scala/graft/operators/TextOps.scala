@@ -511,6 +511,47 @@ object TextOps {
     dist
   }
 
+  /** Bipartite purchase edges for q_graph_hits: distinct
+    * (customer, part) pairs via the order join. */
+  private[graft] val hitsEdgesSql: String =
+    """SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS i
+      |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey""".stripMargin
+
+  /** HITS chain, shared statement (see the q_graph_hits registration for
+    * the algorithm note). `mat` = "MATERIALIZED " in the oracle so DuckDB
+    * pins each multi-referenced stage; Spark reads the checkpointed edge
+    * view and reuses stage exchanges. Scores are exact integer ppm-of-max
+    * after every half-step: s·1e6 idiv max(s) — the rescale that keeps
+    * the whole power iteration in BIGINT space (sums ≤ degree·1e6, so the
+    * ×1e6 rescale stays under 2⁶³ for degrees to ~9·10⁶; ppb would
+    * overflow, and a DECIMAL(38,0) spelling is not portable — DuckDB's
+    * // on DECIMAL degrades to floored DOUBLE division, off by one ulp
+    * at this magnitude). */
+  private[graft] def hitsChainSql(eRef: String, idiv: String, mat: String): String =
+    s"""WITH a1 AS $mat(SELECT i, CAST(count(*) AS BIGINT) AS s
+       |        FROM $eRef GROUP BY i),
+       |a1n AS $mat(SELECT i, CAST(s * 1000000 $idiv mx.m AS BIGINT) AS sc
+       |        FROM a1 CROSS JOIN (SELECT max(s) AS m FROM a1) mx),
+       |h1 AS $mat(SELECT e.u, CAST(sum(an.sc) AS BIGINT) AS s
+       |       FROM $eRef e JOIN a1n an ON an.i = e.i GROUP BY e.u),
+       |h1n AS $mat(SELECT u, CAST(s * 1000000 $idiv mx.m AS BIGINT) AS sc
+       |        FROM h1 CROSS JOIN (SELECT max(s) AS m FROM h1) mx),
+       |a2 AS $mat(SELECT e.i, CAST(sum(hn.sc) AS BIGINT) AS s
+       |       FROM $eRef e JOIN h1n hn ON hn.u = e.u GROUP BY e.i),
+       |a2n AS $mat(SELECT i, CAST(s * 1000000 $idiv mx.m AS BIGINT) AS sc
+       |        FROM a2 CROSS JOIN (SELECT max(s) AS m FROM a2) mx),
+       |h2 AS $mat(SELECT e.u, CAST(sum(an.sc) AS BIGINT) AS s
+       |       FROM $eRef e JOIN a2n an ON an.i = e.i GROUP BY e.u),
+       |h2n AS $mat(SELECT u, CAST(s * 1000000 $idiv mx.m AS BIGINT) AS sc
+       |        FROM h2 CROSS JOIN (SELECT max(s) AS m FROM h2) mx),
+       |alls AS (SELECT 'authority' AS kind, i AS node_id, sc FROM a2n
+       |         UNION ALL SELECT 'hub' AS kind, u AS node_id, sc FROM h2n),
+       |rk AS (SELECT kind, node_id, sc,
+       |         row_number() OVER (PARTITION BY kind ORDER BY sc DESC, node_id) AS rn
+       |       FROM alls)
+       |SELECT kind, CAST(rn AS BIGINT) AS rank, node_id, sc AS score_ppm
+       |FROM rk WHERE rn <= 15 ORDER BY kind, rank""".stripMargin
+
   /** Weighted co-purchase edges for q_graph_sssp: per distinct
     * (supplier, part) strong-purchase pair, weight = min quantity − 47
     * (small positive integers, so the cheapest route is NOT the fewest
@@ -1880,6 +1921,26 @@ object TextOps {
     // shape as the BFS walks. Oracle = DuckDB UNION-dedup recursion
     // over (node, cost) pairs (see [[ssspDuckSql]] for the cap
     // argument).
+    // HITS hubs/authorities over the bipartite customer→part purchase
+    // graph — the link-analysis sibling of pagerank for two-sided
+    // relevance (hub customers buy the authoritative parts). Two full
+    // mutual-reinforcement rounds, and the normalization that usually
+    // makes HITS float-fuzzy is INTEGER here: after every half-step the
+    // score vector is rescaled to parts-per-million of its max via exact
+    // integer division, so each next half-step sums BIGINTs — the whole
+    // iteration is engine-exact with zero floating point. Per half-step
+    // cost: one join of the edge list against the ≤|nodes| score table +
+    // one map-side-combinable sum — the pagerank shuffle shape. The edge
+    // list is materialized once (localCheckpoint here, AS MATERIALIZED in
+    // the oracle); top-15 per side via a rank window that Spark executes
+    // as WindowGroupLimit (per-partition top-k, never a full sort).
+    "q_graph_hits" -> ((s, sf) => {
+      Tables.lineitem(s, sf).createOrReplaceTempView("lineitem")
+      Tables.orders(s, sf).createOrReplaceTempView("orders")
+      s.sql(hitsEdgesSql).localCheckpoint().createOrReplaceTempView("hits_e")
+      s.sql(hitsChainSql(eRef = "hits_e", idiv = "DIV", mat = ""))
+    }),
+
     "q_graph_sssp" -> ((s, sf) => {
       Tables.lineitem(s, sf).createOrReplaceTempView("lineitem")
       val edges = s.sql(ssspEdgesSql("STRING")).localCheckpoint()
@@ -3051,6 +3112,13 @@ object TextOps {
     "q_graph_reachability" -> reachabilitySql("VARCHAR"),
     "q_graph_reach_deep" -> reachDeepDuckSql(48),
     "q_graph_sssp" -> ssspDuckSql,
+
+    "q_graph_hits" -> {
+      val chain = hitsChainSql(eRef = "he", idiv = "//", mat = "MATERIALIZED ")
+      // splice the edge CTE in front of the chain's WITH list
+      "WITH he AS MATERIALIZED (" + hitsEdgesSql.replace("\n", "\n  ") + "),\n" +
+        chain.stripPrefix("WITH ")
+    },
     "q_graph_labelprop" -> {
       val e0 = "SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src, " +
         "'p' || CAST(l_partkey AS VARCHAR) AS dst " +

@@ -2960,6 +2960,40 @@ class OperatorSpec extends AnyFunSuite with SparkSessionTest
     }
   }
 
+  test("hits matches a scala integer power-iteration replay") {
+    val li = Tables.lineitem(spark, sf0001)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getAs[Long]("l_orderkey"), r.getAs[Long]("l_partkey")))
+    val ord = Tables.orders(spark, sf0001)
+      .select("o_orderkey", "o_custkey").collect()
+      .map(r => (r.getAs[Long]("o_orderkey"), r.getAs[Long]("o_custkey"))).toMap
+    val edges = li.flatMap { case (ok, pk) => ord.get(ok).map(ck => (ck, pk)) }.distinct
+    def normPpm(m: Map[Long, Long]): Map[Long, Long] = {
+      val mx = m.values.max
+      m.map { case (k, v) => k -> v * 1000000L / mx }
+    }
+    val a1 = normPpm(edges.groupBy(_._2).map { case (i, v) => i -> v.length.toLong })
+    val h1 = normPpm(edges.groupBy(_._1).toSeq
+      .map { case (u, es) => u -> es.map(e => a1(e._2)).sum }.toMap)
+    val a2 = normPpm(edges.groupBy(_._2).toSeq
+      .map { case (i, es) => i -> es.map(e => h1(e._1)).sum }.toMap)
+    val h2 = normPpm(edges.groupBy(_._1).toSeq
+      .map { case (u, es) => u -> es.map(e => a2(e._2)).sum }.toMap)
+    val expAuth = a2.toSeq.sortBy { case (id, sc) => (-sc, id) }.take(15)
+    val expHub = h2.toSeq.sortBy { case (id, sc) => (-sc, id) }.take(15)
+    val got = SparkEntry.queries("q_graph_hits")(spark, sf0001).collect()
+    val gotAuth = got.filter(_.getAs[String]("kind") == "authority")
+      .sortBy(_.getAs[Long]("rank"))
+      .map(r => (r.getAs[Long]("node_id"), r.getAs[Long]("score_ppm")))
+    val gotHub = got.filter(_.getAs[String]("kind") == "hub")
+      .sortBy(_.getAs[Long]("rank"))
+      .map(r => (r.getAs[Long]("node_id"), r.getAs[Long]("score_ppm")))
+    assert(gotAuth.toSeq == expAuth)
+    assert(gotHub.toSeq == expHub)
+    // top entries are max-normalized: rank 1 always reads exactly 1e6
+    assert(gotAuth.head._2 == 1000000L && gotHub.head._2 == 1000000L)
+  }
+
   test("kneser-ney matches a scala replay and the conditional normalizes") {
     val docs = Tables.documents(spark, sf0001)
       .select("doc_id", "text").collect()
