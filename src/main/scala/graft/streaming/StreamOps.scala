@@ -134,6 +134,30 @@ object StreamOps {
       .groupBy(col("day"))
       .agg(count(lit(1)).as("dau"))
 
+  /** Streaming mergeable-sketch parity: approx-distinct users per type.
+    * The HLL registers merge by max, so the sketch is associative and
+    * order-independent — a stream folding the corpus in 8 micro-batches
+    * must land on EXACTLY the batch estimate (this is the property that
+    * makes sketches the 100 TB distinct-count route; the parity check
+    * proves Spark's partial-agg merge preserves it across batches). */
+  def hllUsers(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("n_users_approx"))
+
+  /** Streaming exact-decimal stats per type — the Det discipline under
+    * micro-batch partial aggregation: the DECIMAL(30,6) sum is exact in
+    * any merge order, so stream and batch agree bit-for-bit (a raw
+    * double sum would drift with the batch split). */
+  def decimalStats(events: DataFrame): DataFrame =
+    events
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(30, 6)))
+          .as("sum_value"),
+        min(col("value")).as("min_value"), max(col("value")).as("max_value"))
+
   /** Windowed counts that drop events later than 10 minutes (append mode). */
   def lateDropCounts(events: DataFrame): DataFrame =
     events

@@ -243,7 +243,9 @@ object StreamParity {
       ("hdr_buckets", StreamOps.hdrBucketCounts),
       ("ohlc", StreamOps.ohlcCandles),
       ("apdex", StreamOps.apdexWindows),
-      ("dau", StreamOps.dauCounts))
+      ("dau", StreamOps.dauCounts),
+      ("hll_users", StreamOps.hllUsers),
+      ("decimal_stats", StreamOps.decimalStats))
       .map { case (name, t) =>
         val (st, ba) = replay(spark, sfDir, name, t)
         (name, st.length, ba.length, st == ba)
