@@ -1113,6 +1113,20 @@ object AggOps {
       s.sql(olsTrendSql(epoch = "unix_timestamp", idiv = "DIV"))
     }),
 
+    // Market-basket association rules over order baskets — support /
+    // confidence / lift for co-purchased part pairs, the classic retail
+    // itemset miner. Pair generation is a per-order self-join, bounded by
+    // basket size (≤7 lineitems per order), so candidate volume is linear
+    // in orders, never corpus² — the a-priori L2 shape. Support and both
+    // confidences are exact ppm integer divisions; lift keeps its exact
+    // integer numerator/denominator and pays ONE quantized double
+    // division; the top-20 ordering runs on the quantized lift with
+    // (item_a, item_b) tie-breaks, so it is engine-deterministic.
+    "q_report_market_basket" -> ((s, sf) => {
+      Tables.lineitem(s, sf).createOrReplaceTempView("lineitem")
+      s.sql(marketBasketSql(idiv = "DIV"))
+    }),
+
     // Mutual information (nats) between event type and hour-of-day — the
     // info-theory dependence readout between a categorical and the time
     // axis (the "is traffic mix time-dependent" question). Joint and
@@ -2013,6 +2027,31 @@ object AggOps {
        |  END AS r2
        |FROM f ORDER BY event_type""".stripMargin
 
+  /** Market-basket rules, shared statement. n_both ≥ 3 is the fixed
+    * min-support prune (deterministic, applied identically in both
+    * engines before any ranking). */
+  private def marketBasketSql(idiv: String): String =
+    s"""WITH b AS (SELECT DISTINCT l_orderkey AS oid, l_partkey AS item
+       |           FROM lineitem),
+       |nt AS (SELECT CAST(count(DISTINCT oid) AS BIGINT) AS n FROM b),
+       |isup AS (SELECT item, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY item),
+       |pairs AS (SELECT a.item AS x, c.item AS y, CAST(count(*) AS BIGINT) AS cxy
+       |          FROM b a JOIN b c ON a.oid = c.oid AND a.item < c.item
+       |          GROUP BY a.item, c.item
+       |          HAVING count(*) >= 3),
+       |f AS (SELECT x, y, cxy, ix.c AS cx, iy.c AS cy, nt.n
+       |      FROM pairs JOIN isup ix ON ix.item = x
+       |      JOIN isup iy ON iy.item = y CROSS JOIN nt),
+       |r AS (SELECT x AS item_a, y AS item_b, cxy AS n_both, cx AS n_a, cy AS n_b,
+       |        CAST(cxy * 1000000 $idiv n AS BIGINT) AS support_ppm,
+       |        CAST(cxy * 1000000 $idiv cx AS BIGINT) AS conf_a_b_ppm,
+       |        CAST(cxy * 1000000 $idiv cy AS BIGINT) AS conf_b_a_ppm,
+       |        floor(CAST(cxy AS DOUBLE) * n / (CAST(cx AS DOUBLE) * cy)
+       |          * 1e6 + 0.5) / 1e6 AS lift
+       |      FROM f)
+       |SELECT * FROM r
+       |ORDER BY lift DESC, item_a, item_b LIMIT 20""".stripMargin
+
   /** Mutual information + marginal entropies, shared statement. The only
     * corpus-sized work is the (type, hour) hash aggregate; every term
     * after that lives on the ≤|types|·24 cell relation. Term doubles are
@@ -2823,6 +2862,8 @@ object AggOps {
       series = "unnest(generate_series(mn, mx))"),
 
     "q_agg_ols_trend" -> olsTrendSql(epoch = "epoch", idiv = "//"),
+
+    "q_report_market_basket" -> marketBasketSql(idiv = "//"),
 
     "q_agg_mutual_info" -> mutualInfoSql,
 

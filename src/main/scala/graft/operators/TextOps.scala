@@ -119,8 +119,11 @@ object TextOps {
     * broadcast-sized; the top-20 emit is a TakeOrdered, never a global
     * sort. Per-doc term-weight sums are decimal-quantized so both engines
     * add in any partial order and agree bit-for-bit; ties rank by doc_id. */
-  private[graft] def bm25Sql(split: String, len: String, unnest: String): String =
-    s"""WITH d AS (SELECT doc_id, $split AS toks FROM documents),
+  /** BM25 scoring CTE chain ending in `bs(doc_id, bm25)` — shared by
+    * q_text_bm25 and q_search_rrf (VectorOps), which fuses these scores
+    * with a vector ranking. */
+  private[graft] def bm25ScoreCtes(split: String, len: String, unnest: String): String =
+    s"""d AS (SELECT doc_id, $split AS toks FROM documents),
        |dl AS (SELECT doc_id, $len(toks) AS dl FROM d),
        |g AS (SELECT count(*) AS n_docs,
        |        CAST(SUM(CAST(dl AS DECIMAL(30,10))) AS DOUBLE) / count(*) AS avgdl
@@ -133,9 +136,13 @@ object TextOps {
        |wt AS (SELECT tf.doc_id,
        |        ln((g.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0) *
        |          (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / g.avgdl)) AS w
-       |      FROM tf JOIN df USING (tok) JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN g)
-       |SELECT doc_id, round(CAST(SUM(CAST(w AS DECIMAL(30,12))) AS DOUBLE), 6) AS bm25
-       |FROM wt GROUP BY doc_id
+       |      FROM tf JOIN df USING (tok) JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN g),
+       |bs AS (SELECT doc_id, round(CAST(SUM(CAST(w AS DECIMAL(30,12))) AS DOUBLE), 6) AS bm25
+       |       FROM wt GROUP BY doc_id)""".stripMargin
+
+  private[graft] def bm25Sql(split: String, len: String, unnest: String): String =
+    s"""WITH ${bm25ScoreCtes(split, len, unnest)}
+       |SELECT doc_id, bm25 FROM bs
        |ORDER BY bm25 DESC, doc_id
        |LIMIT 20""".stripMargin
 

@@ -1097,6 +1097,25 @@ object VectorOps {
           |FROM q ORDER BY vec_id""".stripMargin)
     }),
 
+    // Reciprocal-rank fusion — the standard hybrid-search combiner: the
+    // BM25 lexical ranking (TextOps.bm25ScoreCtes, same query terms as
+    // q_text_bm25) fused with the cosine vector ranking against probe
+    // vec 0 (embeddings row ids alias document ids on this corpus) via
+    // RRF(d) = Σ_lists 1/(60 + rank_d). Each reciprocal is the exact
+    // integer 1e12 idiv (60+rank) — a p12 fixed-point term, so the fused
+    // score and its ordering are BIGINT-exact (rank ties cannot exist:
+    // both input rankings quantize their score to 6 dp and tie-break on
+    // doc_id). Both source rankings are top-50 rank windows over already-
+    // reduced score relations; the fusion is a tiny full outer join.
+    "q_search_rrf" -> ((s, sf) => {
+      graft.functions.GraftFunctions.register(s)
+      Tables.documents(s, sf).createOrReplaceTempView("documents")
+      Tables.embeddings(s, sf).createOrReplaceTempView("embeddings")
+      s.sql(rrfSql(
+        graft.operators.TextOps.bm25ScoreCtes("split(text, ' ')", "size", "explode"),
+        cosSpark, "DIV"))
+    }),
+
     // Binary (sign-bit) quantization + Hamming top-k — the 32×-compression
     // serving path modern vector stores run before an exact rerank: each
     // 64-dim float vector collapses to two 32-bit sign words packed in
@@ -1131,6 +1150,31 @@ object VectorOps {
           |FROM r WHERE rn <= 10 ORDER BY probe_id, rank""".stripMargin)
     })
   )
+
+  /** RRF fusion statement (see the q_search_rrf registration note).
+    * `bmCtes` = the engine-spelled BM25 chain ending in bs(doc_id, bm25);
+    * `cos` = the engine cosine; ranks come from 6-dp-quantized scores
+    * with doc_id tie-breaks, reciprocals are exact p12 integers. */
+  private def rrfSql(bmCtes: String, cos: (String, String) => String,
+                     idiv: String): String =
+    s"""WITH $bmCtes,
+       |br AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r
+       |       FROM bs),
+       |bt AS (SELECT doc_id, r FROM br WHERE r <= 50),
+       |probe AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0),
+       |vs AS (SELECT vec_id AS doc_id, ${cos("embedding", "pe")} AS cs
+       |       FROM embeddings CROSS JOIN probe WHERE vec_id <> 0),
+       |vr AS (SELECT doc_id, row_number() OVER (ORDER BY cs DESC, doc_id) AS r
+       |       FROM vs),
+       |vt AS (SELECT doc_id, r FROM vr WHERE r <= 50),
+       |fu AS (SELECT coalesce(bt.doc_id, vt.doc_id) AS doc_id,
+       |         CAST(bt.r AS BIGINT) AS lex_rank, CAST(vt.r AS BIGINT) AS vec_rank,
+       |         CAST(coalesce(1000000000000 $idiv (60 + bt.r), 0)
+       |            + coalesce(1000000000000 $idiv (60 + vt.r), 0) AS BIGINT) AS rrf_p12
+       |       FROM bt FULL OUTER JOIN vt ON bt.doc_id = vt.doc_id)
+       |SELECT doc_id, lex_rank, vec_rank, rrf_p12,
+       |  CAST(row_number() OVER (ORDER BY rrf_p12 DESC, doc_id) AS BIGINT) AS fused_rank
+       |FROM fu ORDER BY fused_rank LIMIT 20""".stripMargin
 
   private val knnSparkSql =
     s"""WITH probe AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0)
@@ -1586,6 +1630,10 @@ object VectorOps {
     "q_vec_mmr_diversify" -> mmrSql(odot),
 
     "q_dedup_embedding" -> pairSqlDuck(0.4, "keep_id", "dup_id"),
+
+    "q_search_rrf" -> rrfSql(
+      graft.operators.TextOps.bm25ScoreCtes("string_split(text, ' ')", "len", "unnest"),
+      cosDuck, "//"),
 
     "q_vec_binary_quant" ->
       """WITH b AS (SELECT vec_id,

@@ -2960,6 +2960,56 @@ class OperatorSpec extends AnyFunSuite with SparkSessionTest
     }
   }
 
+  test("market basket matches brute pair counting with exact ratios") {
+    val li = Tables.lineitem(spark, sf0001)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getAs[Long]("l_orderkey"), r.getAs[Long]("l_partkey"))).distinct
+    val n = li.map(_._1).distinct.length.toLong
+    val isup = li.groupBy(_._2).map { case (i, v) => i -> v.length.toLong }
+    val byOrder = li.groupBy(_._1).values
+    val pairCnt = byOrder.toSeq.flatMap { es =>
+      val items = es.map(_._2).toSeq.sorted
+      for { a <- items; b <- items if a < b } yield (a, b)
+    }.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+      .filter(_._2 >= 3)
+    val exp = pairCnt.toSeq.map { case ((a, b), cxy) =>
+      val lift = math.floor(cxy.toDouble * n / (isup(a).toDouble * isup(b)) * 1e6 + 0.5) / 1e6
+      (a, b, cxy, isup(a), isup(b), cxy * 1000000L / n,
+        cxy * 1000000L / isup(a), cxy * 1000000L / isup(b), lift)
+    }.sortBy(t => (-t._9, t._1, t._2)).take(20)
+    val got = SparkEntry.queries("q_report_market_basket")(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("item_a"), r.getAs[Long]("item_b"),
+        r.getAs[Long]("n_both"), r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+        r.getAs[Long]("support_ppm"), r.getAs[Long]("conf_a_b_ppm"),
+        r.getAs[Long]("conf_b_a_ppm"), r.getAs[Double]("lift")))
+    assert(got.nonEmpty && got.toSeq == exp)
+  }
+
+  test("rrf fusion combines the bm25 and cosine rank lists exactly") {
+    val got = SparkEntry.queries("q_search_rrf")(spark, sf0001).collect()
+    assert(got.length == 20)
+    // reconstruct from the two source queries: bm25 ranks and knn ranks
+    val bm = SparkEntry.queries("q_text_bm25")(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("bm25")))
+    // q_text_bm25 is top-20; the fused query ranks top-50 internally, so
+    // only verify rows whose lex_rank ≤ 20 against it, and verify every
+    // row's rrf identity 1e12/(60+r) terms and the fused ordering.
+    val bmRank = bm.zipWithIndex.map { case ((id, _), i) => id -> (i + 1).toLong }.toMap
+    got.foreach { r =>
+      val lex = Option(r.getAs[Any]("lex_rank")).map(_.asInstanceOf[Long])
+      val vec = Option(r.getAs[Any]("vec_rank")).map(_.asInstanceOf[Long])
+      val expScore = lex.map(x => 1000000000000L / (60 + x)).getOrElse(0L) +
+        vec.map(x => 1000000000000L / (60 + x)).getOrElse(0L)
+      assert(r.getAs[Long]("rrf_p12") == expScore)
+      lex.filter(_ <= 20).foreach { x =>
+        assert(bmRank(r.getAs[Long]("doc_id")) == x)
+      }
+    }
+    val scores = got.sortBy(_.getAs[Long]("fused_rank")).map(_.getAs[Long]("rrf_p12"))
+    assert(scores.zip(scores.drop(1)).forall { case (a, b) => a >= b })
+    assert(got.map(_.getAs[Long]("fused_rank")).sorted.toSeq == (1L to 20L))
+  }
+
   test("hits matches a scala integer power-iteration replay") {
     val li = Tables.lineitem(spark, sf0001)
       .select("l_orderkey", "l_partkey").collect()
