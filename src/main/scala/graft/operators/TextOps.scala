@@ -518,6 +518,74 @@ object TextOps {
     dist
   }
 
+  /** Character-class composition per language — the corpus-composition
+    * report a multilingual ingest runs before routing (alpha / digit /
+    * space / other shares). Counts come from length deltas after
+    * class-stripping regexp_replace (the char classes [a-z], [0-9] and
+    * the literal space behave identically under Java regex and RE2, so
+    * the text is engine-shared); shares are exact ppm integer divisions
+    * of BIGINT sums. One scan, one hash aggregate on lang. */
+  private def scriptProfileSql(idiv: String, g: String): String =
+    s"""WITH c AS (SELECT lang, CAST(length(text) AS BIGINT) AS len,
+       |    CAST(length(text) - length(regexp_replace(text, '[a-z]', ''$g)) AS BIGINT) AS na,
+       |    CAST(length(text) - length(regexp_replace(text, '[0-9]', ''$g)) AS BIGINT) AS nd,
+       |    CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS ns
+       |  FROM documents),
+       |g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |        CAST(sum(len) AS BIGINT) AS n_chars,
+       |        CAST(sum(na) AS BIGINT) AS na, CAST(sum(nd) AS BIGINT) AS nd,
+       |        CAST(sum(ns) AS BIGINT) AS ns
+       |      FROM c GROUP BY lang)
+       |SELECT lang, n_docs, n_chars,
+       |  CAST(na * 1000000 $idiv n_chars AS BIGINT) AS alpha_ppm,
+       |  CAST(nd * 1000000 $idiv n_chars AS BIGINT) AS digit_ppm,
+       |  CAST(ns * 1000000 $idiv n_chars AS BIGINT) AS space_ppm,
+       |  CAST((n_chars - na - nd - ns) * 1000000 $idiv n_chars AS BIGINT) AS other_ppm
+       |FROM g ORDER BY lang""".stripMargin
+
+  /** TextRank co-occurrence edges: adjacent-token pairs between tokens
+    * with corpus count ≥ 5, symmetrized with co-occurrence weights. */
+  private[graft] def textrankEdgesSql(adj: String): String =
+    s"""WITH tk AS ($adj),
+       |kept AS (SELECT t FROM (
+       |    SELECT t1 AS t FROM tk UNION ALL SELECT t2 FROM tk) u
+       |  GROUP BY t HAVING count(*) >= 5),
+       |w0 AS (SELECT t1, t2, CAST(count(*) AS BIGINT) AS w FROM tk
+       |       JOIN kept k1 ON k1.t = tk.t1 JOIN kept k2 ON k2.t = tk.t2
+       |       WHERE t1 <> t2 GROUP BY t1, t2)
+       |SELECT t1 AS src, t2 AS dst, w FROM w0
+       |UNION ALL SELECT t2 AS src, t1 AS dst, w FROM w0""".stripMargin
+
+  /** TextRank chain, shared statement — damped PageRank over the word
+    * co-occurrence graph, kept INTEGER end-to-end: scores live in ppm
+    * (start 1e6), each round is s'(v) = 150000 + (17·Σ_u s(u)·w(u,v)
+    * idiv W(u)) idiv 20 — the 0.15/0.85 damping as exact 3/20·1e6 and
+    * 17/20 integer arithmetic, every per-edge contribution an exact
+    * integer division. Two rounds; per round one join of the edge list
+    * against the ≤|vocab| score table + a map-side-combinable sum (the
+    * pagerank shuffle shape). Top-20 keywords by final score. */
+  private[graft] def textrankChainSql(eRef: String, idiv: String, mat: String): String =
+    s"""WITH wd AS $mat(SELECT src, CAST(sum(w) AS BIGINT) AS wtot
+       |       FROM $eRef GROUP BY src),
+       |s0 AS $mat(SELECT src AS t, CAST(1000000 AS BIGINT) AS s FROM wd),
+       |c1 AS $mat(SELECT e.dst AS t,
+       |         CAST(sum(s0.s * e.w $idiv wd.wtot) AS BIGINT) AS contrib
+       |       FROM $eRef e JOIN s0 ON s0.t = e.src JOIN wd ON wd.src = e.src
+       |       GROUP BY e.dst),
+       |s1 AS $mat(SELECT s0.t,
+       |         CAST(150000 + 17 * coalesce(c1.contrib, 0) $idiv 20 AS BIGINT) AS s
+       |       FROM s0 LEFT JOIN c1 ON c1.t = s0.t),
+       |c2 AS $mat(SELECT e.dst AS t,
+       |         CAST(sum(s1.s * e.w $idiv wd.wtot) AS BIGINT) AS contrib
+       |       FROM $eRef e JOIN s1 ON s1.t = e.src JOIN wd ON wd.src = e.src
+       |       GROUP BY e.dst),
+       |s2 AS $mat(SELECT s1.t,
+       |         CAST(150000 + 17 * coalesce(c2.contrib, 0) $idiv 20 AS BIGINT) AS s
+       |       FROM s1 LEFT JOIN c2 ON c2.t = s1.t)
+       |SELECT t AS token, s AS score_ppm,
+       |  CAST(row_number() OVER (ORDER BY s DESC, t) AS BIGINT) AS rank
+       |FROM s2 ORDER BY rank LIMIT 20""".stripMargin
+
   /** Bipartite purchase edges for q_graph_hits: distinct
     * (customer, part) pairs via the order join. */
   private[graft] val hitsEdgesSql: String =
@@ -1928,6 +1996,29 @@ object TextOps {
     // shape as the BFS walks. Oracle = DuckDB UNION-dedup recursion
     // over (node, cost) pairs (see [[ssspDuckSql]] for the cap
     // argument).
+    // Character-class composition report — see [[scriptProfileSql]].
+    "q_text_script_profile" -> ((s, sf) => {
+      Tables.documents(s, sf).createOrReplaceTempView("documents")
+      s.sql(scriptProfileSql(idiv = "DIV", g = ""))
+    }),
+
+    // TextRank keyword extraction — damped PageRank over the word
+    // co-occurrence graph (the published TextRank formulation), the
+    // graph-centrality rung of the keyword ladder above RAKE (degree
+    // scores) and PMI (pairwise association). Integer ppm scores end to
+    // end — see [[textrankChainSql]]; edges materialized once.
+    "q_text_textrank" -> ((s, sf) => {
+      Tables.documentsPar(s, sf).createOrReplaceTempView("documents")
+      s.sql(textrankEdgesSql(
+        """SELECT split_part(bg, ' ', 1) AS t1, split_part(bg, ' ', 2) AS t2 FROM (
+          |  SELECT explode(zip_with(slice(toks, 1, size(toks) - 1),
+          |                          slice(toks, 2, size(toks) - 1),
+          |                          (x, y) -> concat(x, ' ', y))) AS bg
+          |  FROM (SELECT split(text, ' ') AS toks FROM documents)) z""".stripMargin))
+        .localCheckpoint().createOrReplaceTempView("tr_e")
+      s.sql(textrankChainSql(eRef = "tr_e", idiv = "DIV", mat = ""))
+    }),
+
     // HITS hubs/authorities over the bipartite customer→part purchase
     // graph — the link-analysis sibling of pagerank for two-sided
     // relevance (hub customers buy the authoritative parts). Two full
@@ -3124,6 +3215,20 @@ object TextOps {
       val chain = hitsChainSql(eRef = "he", idiv = "//", mat = "MATERIALIZED ")
       // splice the edge CTE in front of the chain's WITH list
       "WITH he AS MATERIALIZED (" + hitsEdgesSql.replace("\n", "\n  ") + "),\n" +
+        chain.stripPrefix("WITH ")
+    },
+
+    "q_text_script_profile" -> scriptProfileSql(idiv = "//", g = ", 'g'"),
+
+    "q_text_textrank" -> {
+      val edges = textrankEdgesSql(
+        """SELECT split_part(bg, ' ', 1) AS t1, split_part(bg, ' ', 2) AS t2 FROM (
+          |  SELECT unnest(list_transform(
+          |           list_zip(toks[1:len(toks)-1], toks[2:len(toks)]),
+          |           z -> concat(z[1], ' ', z[2]))) AS bg
+          |  FROM (SELECT string_split(text, ' ') AS toks FROM documents)) z""".stripMargin)
+      val chain = textrankChainSql(eRef = "tre", idiv = "//", mat = "MATERIALIZED ")
+      "WITH tre AS MATERIALIZED (" + edges.replace("\n", "\n  ") + "),\n" +
         chain.stripPrefix("WITH ")
     },
     "q_graph_labelprop" -> {

@@ -1116,6 +1116,14 @@ object VectorOps {
         cosSpark, "DIV"))
     }),
 
+    // Two-stage binary-quantized retrieval: Hamming shortlist → exact
+    // cosine rerank — see [[bqRerankSql]].
+    "q_vec_bq_rerank" -> ((s, sf) => {
+      graft.functions.GraftFunctions.register(s)
+      Tables.embeddings(s, sf).createOrReplaceTempView("embeddings")
+      s.sql(bqRerankSql(bqSigSpark, hamSpark, cosSpark, "/*+ BROADCAST(p) */"))
+    }),
+
     // Binary (sign-bit) quantization + Hamming top-k — the 32×-compression
     // serving path modern vector stores run before an exact rerank: each
     // 64-dim float vector collapses to two 32-bit sign words packed in
@@ -1150,6 +1158,61 @@ object VectorOps {
           |FROM r WHERE rn <= 10 ORDER BY probe_id, rank""".stripMargin)
     })
   )
+
+  /** Sign-bit signature CTE body (two 32-bit words in BIGINTs) and the
+    * Hamming distance, per dialect — shared by q_vec_binary_quant's
+    * inline spelling and [[bqRerankSql]]. */
+  private val bqSigSpark: String =
+    """SELECT vec_id, embedding,
+      |    aggregate(sequence(1, 32), CAST(0 AS BIGINT), (acc, i) -> acc +
+      |      CASE WHEN element_at(embedding, i) >= 0
+      |           THEN shiftleft(CAST(1 AS BIGINT), i - 1) ELSE CAST(0 AS BIGINT) END) AS lo,
+      |    aggregate(sequence(33, 64), CAST(0 AS BIGINT), (acc, i) -> acc +
+      |      CASE WHEN element_at(embedding, i) >= 0
+      |           THEN shiftleft(CAST(1 AS BIGINT), i - 33) ELSE CAST(0 AS BIGINT) END) AS hi
+      |  FROM embeddings""".stripMargin
+  private val bqSigDuck: String =
+    """SELECT vec_id, embedding,
+      |    CAST(list_sum(list_transform(generate_series(1, 32), i ->
+      |      CASE WHEN embedding[i] >= 0
+      |           THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS lo,
+      |    CAST(list_sum(list_transform(generate_series(33, 64), i ->
+      |      CASE WHEN embedding[i] >= 0
+      |           THEN (CAST(1 AS BIGINT) << (i - 33)) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS hi
+      |  FROM embeddings""".stripMargin
+  private def hamSpark(al: String, ah: String, bl: String, bh: String): String =
+    s"CAST(bit_count($al ^ $bl) + bit_count($ah ^ $bh) AS BIGINT)"
+  private def hamDuck(al: String, ah: String, bl: String, bh: String): String =
+    s"CAST(bit_count(xor($al, $bl)) + bit_count(xor($ah, $bh)) AS BIGINT)"
+
+  /** Two-stage serving pipeline: Hamming shortlist (top-50 over the
+    * packed sign bits — integer SIMD work on 16 bytes/vector) → exact
+    * cosine rerank of the 50 survivors only (top-10 emitted). This is
+    * the production shape for binary-quantized indexes: the expensive
+    * float kernel touches a CONSTANT number of candidates per probe
+    * regardless of corpus size. Shortlist ranks are integer-exact;
+    * rerank order is the 6-dp-quantized cosine with cand tie-break. */
+  private def bqRerankSql(sig: String,
+                          ham: (String, String, String, String) => String,
+                          cos: (String, String) => String,
+                          bc: String): String =
+    s"""WITH b AS ($sig),
+       |p AS (SELECT vec_id AS pid, embedding AS pe, lo AS plo, hi AS phi
+       |      FROM b WHERE vec_id % 101 = 0),
+       |d AS (SELECT $bc p.pid, p.pe, b.vec_id AS cand, b.embedding AS ce,
+       |        ${ham("p.plo", "p.phi", "b.lo", "b.hi")} AS hd
+       |      FROM p JOIN b ON b.vec_id <> p.pid),
+       |r AS (SELECT pid, pe, cand, ce, hd,
+       |        row_number() OVER (PARTITION BY pid ORDER BY hd, cand) AS rn
+       |      FROM d),
+       |x AS (SELECT pid, cand, hd, ${cos("ce", "pe")} AS cs
+       |      FROM r WHERE rn <= 50),
+       |f AS (SELECT pid, cand, hd, cs,
+       |        row_number() OVER (PARTITION BY pid ORDER BY cs DESC, cand) AS rk
+       |      FROM x)
+       |SELECT pid AS probe_id, CAST(rk AS BIGINT) AS rank, cand AS cand_id,
+       |  hd AS hamming, cs AS cos_sim
+       |FROM f WHERE rk <= 10 ORDER BY probe_id, rank""".stripMargin
 
   /** RRF fusion statement (see the q_search_rrf registration note).
     * `bmCtes` = the engine-spelled BM25 chain ending in bs(doc_id, bm25);
@@ -1634,6 +1697,8 @@ object VectorOps {
     "q_search_rrf" -> rrfSql(
       graft.operators.TextOps.bm25ScoreCtes("string_split(text, ' ')", "len", "unnest"),
       cosDuck, "//"),
+
+    "q_vec_bq_rerank" -> bqRerankSql(bqSigDuck, hamDuck, cosDuck, ""),
 
     "q_vec_binary_quant" ->
       """WITH b AS (SELECT vec_id,

@@ -3044,6 +3044,82 @@ class OperatorSpec extends AnyFunSuite with SparkSessionTest
     assert(gotAuth.head._2 == 1000000L && gotHub.head._2 == 1000000L)
   }
 
+  test("textrank matches an integer damped-iteration replay") {
+    val docs = Tables.documents(spark, sf0001)
+      .select("text").collect().map(_.getString(0).split(" ", -1).toSeq)
+    val adj = docs.flatMap(ts => ts.dropRight(1).zip(ts.drop(1)))
+    val cnt = adj.flatMap(p => Seq(p._1, p._2)).groupBy(identity)
+      .map { case (t, v) => t -> v.length }
+    val kept = cnt.filter(_._2 >= 5).keySet
+    val w0 = adj.filter(p => p._1 != p._2 && kept(p._1) && kept(p._2))
+      .groupBy(identity).map { case (p, v) => p -> v.length.toLong }
+    val edges = (w0.toSeq ++ w0.toSeq.map { case ((a, b), w) => ((b, a), w) })
+      .map { case ((a, b), w) => (a, b, w) }
+    val wtot = edges.groupBy(_._1).map { case (t, es) => t -> es.map(_._3).sum }
+    val nodes = wtot.keySet.toSeq.sorted
+    var s = nodes.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 2) {
+      val contrib = edges.groupBy(_._2).map { case (v, es) =>
+        v -> es.map(e => s(e._1) * e._3 / wtot(e._1)).sum }
+      s = nodes.map(t => t -> (150000L + 17 * contrib.getOrElse(t, 0L) / 20)).toMap
+    }
+    val exp = s.toSeq.sortBy { case (t, sc) => (-sc, t) }.take(20)
+    val got = SparkEntry.queries("q_text_textrank")(spark, sf0001).collect()
+      .sortBy(_.getAs[Long]("rank"))
+      .map(r => (r.getAs[String]("token"), r.getAs[Long]("score_ppm")))
+    assert(got.toSeq == exp)
+  }
+
+  test("bq rerank agrees with a brute shortlist-then-cosine replay") {
+    val vecs = Tables.embeddings(spark, sf0001)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getSeq[Float](1).toArray))
+    val bits = vecs.map { case (id, v) => id -> v.map(_ >= 0f) }.toMap
+    val vm = vecs.toMap
+    def ham(a: Long, b: Long): Long =
+      bits(a).zip(bits(b)).count { case (x, y) => x != y }.toLong
+    def cos6(a: Array[Float], b: Array[Float]): Double = {
+      var (d, na, nb) = (0.0, 0.0, 0.0)
+      for (i <- a.indices) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+      BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val probes = vecs.map(_._1).filter(_ % 101 == 0)
+    val exp = probes.flatMap { pid =>
+      val short = vecs.map(_._1).filter(_ != pid)
+        .map(c => (ham(pid, c), c)).sorted.take(50)
+      short.map { case (hd, c) => (pid, c, hd, cos6(vm(c), vm(pid))) }
+        .sortBy { case (_, c, _, cs) => (-cs, c) }.take(10).zipWithIndex
+        .map { case ((p, c, hd, cs), i) => (p, (i + 1).toLong, c, hd, cs) }
+    }.sortBy(t => (t._1, t._2))
+    val got = SparkEntry.queries("q_vec_bq_rerank")(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("cand_id"), r.getAs[Long]("hamming"),
+        r.getAs[Double]("cos_sim"))).sortBy(t => (t._1, t._2))
+    assert(got.toSeq == exp.toSeq)
+  }
+
+  test("script profile matches brute char-class counting") {
+    val docs = Tables.documents(spark, sf0001)
+      .select("lang", "text").collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("text")))
+    val got = SparkEntry.queries("q_text_script_profile")(spark, sf0001).collect()
+    assert(got.map(_.getAs[String]("lang")).toSeq == docs.map(_._1).distinct.sorted.toSeq)
+    got.foreach { r =>
+      val ds = docs.filter(_._1 == r.getAs[String]("lang")).map(_._2)
+      val len = ds.map(_.length.toLong).sum
+      val na = ds.map(_.count(c => c >= 'a' && c <= 'z').toLong).sum
+      val nd = ds.map(_.count(c => c >= '0' && c <= '9').toLong).sum
+      val ns = ds.map(_.count(_ == ' ').toLong).sum
+      assert(r.getAs[Long]("n_docs") == ds.length.toLong)
+      assert(r.getAs[Long]("n_chars") == len)
+      assert(r.getAs[Long]("alpha_ppm") == na * 1000000L / len)
+      assert(r.getAs[Long]("digit_ppm") == nd * 1000000L / len)
+      assert(r.getAs[Long]("space_ppm") == ns * 1000000L / len)
+      assert(r.getAs[Long]("other_ppm") == (len - na - nd - ns) * 1000000L / len)
+    }
+  }
+
   test("kneser-ney matches a scala replay and the conditional normalizes") {
     val docs = Tables.documents(spark, sf0001)
       .select("doc_id", "text").collect()
