@@ -1127,6 +1127,28 @@ object AggOps {
       s.sql(marketBasketSql(idiv = "DIV"))
     }),
 
+    // Circular mean of event time-of-day per type — the directional
+    // statistic that gets "mean clock time" right where a linear mean
+    // wraps wrong at midnight. Per-row sin/cos of the day angle are
+    // quantized to DECIMAL(30,12) pre-sum (order independence); the
+    // resultant length R and the atan2-unwrapped mean second pay one
+    // quantized readout each.
+    "q_agg_circular_mean" -> ((s, sf) => {
+      Tables.events(s, sf).createOrReplaceTempView("events")
+      s.sql(circularMeanSql(epoch = "unix_timestamp", idiv = "DIV"))
+    }),
+
+    // Index of dispersion (Fano factor) of hourly arrivals per type — the
+    // burstiness readout (Poisson ⇒ 1; >1 ⇒ clumped traffic). The dense
+    // hourly series (zeros included — a sparse mean would hide bursts) is
+    // calendar-bounded; variance/mean derives from exact integer sums
+    // with one quantized division.
+    "q_agg_dispersion" -> ((s, sf) => {
+      Tables.events(s, sf).createOrReplaceTempView("events")
+      s.sql(dispersionSql(epoch = "unix_timestamp", idiv = "DIV",
+        series = "explode(sequence(mn, mx))"))
+    }),
+
     // Mutual information (nats) between event type and hour-of-day — the
     // info-theory dependence readout between a categorical and the time
     // axis (the "is traffic mix time-dependent" question). Joint and
@@ -2052,6 +2074,52 @@ object AggOps {
        |SELECT * FROM r
        |ORDER BY lift DESC, item_a, item_b LIMIT 20""".stripMargin
 
+  /** Circular mean, shared statement. Second-of-day comes from the
+    * truncated-second epoch mod 86400 (exact integers); the only floats
+    * are the per-row sin/cos (quantized pre-sum) and the atan2 readout.
+    * atan2 ∈ (−π, π] is unwrapped to [0, 86400) with a CASE, no fmod. */
+  private def circularMeanSql(epoch: String, idiv: String): String =
+    s"""WITH e AS (SELECT event_type,
+       |        CAST($epoch(CAST(date_trunc('second', ts) AS TIMESTAMP)) AS BIGINT) % 86400 AS sec
+       |      FROM events),
+       |a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       |        CAST(sum(CAST(sin(sec * 2 * pi() / 86400e0) AS DECIMAL(30,12))) AS DOUBLE) AS ss,
+       |        CAST(sum(CAST(cos(sec * 2 * pi() / 86400e0) AS DECIMAL(30,12))) AS DOUBLE) AS sc
+       |      FROM e GROUP BY event_type),
+       |m AS (SELECT event_type, n, ss, sc,
+       |        atan2(ss, sc) / (2 * pi()) * 86400 + 86400 AS raw
+       |      FROM a)
+       |SELECT event_type, n,
+       |  floor(CASE WHEN raw >= 86400 THEN raw - 86400 ELSE raw END * 1e2 + 0.5) / 1e2
+       |    AS mean_second,
+       |  floor(sqrt(ss * ss + sc * sc) / n * 1e6 + 0.5) / 1e6 AS resultant_r
+       |FROM m ORDER BY event_type""".stripMargin
+
+  /** Index of dispersion, shared statement — dense hourly counts per
+    * type (zeros restored via the calendar series), Fano = var/mean from
+    * exact integer sums: ((nΣx² − (Σx)²) idiv n) / Σx spelled as one
+    * double division of exact BIGINTs. */
+  private def dispersionSql(epoch: String, idiv: String, series: String): String =
+    s"""WITH h AS (SELECT
+       |        CAST($epoch(CAST(date_trunc('hour', ts) AS TIMESTAMP)) AS BIGINT)
+       |          $idiv 3600 AS hr, event_type, CAST(count(*) AS BIGINT) AS c
+       |      FROM events GROUP BY 1, 2),
+       |bnd AS (SELECT min(hr) AS mn, max(hr) AS mx FROM h),
+       |s AS (SELECT $series AS i FROM bnd),
+       |ty AS (SELECT DISTINCT event_type FROM h),
+       |t AS (SELECT ty.event_type, s.i, CAST(coalesce(h.c, 0) AS BIGINT) AS x
+       |      FROM ty CROSS JOIN s
+       |      LEFT JOIN h ON h.hr = s.i AND h.event_type = ty.event_type),
+       |a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       |        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x * x) AS BIGINT) AS sxx
+       |      FROM t GROUP BY event_type)
+       |SELECT event_type, n AS n_hours, sx AS n_events,
+       |  CASE WHEN sx = 0 THEN CAST(NULL AS DOUBLE)
+       |       ELSE floor(CAST(n * sxx - sx * sx AS DOUBLE)
+       |              / CAST(n AS DOUBLE) / CAST(sx AS DOUBLE) * 1e6 + 0.5) / 1e6
+       |  END AS fano
+       |FROM a ORDER BY event_type""".stripMargin
+
   /** Mutual information + marginal entropies, shared statement. The only
     * corpus-sized work is the (type, hour) hash aggregate; every term
     * after that lives on the ≤|types|·24 cell relation. Term doubles are
@@ -2868,6 +2936,11 @@ object AggOps {
     "q_agg_mutual_info" -> mutualInfoSql,
 
     "q_agg_mann_kendall" -> mannKendallSql(epoch = "epoch", idiv = "//"),
+
+    "q_agg_circular_mean" -> circularMeanSql(epoch = "epoch", idiv = "//"),
+
+    "q_agg_dispersion" -> dispersionSql(epoch = "epoch", idiv = "//",
+      series = "unnest(generate_series(mn, mx))"),
 
     "q_report_kaplan_meier" -> kaplanMeierSql(epoch = "epoch", idiv = "//")
   )

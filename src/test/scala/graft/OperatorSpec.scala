@@ -2931,6 +2931,43 @@ class OperatorSpec extends AnyFunSuite with SparkSessionTest
     if (var18 != 0) assert(mkRow.getAs[Double]("z") == zExp)
   }
 
+  test("circular mean and dispersion match brute recomputes") {
+    val ev = Tables.events(spark, sf0001)
+      .select("event_type", "ts").collect()
+      .map { r =>
+        val sec = Math.floorDiv(r.getAs[java.sql.Timestamp]("ts").getTime, 1000L)
+        (r.getAs[String]("event_type"), Math.floorMod(sec, 86400L),
+          Math.floorDiv(sec, 3600L))
+      }
+    def q12(x: Double) = BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val gotCm = SparkEntry.queries("q_agg_circular_mean")(spark, sf0001).collect()
+    gotCm.foreach { r =>
+      val secs = ev.filter(_._1 == r.getAs[String]("event_type")).map(_._2)
+      val ss = secs.map(s => q12(math.sin(s * 2 * math.Pi / 86400.0))).sum.toDouble
+      val sc = secs.map(s => q12(math.cos(s * 2 * math.Pi / 86400.0))).sum.toDouble
+      val raw = math.atan2(ss, sc) / (2 * math.Pi) * 86400 + 86400
+      val exp = math.floor((if (raw >= 86400) raw - 86400 else raw) * 1e2 + 0.5) / 1e2
+      assert(r.getAs[Long]("n") == secs.length.toLong)
+      assert(r.getAs[Double]("mean_second") == exp)
+      assert(r.getAs[Double]("resultant_r") ==
+        math.floor(math.sqrt(ss * ss + sc * sc) / secs.length * 1e6 + 0.5) / 1e6)
+      // sanity: mean is inside the day, R inside [0, 1]
+      assert(exp >= 0 && exp < 86400)
+      assert(r.getAs[Double]("resultant_r") >= 0 && r.getAs[Double]("resultant_r") <= 1)
+    }
+    val (mn, mx) = (ev.map(_._3).min, ev.map(_._3).max)
+    val gotD = SparkEntry.queries("q_agg_dispersion")(spark, sf0001).collect()
+    gotD.foreach { r =>
+      val byHr = ev.filter(_._1 == r.getAs[String]("event_type"))
+        .groupBy(_._3).map { case (h, v) => h -> v.length.toLong }
+      val xs = (mn to mx).map(h => byHr.getOrElse(h, 0L))
+      val n = xs.length.toLong; val sx = xs.sum; val sxx = xs.map(x => x * x).sum
+      assert(r.getAs[Long]("n_hours") == n && r.getAs[Long]("n_events") == sx)
+      assert(r.getAs[Double]("fano") ==
+        math.floor((n * sxx - sx * sx).toDouble / n / sx * 1e6 + 0.5) / 1e6)
+    }
+  }
+
   test("quality profile matches per-column brute counting") {
     val rows = Tables.events(spark, sf0001).collect()
     def colVals(f: org.apache.spark.sql.Row => Option[String]): Seq[Option[String]] =
