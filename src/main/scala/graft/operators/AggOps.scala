@@ -1124,7 +1124,9 @@ object AggOps {
     // (item_a, item_b) tie-breaks, so it is engine-deterministic.
     "q_report_market_basket" -> ((s, sf) => {
       Tables.lineitem(s, sf).createOrReplaceTempView("lineitem")
-      s.sql(marketBasketSql(idiv = "DIV"))
+      s.sql(marketBasketBaseSql).localCheckpoint()
+        .createOrReplaceTempView("mb_b")
+      s.sql(marketBasketSql(bRef = "mb_b", idiv = "DIV"))
     }),
 
     // Circular mean of event time-of-day per type — the directional
@@ -2049,16 +2051,21 @@ object AggOps {
        |  END AS r2
        |FROM f ORDER BY event_type""".stripMargin
 
-  /** Market-basket rules, shared statement. n_both ≥ 3 is the fixed
-    * min-support prune (deterministic, applied identically in both
-    * engines before any ranking). */
-  private def marketBasketSql(idiv: String): String =
-    s"""WITH b AS (SELECT DISTINCT l_orderkey AS oid, l_partkey AS item
-       |           FROM lineitem),
-       |nt AS (SELECT CAST(count(DISTINCT oid) AS BIGINT) AS n FROM b),
-       |isup AS (SELECT item, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY item),
+  /** Market-basket rules. n_both ≥ 3 is the fixed min-support prune
+    * (deterministic, applied identically in both engines before any
+    * ranking). `bRef` = the distinct (oid, item) basket relation — the
+    * Spark side materializes it once (it feeds the totals, the item
+    * supports and both sides of the pair join; inlined it would be four
+    * distinct-scans), the oracle names it in a CTE DuckDB materializes
+    * itself. */
+  private[operators] val marketBasketBaseSql: String =
+    "SELECT DISTINCT l_orderkey AS oid, l_partkey AS item FROM lineitem"
+
+  private def marketBasketSql(bRef: String, idiv: String): String =
+    s"""WITH nt AS (SELECT CAST(count(DISTINCT oid) AS BIGINT) AS n FROM $bRef),
+       |isup AS (SELECT item, CAST(count(*) AS BIGINT) AS c FROM $bRef GROUP BY item),
        |pairs AS (SELECT a.item AS x, c.item AS y, CAST(count(*) AS BIGINT) AS cxy
-       |          FROM b a JOIN b c ON a.oid = c.oid AND a.item < c.item
+       |          FROM $bRef a JOIN $bRef c ON a.oid = c.oid AND a.item < c.item
        |          GROUP BY a.item, c.item
        |          HAVING count(*) >= 3),
        |f AS (SELECT x, y, cxy, ix.c AS cx, iy.c AS cy, nt.n
@@ -2931,7 +2938,9 @@ object AggOps {
 
     "q_agg_ols_trend" -> olsTrendSql(epoch = "epoch", idiv = "//"),
 
-    "q_report_market_basket" -> marketBasketSql(idiv = "//"),
+    "q_report_market_basket" ->
+      s"""WITH mbb AS MATERIALIZED ($marketBasketBaseSql),
+         |${marketBasketSql(bRef = "mbb", idiv = "//").stripPrefix("WITH ")}""".stripMargin,
 
     "q_agg_mutual_info" -> mutualInfoSql,
 
