@@ -518,6 +518,40 @@ object TextOps {
     dist
   }
 
+  /** Pairwise Jensen–Shannon divergence matrix between source unigram
+    * distributions — the training-mix diagnostic (which sources are
+    * near-duplicates of each other, which are outliers) that upgrades
+    * q_text_vocab_kl's one-vs-reference readout to all pairs. Exactness:
+    * with p = na/ta and q = nb/tb, the JS term p·ln(2p/(p+q)) rewrites to
+    * (na/ta)·ln(2·na·tb / (na·tb + nb·ta)) — the ln argument is a ratio
+    * of exact BIGINT products, so both engines feed ln identical doubles;
+    * terms quantize to DECIMAL(30,9) pre-sum. Absent-token terms need no
+    * special case: rows exist only where n > 0 on the owning side, and
+    * the other side coalesces to 0 (term → p·ln 2). Cost: the half-sum
+    * relation is |vocab|·|sources| — vocabulary-bounded, never corpus-
+    * sized; the matrix is |sources|²/2 rows. */
+  private def jsMatrixSql(un: String, split: String): String =
+    s"""WITH u AS (SELECT source, $un AS tok
+       |      FROM (SELECT source, $split AS toks FROM documents) z),
+       |c AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS n FROM u GROUP BY 1, 2),
+       |t AS (SELECT source, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY source),
+       |d AS (SELECT c.source, c.tok, c.n, t.tot
+       |      FROM c JOIN t ON t.source = c.source),
+       |x AS (SELECT a.source AS s1, b0.source AS s2, a.n AS na, a.tot AS ta,
+       |        coalesce(bb.n, CAST(0 AS BIGINT)) AS nb, b0.tot AS tb
+       |      FROM d a CROSS JOIN t b0
+       |      LEFT JOIN c bb ON bb.source = b0.source AND bb.tok = a.tok
+       |      WHERE a.source <> b0.source),
+       |g AS (SELECT s1, s2, CAST(sum(CAST(
+       |        (CAST(na AS DOUBLE) / ta)
+       |          * ln(CAST(2 * na * tb AS DOUBLE) / CAST(na * tb + nb * ta AS DOUBLE))
+       |        AS DECIMAL(30,9))) AS DOUBLE) AS h
+       |      FROM x GROUP BY s1, s2)
+       |SELECT g1.s1 AS source_a, g1.s2 AS source_b,
+       |  floor((g1.h + g2.h) / 2 * 1e6 + 0.5) / 1e6 AS js_nats
+       |FROM g g1 JOIN g g2 ON g2.s1 = g1.s2 AND g2.s2 = g1.s1
+       |WHERE g1.s1 < g1.s2 ORDER BY source_a, source_b""".stripMargin
+
   /** Character-class composition per language — the corpus-composition
     * report a multilingual ingest runs before routing (alpha / digit /
     * space / other shares). Counts come from length deltas after
@@ -2001,6 +2035,12 @@ object TextOps {
     // shape as the BFS walks. Oracle = DuckDB UNION-dedup recursion
     // over (node, cost) pairs (see [[ssspDuckSql]] for the cap
     // argument).
+    // Source-pair Jensen–Shannon matrix — see [[jsMatrixSql]].
+    "q_text_js_matrix" -> ((s, sf) => {
+      Tables.documents(s, sf).createOrReplaceTempView("documents")
+      s.sql(jsMatrixSql(un = "explode(toks)", split = "split(text, ' ')"))
+    }),
+
     // Character-class composition report — see [[scriptProfileSql]].
     "q_text_script_profile" -> ((s, sf) => {
       Tables.documents(s, sf).createOrReplaceTempView("documents")
@@ -3247,6 +3287,9 @@ object TextOps {
     },
 
     "q_text_script_profile" -> scriptProfileSql(idiv = "//", g = ", 'g'"),
+
+    "q_text_js_matrix" -> jsMatrixSql(
+      un = "unnest(toks)", split = "string_split(text, ' ')"),
 
     "q_text_textrank" -> {
       val edges = textrankEdgesSql(

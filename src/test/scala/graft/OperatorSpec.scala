@@ -3136,6 +3136,33 @@ class OperatorSpec extends AnyFunSuite with SparkSessionTest
     assert(got.toSeq == exp.toSeq)
   }
 
+  test("js matrix matches a brute divergence recompute and its bounds") {
+    val docs = Tables.documents(spark, sf0001)
+      .select("source", "text").collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("text").split(" ", -1).toSeq))
+    val cnt: Map[String, Map[String, Long]] = docs.groupBy(_._1).map { case (s, ds) =>
+      s -> ds.flatMap(_._2).groupBy(identity).map { case (t, v) => t -> v.length.toLong }
+    }
+    val tot = cnt.map { case (s, m) => s -> m.values.sum }
+    def q9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    def half(a: String, b: String): Double =
+      cnt(a).map { case (t, na) =>
+        val nb = cnt(b).getOrElse(t, 0L)
+        q9(na.toDouble / tot(a) *
+          math.log((2 * na * tot(b)).toDouble / (na * tot(b) + nb * tot(a)).toDouble))
+      }.sum.toDouble
+    val got = SparkEntry.queries("q_text_js_matrix")(spark, sf0001).collect()
+    val srcs = cnt.keySet.toSeq.sorted
+    assert(got.length == srcs.length * (srcs.length - 1) / 2)
+    got.foreach { r =>
+      val (a, b) = (r.getAs[String]("source_a"), r.getAs[String]("source_b"))
+      val exp = math.floor((half(a, b) + half(b, a)) / 2 * 1e6 + 0.5) / 1e6
+      assert(r.getAs[Double]("js_nats") == exp)
+      // JS is bounded by ln 2 and non-negative
+      assert(exp >= 0.0 && exp <= math.log(2.0) + 1e-9)
+    }
+  }
+
   test("script profile matches brute char-class counting") {
     val docs = Tables.documents(spark, sf0001)
       .select("lang", "text").collect()
