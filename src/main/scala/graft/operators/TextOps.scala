@@ -868,8 +868,12 @@ object TextOps {
     * Float discipline: the per-doc score is pure IEEE double arithmetic
     * (identical op sequence in both engines; constants spelled as
     * exponent literals so Spark doesn't parse them as DECIMAL), quantized
-    * to an exact DECIMAL(18,4) per doc BEFORE the per-lang sum — the
-    * order-independence rule — with ONE final double division.
+    * per doc to integer 1e-4 units via the EXPLICIT floor(x·1e4 + 0.5)
+    * rule BEFORE the per-lang sum — a bare CAST(double AS DECIMAL(18,4))
+    * resolves half-ulp ties differently per engine (Spark HALF_UP vs
+    * DuckDB's banker's rint), which flipped the sf1 per-lang average by
+    * one last-place unit; floor(+0.5) is bit-identical everywhere — with
+    * ONE final double division.
     * Scale shape: explode → per-doc hash aggregate → per-lang rollup;
     * every stage map-side-combinable, nothing corpus-quadratic.
     * `rc` = the engine's regex-match-count spelling. */
@@ -884,16 +888,16 @@ object TextOps {
        |        CAST(greatest(1, ${rc("text", "[.!?]+")}) AS BIGINT) AS n_sent
        |      FROM documents),
        |f AS (SELECT w.lang,
-       |        CAST(206835e-3
+       |        CAST(floor((206835e-3
        |           - 1015e-3 * (CAST(n_words AS DOUBLE) / n_sent)
-       |           - 846e-1 * (CAST(n_syl AS DOUBLE) / n_words)
-       |          AS DECIMAL(18,4)) AS fl
+       |           - 846e-1 * (CAST(n_syl AS DOUBLE) / n_words)) * 1e4 + 0.5)
+       |          AS DECIMAL(18,0)) AS fl_u
        |      FROM w JOIN sd ON w.doc_id = sd.doc_id)
        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
-       |  floor(CAST(sum(fl) AS DOUBLE) / count(*) * 1e4 + 0.5) / 1e4
+       |  floor(CAST(sum(fl_u) AS DOUBLE) / count(*) + 0.5) / 1e4
        |    AS avg_flesch,
-       |  CAST(sum(CASE WHEN fl >= 60 THEN 1 ELSE 0 END) AS BIGINT) AS n_easy,
-       |  CAST(sum(CASE WHEN fl < 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_hard
+       |  CAST(sum(CASE WHEN fl_u >= 600000 THEN 1 ELSE 0 END) AS BIGINT) AS n_easy,
+       |  CAST(sum(CASE WHEN fl_u < 300000 THEN 1 ELSE 0 END) AS BIGINT) AS n_hard
        |FROM f GROUP BY lang ORDER BY lang""".stripMargin
 
   /** Character-level near-dup: Levenshtein distance ≤ 10 within

@@ -2247,7 +2247,8 @@ class OperatorSpec extends AnyFunSuite with SparkSessionTest
       val syl = toks.map(tok => math.max(1, vg.findAllIn(tok).length).toLong).sum
       val sent = math.max(1, sr.findAllIn(t).length).toLong
       val fl = 206.835 - 1.015 * (w.toDouble / sent) - 84.6 * (syl.toDouble / w)
-      lang -> BigDecimal(fl).setScale(4, HALF_UP)
+      // integer 1e-4 units via the engines' explicit floor(x*1e4+0.5) rule
+      lang -> math.floor(fl * 1e4 + 0.5).toLong
     }
     val got = SparkEntry.queries("q_text_readability")(spark, sf0001).collect()
     assert(got.length == perDoc.map(_._1).distinct.length)
@@ -2255,9 +2256,9 @@ class OperatorSpec extends AnyFunSuite with SparkSessionTest
       val fls = perDoc.filter(_._1 == r.getAs[String]("lang")).map(_._2)
       assert(r.getAs[Long]("n_docs") == fls.length.toLong)
       assert(r.getAs[Double]("avg_flesch") ==
-        math.floor(fls.sum.toDouble / fls.length * 1e4 + 0.5) / 1e4)
-      assert(r.getAs[Long]("n_easy") == fls.count(_ >= 60).toLong)
-      assert(r.getAs[Long]("n_hard") == fls.count(_ < 30).toLong)
+        math.floor(fls.sum.toDouble / fls.length + 0.5) / 1e4)
+      assert(r.getAs[Long]("n_easy") == fls.count(_ >= 600000L).toLong)
+      assert(r.getAs[Long]("n_hard") == fls.count(_ < 300000L).toLong)
     }
   }
 
