@@ -1190,23 +1190,31 @@ object VectorOps {
     * cosine rerank of the 50 survivors only (top-10 emitted). This is
     * the production shape for binary-quantized indexes: the expensive
     * float kernel touches a CONSTANT number of candidates per probe
-    * regardless of corpus size. Shortlist ranks are integer-exact;
-    * rerank order is the 6-dp-quantized cosine with cand tie-break. */
+    * regardless of corpus size. The probe×corpus Hamming stage carries
+    * ONLY (ids, packed words) — the float arrays rejoin after the
+    * shortlist cut (the first spelling dragged both 64-float arrays
+    * through the rank shuffle: 14× at 10× data in the sf1 curve, ~5×
+    * after the split — the probe set itself grows with N here, so pair
+    * count grows 100×; a fixed query set is linear). Shortlist ranks
+    * are integer-exact; rerank order is the 6-dp-quantized cosine with
+    * cand tie-break. */
   private def bqRerankSql(sig: String,
                           ham: (String, String, String, String) => String,
                           cos: (String, String) => String,
                           bc: String): String =
     s"""WITH b AS ($sig),
-       |p AS (SELECT vec_id AS pid, embedding AS pe, lo AS plo, hi AS phi
+       |p AS (SELECT vec_id AS pid, lo AS plo, hi AS phi
        |      FROM b WHERE vec_id % 101 = 0),
-       |d AS (SELECT $bc p.pid, p.pe, b.vec_id AS cand, b.embedding AS ce,
+       |d AS (SELECT $bc p.pid, b.vec_id AS cand,
        |        ${ham("p.plo", "p.phi", "b.lo", "b.hi")} AS hd
        |      FROM p JOIN b ON b.vec_id <> p.pid),
-       |r AS (SELECT pid, pe, cand, ce, hd,
+       |r AS (SELECT pid, cand, hd,
        |        row_number() OVER (PARTITION BY pid ORDER BY hd, cand) AS rn
        |      FROM d),
-       |x AS (SELECT pid, cand, hd, ${cos("ce", "pe")} AS cs
-       |      FROM r WHERE rn <= 50),
+       |sl AS (SELECT pid, cand, hd FROM r WHERE rn <= 50),
+       |x AS (SELECT sl.pid, sl.cand, sl.hd, ${cos("ce.embedding", "pe.embedding")} AS cs
+       |      FROM sl JOIN embeddings pe ON pe.vec_id = sl.pid
+       |      JOIN embeddings ce ON ce.vec_id = sl.cand),
        |f AS (SELECT pid, cand, hd, cs,
        |        row_number() OVER (PARTITION BY pid ORDER BY cs DESC, cand) AS rk
        |      FROM x)

@@ -11,9 +11,11 @@ are the structural movers worth a plan audit.
 Usage: compare_bench.py OLD.json NEW.json [threshold=1.5]
    or: compare_bench.py NEW.json [threshold=1.5]
        (OLD defaults to the LOCKED baseline artifact matching NEW's
-        meta.cpus — BENCH_full_r10_baseline{4,32}.json next to this
-        tool; best-of-2 reps like every lock since r9 — windows vs
-        pre-r9 single-rep artifacts read ~0.6-0.7x by construction)
+        meta.cpus — BENCH_full_r10_relock{4,32}*.json next to this
+        tool (the 337-query re-lock; the earlier 267-query lock lives
+        in BENCH_full_r10_baseline{4,32}.json); best-of-2 reps like
+        every lock since r9 — windows vs pre-r9 single-rep artifacts
+        read ~0.6-0.7x by construction)
 """
 import json
 import os
@@ -33,7 +35,9 @@ def main() -> None:
         new_j = json.load(open(new_f))
         cpus = (new_j.get("meta") or {}).get("cpus", 4)
         root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        old_f = os.path.join(root, f"BENCH_full_r10_baseline{cpus}.json")
+        old_f = os.path.join(root,
+            f"BENCH_full_r10_relock{cpus}_run1.json" if cpus == 4
+            else f"BENCH_full_r10_relock{cpus}.json")
         print(f"(defaulting OLD to locked baseline: {old_f})")
     old_j = json.load(open(old_f))
     old, new = old_j["queries"], new_j["queries"]
