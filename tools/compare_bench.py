@@ -37,7 +37,7 @@ def main() -> None:
         root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         old_f = os.path.join(root,
             f"BENCH_full_r10_relock{cpus}_run1.json" if cpus == 4
-            else f"BENCH_full_r10_relock{cpus}.json")
+            else f"BENCH_full_r10_relock{cpus}_run2.json")
         print(f"(defaulting OLD to locked baseline: {old_f})")
     old_j = json.load(open(old_f))
     old, new = old_j["queries"], new_j["queries"]
