@@ -52,11 +52,27 @@ object Search {
     * from BEFORE a swap can still hit vanished part files at query time;
     * the contract there is re-issue the search (which re-registers). */
   private def readParquetRetry(s: SparkSession, dir: String): DataFrame = {
-    def isMissing(t: Throwable): Boolean =
-      t != null && (t.isInstanceOf[java.io.FileNotFoundException] ||
-        Option(t.getMessage).exists(m =>
-          m.contains("PATH_NOT_FOUND") || m.contains("does not exist")) ||
-        isMissing(t.getCause))
+    // Walk the cause chain iteratively with a depth bound and an identity
+    // set: wrapped/remote exceptions can carry cyclic cause chains, and an
+    // unbounded recursive walk inside the catch guard would stack-overflow
+    // exactly when we're trying to classify the error. Type match first;
+    // the message substrings catch Spark's AnalysisException spellings of
+    // the same condition (PATH_NOT_FOUND error class).
+    def isMissing(root: Throwable): Boolean = {
+      val seen = java.util.Collections.newSetFromMap(
+        new java.util.IdentityHashMap[Throwable, java.lang.Boolean]())
+      var t = root
+      var depth = 0
+      while (t != null && depth < 20 && seen.add(t)) {
+        if (t.isInstanceOf[java.io.FileNotFoundException] ||
+          Option(t.getMessage).exists(m =>
+            m.contains("PATH_NOT_FOUND") || m.contains("does not exist")))
+          return true
+        t = t.getCause
+        depth += 1
+      }
+      false
+    }
     var last: Throwable = null
     for (attempt <- 1 to 5) {
       try return s.read.parquet(dir)

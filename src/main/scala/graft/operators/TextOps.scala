@@ -2431,8 +2431,19 @@ object TextOps {
     // proves incremental ≡ full on exactly the rows a backfill owns.
     "q_dedup_incremental" -> ((s, sf) => {
       Tables.documents(s, sf).createOrReplaceTempView("documents")
-      s.sql(incDedupDictSql).localCheckpoint()
-        .createOrReplaceTempView("inc_dict")
+      val dict = s.sql(incDedupDictSql).localCheckpoint()
+      // The 4×64-bit signature covers dict ids 0..255 ONLY: an id ≥ 256
+      // falls outside every bit_or CASE range, still counts in n, and
+      // never intersects — silently underestimating Jaccard. Fail loudly
+      // at registry-build time instead (one scalar off the materialized
+      // checkpoint); a corpus past the cap belongs on q_dedup_near_wide's
+      // dynamically-sized bitmap encoding.
+      val maxId = dict.agg(max(col("id"))).head.getInt(0)
+      require(maxId < 256,
+        s"q_dedup_incremental: old-half vocabulary has dict id $maxId >= 256 — " +
+          "the fixed 4x64-bit signature would silently drop tokens; " +
+          "use the wide-bitmap encoding (q_dedup_near_wide) for this corpus")
+      dict.createOrReplaceTempView("inc_dict")
       s.sql(incDedupRegSql).localCheckpoint()
         .createOrReplaceTempView("inc_reg")
       s.sql(incDedupVerdictSql)

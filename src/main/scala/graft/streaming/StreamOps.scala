@@ -58,20 +58,27 @@ object StreamOps {
       .select(col("window.start").as("w_start"), col("event_type"), col("cnt"))
 
   /** Hourly OHLC candles per event_type — the streaming twin of
-    * q_win_ohlc. open/close are min_by/max_by over the (ts, event_id)
-    * struct (unique key → deterministic picks), which Spark merges
-    * ACROSS micro-batches as ordered partial state: the parity replay
-    * is what proves a candle whose open arrived in batch 2 and close in
-    * batch 7 still matches the one-shot batch plan row-for-row. */
+    * q_win_ohlc. open/close are min_by/max_by over the
+    * (second-truncated ts, event_id) struct — the SAME tie key the batch
+    * q_win_ohlc orders by (WindowOps.ohlcSql ranks on `tss, event_id`),
+    * so the twin claim holds even for sub-second timestamps where raw-ts
+    * and truncated-ts ordering pick different open/close rows. The struct
+    * key is still unique (event_id breaks ties) → deterministic picks,
+    * which Spark merges ACROSS micro-batches as ordered partial state:
+    * the parity replay is what proves a candle whose open arrived in
+    * batch 2 and close in batch 7 still matches the one-shot batch plan
+    * row-for-row. */
   def ohlcCandles(events: DataFrame): DataFrame =
     events
       .filter(col("value").isNotNull)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(
-        min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+        min_by(col("value"),
+          struct(date_trunc("second", col("ts")), col("event_id"))).as("open"),
         max(col("value")).as("high"),
         min(col("value")).as("low"),
-        max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
+        max_by(col("value"),
+          struct(date_trunc("second", col("ts")), col("event_id"))).as("close"),
         count(lit(1)).as("n"))
       .select(col("window.start").as("hr"), col("event_type"),
         col("open"), col("high"), col("low"), col("close"), col("n"))
@@ -125,11 +132,22 @@ object StreamOps {
     * windowed count, the standard exact-DAU topology (state = one row
     * per user-day, the same |users|×|days| bound as the batch
     * q_report_dau_wau_mau reduction; the sketch route past that is HLL).
-    * The replay proves the dedup state merges correctly across
-    * micro-batches — a user seen in batches 2 and 7 counts once. */
+    * The dedup carries a 45-day watermark on `day` (the event-time
+    * column, part of the dedup key) so a long-running deployment evicts
+    * user-day state once the day falls 45 days behind the stream —
+    * WITHOUT the watermark the dedup state grows one row per user-day
+    * forever. 45 days comfortably exceeds any replay corpus span, so no
+    * row is ever late during the parity replay and the watermarked plan
+    * is row-identical to the unwatermarked one there; in production the
+    * delay is the retention/out-of-orderness budget (events for a day
+    * more than 45 days stale are dropped by the dedup, the standard
+    * exact-DAU contract). The replay proves the dedup state merges
+    * correctly across micro-batches — a user seen in batches 2 and 7
+    * counts once. */
   def dauCounts(events: DataFrame): DataFrame =
     events
       .withColumn("day", date_trunc("day", col("ts")))
+      .withWatermark("day", "45 days")
       .dropDuplicates("user_id", "day")
       .groupBy(col("day"))
       .agg(count(lit(1)).as("dau"))
