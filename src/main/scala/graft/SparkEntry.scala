@@ -21,12 +21,14 @@ object SparkEntry {
       WindowOps.queries ++ SortOps.queries ++ SetOps.queries ++ FnOps.queries ++
       TextOps.queries ++ VectorOps.queries ++ UdfOps.queries ++
       ReshapeOps.queries ++ PipelineOps.queries ++ QualityOps.queries ++
-      CanaryOps.queries ++ EvalOps.queries ++ graft.multimodal.Multimodal.queries
+      CanaryOps.queries ++ EvalOps.queries ++ TpchOps.queries ++
+      graft.multimodal.Multimodal.queries
 
   def oracleSql: Map[String, String] =
     ScanOps.oracle ++ FilterOps.oracle ++ JoinOps.oracle ++ AggOps.oracle ++
       WindowOps.oracle ++ SortOps.oracle ++ SetOps.oracle ++ FnOps.oracle ++
       TextOps.oracle ++ VectorOps.oracle ++ UdfOps.oracle ++
       ReshapeOps.oracle ++ PipelineOps.oracle ++ QualityOps.oracle ++
-      CanaryOps.oracle ++ EvalOps.oracle ++ graft.multimodal.Multimodal.oracle
+      CanaryOps.oracle ++ EvalOps.oracle ++ TpchOps.oracle ++
+      graft.multimodal.Multimodal.oracle
 }

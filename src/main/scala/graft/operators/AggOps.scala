@@ -481,12 +481,29 @@ object AggOps {
     }),
 
     "q_agg_bootstrap_ci" -> ((s, sf) => {
-      registerEvents(s, sf)
-      s.sql(bootstrapSql(
-        hex32 = x => s"CAST(conv(substring(md5($x), 1, 8), 16, 10) AS BIGINT)",
-        cast = "STRING",
-        series = "explode(sequence(1, 64))",
-        idiv = "DIV"))
+      // Materialize the ≤ types×64-row replicate-means relation ONCE:
+      // the rank readout references it three times and Catalyst inlining
+      // would re-run the rows×64 expansion per reference (see
+      // bootstrapMeansSql scaladoc). The input is also repartitioned to
+      // the session parallelism BEFORE the explode: the corpus arrives as
+      // one parquet file per table, so without it the 64× expansion +
+      // md5 hashing runs in a single scan task (measured 75 s at sf1 —
+      // single-threaded); shuffling the skinny pre-expansion rows is
+      // ~16 MB and buys full-width parallelism on the expensive stage.
+      // On a 1000-executor corpus the scan is already many-partitioned
+      // and the repartition is a no-op-sized safety net.
+      Tables.events(s, sf).select("event_id", "event_type", "value")
+        .where(org.apache.spark.sql.functions.col("value").isNotNull)
+        .repartition(s.sparkContext.defaultParallelism)
+        .createOrReplaceTempView("boot_events")
+      s.sql(bootstrapMeansSql(
+          hex32 = x => s"CAST(conv(substring(md5($x), 1, 8), 16, 10) AS BIGINT)",
+          cast = "STRING",
+          expandFrom = "FROM boot_events e " +
+            "LATERAL VIEW explode(sequence(1, 64)) r AS rep"))
+        .localCheckpoint()
+        .createOrReplaceTempView("boot_mm")
+      s.sql(bootstrapSelectSql("boot_mm", idiv = "DIV"))
     }),
 
     "q_report_error_ci" -> ((s, sf) => {
@@ -1799,11 +1816,23 @@ object AggOps {
     * p5/p95 replicate quantiles use window-free rank selection (a
     * B×B theta join over the 64-row replicate relation — the
     * Theil–Sen / hodges discipline, no global window). Expansion is
-    * rows × B, linear and map-side-combinable. */
-  private def bootstrapSql(hex32: String => String, cast: String,
-                           series: String, idiv: String): String =
-    s"""WITH b AS (SELECT $series AS rep),
-       |w AS (SELECT event_type, value, rep,
+    * rows × B, linear and map-side-combinable.
+    *
+    * Plan discipline (round 11): the replicate-means relation `mm` is
+    * referenced THREE times downstream (both sides of the rank theta
+    * join + the per-type count), and Catalyst inlines multi-referenced
+    * CTEs — the single-query spelling re-ran the rows×64 md5 expansion
+    * three times, each through a codegen-breaking BNLJ CROSS JOIN
+    * (measured 69.7 s at sf1). The Spark side therefore materializes
+    * `mm` ONCE via localCheckpoint (≤ types×64 rows — tiny) with the
+    * expansion spelled as a LATERAL VIEW explode (stays inside
+    * whole-stage codegen, no BNLJ), then rank-selects over the
+    * checkpoint. Values are bit-identical to the one-shot text (the
+    * decimal sums are order-independent), so the DuckDB oracle keeps
+    * the single-query spelling and the gate proves the equivalence. */
+  private def bootstrapMeansSql(hex32: String => String, cast: String,
+                                expandFrom: String): String =
+    s"""WITH w AS (SELECT event_type, value, rep,
        |        CASE WHEN h < 1580030168 THEN 0
        |             WHEN h < 3160060337 THEN 1
        |             WHEN h < 3950075421 THEN 2
@@ -1811,29 +1840,41 @@ object AggOps {
        |             WHEN h < 4279248373 THEN 4
        |             WHEN h < 4292415291 THEN 5
        |             ELSE 6 END AS wt
-       |      FROM (SELECT e.event_type, e.value, b.rep,
+       |      FROM (SELECT e.event_type, e.value, rep,
        |              ${hex32(s"concat(CAST(e.event_id AS $cast), '_', " +
-                        s"CAST(b.rep AS $cast))")} AS h
-       |            FROM events e CROSS JOIN b
-       |            WHERE e.value IS NOT NULL) t),
+                        s"CAST(rep AS $cast))")} AS h
+       |            $expandFrom) t),
        |m AS (SELECT event_type, rep, CAST(sum(wt) AS BIGINT) AS nw,
        |        CAST(sum(CAST(value * wt AS DECIMAL(30,6))) AS DOUBLE) AS sv
-       |      FROM w GROUP BY event_type, rep),
-       |mm AS (SELECT event_type, rep, floor(sv / nw * 1e6 + 0.5) / 1e6 AS mean_v
-       |      FROM m WHERE nw > 0),
-       |rk AS (SELECT a.event_type, a.rep, a.mean_v, CAST(count(*) AS BIGINT) AS r
-       |      FROM mm a JOIN mm c ON a.event_type = c.event_type
+       |      FROM w GROUP BY event_type, rep)
+       |SELECT event_type, rep, floor(sv / nw * 1e6 + 0.5) / 1e6 AS mean_v
+       |FROM m WHERE nw > 0""".stripMargin
+
+  /** Rank-selection readout over a materialized replicate-means relation
+    * (p5/p95 via the window-free theta-join rank pick). */
+  private def bootstrapSelectSql(mmRel: String, idiv: String): String =
+    s"""WITH rk AS (SELECT a.event_type, a.rep, a.mean_v, CAST(count(*) AS BIGINT) AS r
+       |      FROM $mmRel a JOIN $mmRel c ON a.event_type = c.event_type
        |        AND (c.mean_v < a.mean_v
        |             OR (c.mean_v = a.mean_v AND c.rep <= a.rep))
        |      GROUP BY a.event_type, a.rep, a.mean_v),
        |nn AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nb
-       |      FROM mm GROUP BY event_type)
+       |      FROM $mmRel GROUP BY event_type)
        |SELECT rk.event_type, nn.nb,
        |  max(CASE WHEN r = (nb * 5 + 99) $idiv 100 THEN mean_v END) AS ci_lo,
        |  max(CASE WHEN r = (nb * 95 + 99) $idiv 100 THEN mean_v END) AS ci_hi
        |FROM rk JOIN nn ON rk.event_type = nn.event_type
        |GROUP BY rk.event_type, nn.nb
        |ORDER BY rk.event_type""".stripMargin
+
+  /** One-shot single-text spelling (oracle side): means inlined as a CTE. */
+  private def bootstrapSql(hex32: String => String, cast: String,
+                           series: String, idiv: String): String =
+    s"""WITH mm AS (
+       |${bootstrapMeansSql(hex32, cast,
+          s"FROM events e CROSS JOIN (SELECT $series AS rep) b WHERE e.value IS NOT NULL")}
+       |)
+       |${bootstrapSelectSql("mm", idiv).replaceFirst("WITH ", ", ")}""".stripMargin
 
   /** Population Stability Index per event_type — THE production drift
     * gate for score/metric distributions: reference = first half of the
