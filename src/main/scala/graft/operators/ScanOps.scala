@@ -605,6 +605,40 @@ object ScanOps {
            |FROM vac_after""".stripMargin)
     }),
 
+    // GDPR-style keyed DELETE as a partition-pruned rewrite — the first
+    // compliance request any production table gets ("erase these
+    // subjects"). The serving layout is partitioned on a BUCKET of the
+    // delete key (user_id % 16) — the 100 TB-ready layout: an erasure
+    // request prunes to the requested keys' buckets, rewrites ONLY those
+    // partitions, and never reads (let alone rewrites) the other 14-15.
+    // See [[keyedDelete]] for the mechanism; MaintainDeleteSpec proves
+    // from file listings that untouched buckets keep their original
+    // files byte-for-byte. The graded readout aggregates the post-delete
+    // table; the oracle is the anti-join spelling over the raw corpus,
+    // so the gate proves rewrite ≡ logical delete.
+    "q_maintain_delete" -> ((s, sf) => {
+      val dir = rtDir(s, "graft_del_rt", sf)
+      val delSchema = StructType(Seq(
+        StructField("event_id", LongType), StructField("user_id", LongType),
+        StructField("value", DoubleType), StructField("bucket", IntegerType)))
+      Tables.events(s, sf)
+        .select(col("event_id"), col("user_id"), col("value"),
+          pmod(col("user_id"), lit(16)).cast("int").as("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(dir)
+      // the erasure request: all data for these subjects. The id list is
+      // inherently driver-sized (a request names specific people) —
+      // bounded handoff, not a corpus collect.
+      val keys = Tables.events(s, sf).filter(col("user_id") % 997 === 13)
+        .select("user_id").distinct().collect().map(_.getLong(0)).toSeq
+      keyedDelete(s, dir, delSchema, keys)
+      s.read.schema(delSchema).parquet(dir)
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(col("value").cast(DecimalType(30, 6))).cast(DoubleType).as("sum_value"))
+        .orderBy("bucket")
+    }),
+
     "q_sink_partitioned" -> ((s, sf) => {
       val dir = rtDir(s, "graft_part_rt", sf)
       val written = Tables.events(s, sf)
@@ -753,6 +787,53 @@ object ScanOps {
     * mid-write; keying on applicationId isolates them. */
   private def rtDir(s: SparkSession, kind: String, sf: String): String =
     s"/tmp/$kind/${s.sparkContext.applicationId}/${sf.replaceAll("[^A-Za-z0-9]", "_")}"
+
+  /** Keyed DELETE over a bucket-partitioned parquet table: erase every
+    * row whose `user_id` is in `keys`, rewriting ONLY the bucket
+    * partitions the keys hash into.
+    *
+    * Mechanism (the manifest-less parquet analog of an Iceberg/Delta
+    * delete): (1) the kept rows of the touched buckets are read through
+    * a partition-PRUNED scan (`bucket IN (...)` — untouched buckets are
+    * never opened) and materialized via localCheckpoint (a directory
+    * sink can't be its own source; a manifest-backed lake would write
+    * new files then swap pointers instead); (2) a DYNAMIC-mode partition
+    * overwrite replaces exactly the partitions present in the kept rows;
+    * (3) a touched bucket whose every row was deleted writes nothing
+    * under dynamic overwrite, so such buckets are removed explicitly
+    * (per-bucket kept counts are ≤ nBuckets rows — bounded handoff).
+    *
+    * At 100 TB the cost is proportional to the touched buckets only —
+    * which is the entire point of partitioning on a bucket of the
+    * delete key. */
+  def keyedDelete(s: SparkSession, dir: String, schema: StructType,
+                  keys: Seq[Long], nBuckets: Int = 16): Unit = {
+    if (keys.isEmpty) return
+    val buckets = keys.map(k => ((k % nBuckets) + nBuckets) % nBuckets)
+      .distinct.map(_.toInt)
+    val kept = s.read.schema(schema).parquet(dir)
+      .filter(col("bucket").isin(buckets: _*))
+      .filter(!col("user_id").isin(keys: _*))
+      .localCheckpoint()
+    val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try kept.write.mode("overwrite").partitionBy("bucket").parquet(dir)
+    finally prev match {
+      case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    val keptBuckets = kept.select("bucket").distinct()
+      .collect().map(_.getInt(0)).toSet
+    buckets.filterNot(keptBuckets).foreach { b =>
+      val p = java.nio.file.Paths.get(dir, s"bucket=$b")
+      if (java.nio.file.Files.exists(p)) {
+        val walk = java.nio.file.Files.walk(p)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(q => java.nio.file.Files.deleteIfExists(q))
+        finally walk.close()
+      }
+    }
+  }
 
   private val jsonlLines: Seq[String] = Seq(
     """{"host": "web01", "status": 200, "bytes": 512}""",
@@ -917,6 +998,15 @@ object ScanOps {
         |FROM events
         |GROUP BY 1
         |ORDER BY day""".stripMargin,
+
+    "q_maintain_delete" ->
+      """SELECT CAST(user_id % 16 AS INT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+        |FROM events WHERE NOT (user_id % 997 = 13)
+        |GROUP BY 1
+        |ORDER BY bucket""".stripMargin,
 
     "q_maintain_compact" ->
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS n_rows,
