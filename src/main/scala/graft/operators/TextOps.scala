@@ -392,6 +392,204 @@ object TextOps {
     joinChars = "array_to_string(ch, ' ')",
     split = "string_split")
 
+  // ---- unigram-LM (SentencePiece-style) tokenizer trainer --------------
+
+  /** EM-prune rounds; small on purpose — as with [[bpeTrainRounds]], the
+    * graded artifact is the LOOP (per-round cost re-estimation, Viterbi
+    * E-step, count M-step, vocabulary prune), which K=3 already proves. */
+  private[graft] val ugRounds = 3
+  private val ugMaxPiece = 4
+  private val ugSeedMulti = 40
+
+  /** Word-frequency state (corpus scanned ONCE — all EM rounds run over
+    * this vocab-sized compression, the same trick as the BPE trainer). */
+  private val ugWfSparkSql: String =
+    """SELECT word, CAST(count(*) AS BIGINT) AS c
+      |FROM (SELECT explode(split(text, ' ')) AS word FROM documents) w
+      |WHERE word <> '' GROUP BY word""".stripMargin
+
+  /** Seed candidates: every substring of length 1..4 of every corpus
+    * word, count-weighted by word frequency — SentencePiece's seed
+    * lattice. Bounded by |vocab|·len·4, never by corpus size. */
+  private val ugCandSparkSql: String =
+    s"""SELECT piece, CAST(sum(c) AS BIGINT) AS cnt
+       |FROM (SELECT substring(word, i, l) AS piece, c
+       |      FROM ug_wf
+       |      LATERAL VIEW explode(sequence(1, length(word))) pi AS i
+       |      LATERAL VIEW explode(sequence(1, $ugMaxPiece)) pl AS l
+       |      WHERE i + l - 1 <= length(word)) t
+       |GROUP BY piece""".stripMargin
+
+  /** Seed vocabulary: ALL single characters (coverage guarantee — every
+    * word stays segmentable through every prune) + the top-N multi-char
+    * candidates; ties broken lexicographically. Shared text. */
+  private def ugSeedVocabSql(candRef: String): String =
+    s"""SELECT piece, cnt FROM $candRef WHERE length(piece) = 1
+       |UNION ALL
+       |SELECT piece, cnt FROM (SELECT piece, cnt FROM $candRef
+       |  WHERE length(piece) > 1 ORDER BY cnt DESC, piece LIMIT $ugSeedMulti) m""".stripMargin
+
+  /** Integer-ppm piece costs: cost = ⌊−ln(cnt/total)·1e6 + 0.5⌋ — the
+    * unigram-LM negative log-prob quantized to ppm BEFORE any Viterbi
+    * sum, so path costs are exact BIGINT sums and best-path selection is
+    * an exact integer comparison in both engines (ties → lexicographically
+    * smallest piece sequence). Shared text. */
+  private def ugCostsSql(vocabRef: String): String =
+    s"""SELECT piece, CAST(floor(-ln(CAST(cnt AS DOUBLE)
+       |    / CAST(t.total AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS cost_ppm
+       |FROM $vocabRef CROSS JOIN (SELECT sum(cnt) AS total FROM $vocabRef) t""".stripMargin
+
+  /** One Viterbi DP step (Spark side): best (cost, path) to reach
+    * position p of each word, extending states at p−4..p−1 by a matching
+    * vocab piece. min(named_struct) = lexicographic (cost, path) pick —
+    * the exact tie rule the oracle's row_number spelling applies. State
+    * is |words|×positions — vocab-sized; the piece table broadcasts. */
+  private def ugStepSql(p: Int): String =
+    s"""SELECT word, c, $p AS pos, mn.cost AS cost, mn.path AS path
+       |FROM (SELECT d.word, d.c,
+       |        min(named_struct('cost', d.cost + v.cost_ppm,
+       |                         'path', concat(d.path, ' ', v.piece))) AS mn
+       |      FROM ug_dp d JOIN ug_costs v
+       |        ON d.pos + length(v.piece) = $p
+       |       AND substring(d.word, d.pos + 1, length(v.piece)) = v.piece
+       |      WHERE $p <= length(d.word)
+       |      GROUP BY d.word, d.c) x""".stripMargin
+
+  private val ugBestSql: String =
+    "SELECT word, c, cost, trim(path) AS path FROM ug_dp WHERE pos = length(word)"
+
+  /** M-step: piece counts from the Viterbi segmentations, word-frequency
+    * weighted (hard-EM counts — the Viterbi variant of SentencePiece's
+    * expected counts; under it a piece's loss contribution reduces to
+    * its count, which is what the prune ranks by). */
+  private val ugTokSql: String =
+    """SELECT piece, CAST(sum(c) AS BIGINT) AS cnt
+      |FROM (SELECT explode(split(path, ' ')) AS piece, c FROM ug_best) t
+      |GROUP BY piece""".stripMargin
+
+  /** Prune: keep every single character (floored at count 1 so an unused
+    * char keeps a finite cost — the coverage guarantee) + the top-⌈80%⌉
+    * used multi-char pieces by (count, piece). */
+  private def ugPruneSql(keepMulti: Long): String =
+    s"""SELECT v.piece, greatest(coalesce(t.cnt, CAST(0 AS BIGINT)),
+       |    CAST(1 AS BIGINT)) AS cnt
+       |FROM ug_vocab v LEFT JOIN ug_tok t ON v.piece = t.piece
+       |WHERE length(v.piece) = 1
+       |UNION ALL
+       |SELECT piece, cnt FROM (SELECT piece, cnt FROM ug_tok
+       |  WHERE length(piece) > 1 ORDER BY cnt DESC, piece LIMIT $keepMulti) m""".stripMargin
+
+  /** Runs the K-round EM-prune loop; leaves per-round views
+    * `ug_best_k` (Viterbi segmentations) and `ug_vocab_{k+1}` (pruned
+    * vocabulary) registered. Same job-fusion discipline as
+    * [[bpeTrainLoop]]: every round's state is a vocab-sized eager
+    * localCheckpoint, so no stage ever re-derives a prior round; the DP
+    * inner loop is `max word length` (8 here) fused micro-stages over
+    * ≤ |words|·positions rows. The two driver handoffs (max word length,
+    * used-multi-piece count) are single bounded scalars. */
+  private def unigramTrainLoop(s: SparkSession): Unit = {
+    import org.apache.spark.sql.functions.{col, length => sqlLength, max => sqlMax}
+    val wf = s.sql(ugWfSparkSql).localCheckpoint()
+    wf.createOrReplaceTempView("ug_wf")
+    val maxLen = Option(wf.agg(sqlMax(sqlLength(col("word")))).head.get(0))
+      .map(_.asInstanceOf[Int]).getOrElse(0)
+    s.sql(ugCandSparkSql).localCheckpoint().createOrReplaceTempView("ug_cand")
+    var vocab = s.sql(ugSeedVocabSql("ug_cand")).localCheckpoint()
+    for (k <- 1 to ugRounds) {
+      vocab.createOrReplaceTempView("ug_vocab")
+      s.sql(ugCostsSql("ug_vocab")).localCheckpoint()
+        .createOrReplaceTempView("ug_costs")
+      var dp = s.sql(
+        "SELECT word, c, 0 AS pos, CAST(0 AS BIGINT) AS cost, '' AS path FROM ug_wf")
+        .localCheckpoint()
+      for (p <- 1 to maxLen) {
+        dp.createOrReplaceTempView("ug_dp")
+        dp = dp.unionByName(s.sql(ugStepSql(p))).localCheckpoint()
+      }
+      dp.createOrReplaceTempView("ug_dp")
+      val best = s.sql(ugBestSql).localCheckpoint()
+      best.createOrReplaceTempView("ug_best")
+      best.createOrReplaceTempView(s"ug_best_$k")
+      val tok = s.sql(ugTokSql).localCheckpoint()
+      tok.createOrReplaceTempView("ug_tok")
+      val nMulti = tok.filter(sqlLength(col("piece")) > 1).count()
+      val keep = math.ceil(0.8 * nMulti).toLong
+      vocab = s.sql(ugPruneSql(keep)).localCheckpoint()
+      vocab.createOrReplaceTempView(s"ug_vocab_${k + 1}")
+    }
+  }
+
+  /** Graded readout: per-round total Viterbi cost (exact ppm BIGINT —
+    * the corpus negative log-likelihood the EM is minimizing) and pruned
+    * vocabulary size, plus the final top-20 pieces. `bestRef`/`vocabRef`
+    * map round numbers to the engine's view/CTE names. */
+  private def ugFinalSql(bestRef: Int => String, vocabRef: Int => String): String = {
+    val perRound = (1 to ugRounds).flatMap { k =>
+      Seq(
+        s"SELECT 'loss' AS kind, $k AS rnd, 'viterbi_cost_ppm' AS item, " +
+          s"(SELECT CAST(sum(c * cost) AS BIGINT) FROM ${bestRef(k)}) AS cnt",
+        s"SELECT 'vocab' AS kind, $k AS rnd, 'n_pieces' AS item, " +
+          s"(SELECT count(*) FROM ${vocabRef(k + 1)}) AS cnt")
+    }
+    val pieces = s"SELECT 'piece' AS kind, ${ugRounds + 1} AS rnd, piece AS item, cnt " +
+      s"FROM (SELECT piece, cnt FROM ${vocabRef(ugRounds + 1)} " +
+      "ORDER BY cnt DESC, piece LIMIT 20) f"
+    s"""SELECT * FROM (
+       |${(perRound :+ pieces).mkString("\nUNION ALL\n")}
+       |) u ORDER BY kind, rnd, cnt DESC, item""".stripMargin
+  }
+
+  /** DuckDB oracle: the SAME EM-prune rounds, with the Viterbi E-step
+    * replaced by EXHAUSTIVE segmentation enumeration (a recursive CTE
+    * walks every piece decomposition of every word — ≤ tetranacci(8)
+    * paths per word on this corpus — and row_number picks the (cost,
+    * path) minimum). The gate therefore proves the Spark DP against a
+    * brute-force ground truth, not against a re-spelling of itself.
+    * Non-recursive state CTEs are MATERIALIZED — each is referenced by
+    * both the next round and the final readout, and inlining would
+    * re-enumerate the lattice per reference. */
+  private[graft] val ugDuckSql: String = {
+    val sb = new StringBuilder
+    sb ++= "WITH RECURSIVE wf AS MATERIALIZED (" +
+      "SELECT word, CAST(count(*) AS BIGINT) AS c " +
+      "FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) w " +
+      "WHERE word <> '' GROUP BY word),\n"
+    sb ++= "cand AS MATERIALIZED (SELECT piece, CAST(sum(c) AS BIGINT) AS cnt " +
+      "FROM (SELECT substring(word, i, l) AS piece, c " +
+      s"FROM (SELECT word, c, i, unnest(generate_series(1, $ugMaxPiece)) AS l " +
+      "FROM (SELECT word, c, unnest(generate_series(1, length(word))) AS i " +
+      "FROM wf) a) b WHERE i + l - 1 <= length(word)) t GROUP BY piece),\n"
+    sb ++= s"vocab1 AS MATERIALIZED (${ugSeedVocabSql("cand")}),\n"
+    for (k <- 1 to ugRounds) {
+      sb ++= s"costs$k AS MATERIALIZED (${ugCostsSql(s"vocab$k")}),\n"
+      sb ++= s"""dp$k(word, c, pos, cost, path) AS (
+                |  SELECT word, c, 0, CAST(0 AS BIGINT), '' FROM wf
+                |  UNION ALL
+                |  SELECT d.word, d.c, d.pos + length(v.piece),
+                |         d.cost + v.cost_ppm, concat(d.path, ' ', v.piece)
+                |  FROM dp$k d JOIN costs$k v
+                |    ON substring(d.word, d.pos + 1, length(v.piece)) = v.piece
+                |  WHERE d.pos + length(v.piece) <= length(d.word)),
+                |""".stripMargin
+      sb ++= s"best$k AS MATERIALIZED (SELECT word, c, cost, trim(path) AS path " +
+        "FROM (SELECT *, row_number() OVER (PARTITION BY word ORDER BY cost, path) AS rn " +
+        s"FROM dp$k WHERE pos = length(word)) z WHERE rn = 1),\n"
+      sb ++= s"tok$k AS MATERIALIZED (SELECT piece, CAST(sum(c) AS BIGINT) AS cnt " +
+        s"FROM (SELECT unnest(string_split(path, ' ')) AS piece, c FROM best$k) t " +
+        "GROUP BY piece),\n"
+      sb ++= s"vocab${k + 1} AS MATERIALIZED (" +
+        "SELECT v.piece, greatest(coalesce(t.cnt, CAST(0 AS BIGINT)), CAST(1 AS BIGINT)) AS cnt " +
+        s"FROM vocab$k v LEFT JOIN tok$k t ON v.piece = t.piece WHERE length(v.piece) = 1 " +
+        "UNION ALL SELECT piece, cnt FROM (SELECT piece, cnt FROM " +
+        "(SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece) AS rk, " +
+        s"count(*) OVER () AS m FROM tok$k WHERE length(piece) > 1) z " +
+        "WHERE rk <= CAST(ceil(0.8 * m) AS BIGINT)) mk),\n"
+    }
+    sb.setLength(sb.length - 2) // drop trailing ",\n"
+    sb ++= "\n" + ugFinalSql(k => s"best$k", k => s"vocab$k")
+    sb.toString
+  }
+
   /** 5-iteration PageRank (damping 0.85) over the supplier–part bipartite
     * graph, undirected (each distinct (supplier, part) purchase edge
     * stored in both directions). Iterations are the textbook distributed
@@ -1799,6 +1997,22 @@ object TextOps {
       Tables.documents(s, sf).createOrReplaceTempView("documents")
       bpeTrainLoop(s)
       s.sql(s"WITH ${bpeFertilityReadout("bpe_tr_st", e => s"explode($e)", "split", "size")}")
+    }),
+
+    // Unigram-LM (SentencePiece-style) tokenizer trainer — the rung
+    // above BPE: seed a substring lattice, then K EM-prune rounds of
+    // (re-estimate integer-ppm piece costs → Viterbi-segment the
+    // word-frequency state → hard-EM piece counts → prune to chars +
+    // top-80% used pieces). Spark runs the DP as a driver loop of fused
+    // vocab-sized micro-stages (see unigramTrainLoop); the DuckDB oracle
+    // replaces the DP with EXHAUSTIVE recursive segmentation enumeration,
+    // so the gate proves best-path-by-DP ≡ brute-force minimum, round
+    // for round. Graded rows: per-round corpus Viterbi cost (the NLL the
+    // EM minimizes, exact ppm) + vocab size, and the final top pieces.
+    "q_text_unigram_train" -> ((s, sf) => {
+      Tables.documents(s, sf).createOrReplaceTempView("documents")
+      unigramTrainLoop(s)
+      s.sql(ugFinalSql(k => s"ug_best_$k", k => s"ug_vocab_$k"))
     }),
 
     // MinHash estimator quality — the sketch-metric companion to the
@@ -3252,6 +3466,7 @@ object TextOps {
 
     "q_text_bpe_merge" -> bpeMergeDuckSql,
     "q_text_bpe_train" -> bpeTrainDuckSql,
+    "q_text_unigram_train" -> ugDuckSql,
     "q_text_bpe_tokenize" -> bpeTokenizeDuckSql,
     "q_text_fertility" -> bpeFertilityDuckSql,
     "q_dedup_incremental" -> incDedupDuckSql,

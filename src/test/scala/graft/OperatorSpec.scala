@@ -1551,6 +1551,64 @@ class OperatorSpec extends AnyFunSuite with SparkSessionTest
       s"got=$got\nwant=${wantMerges ++ wantSyms}")
   }
 
+  test("unigram-LM trainer (K=3) replays naively in JVM: losses, vocab sizes, pieces") {
+    val docs = Tables.documents(spark, sf0001)
+      .select("text").collect().map(_.getString(0))
+    val wf: Map[String, Long] = docs.flatMap(_.split(" ")).filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    // seed lattice: all substrings of length 1..4, word-frequency weighted
+    val cand = new scala.collection.mutable.HashMap[String, Long]()
+    wf.foreach { case (w, c) =>
+      for (i <- 0 until w.length; l <- 1 to math.min(4, w.length - i)) {
+        val p = w.substring(i, i + l)
+        cand(p) = cand.getOrElse(p, 0L) + c
+      }
+    }
+    var vocab: Map[String, Long] =
+      cand.filter(_._1.length == 1).toMap ++
+        cand.filter(_._1.length > 1).toSeq
+          .sortBy { case (p, c) => (-c, p) }.take(40).toMap
+    val losses = Seq.newBuilder[Long]
+    val sizes = Seq.newBuilder[Long]
+    for (_ <- 1 to 3) {
+      val total = vocab.values.sum
+      val cost: Map[String, Long] = vocab.map { case (p, c) =>
+        p -> math.floor(-math.log(c.toDouble / total.toDouble) * 1e6 + 0.5).toLong
+      }
+      // brute-force every segmentation; best = lexicographic (cost, path)
+      def segs(w: String): Seq[List[String]] =
+        if (w.isEmpty) Seq(Nil)
+        else (1 to math.min(4, w.length)).flatMap { l =>
+          val p = w.substring(0, l)
+          if (cost.contains(p)) segs(w.substring(l)).map(p :: _) else Nil
+        }
+      val best: Map[String, (Long, String)] = wf.keys.map { w =>
+        w -> segs(w).map(s => (s.map(cost).sum, s.mkString(" "))).min
+      }.toMap
+      losses += wf.map { case (w, c) => c * best(w)._1 }.sum
+      val tok = new scala.collection.mutable.HashMap[String, Long]()
+      wf.foreach { case (w, c) =>
+        best(w)._2.split(" ").foreach(p => tok(p) = tok.getOrElse(p, 0L) + c)
+      }
+      val keep = math.ceil(0.8 * tok.count(_._1.length > 1)).toLong
+      vocab = vocab.keys.filter(_.length == 1)
+        .map(p => p -> math.max(tok.getOrElse(p, 0L), 1L)).toMap ++
+        tok.filter(_._1.length > 1).toSeq
+          .sortBy { case (p, c) => (-c, p) }.take(keep.toInt).toMap
+      sizes += vocab.size.toLong
+    }
+    val wantLoss = losses.result().zipWithIndex.map { case (v, i) =>
+      ("loss", i + 1, "viterbi_cost_ppm", v) }
+    val wantPieces = vocab.toSeq.sortBy { case (p, c) => (-c, p) }.take(20)
+      .map { case (p, c) => ("piece", 4, p, c) }
+    val wantVocab = sizes.result().zipWithIndex.map { case (v, i) =>
+      ("vocab", i + 1, "n_pieces", v) }
+    val got = SparkEntry.queries("q_text_unigram_train")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3))).toSeq
+    val want = wantLoss ++ wantPieces ++ wantVocab
+    assert(got == want, s"got=$got\nwant=$want")
+  }
+
   test("per-row quality-score expression == broadcast-join scorer") {
     // the streaming ingest path scores with the literal-map fold
     // (qualityScoreSelectExprs); the graded batch query scores with the
