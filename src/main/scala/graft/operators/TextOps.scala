@@ -2652,7 +2652,8 @@ object TextOps {
       // at registry-build time instead (one scalar off the materialized
       // checkpoint); a corpus past the cap belongs on q_dedup_near_wide's
       // dynamically-sized bitmap encoding.
-      val maxId = dict.agg(max(col("id"))).head.getInt(0)
+      val maxId = Option(dict.agg(max(col("id"))).head.get(0))
+        .map(_.asInstanceOf[Int]).getOrElse(-1) // empty corpus → empty dict
       require(maxId < 256,
         s"q_dedup_incremental: old-half vocabulary has dict id $maxId >= 256 — " +
           "the fixed 4x64-bit signature would silently drop tokens; " +

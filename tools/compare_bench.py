@@ -35,9 +35,17 @@ def main() -> None:
         new_j = json.load(open(new_f))
         cpus = (new_j.get("meta") or {}).get("cpus", 4)
         root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        old_f = os.path.join(root,
-            f"BENCH_full_r10_relock{cpus}_run1.json" if cpus == 4
-            else f"BENCH_full_r10_relock{cpus}_run2.json")
+        # sf-aware default baseline: an artifact whose sf dir ends in
+        # "sf1" gates against the locked 10x-scale rows (round-11), so a
+        # scale-sensitive plan regression is caught by the standing gate
+        # instead of needing a fresh curve pair.
+        sf = str(new_j.get("sf", ""))
+        if sf.rstrip("/").endswith("sf1"):
+            old_f = os.path.join(root, f"BENCH_full_r11_sf1_lock{cpus}.json")
+        else:
+            old_f = os.path.join(root,
+                f"BENCH_full_r10_relock{cpus}_run1.json" if cpus == 4
+                else f"BENCH_full_r10_relock{cpus}_run2.json")
         print(f"(defaulting OLD to locked baseline: {old_f})")
     old_j = json.load(open(old_f))
     old, new = old_j["queries"], new_j["queries"]
