@@ -70,6 +70,45 @@ class TpchSpec extends AnyFunSuite with SparkSessionTest {
     assert(p.contains("LeftAnti"), p)
   }
 
+  test("q4: EXISTS with outer-referencing interval comparison is a semi join") {
+    val p = plan("q_tpch_q4")
+    assertDecorrelated(p)
+    assert(p.contains("LeftSemi"), p)
+  }
+
+  test("q5: 6-way nation-cycle join stays hash/merge, no cartesian") {
+    val p = plan("q_tpch_q5")
+    assertDecorrelated(p)
+  }
+
+  test("q6: all three range filters reach the lineitem scan") {
+    val df = SparkEntry.queries("q_tpch_q6")(spark, sf0001)
+    df.collect()
+    val scan = df.queryExecution.executedPlan.toString
+    // shipdate, discount, and quantity predicates must all be pushed
+    assert(scan.contains("PushedFilters"), scan)
+    Seq("l_shipdate", "l_discount", "l_quantity").foreach { c =>
+      assert(scan.contains(c), s"$c not pushed to scan:\n$scan")
+    }
+  }
+
+  test("q7/q8: double nation alias + conditional share plan without BNLJ") {
+    assertDecorrelated(plan("q_tpch_q7"))
+    assertDecorrelated(plan("q_tpch_q8"))
+  }
+
+  test("q16: NOT IN plans as a null-aware anti join") {
+    val p = plan("q_tpch_q16")
+    assertDecorrelated(p)
+    assert(p.contains("LeftAnti"), p)
+  }
+
+  test("q18: IN over grouped HAVING plans as a semi join") {
+    val p = plan("q_tpch_q18")
+    assertDecorrelated(p)
+    assert(p.contains("LeftSemi"), p)
+  }
+
   test("row sanity at sf0.001: every tpch query returns rows") {
     TpchOps.sqls.keys.foreach { name =>
       val n = SparkEntry.queries(name)(spark, sf0001).count()
