@@ -188,6 +188,84 @@ object EvalOps {
        |  floor(CAST(se AS DOUBLE) / (CAST(n AS DOUBLE) * 1e18) * 1e6 + 0.5) / 1e6 AS brier
        |FROM e""".stripMargin
 
+  // ---- ranking metrics ------------------------------------------------
+  //
+  // Retrieval scenario over the same self-contained classifier: each
+  // language profile is a QUERY ("find documents of lang L"), its
+  // ranking is the held-out docs ordered by profile-hit score (ties by
+  // doc_id), and a retrieved doc is RELEVANT iff its true lang is L.
+  // rk(qlang, rnk, rel, rtot) is the top-20 ranking with per-query
+  // relevant-total — memoized on the Spark side like eval_base, full
+  // chain on the oracle side.
+
+  /** CTE tail extending [[ctes]]'s relations to the ranking base. */
+  private val rankTail: String =
+    """ranked AS (SELECT plang AS qlang, doc_id,
+      |             row_number() OVER (PARTITION BY plang
+      |                                ORDER BY s DESC, doc_id) AS rnk
+      |           FROM hits),
+      |lab AS (SELECT r.qlang, r.rnk,
+      |          CAST(CASE WHEN t.lang = r.qlang THEN 1 ELSE 0 END AS BIGINT) AS rel
+      |        FROM ranked r JOIN tst t ON t.doc_id = r.doc_id
+      |        WHERE r.rnk <= 20),
+      |rtotal AS (SELECT lang AS qlang, CAST(count(*) AS BIGINT) AS rtot
+      |           FROM tst GROUP BY lang),
+      |rk AS (SELECT l.qlang, l.rnk, l.rel, rt.rtot
+      |       FROM lab l JOIN rtotal rt ON rt.qlang = l.qlang)""".stripMargin
+
+  /** Discount-gain lookup: gain(r) = ⌊1e6/log2(r+1)+0.5⌋ as INTEGER
+    * LITERALS — computing log2 at query time would put each engine's
+    * libm in the result; a literal ppm table keeps NDCG exact BIGINT
+    * arithmetic end to end. */
+  private val gainRel: String =
+    """(VALUES (1, 1000000), (2, 630930), (3, 500000), (4, 430677),
+      |        (5, 386853), (6, 356207), (7, 333333), (8, 315465),
+      |        (9, 301030), (10, 289065)) AS g(grnk, gain)""".stripMargin
+
+  /** NDCG@10 per query: DCG = Σ rel·gain over the top 10; ideal DCG =
+    * the gain prefix sum truncated at min(relevant-total, 10). */
+  private def ndcgSql(pre: String, idiv: String): String =
+    s"""WITH $pre
+       |dcg AS (SELECT r.qlang, CAST(sum(r.rel * g.gain) AS BIGINT) AS dcg_ppm
+       |        FROM rk r JOIN $gainRel ON g.grnk = r.rnk
+       |        WHERE r.rnk <= 10 GROUP BY r.qlang),
+       |rt AS (SELECT qlang, max(rtot) AS rtot FROM rk GROUP BY qlang),
+       |idcg AS (SELECT rt.qlang, CAST(sum(g.gain) AS BIGINT) AS idcg_ppm
+       |         FROM rt JOIN $gainRel ON g.grnk <= least(rt.rtot, 10)
+       |         GROUP BY rt.qlang)
+       |SELECT d.qlang, d.dcg_ppm, i.idcg_ppm,
+       |  CAST(d.dcg_ppm * 1000000 $idiv i.idcg_ppm AS BIGINT) AS ndcg_ppm
+       |FROM dcg d JOIN idcg i ON i.qlang = d.qlang
+       |ORDER BY d.qlang""".stripMargin
+
+  /** MRR: reciprocal rank of the first relevant result per query (NULL
+    * when nothing relevant lands in the top 20). */
+  private def mrrSql(pre: String, idiv: String): String =
+    s"""WITH $pre
+       |fr AS (SELECT qlang, min(CASE WHEN rel = 1 THEN rnk END) AS first_rel
+       |       FROM rk GROUP BY qlang)
+       |SELECT qlang, CAST(first_rel AS BIGINT) AS first_rel_rank,
+       |  CAST(CASE WHEN first_rel IS NULL THEN NULL
+       |            ELSE 1000000 $idiv first_rel END AS BIGINT) AS rr_ppm
+       |FROM fr ORDER BY qlang""".stripMargin
+
+  /** AP@20 per query: mean of precision@k over the relevant ranks k,
+    * denominator min(relevant-total, 20); every step is BIGINT ppm. */
+  private def mapSql(pre: String, idiv: String): String =
+    s"""WITH $pre
+       |pk AS (SELECT qlang, rnk, rel, rtot,
+       |         sum(rel) OVER (PARTITION BY qlang ORDER BY rnk) AS cum
+       |       FROM rk),
+       |ap AS (SELECT qlang,
+       |         CAST(sum(CASE WHEN rel = 1
+       |                       THEN cum * 1000000 $idiv rnk
+       |                       ELSE 0 END) AS BIGINT) AS sum_prec_ppm,
+       |         max(rtot) AS rtot
+       |       FROM pk GROUP BY qlang)
+       |SELECT qlang, sum_prec_ppm,
+       |  CAST(sum_prec_ppm $idiv least(rtot, 20) AS BIGINT) AS ap_ppm
+       |FROM ap ORDER BY qlang""".stripMargin
+
   // ---- dialect bindings ----------------------------------------------
 
   private val duckPre: String = ctes(
@@ -233,13 +311,48 @@ object EvalOps {
     s.sql(sql)
   }
 
+  /** Spark WITH prefix for the ranking metrics: one view over the
+    * checkpointed rank base. */
+  private val sparkRankPre: String =
+    "rk AS (SELECT qlang, rnk, rel, rtot FROM rank_base),"
+
+  /** Oracle WITH prefix: the full chain, classifier CTEs + rank tail. */
+  private val duckRankPre: String = duckPre + rankTail + ","
+
+  /** Build (once per session+sf) the top-20 ranking base and checkpoint
+    * it — the eval_base discipline: corpus-sized trigram work paid once,
+    * the three ranking metrics then reduce ≤ 20·|langs| rows. */
+  private val rankMemo = scala.collection.concurrent.TrieMap[String, DataFrame]()
+  private def rankBase(s: SparkSession, sf: String): DataFrame =
+    rankMemo.getOrElseUpdate(s.sparkContext.applicationId + "|" + sf, {
+      Tables.documentsPar(s, sf).createOrReplaceTempView("documents")
+      graft.functions.GraftFunctions.register(s)
+      val full = ctes(
+        grams = "array_distinct(char_ngrams(lower(text), 3))",
+        un = "explode(gs)",
+        train = "pmod(doc_id, 4) = 0",
+        test = "pmod(doc_id, 4) <> 0",
+        testT = "pmod(t.doc_id, 4) <> 0",
+        bc = "/*+ BROADCAST(p) */") + "," + rankTail
+      s.sql(s"WITH $full SELECT qlang, rnk, rel, rtot FROM rk")
+        .localCheckpoint()
+    })
+
+  private def runRank(s: SparkSession, sf: String, sql: String): DataFrame = {
+    rankBase(s, sf).createOrReplaceTempView("rank_base")
+    s.sql(sql)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_eval_confusion" -> ((s, sf) => run(s, sf, confusionSql(sparkPre))),
     "q_eval_prf" -> ((s, sf) => run(s, sf, prfSql(sparkPre, "DIV"))),
     "q_eval_kappa" -> ((s, sf) => run(s, sf, kappaSql(sparkPre, "DIV"))),
     "q_eval_auc" -> ((s, sf) => run(s, sf, aucSql(sparkPre, "DIV"))),
     "q_eval_calibration" -> ((s, sf) => run(s, sf, calibrationSql(sparkPre, "DIV"))),
-    "q_eval_brier" -> ((s, sf) => run(s, sf, brierSql(sparkPre, "DIV"))))
+    "q_eval_brier" -> ((s, sf) => run(s, sf, brierSql(sparkPre, "DIV"))),
+    "q_eval_ndcg" -> ((s, sf) => runRank(s, sf, ndcgSql(sparkRankPre, "DIV"))),
+    "q_eval_mrr" -> ((s, sf) => runRank(s, sf, mrrSql(sparkRankPre, "DIV"))),
+    "q_eval_map" -> ((s, sf) => runRank(s, sf, mapSql(sparkRankPre, "DIV"))))
 
   def oracle: Map[String, String] = Map(
     "q_eval_confusion" -> confusionSql(duckPre),
@@ -247,5 +360,8 @@ object EvalOps {
     "q_eval_kappa" -> kappaSql(duckPre, "//"),
     "q_eval_auc" -> aucSql(duckPre, "//"),
     "q_eval_calibration" -> calibrationSql(duckPre, "//"),
-    "q_eval_brier" -> brierSql(duckPre, "//"))
+    "q_eval_brier" -> brierSql(duckPre, "//"),
+    "q_eval_ndcg" -> ndcgSql(duckRankPre, "//"),
+    "q_eval_mrr" -> mrrSql(duckRankPre, "//"),
+    "q_eval_map" -> mapSql(duckRankPre, "//"))
 }

@@ -654,8 +654,90 @@ object ScanOps {
         .agg(count(lit(1)).as("n_errors"),
           sum(col("value").cast(DecimalType(30, 6))).cast(DoubleType).as("sum_value"))
         .orderBy("day")
+    }),
+
+    // CDC MERGE (upsert/delete batch) as a partition-pruned rewrite — the
+    // lake-maintenance request right after keyed delete: apply a change
+    // batch {D, U, I} to a bucket-partitioned snapshot, rewriting only the
+    // buckets the batch touches. The batch is derived deterministically
+    // from the corpus: deletes event_id%211=5; updates event_id%209=3
+    // reassign the owner (user_id+1000000 — integer-exact, so every
+    // double in the readout stays a RAW corpus value in the proven
+    // cross-engine cast class), delete wins on D∩U overlap; inserts clone
+    // event_id%213=7 under new key event_id+1e12 (+1e12 ≡ 0 mod 16, so an
+    // insert lands in its source row's bucket). See [[keyedMerge]];
+    // MaintainMergeSpec proves from file listings that untouched buckets
+    // keep their original files. Oracle = the logical MERGE spelled
+    // relationally over the raw corpus, so the gate proves file-level
+    // rewrite ≡ logical merge.
+    "q_maintain_merge" -> ((s, sf) => {
+      val dir = rtDir(s, "graft_merge_rt", sf)
+      val mSchema = StructType(Seq(
+        StructField("event_id", LongType), StructField("user_id", LongType),
+        StructField("value", DoubleType), StructField("bucket", IntegerType)))
+      Tables.events(s, sf)
+        .select(col("event_id"), col("user_id"), col("value"),
+          pmod(col("event_id"), lit(16)).cast("int").as("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(dir)
+      val src = Tables.events(s, sf)
+      val cdc = src.filter(col("event_id") % 211 === 5)
+        .select(lit("D").as("op"), col("event_id"), col("user_id"),
+          col("value"))
+        .unionAll(src.filter(col("event_id") % 209 === 3 &&
+            !(col("event_id") % 211 === 5))
+          .select(lit("U").as("op"), col("event_id"),
+            (col("user_id") + 1000000L).as("user_id"), col("value")))
+        .unionAll(src.filter(col("event_id") % 213 === 7)
+          .select(lit("I").as("op"),
+            (col("event_id") + 1000000000000L).as("event_id"),
+            col("user_id"), col("value")))
+        .withColumn("bucket", pmod(col("event_id"), lit(16)).cast("int"))
+      keyedMerge(s, dir, mSchema, cdc)
+      s.read.schema(mSchema).parquet(dir)
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(col("value").cast(DecimalType(30, 6))).cast(DoubleType).as("sum_value"))
+        .orderBy("bucket")
+    }),
+
+    // SCD2 (type-2 slowly-changing dimension) rebuild from a change log:
+    // collapse each user's event stream into attribute VERSIONS — a new
+    // version opens when `event_type` differs from the previous event
+    // (lag), closes when the next change arrives (lead over the
+    // change-rows only), and the open version per user is current. One
+    // shared SQL text runs in both engines; change ordering is by
+    // event_id (the ingestion sequence) alone — ts carries nanosecond
+    // precision that the two engines truncate differently, so it can't
+    // participate in a cross-engine tie rule (the q_win_ohlc lesson).
+    // Scale shape: one window shuffle on user_id, then a versions-sized
+    // aggregate.
+    "q_maintain_scd2" -> ((s, sf) => {
+      Tables.events(s, sf).createOrReplaceTempView("events")
+      s.sql(scd2Sql("DIV"))
     })
   )
+
+  /** Shared SCD2 text, `idiv` = the engine's integer-division spelling
+    * (Spark `DIV`, DuckDB `//`). Everything is integer counting; the one
+    * ratio is exact ppm integer division. */
+  private def scd2Sql(idiv: String): String =
+    s"""WITH chg AS (
+       |  SELECT user_id, ts, event_id, event_type AS status,
+       |    lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_status
+       |  FROM events),
+       |ver AS (
+       |  SELECT user_id, status,
+       |    lead(ts) OVER (PARTITION BY user_id ORDER BY event_id) AS valid_to
+       |  FROM chg
+       |  WHERE prev_status IS NULL OR prev_status <> status)
+       |SELECT status,
+       |  CAST(count(*) AS BIGINT) AS n_versions,
+       |  CAST(count(CASE WHEN valid_to IS NULL THEN 1 END) AS BIGINT) AS n_current,
+       |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       |  CAST(count(*) * 1000000 $idiv count(DISTINCT user_id) AS BIGINT)
+       |    AS versions_per_user_ppm
+       |FROM ver GROUP BY status ORDER BY status""".stripMargin
 
   /** Mixed-format ingest fixture: RFC 3164 (with and without PRI),
     * RFC 5424 (structured data, nil fields), a stack trace whose
@@ -815,16 +897,28 @@ object ScanOps {
       .filter(col("bucket").isin(buckets: _*))
       .filter(!col("user_id").isin(keys: _*))
       .localCheckpoint()
+    rewriteBuckets(s, dir, buckets, kept)
+  }
+
+  /** Shared tail of the partition-pruned rewrite ops ([[keyedDelete]],
+    * [[keyedMerge]]): dynamic-mode overwrite of exactly the partitions
+    * present in `rows` (which must already be materialized — a directory
+    * sink can't be its own source), then explicit removal of any touched
+    * bucket whose every row disappeared (dynamic overwrite writes nothing
+    * for it, leaving stale files). The per-bucket presence set is ≤
+    * nBuckets rows — bounded driver handoff. */
+  private def rewriteBuckets(s: SparkSession, dir: String,
+                             touched: Seq[Int], rows: DataFrame): Unit = {
     val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try kept.write.mode("overwrite").partitionBy("bucket").parquet(dir)
+    try rows.write.mode("overwrite").partitionBy("bucket").parquet(dir)
     finally prev match {
       case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
       case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
-    val keptBuckets = kept.select("bucket").distinct()
+    val present = rows.select("bucket").distinct()
       .collect().map(_.getInt(0)).toSet
-    buckets.filterNot(keptBuckets).foreach { b =>
+    touched.filterNot(present).foreach { b =>
       val p = java.nio.file.Paths.get(dir, s"bucket=$b")
       if (java.nio.file.Files.exists(p)) {
         val walk = java.nio.file.Files.walk(p)
@@ -833,6 +927,39 @@ object ScanOps {
         finally walk.close()
       }
     }
+  }
+
+  /** CDC MERGE over a bucket-partitioned parquet table: apply one change
+    * batch — rows tagged `op` 'D' (delete this `event_id`), 'U' (replace
+    * the row for this `event_id` with this image) or 'I' (insert a new
+    * key) — rewriting ONLY the bucket partitions the batch touches.
+    *
+    * Unlike [[keyedDelete]] (whose key list is an inherently driver-sized
+    * erasure request), a CDC batch is corpus-scale data, so it stays
+    * distributed end to end: base rows of the touched buckets are read
+    * through a partition-PRUNED scan, D∪U keys drop their old rows via a
+    * distributed left-anti join (a 'U' replaces, so its old image goes),
+    * and the U∪I images union back in. The only driver handoff is the
+    * ≤nBuckets touched-bucket list. At 100 TB the cost is proportional to
+    * touched buckets, and within a bucket to base+batch — never the full
+    * table; a manifest-backed lake (Iceberg/Delta) would write the same
+    * files and commit a pointer swap instead of the directory overwrite. */
+  def keyedMerge(s: SparkSession, dir: String, schema: StructType,
+                 cdc: DataFrame): Unit = {
+    // one deterministic snapshot of the batch: the bucket list, the
+    // anti-join keys and the inserted images must all agree
+    val batch = cdc.localCheckpoint()
+    val buckets = batch.select("bucket").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    if (buckets.isEmpty) return
+    val baseKept = s.read.schema(schema).parquet(dir)
+      .filter(col("bucket").isin(buckets: _*))
+      .join(batch.filter(col("op").isin("D", "U")).select("event_id"),
+        Seq("event_id"), "left_anti")
+    val images = batch.filter(col("op").isin("U", "I"))
+      .select("event_id", "user_id", "value", "bucket")
+    val merged = baseKept.unionByName(images).localCheckpoint()
+    rewriteBuckets(s, dir, buckets, merged)
   }
 
   private val jsonlLines: Seq[String] = Seq(
@@ -1007,6 +1134,27 @@ object ScanOps {
         |FROM events WHERE NOT (user_id % 997 = 13)
         |GROUP BY 1
         |ORDER BY bucket""".stripMargin,
+
+    // the logical MERGE the file-level rewrite must equal: kept base rows
+    // (deletes out, update images substituted) union the inserted clones
+    "q_maintain_merge" ->
+      """WITH base AS (SELECT event_id, user_id, value,
+        |                CAST(event_id % 16 AS INT) AS bucket FROM events),
+        |merged AS (
+        |  SELECT event_id,
+        |    CASE WHEN event_id % 209 = 3 THEN user_id + 1000000
+        |         ELSE user_id END AS user_id,
+        |    value, bucket
+        |  FROM base WHERE NOT (event_id % 211 = 5)
+        |  UNION ALL
+        |  SELECT event_id + 1000000000000, user_id, value, bucket
+        |  FROM base WHERE event_id % 213 = 7)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+        |FROM merged GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "q_maintain_scd2" -> scd2Sql("//"),
 
     "q_maintain_compact" ->
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS n_rows,
