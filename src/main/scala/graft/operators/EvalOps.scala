@@ -266,6 +266,75 @@ object EvalOps {
        |  CAST(sum_prec_ppm $idiv least(rtot, 20) AS BIGINT) AS ap_ppm
        |FROM ap ORDER BY qlang""".stripMargin
 
+  // ---- corpus BLEU ------------------------------------------------------
+  //
+  // BLEU-2 between deterministically paired documents (candidate = each
+  // odd doc_id, reference = its predecessor): as with the classifier
+  // metrics above, the pairing is intentionally artificial — what the
+  // query grades is the BLEU MATH (clipped n-gram precision, brevity
+  // penalty, geometric mean) as exact integer/quantized arithmetic.
+  // Clipped matches and totals are BIGINT counts; p_n is ppm integer
+  // division; the geometric mean is sqrt (IEEE-correctly-rounded,
+  // engine-identical — no libm log chain); the brevity penalty is the
+  // ONE libm call (exp), floor-quantized to ppm before use.
+
+  /** (pair_id, side, n, gram) fan-out; `un`/`split`/`pairs` are the
+    * engine's explode / string-split / adjacent-bigram spellings. */
+  private def bleuGramSql(un: String => String, split: String,
+                          pairs: String => String): String = {
+    def side(txt: String, tag: String): String =
+      s"""SELECT pair_id, '$tag' AS side, 1 AS n, ${un(s"$split($txt, ' ')")} AS g
+         |FROM prs
+         |UNION ALL
+         |SELECT pair_id, '$tag' AS side, 2 AS n, ${un(pairs(s"$split($txt, ' ')"))} AS g
+         |FROM prs""".stripMargin
+    s"""WITH prs AS (SELECT c.doc_id AS pair_id, c.text AS ctext, r.text AS rtext
+       |             FROM documents c JOIN documents r ON r.doc_id = c.doc_id - 1
+       |             WHERE c.doc_id % 2 = 1
+       |               AND length(c.text) > 0 AND length(r.text) > 0)
+       |${side("ctext", "c")}
+       |UNION ALL
+       |${side("rtext", "r")}""".stripMargin
+  }
+
+  /** Shared scoring text over the gram relation `ref(pair_id, side, n, g)`;
+    * every division is guarded for the empty corpus (ANSI DIV-by-zero). */
+  private def bleuRestSql(ref: String, idiv: String): String =
+    s"""WITH cc AS (SELECT pair_id, n, g, CAST(count(*) AS BIGINT) AS c
+       |            FROM $ref WHERE side = 'c' GROUP BY pair_id, n, g),
+       |rc AS (SELECT pair_id, n, g, CAST(count(*) AS BIGINT) AS c
+       |       FROM $ref WHERE side = 'r' GROUP BY pair_id, n, g),
+       |m AS (SELECT cc.n, CAST(sum(least(cc.c, rc.c)) AS BIGINT) AS matched
+       |      FROM cc JOIN rc ON rc.pair_id = cc.pair_id
+       |                     AND rc.n = cc.n AND rc.g = cc.g
+       |      GROUP BY cc.n),
+       |tot AS (SELECT n, CAST(sum(c) AS BIGINT) AS total FROM cc GROUP BY n),
+       |agg AS (SELECT
+       |    (SELECT matched FROM m WHERE n = 1) AS m1,
+       |    (SELECT total FROM tot WHERE n = 1) AS t1,
+       |    (SELECT matched FROM m WHERE n = 2) AS m2,
+       |    (SELECT total FROM tot WHERE n = 2) AS t2,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM $ref
+       |     WHERE side = 'c' AND n = 1) AS clen,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM $ref
+       |     WHERE side = 'r' AND n = 1) AS rlen),
+       |fin AS (SELECT m1, t1, m2, t2, clen, rlen,
+       |    CASE WHEN t1 IS NULL OR t1 = 0 THEN CAST(NULL AS BIGINT)
+       |         ELSE CAST(m1 * 1000000 $idiv t1 AS BIGINT) END AS p1_ppm,
+       |    CASE WHEN t2 IS NULL OR t2 = 0 THEN CAST(NULL AS BIGINT)
+       |         ELSE CAST(m2 * 1000000 $idiv t2 AS BIGINT) END AS p2_ppm,
+       |    CASE WHEN clen IS NULL OR clen = 0 THEN CAST(NULL AS BIGINT)
+       |         WHEN clen >= rlen THEN CAST(1000000 AS BIGINT)
+       |         ELSE CAST(floor(exp(1.0 - CAST(rlen AS DOUBLE)
+       |                                   / CAST(clen AS DOUBLE)) * 1e6 + 0.5)
+       |              AS BIGINT) END AS bp_ppm
+       |  FROM agg)
+       |SELECT m1, t1, m2, t2, clen, rlen, p1_ppm, p2_ppm, bp_ppm,
+       |  CAST(floor(CAST(bp_ppm AS DOUBLE) / 1e6
+       |             * sqrt(CAST(p1_ppm AS DOUBLE) * CAST(p2_ppm AS DOUBLE))
+       |             + 0.5) AS BIGINT) AS bleu_ppm
+       |FROM fin""".stripMargin
+
   // ---- dialect bindings ----------------------------------------------
 
   private val duckPre: String = ctes(
@@ -352,7 +421,19 @@ object EvalOps {
     "q_eval_brier" -> ((s, sf) => run(s, sf, brierSql(sparkPre, "DIV"))),
     "q_eval_ndcg" -> ((s, sf) => runRank(s, sf, ndcgSql(sparkRankPre, "DIV"))),
     "q_eval_mrr" -> ((s, sf) => runRank(s, sf, mrrSql(sparkRankPre, "DIV"))),
-    "q_eval_map" -> ((s, sf) => runRank(s, sf, mapSql(sparkRankPre, "DIV"))))
+    "q_eval_map" -> ((s, sf) => runRank(s, sf, mapSql(sparkRankPre, "DIV"))),
+    // the gram fan-out feeds cc/rc/lens — materialize it once (the
+    // multi-referenced-CTE discipline; Catalyst would inline it 4×)
+    "q_eval_bleu" -> ((s, sf) => {
+      Tables.documents(s, sf).createOrReplaceTempView("documents")
+      s.sql(bleuGramSql(
+        un = e => s"explode($e)", split = "split",
+        pairs = t => s"zip_with(slice($t, 1, size($t) - 1), " +
+          s"slice($t, 2, size($t) - 1), (x, y) -> concat(x, ' ', y))"))
+        .localCheckpoint()
+        .createOrReplaceTempView("bleu_g")
+      s.sql(bleuRestSql("bleu_g", "DIV"))
+    }))
 
   def oracle: Map[String, String] = Map(
     "q_eval_confusion" -> confusionSql(duckPre),
@@ -363,5 +444,11 @@ object EvalOps {
     "q_eval_brier" -> brierSql(duckPre, "//"),
     "q_eval_ndcg" -> ndcgSql(duckRankPre, "//"),
     "q_eval_mrr" -> mrrSql(duckRankPre, "//"),
-    "q_eval_map" -> mapSql(duckRankPre, "//"))
+    "q_eval_map" -> mapSql(duckRankPre, "//"),
+    "q_eval_bleu" -> bleuRestSql(
+      "(" + bleuGramSql(
+        un = e => s"unnest($e)", split = "string_split",
+        pairs = t => s"list_transform(list_zip($t[1:len($t)-1], $t[2:len($t)]), " +
+          s"z -> concat(z[1], ' ', z[2]))") + ") bleu_g",
+      "//"))
 }

@@ -538,12 +538,92 @@ object PipelineOps {
        |FROM c2 CROSS JOIN c3
        |ORDER BY 1""".stripMargin
 
+  // ---- DSIR importance resampling ---------------------------------------
+  //
+  // Data Selection with Importance Resampling (Xie et al. 2023, public):
+  // score every candidate document by how much more likely its hashed
+  // n-gram features are under a TARGET domain than under the raw pool,
+  // then keep the top-scoring docs. Target sample = doc_id % 10 = 0;
+  // candidates = the rest. Features = word bigrams hashed into 64
+  // buckets (md5 — the engine-portable hash, see the header note).
+  //
+  // Exactness: the per-bucket log-likelihood ratio
+  //   λ_b = ln( (tc_b+1)(R+64) / ((rc_b+1)(T+64)) )   (Laplace smoothing)
+  // is ONE double ln of an exactly-representable rational (all operands
+  // are BIGINT counts; the products stay < 2^53 at every tested SF),
+  // floor-quantized to ppm BEFORE any sum — the unigram-trainer
+  // discipline, so each doc's score Σ n_b·λ_b is exact BIGINT.
+  //
+  // Scale shape: the bigram fan-out is the big relation — on the Spark
+  // side it is materialized ONCE via localCheckpoint (it feeds the
+  // target counts, the pool counts, and the per-doc scores; Catalyst
+  // would inline the 3-way-referenced CTE and explode the corpus three
+  // times — the q_text_contamination lesson). λ is a 64-row relation
+  // that broadcasts; scoring is one map-side-combinable aggregate.
+  // Docs with < 2 tokens have no features and drop out of the pool.
+
+  /** Bucketed-bigram fan-out, Spark spelling (DuckDB twin inlined in the
+    * oracle below): b = first-8-hex of md5(bigram) mod 64. */
+  private[graft] val dsirBgSparkSql: String =
+    """SELECT doc_id, lang,
+      |  CAST(conv(substring(md5(pair), 1, 8), 16, 10) AS BIGINT) % 64 AS b
+      |FROM (SELECT doc_id, lang,
+      |        explode(zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),
+      |                         (x, y) -> concat(x, ' ', y))) AS pair
+      |      FROM (SELECT doc_id, lang, split(text, ' ') AS t FROM documents
+      |            WHERE length(text) > 0) d) p""".stripMargin
+
+  private[graft] val dsirBgDuckSql: String =
+    """SELECT doc_id, lang,
+      |  CAST(CAST(concat('0x', substring(md5(pair), 1, 8)) AS BIGINT) % 64 AS BIGINT) AS b
+      |FROM (SELECT doc_id, lang,
+      |        unnest(list_transform(list_zip(t[1:len(t)-1], t[2:len(t)]),
+      |                              z -> concat(z[1], ' ', z[2]))) AS pair
+      |      FROM (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+      |            WHERE length(text) > 0) d) p""".stripMargin
+
+  /** Shared scoring/selection text over the bucketed-bigram relation
+    * `bgRef(doc_id, lang, b)`: smoothed per-bucket log-ratios, exact
+    * BIGINT doc scores, top-50 candidates by (score, doc_id). */
+  private[graft] def dsirRestSql(bgRef: String, pre: String = ""): String =
+    s"""WITH ${pre}tgt AS (SELECT b, CAST(count(*) AS BIGINT) AS tc
+       |            FROM $bgRef WHERE doc_id % 10 = 0 GROUP BY b),
+       |raw AS (SELECT b, CAST(count(*) AS BIGINT) AS rc
+       |        FROM $bgRef WHERE doc_id % 10 <> 0 GROUP BY b),
+       |tot AS (SELECT (SELECT CAST(coalesce(sum(tc), 0) AS BIGINT) FROM tgt) AS tt,
+       |               (SELECT CAST(coalesce(sum(rc), 0) AS BIGINT) FROM raw) AS rt),
+       |lam AS (SELECT bs.b,
+       |          CAST(floor(ln(
+       |            (CAST((coalesce(t.tc, 0) + 1) * (tot.rt + 64) AS DOUBLE))
+       |            / (CAST((coalesce(r.rc, 0) + 1) * (tot.tt + 64) AS DOUBLE))
+       |          ) * 1e6 + 0.5) AS BIGINT) AS lam_ppm
+       |        FROM (SELECT DISTINCT b FROM $bgRef) bs
+       |        LEFT JOIN tgt t ON t.b = bs.b
+       |        LEFT JOIN raw r ON r.b = bs.b
+       |        CROSS JOIN tot),
+       |sc AS (SELECT g.doc_id, min(g.lang) AS lang,
+       |         CAST(sum(l.lam_ppm) AS BIGINT) AS score_ppm
+       |       FROM $bgRef g JOIN lam l ON l.b = g.b
+       |       WHERE g.doc_id % 10 <> 0
+       |       GROUP BY g.doc_id)
+       |SELECT rnk, doc_id, lang, score_ppm FROM (
+       |  SELECT doc_id, lang, score_ppm,
+       |    row_number() OVER (ORDER BY score_ppm DESC, doc_id) AS rnk
+       |  FROM sc) r
+       |WHERE rnk <= 50 ORDER BY rnk""".stripMargin
+
   private def run(s: SparkSession, sf: String, sql: String): DataFrame = {
     Tables.documents(s, sf).createOrReplaceTempView("documents")
     s.sql(sql)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pipeline_dsir" -> ((s, sf) => {
+      Tables.documents(s, sf).createOrReplaceTempView("documents")
+      s.sql(dsirBgSparkSql).localCheckpoint()
+        .createOrReplaceTempView("dsir_bg")
+      s.sql(dsirRestSql("dsir_bg"))
+    }),
     "q_pipeline_split" -> ((s, sf) => run(s, sf, splitSql("STRING"))),
     "q_text_contamination" -> ((s, sf) => {
       Tables.documents(s, sf).createOrReplaceTempView("documents")
@@ -663,6 +743,8 @@ object PipelineOps {
        |FROM r ORDER BY source""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_pipeline_dsir" ->
+      dsirRestSql("bg", pre = s"bg AS (\n$dsirBgDuckSql),\n"),
     "q_pipeline_temperature_mix" -> temperatureMixSql(idiv = "//"),
     "q_pipeline_split" -> splitSql("VARCHAR"),
     "q_text_contamination" -> contaminationDuckSql,
