@@ -442,7 +442,34 @@ object TpchOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     sqls.map { case (name, sql) =>
       name -> ((s: SparkSession, sf: String) => { registerAll(s, sf); s.sql(sql) })
-    }
+    } + ("q_tpch_q11" -> q11Spark _)
+
+  /** Q11, Spark plan: the one-shot text references `val` three times
+    * (rows, the count scalar, the sum scalar) and Catalyst inlines CTEs —
+    * measured as lineitem scanned 3× and the 4-way join+aggregate run 3×
+    * (12 parquet scans, zero exchange reuse). At 100 TB that is three
+    * passes over the fact table for one query. So the Spark side
+    * materializes the per-part value relation ONCE (localCheckpoint — the
+    * bootstrap-CI discipline) and derives rows + both scalars from it;
+    * the DuckDB oracle keeps the one-shot [[q11Sql]] text, so the driver
+    * gate proves materialized ≡ one-shot. */
+  private def q11Spark(s: SparkSession, sf: String): DataFrame = {
+    registerAll(s, sf)
+    s.sql(
+      """SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(30,4))) AS v
+        |FROM lineitem, supplier, nation, region
+        |WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        |  AND n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |GROUP BY l_partkey""".stripMargin)
+      .localCheckpoint()
+      .createOrReplaceTempView("q11_val")
+    s.sql(
+      """SELECT l_partkey, CAST(v AS DOUBLE) AS part_value
+        |FROM q11_val
+        |WHERE v * (SELECT count(*) FROM q11_val)
+        |      > 2 * (SELECT sum(v) FROM q11_val)
+        |ORDER BY part_value DESC, l_partkey""".stripMargin)
+  }
 
   val oracle: Map[String, String] = sqls
 }

@@ -97,6 +97,16 @@ class TpchSpec extends AnyFunSuite with SparkSessionTest {
     assertDecorrelated(plan("q_tpch_q8"))
   }
 
+  test("q11: value relation is materialized once, not re-scanned per scalar") {
+    val df = SparkEntry.queries("q_tpch_q11")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // rows + count scalar + sum scalar must all read the checkpointed
+    // relation — the one-shot text's 3x-inlined CTE scanned lineitem 3x
+    assert(!p.contains("Scan parquet"), s"parquet scan leaked into q11:\n$p")
+    assert("LocalTableScan|Scan ExistingRDD".r.findFirstIn(p).isDefined, p)
+  }
+
   test("q16: NOT IN plans as a null-aware anti join") {
     val p = plan("q_tpch_q16")
     assertDecorrelated(p)
