@@ -36,16 +36,16 @@ def main() -> None:
         cpus = (new_j.get("meta") or {}).get("cpus", 4)
         root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         # sf-aware default baseline: an artifact whose sf dir ends in
-        # "sf1" gates against the locked 10x-scale rows (round-11), so a
+        # "sf1" gates against the locked 10x-scale rows (round-12 — the
+        # round-11 notes claimed r11 sf1 locks but none were ever
+        # committed; the r12 locks are the first real ones), so a
         # scale-sensitive plan regression is caught by the standing gate
         # instead of needing a fresh curve pair.
         sf = str(new_j.get("sf", ""))
         if sf.rstrip("/").endswith("sf1"):
-            old_f = os.path.join(root, f"BENCH_full_r11_sf1_lock{cpus}.json")
+            old_f = os.path.join(root, f"BENCH_full_r12_sf1_lock{cpus}.json")
         else:
-            old_f = os.path.join(root,
-                f"BENCH_full_r10_relock{cpus}_run1.json" if cpus == 4
-                else f"BENCH_full_r10_relock{cpus}_run2.json")
+            old_f = os.path.join(root, f"BENCH_full_r12_lock{cpus}_run1.json")
         print(f"(defaulting OLD to locked baseline: {old_f})")
     old_j = json.load(open(old_f))
     old, new = old_j["queries"], new_j["queries"]
