@@ -123,6 +123,7 @@ object Bench {
     val writeClass = Seq("q_join_bucketed", "q_mm_ingest_binary",
       "q_part_dpp", "q_maintain_compact", "q_maintain_vacuum",
       "q_maintain_cluster", "q_maintain_cluster_z", "q_maintain_snapshot",
+      "q_maintain_delete", "q_maintain_merge",
       "q_sink_partitioned",
       "q_ingest_orc", "q_scan_merge_schema", "q_ingest_syslog_rotated")
       .filter(SparkEntry.queries.contains)

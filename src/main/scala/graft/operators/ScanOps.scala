@@ -672,27 +672,10 @@ object ScanOps {
     // rewrite ≡ logical merge.
     "q_maintain_merge" -> ((s, sf) => {
       val dir = rtDir(s, "graft_merge_rt", sf)
-      val mSchema = StructType(Seq(
-        StructField("event_id", LongType), StructField("user_id", LongType),
-        StructField("value", DoubleType), StructField("bucket", IntegerType)))
-      Tables.events(s, sf)
-        .select(col("event_id"), col("user_id"), col("value"),
-          pmod(col("event_id"), lit(16)).cast("int").as("bucket"))
+      val mSchema = mergeTableSchema
+      eventsSnapshot(s, sf)
         .write.mode("overwrite").partitionBy("bucket").parquet(dir)
-      val src = Tables.events(s, sf)
-      val cdc = src.filter(col("event_id") % 211 === 5)
-        .select(lit("D").as("op"), col("event_id"), col("user_id"),
-          col("value"))
-        .unionAll(src.filter(col("event_id") % 209 === 3 &&
-            !(col("event_id") % 211 === 5))
-          .select(lit("U").as("op"), col("event_id"),
-            (col("user_id") + 1000000L).as("user_id"), col("value")))
-        .unionAll(src.filter(col("event_id") % 213 === 7)
-          .select(lit("I").as("op"),
-            (col("event_id") + 1000000000000L).as("event_id"),
-            col("user_id"), col("value")))
-        .withColumn("bucket", pmod(col("event_id"), lit(16)).cast("int"))
-      keyedMerge(s, dir, mSchema, cdc)
+      keyedMerge(s, dir, mSchema, eventsCdc(s, sf))
       s.read.schema(mSchema).parquet(dir)
         .groupBy("bucket")
         .agg(count(lit(1)).as("n_rows"),
@@ -937,13 +920,49 @@ object ScanOps {
     * Unlike [[keyedDelete]] (whose key list is an inherently driver-sized
     * erasure request), a CDC batch is corpus-scale data, so it stays
     * distributed end to end: base rows of the touched buckets are read
-    * through a partition-PRUNED scan, D∪U keys drop their old rows via a
-    * distributed left-anti join (a 'U' replaces, so its old image goes),
+    * through a partition-PRUNED scan, every batch key drops its old row
+    * via a distributed left-anti join (a 'U' replaces; an existing 'I'
+    * key is upserted — idempotent under at-least-once redelivery),
     * and the U∪I images union back in. The only driver handoff is the
     * ≤nBuckets touched-bucket list. At 100 TB the cost is proportional to
     * touched buckets, and within a bucket to base+batch — never the full
     * table; a manifest-backed lake (Iceberg/Delta) would write the same
     * files and commit a pointer swap instead of the directory overwrite. */
+  /** Schema of the bucket-partitioned table the keyed rewrite ops
+    * (delete / merge / streaming CDC loop) operate on. */
+  val mergeTableSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("user_id", LongType),
+    StructField("value", DoubleType), StructField("bucket", IntegerType)))
+
+  /** Events snapshot in the bucket-partitioned serving layout
+    * (bucket = event_id mod 16 — the 100 TB-ready keyed-rewrite layout). */
+  private[graft] def eventsSnapshot(s: SparkSession, sf: String): DataFrame =
+    Tables.events(s, sf)
+      .select(col("event_id"), col("user_id"), col("value"),
+        pmod(col("event_id"), lit(16)).cast("int").as("bucket"))
+
+  /** The deterministic corpus-derived CDC batch q_maintain_merge and the
+    * StreamParity cdc_merge check both apply: deletes event_id%211=5,
+    * updates event_id%209=3 (owner reassigned, delete wins on overlap),
+    * inserts event_id%213=7 cloned under key +1e12 (≡ 0 mod 16, so an
+    * insert lands in its source row's bucket). Every key appears in at
+    * most ONE op, so chunked application in any order ≡ one-shot. */
+  private[graft] def eventsCdc(s: SparkSession, sf: String): DataFrame = {
+    val src = Tables.events(s, sf)
+    src.filter(col("event_id") % 211 === 5)
+      .select(lit("D").as("op"), col("event_id"), col("user_id"),
+        col("value"))
+      .unionAll(src.filter(col("event_id") % 209 === 3 &&
+          !(col("event_id") % 211 === 5))
+        .select(lit("U").as("op"), col("event_id"),
+          (col("user_id") + 1000000L).as("user_id"), col("value")))
+      .unionAll(src.filter(col("event_id") % 213 === 7)
+        .select(lit("I").as("op"),
+          (col("event_id") + 1000000000000L).as("event_id"),
+          col("user_id"), col("value")))
+      .withColumn("bucket", pmod(col("event_id"), lit(16)).cast("int"))
+  }
+
   def keyedMerge(s: SparkSession, dir: String, schema: StructType,
                  cdc: DataFrame): Unit = {
     // one deterministic snapshot of the batch: the bucket list, the
@@ -952,10 +971,14 @@ object ScanOps {
     val buckets = batch.select("bucket").distinct()
       .collect().map(_.getInt(0)).toSeq
     if (buckets.isEmpty) return
+    // anti-join on ALL batch keys (not just D∪U): an 'I' key that already
+    // exists — e.g. a replayed micro-batch after a sink failure — replaces
+    // its earlier copy instead of duplicating it, which makes the whole
+    // merge IDEMPOTENT per batch (the property the streaming CDC loop's
+    // at-least-once foreachBatch delivery relies on)
     val baseKept = s.read.schema(schema).parquet(dir)
       .filter(col("bucket").isin(buckets: _*))
-      .join(batch.filter(col("op").isin("D", "U")).select("event_id"),
-        Seq("event_id"), "left_anti")
+      .join(batch.select("event_id"), Seq("event_id"), "left_anti")
     val images = batch.filter(col("op").isin("U", "I"))
       .select("event_id", "user_id", "value", "bucket")
     val merged = baseKept.unionByName(images).localCheckpoint()

@@ -224,6 +224,35 @@ object StreamParity {
     res
   }
 
+  /** Streaming CDC→lake MERGE parity: the deterministic corpus CDC set
+    * (q_maintain_merge's derivation, factored as ScanOps.eventsCdc) is
+    * split into 8 file chunks and applied micro-batch-by-micro-batch to a
+    * bucket-partitioned snapshot via [[StreamOps.cdcMergeLoop]]
+    * (foreachBatch → keyedMerge); the table must end row-for-row equal to
+    * ONE keyedMerge of the full set on an identical second snapshot —
+    * incremental streaming application ≡ the nightly one-shot job it
+    * replaces. */
+  private def cdcMergeParity(s: SparkSession, sf: String): (Seq[String], Seq[String]) = {
+    import graft.operators.ScanOps
+    val base = Files.createTempDirectory("graft_sp_cdc").toString
+    val (cdcDir, streamTbl, batchTbl) =
+      (s"$base/cdc", s"$base/t_stream", s"$base/t_batch")
+    val snap = ScanOps.eventsSnapshot(s, sf)
+    Seq(streamTbl, batchTbl).foreach(d =>
+      snap.write.mode("overwrite").partitionBy("bucket").parquet(d))
+    val cdc = ScanOps.eventsCdc(s, sf)
+    cdc.repartition(8).write.mode("overwrite").parquet(cdcDir)
+    val q = StreamOps.cdcMergeLoop(s, cdcDir, streamTbl,
+        ScanOps.mergeTableSchema, maxFilesPerTrigger = Some(1))
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    ScanOps.keyedMerge(s, batchTbl, ScanOps.mergeTableSchema, cdc)
+    def table(d: String) = s.read.schema(ScanOps.mergeTableSchema).parquet(d)
+    val res = (canon(table(streamTbl)), canon(table(batchTbl)))
+    rmTree(base)
+    res
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val outFile = if (args.length > 1) args(1) else "STREAM_PARITY.json"
@@ -282,11 +311,19 @@ object StreamParity {
       }
       ("quality_score", st.length, ba.length, st == ba)
     }
+    val cdcMerge = {
+      val (st, ba) = cdcMergeParity(spark, sfDir)
+      if (st != ba) {
+        (st.toSet -- ba.toSet).take(5).foreach(r => println(s"[parity] stream-only: $r"))
+        (ba.toSet -- st.toSet).take(5).foreach(r => println(s"[parity] batch-only:  $r"))
+      }
+      ("cdc_merge", st.length, ba.length, st == ba)
+    }
     val (ckWant, ckGot) = checkpointRestart(spark)
     val ckOk = ckWant == ckGot
 
-    val all = (parities :+ asof :+ minhash :+ serving :+ quality).forall(_._4) && ckOk
-    val checksJson = (parities :+ asof :+ minhash :+ serving :+ quality).map { case (n, sr, br, eq) =>
+    val all = (parities :+ asof :+ minhash :+ serving :+ quality :+ cdcMerge).forall(_._4) && ckOk
+    val checksJson = (parities :+ asof :+ minhash :+ serving :+ quality :+ cdcMerge).map { case (n, sr, br, eq) =>
       s""""$n": {"stream_rows": $sr, "batch_rows": $br, "equal": $eq}"""
     } :+ s""""checkpoint_restart": {"expected": ${ckWant.mkString("[", ",", "]")}, "got": ${ckGot.mkString("[", ",", "]")}, "exactly_once": $ckOk}"""
     val json =
