@@ -74,6 +74,37 @@ object StreamPerf {
       outRows)
   }
 
+  /** CDC→lake merge throughput: the cdc_merge parity topology's setup
+    * (bucket-partitioned snapshot + 8-chunk CDC file stream through
+    * foreachBatch keyedMerge), measured. No state store (the state IS
+    * the lake table); out_rows = final table row count. The headline is
+    * change-rows/s — what a deployment sizes its merge cadence by. */
+  private def measureCdc(s: SparkSession, sf: String): Perf = {
+    import graft.operators.ScanOps
+    val base = Files.createTempDirectory("graft_perf_cdc").toString
+    val (cdcDir, tbl) = (s"$base/cdc", s"$base/t")
+    ScanOps.eventsSnapshot(s, sf)
+      .write.mode("overwrite").partitionBy("bucket").parquet(tbl)
+    ScanOps.eventsCdc(s, sf)
+      .repartition(8).write.mode("overwrite").parquet(cdcDir)
+    val t0 = System.nanoTime()
+    val q = StreamOps.cdcMergeLoop(s, cdcDir, tbl, ScanOps.mergeTableSchema,
+        maxFilesPerTrigger = Some(1))
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    val wall = (System.nanoTime() - t0) / 1e9
+    val progress = q.recentProgress.filter(_.numInputRows > 0)
+    val rows = progress.map(_.numInputRows).sum
+    val lat = progress.map(_.durationMs.get("triggerExecution").toLong).sorted
+    val outRows = s.read.schema(ScanOps.mergeTableSchema).parquet(tbl).count()
+    rmTree(base)
+    Perf("cdc_merge", rows, progress.length, wall,
+      if (wall > 0) rows / wall else 0.0,
+      if (lat.nonEmpty) lat(lat.length / 2) else 0L,
+      if (lat.nonEmpty) lat.last else 0L,
+      0L, 0L, outRows)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val outFile = if (args.length > 1) args(1) else "STREAM_PERF.json"
@@ -96,7 +127,8 @@ object StreamPerf {
       ("dau", StreamOps.dauCounts),
       ("hll_users", StreamOps.hllUsers),
       ("decimal_stats", StreamOps.decimalStats))
-      .map { case (name, t) => measure(spark, sfDir, name, t) }
+      .map { case (name, t) => measure(spark, sfDir, name, t) } :+
+      measureCdc(spark, sfDir)
 
     def f(d: Double) = String.format(Locale.ROOT, "%.1f", Double.box(d))
     val blocks = checks.map { p =>
