@@ -335,6 +335,71 @@ object EvalOps {
        |             + 0.5) AS BIGINT) AS bleu_ppm
        |FROM fin""".stripMargin
 
+  // ---- chrF-2 -----------------------------------------------------------
+  //
+  // Character-n-gram F-score (Popović 2015) over the same doc pairing as
+  // BLEU, n ∈ {1, 2}, β = 2 (recall weighted 4×). Unlike BLEU it needs
+  // NO libm at all: clipped matches and totals are BIGINT counts, P/R
+  // are ppm integer divisions, F_β = 5·P·R / (4·P + R) is exact integer
+  // arithmetic on ppm values (products ≤ 1e12 — far inside BIGINT), and
+  // the final score is the integer mean of F_1 and F_2.
+
+  /** (pair_id, side, n, gram) char-gram fan-out WITH multiplicity;
+    * `gram(txt, n)` is the engine's char-n-gram list expression. */
+  private def chrfGramSql(gram: (String, Int) => String,
+                          un: String => String): String = {
+    def side(txt: String, tag: String): String =
+      (1 to 2).map { n =>
+        s"SELECT pair_id, '$tag' AS side, $n AS n, ${un(gram(txt, n))} AS g FROM prs"
+      }.mkString("\nUNION ALL\n")
+    s"""WITH prs AS (SELECT c.doc_id AS pair_id, c.text AS ctext, r.text AS rtext
+       |             FROM documents c JOIN documents r ON r.doc_id = c.doc_id - 1
+       |             WHERE c.doc_id % 2 = 1
+       |               AND length(c.text) > 0 AND length(r.text) > 0)
+       |${side("ctext", "c")}
+       |UNION ALL
+       |${side("rtext", "r")}""".stripMargin
+  }
+
+  /** Shared scoring text over the gram relation; zero-denominator cases
+    * surface as NULL (empty corpus runs clean under ANSI). */
+  private def chrfRestSql(ref: String, idiv: String): String = {
+    def perN(n: Int): String =
+      s"""(SELECT CAST(sum(least(cc.c, rc.c)) AS BIGINT)
+         | FROM cc JOIN rc ON rc.pair_id = cc.pair_id AND rc.g = cc.g
+         |              AND rc.n = cc.n
+         | WHERE cc.n = $n) AS m$n,
+         |(SELECT CAST(sum(c) AS BIGINT) FROM cc WHERE n = $n) AS tc$n,
+         |(SELECT CAST(sum(c) AS BIGINT) FROM rc WHERE n = $n) AS tr$n""".stripMargin
+    def f(n: Int): String =
+      s"""CASE WHEN p$n IS NULL OR r$n IS NULL OR 4 * p$n + r$n = 0
+         |     THEN CAST(NULL AS BIGINT)
+         |     ELSE CAST(5 * p$n * r$n $idiv (4 * p$n + r$n) AS BIGINT)
+         |END AS f$n""".stripMargin
+    s"""WITH cc AS (SELECT pair_id, n, g, CAST(count(*) AS BIGINT) AS c
+       |            FROM $ref WHERE side = 'c' GROUP BY pair_id, n, g),
+       |rc AS (SELECT pair_id, n, g, CAST(count(*) AS BIGINT) AS c
+       |       FROM $ref WHERE side = 'r' GROUP BY pair_id, n, g),
+       |agg AS (SELECT ${perN(1)}, ${perN(2)}),
+       |pr AS (SELECT m1, tc1, tr1, m2, tc2, tr2,
+       |    CASE WHEN tc1 IS NULL OR tc1 = 0 THEN CAST(NULL AS BIGINT)
+       |         ELSE CAST(m1 * 1000000 $idiv tc1 AS BIGINT) END AS p1,
+       |    CASE WHEN tr1 IS NULL OR tr1 = 0 THEN CAST(NULL AS BIGINT)
+       |         ELSE CAST(m1 * 1000000 $idiv tr1 AS BIGINT) END AS r1,
+       |    CASE WHEN tc2 IS NULL OR tc2 = 0 THEN CAST(NULL AS BIGINT)
+       |         ELSE CAST(m2 * 1000000 $idiv tc2 AS BIGINT) END AS p2,
+       |    CASE WHEN tr2 IS NULL OR tr2 = 0 THEN CAST(NULL AS BIGINT)
+       |         ELSE CAST(m2 * 1000000 $idiv tr2 AS BIGINT) END AS r2
+       |  FROM agg)
+       |SELECT m1, tc1, tr1, m2, tc2, tr2, p1, r1, p2, r2, ${f(1)}, ${f(2)},
+       |  CAST((CASE WHEN p1 IS NULL OR r1 IS NULL OR 4 * p1 + r1 = 0 THEN NULL
+       |             ELSE 5 * p1 * r1 $idiv (4 * p1 + r1) END
+       |      + CASE WHEN p2 IS NULL OR r2 IS NULL OR 4 * p2 + r2 = 0 THEN NULL
+       |             ELSE 5 * p2 * r2 $idiv (4 * p2 + r2) END) $idiv 2
+       |    AS BIGINT) AS chrf_ppm
+       |FROM pr""".stripMargin
+  }
+
   // ---- dialect bindings ----------------------------------------------
 
   private val duckPre: String = ctes(
@@ -433,6 +498,16 @@ object EvalOps {
         .localCheckpoint()
         .createOrReplaceTempView("bleu_g")
       s.sql(bleuRestSql("bleu_g", "DIV"))
+    }),
+    "q_eval_chrf" -> ((s, sf) => {
+      Tables.documents(s, sf).createOrReplaceTempView("documents")
+      graft.functions.GraftFunctions.register(s)
+      s.sql(chrfGramSql(
+        gram = (txt, n) => s"char_ngrams($txt, $n)",
+        un = e => s"explode($e)"))
+        .localCheckpoint() // feeds cc and rc — materialize once
+        .createOrReplaceTempView("chrf_g")
+      s.sql(chrfRestSql("chrf_g", "DIV"))
     }))
 
   def oracle: Map[String, String] = Map(
@@ -450,5 +525,12 @@ object EvalOps {
         un = e => s"unnest($e)", split = "string_split",
         pairs = t => s"list_transform(list_zip($t[1:len($t)-1], $t[2:len($t)]), " +
           s"z -> concat(z[1], ' ', z[2]))") + ") bleu_g",
+      "//"),
+    "q_eval_chrf" -> chrfRestSql(
+      "(" + chrfGramSql(
+        gram = (txt, n) =>
+          s"list_transform(generate_series(1, length($txt) - $n + 1), " +
+            s"i -> substring($txt, i, $n))",
+        un = e => s"unnest($e)") + ") chrf_g",
       "//"))
 }
