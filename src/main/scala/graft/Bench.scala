@@ -144,11 +144,33 @@ object Bench {
       "\"" + k + "\":{\"task\":" + f(t) + ",\"gc\":" + f(g) +
         ",\"dgc\":" + f(d) + "}"
     }.mkString("{", ",", "}")
+    // Cache-pressure probe (round-12 sf1 q_tpch_q21 watch item): the
+    // shared table cache is MEMORY_AND_DISK, so execution-memory
+    // pressure shows up as cached batches spilled to disk — every later
+    // scan of a spilled partition re-reads + decompresses it, which a
+    // task-CPU swing alone can't distinguish from a plan regression.
+    // Recording the end-of-run mem/disk split per cached RDD makes that
+    // signature machine-readable in the artifact: diskSize > 0 on a
+    // fact table = the run was cache-pressured, triage accordingly.
+    val storageJson = spark.sparkContext.getRDDStorageInfo
+      // only pressure-relevant rows: spilled, partially cached, or >16MB
+      .filter(i => i.diskSize > 0 || i.numCachedPartitions < i.numPartitions
+        || i.memSize > 16L * 1048576)
+      .map { i =>
+      // RDD names can be whole multi-line plan strings — JSON-hostile;
+      // collapse all control chars and quotes before embedding
+      "{\"name\":\"" + Option(i.name).getOrElse("rdd_" + i.id)
+        .replaceAll("[\\x00-\\x1f\"\\\\]+", " ").take(80) +
+        "\",\"parts\":" + i.numPartitions +
+        ",\"cached\":" + i.numCachedPartitions +
+        ",\"mem_mb\":" + f(i.memSize / 1048576.0) +
+        ",\"disk_mb\":" + f(i.diskSize / 1048576.0) + "}"
+    }.mkString("[", ",", "]")
     val repsJson = reps.map { case (k, (a, b)) =>
       "\"" + k + "\":[" + f(a) + "," + f(b) + "]"
     }.mkString("{", ",", "}")
     val fileLine = line.dropRight(1) +
-      s""","probe":$probeJson,"reps":$repsJson}"""
+      s""","probe":$probeJson,"reps":$repsJson,"storage":$storageJson}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (fileLine + "\n").getBytes("UTF-8"))

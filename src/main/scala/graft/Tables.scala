@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import org.apache.spark.storage.StorageLevel
 
 /** Schema-asserted loaders for the driver corpus (TESTDATA.md / FIXTURES.md).
   *
@@ -24,8 +25,18 @@ object Tables {
     * per-query fixed overhead at bench scale, and exactly what a real
     * deployment amortizes by sharing a scanned/cached table across a
     * query mix. When enabled, each (session, sfDir, table) scan is built
-    * once and `persist(MEMORY_ONLY)`-ed; Spark's CacheManager then swaps
-    * the InMemoryRelation into every later plan over the same source.
+    * once and `persist(MEMORY_AND_DISK)`-ed; Spark's CacheManager then
+    * swaps the InMemoryRelation into every later plan over the same
+    * source. The level is pinned EXPLICITLY (not the no-arg persist())
+    * after round 12's sf1 q_tpch_q21 watch item: the no-arg form
+    * resolves through `spark.sql.defaultCacheStorageLevel`, and an
+    * earlier comment here misread it as MEMORY_ONLY, which sent a whole
+    * round's perf triage chasing phantom "drop + recompute from
+    * parquet". With the level explicit, eviction under execution-memory
+    * pressure spills cached batches to local disk and re-reads them —
+    * never a parquet recompute — and [[Bench]]'s per-run storage probe
+    * records the mem/disk split so pressure is machine-visible in the
+    * artifact instead of inferred from task-CPU swings.
     * OFF by default: the graded Verify path and every spec still run the
     * true parquet-scan plans (pushdown/pruning assertions unaffected). */
   // def, not val: re-read per load so the parity spec can toggle the
@@ -64,7 +75,7 @@ object Tables {
     def mk = s.read.parquet(p(sf, name))
     if (!cacheTables) mk
     else scanCache.computeIfAbsent(
-      (System.identityHashCode(s), sf, name), _ => cachePrep(s, name, mk).persist())
+      (System.identityHashCode(s), sf, name), _ => cachePrep(s, name, mk).persist(StorageLevel.MEMORY_AND_DISK))
   }
 
   def region(s: SparkSession, sf: String): DataFrame   = load(s, sf, "region")
@@ -160,7 +171,7 @@ object Tables {
       if (!cacheTables) mk
       else scanCache.computeIfAbsent(
         (System.identityHashCode(s), sf, "events"),
-        _ => cachePrep(s, "events", mk).persist())
+        _ => cachePrep(s, "events", mk).persist(StorageLevel.MEMORY_AND_DISK))
     }
 
   /** `events` with `ts` as raw int64 NANOS since epoch in both corpus
@@ -184,7 +195,7 @@ object Tables {
       if (!cacheTables) mk
       else scanCache.computeIfAbsent(
         (System.identityHashCode(s), sf, "eventsRaw"),
-        _ => cachePrep(s, "eventsRaw", mk).persist())
+        _ => cachePrep(s, "eventsRaw", mk).persist(StorageLevel.MEMORY_AND_DISK))
     }
   }
 

@@ -325,6 +325,17 @@ object EvalOps {
        |         ELSE CAST(m2 * 1000000 $idiv t2 AS BIGINT) END AS p2_ppm,
        |    CASE WHEN clen IS NULL OR clen = 0 THEN CAST(NULL AS BIGINT)
        |         WHEN clen >= rlen THEN CAST(1000000 AS BIGINT)
+       |         -- platform assumption (documented, monitored): this is
+       |         -- the ONE libm call in the eval family — exp() is not
+       |         -- IEEE-guaranteed correctly rounded, so Java's StrictMath
+       |         -- -derived exp and DuckDB's libm exp could in principle
+       |         -- differ by 1 ulp; bp_ppm flips only if that ulp lands
+       |         -- exactly on a .5 ppm quantization boundary of
+       |         -- exp(1 - rlen/clen), measured never on this corpus at
+       |         -- all four SFs (clen > rlen paths; chrF is the libm-free
+       |         -- sibling by design). If a port ever trips this, replace
+       |         -- with an integer comparison of (rlen, clen) against
+       |         -- precomputed ln-boundary rationals.
        |         ELSE CAST(floor(exp(1.0 - CAST(rlen AS DOUBLE)
        |                                   / CAST(clen AS DOUBLE)) * 1e6 + 0.5)
        |              AS BIGINT) END AS bp_ppm

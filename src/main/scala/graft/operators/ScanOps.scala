@@ -874,13 +874,17 @@ object ScanOps {
   def keyedDelete(s: SparkSession, dir: String, schema: StructType,
                   keys: Seq[Long], nBuckets: Int = 16): Unit = {
     if (keys.isEmpty) return
-    val buckets = keys.map(k => ((k % nBuckets) + nBuckets) % nBuckets)
-      .distinct.map(_.toInt)
-    val kept = s.read.schema(schema).parquet(dir)
-      .filter(col("bucket").isin(buckets: _*))
-      .filter(!col("user_id").isin(keys: _*))
-      .localCheckpoint()
-    rewriteBuckets(s, dir, buckets, kept)
+    // writer lock spans the read-modify-write: the pruned base scan must
+    // see no concurrent rewrite of the same buckets (TableLock scaladoc)
+    TableLock.withLock(dir, "keyedDelete") {
+      val buckets = keys.map(k => ((k % nBuckets) + nBuckets) % nBuckets)
+        .distinct.map(_.toInt)
+      val kept = s.read.schema(schema).parquet(dir)
+        .filter(col("bucket").isin(buckets: _*))
+        .filter(!col("user_id").isin(keys: _*))
+        .localCheckpoint()
+      rewriteBuckets(s, dir, buckets, kept)
+    }
   }
 
   /** Shared tail of the partition-pruned rewrite ops ([[keyedDelete]],
@@ -892,13 +896,14 @@ object ScanOps {
     * nBuckets rows — bounded driver handoff. */
   private def rewriteBuckets(s: SparkSession, dir: String,
                              touched: Seq[Int], rows: DataFrame): Unit = {
-    val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try rows.write.mode("overwrite").partitionBy("bucket").parquet(dir)
-    finally prev match {
-      case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
+    // dynamic overwrite is pinned per WRITER, not by mutating session
+    // conf: the old set/restore dance raced two concurrent rewrites (of
+    // different tables — same-table writers are serialized by TableLock)
+    // in one session, where writer B could run under writer A's restored
+    // STATIC mode and clobber its table's untouched partitions
+    rows.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket").parquet(dir)
     val present = rows.select("bucket").distinct()
       .collect().map(_.getInt(0)).toSet
     touched.filterNot(present).foreach { b =>
@@ -963,11 +968,36 @@ object ScanOps {
       .withColumn("bucket", pmod(col("event_id"), lit(16)).cast("int"))
   }
 
+  /** PRECONDITION (enforced): at most ONE op per `event_id` per batch.
+    * The rewrite is anti-join-then-union, so a batch carrying both a D
+    * and a U/I for the same key would silently resurrect the deleted
+    * row, and two U images for one key would emit duplicate rows — a
+    * compactor upstream (last-op-per-key by CDC sequence) is the right
+    * place to collapse multi-op keys, exactly as Delta's MERGE raises
+    * DELTA_MULTIPLE_SOURCE_ROW_MATCHING_TARGET rather than guessing.
+    * Violations fail loudly here (one distributed two-scalar agg over
+    * the already-checkpointed batch — no corpus data hits the driver)
+    * instead of corrupting the table. */
   def keyedMerge(s: SparkSession, dir: String, schema: StructType,
-                 cdc: DataFrame): Unit = {
+                 cdc: DataFrame): Unit = TableLock.withLock(dir, "keyedMerge") {
+    // writer lock spans the whole read-modify-write (TableLock scaladoc):
+    // concurrent merges serialize; a wedged competitor surfaces as a loud
+    // ConcurrentWriteException, never as silently lost rows.
     // one deterministic snapshot of the batch: the bucket list, the
     // anti-join keys and the inserted images must all agree
     val batch = cdc.localCheckpoint()
+    val Array(nOps, nKeys) = batch
+      .agg(count("*"), count_distinct(col("event_id")))
+      .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+    if (nOps != nKeys) {
+      val ex = batch.groupBy("event_id").count()
+        .filter(col("count") > 1).limit(3)
+        .collect().map(r => s"${r.get(0)}x${r.getLong(1)}").mkString(", ")
+      throw new IllegalArgumentException(
+        s"keyedMerge: CDC batch must carry at most one op per key; " +
+          s"got $nOps ops over $nKeys keys (e.g. event_id x ops: $ex). " +
+          "Collapse to last-op-per-key upstream (by CDC sequence).")
+    }
     val buckets = batch.select("bucket").distinct()
       .collect().map(_.getInt(0)).toSeq
     if (buckets.isEmpty) return

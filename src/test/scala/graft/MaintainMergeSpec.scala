@@ -98,6 +98,23 @@ class MaintainMergeSpec extends AnyFunSuite with SparkSessionTest {
       "emptied bucket directory survived the merge")
   }
 
+  test("a batch with two ops for one key is rejected, table untouched") {
+    // anti-join-then-union can't express D+I for one key in one batch (the
+    // union would resurrect the deleted row); keyedMerge must fail loudly
+    // instead of corrupting the table (round-12 ADVICE item).
+    val dir = Files.createTempDirectory("graft_merge_spec_dup").toString
+    writeFixture(dir)
+    val before = listing(dir)
+    val k = spark.read.schema(schema).parquet(dir)
+      .select("event_id").head().getLong(0)
+    val e = intercept[IllegalArgumentException] {
+      ScanOps.keyedMerge(spark, dir, schema, cdcOf(Seq(
+        ("D", k, 0L, 0.0), ("I", k, 999L, 9.9))))
+    }
+    assert(e.getMessage.contains("one op per key"))
+    assert(listing(dir) == before, "rejected batch still mutated the table")
+  }
+
   test("empty batch is a no-op") {
     val dir = Files.createTempDirectory("graft_merge_spec_noop").toString
     writeFixture(dir)

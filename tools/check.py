@@ -29,6 +29,16 @@ def eq(a, b):
     return str(a) == str(b)
 
 def main(sf, out):
+    if sf.rstrip("/").endswith("sf1"):
+        # 10x-scale gate: refuse a corpus that doesn't byte-match the
+        # committed manifest (round-10 verdict item 4)
+        import os
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        import gen_sf1
+        err = gen_sf1.check(sf)
+        if err:
+            sys.exit(f"error: {err}")
+        print(f"(sf1 corpus {sf} matches committed manifest)")
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")

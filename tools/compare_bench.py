@@ -43,9 +43,30 @@ def main() -> None:
         # instead of needing a fresh curve pair.
         sf = str(new_j.get("sf", ""))
         if sf.rstrip("/").endswith("sf1"):
+            # refuse to gate a 10x-scale capture against the locked sf1
+            # rows unless the corpus it ran on byte-matches the committed
+            # manifest (round-10 verdict item 4 — silent generator/env
+            # drift must trip here, not pass as a phantom mover)
+            sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+            import gen_sf1
+            if os.path.isdir(sf):
+                err = gen_sf1.check(sf)
+                if err:
+                    sys.exit(f"error: {err}")
+                print(f"(sf1 corpus {sf} matches committed manifest)")
+            else:
+                print(f"warning: sf dir {sf} not present locally — "
+                      "corpus manifest NOT verified for this artifact")
             old_f = os.path.join(root, f"BENCH_full_r12_sf1_lock{cpus}.json")
         else:
             old_f = os.path.join(root, f"BENCH_full_r12_lock{cpus}_run1.json")
+        if not os.path.exists(old_f):
+            # Locks exist only for the configs we actually capture
+            # (cpus 4 and 32); any other cpus value would otherwise
+            # surface as a bare FileNotFoundError from json.load.
+            sys.exit(f"error: no locked baseline for cpus={cpus} "
+                     f"(expected {old_f}); pass OLD explicitly: "
+                     f"compare_bench.py OLD.json {new_f}")
         print(f"(defaulting OLD to locked baseline: {old_f})")
     old_j = json.load(open(old_f))
     old, new = old_j["queries"], new_j["queries"]
