@@ -216,6 +216,18 @@ object ScanOps {
         .orderBy("template")
     }),
 
+    // Batch statement of the streaming template-novelty rule
+    // (StreamOps.batchTemplateFirsts): each Drain-style template's first
+    // occurrence by (ts, event_id) over the events firehose — the
+    // seen-set bootstrap a deployment runs over 100 TB of archived logs
+    // before attaching the live alert stream (one map-side-combinable
+    // struct-min aggregate). Stream/batch parity: STREAM_PARITY
+    // template_novelty; live alerts: StreamOpsSpec.
+    "q_report_template_firsts" -> ((s, sf) =>
+      graft.streaming.StreamOps.batchTemplateFirsts(
+        Tables.events(s, sf).select("event_id", "ts", "event_type", "props"))
+        .orderBy("template")),
+
     "q_ingest_csv" -> ((s, sf) => {
       val lineCols = array(csvLines.map(lit): _*)
       s.range(1)
@@ -1127,6 +1139,18 @@ object ScanOps {
          |  count(*) AS cnt
          |FROM (VALUES $syslogValues) AS t(line_id, line)
          |GROUP BY 1 ORDER BY template""".stripMargin,
+
+    "q_report_template_firsts" ->
+      s"""WITH t AS (SELECT
+         |    regexp_replace(event_type || ' ' || coalesce(props, ''),
+         |                   '\\d{3,}', '<n>', 'g') AS template,
+         |    ts, event_id FROM events)
+         |SELECT template, ts AS first_ts, event_id AS first_event_id
+         |FROM (SELECT template, ts, event_id,
+         |        row_number() OVER (PARTITION BY template
+         |                           ORDER BY ts, event_id) AS rn FROM t)
+         |WHERE rn = 1
+         |ORDER BY template""".stripMargin,
 
     "q_ingest_jsonl" -> {
       val values = jsonlLines.zipWithIndex

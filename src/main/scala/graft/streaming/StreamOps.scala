@@ -826,6 +826,101 @@ object StreamOps {
         upsertBatch(batch, registryTable, Seq("doc_id"))
       }
 
+  // ---- log-template NOVELTY alerting (live-ops marquee) ----------------
+
+  case class TemplateEvent(template: String, ts: Timestamp, event_id: Long)
+  case class NoveltyAlert(template: String, first_ts: Timestamp,
+                          first_event_id: Long)
+
+  /** Drain-style template id for the events firehose: message =
+    * `event_type + " " + props`, numeric runs of ≥3 digits normalized to
+    * `<n>`. The split is the miner's low-cardinality-token rule: long
+    * digit runs are ids/sizes/timestamps (variable slots), short runs
+    * are status/error codes that BELONG to the template — the same
+    * normalization family as the batch miner q_report_log_templates
+    * (which ALSO folds dotted IPs; events props carry none). One shared
+    * Column feeds the batch twin and the stream side, so the parity
+    * check compares two engines over ONE template definition. */
+  val templateExpr: org.apache.spark.sql.Column =
+    regexp_replace(concat(col("event_type"), lit(" "),
+      coalesce(col("props"), lit(""))), "\\d{3,}", "<n>")
+
+  /** events (with `props`) → typed template stream rows. */
+  def templateEvents(s: SparkSession, events: DataFrame): Dataset[TemplateEvent] = {
+    import s.implicits._
+    events.select(templateExpr.as("template"), col("ts"), col("event_id"))
+      .as[TemplateEvent]
+  }
+
+  /** Seen-template set as keyed state: the grouping key IS the set
+    * member, so membership = "this key has state", and the whole set is
+    * sharded across the cluster instead of broadcast — O(distinct
+    * templates) state total, never O(events). The state value is the
+    * running occurrence count (free observability), and updating it
+    * every batch refreshes the optional TTL: with a TTL configured, a
+    * template must go COMPLETELY silent for the TTL window before its
+    * reappearance re-alerts — "seen recently", the operationally right
+    * set for a pager (a template last seen 30 days ago IS news), and
+    * what keeps state bounded by the active-template window on an
+    * unbounded log firehose. */
+  class TemplateNoveltyProcessor(ttl: TTLConfig)
+      extends StatefulProcessor[String, TemplateEvent, NoveltyAlert] {
+    @transient private var seen: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getValueState[Long]("seen", Encoders.scalaLong, ttl)
+
+    override def handleInputRows(key: String, rows: Iterator[TemplateEvent],
+                                 timerValues: TimerValues): Iterator[NoveltyAlert] = {
+      val novel = !seen.exists()
+      val prior = if (novel) 0L else seen.get()
+      var first: TemplateEvent = null
+      var n = 0L
+      rows.foreach { e =>
+        n += 1
+        if (first == null || e.ts.getTime < first.ts.getTime ||
+            (e.ts.getTime == first.ts.getTime && e.event_id < first.event_id))
+          first = e
+      }
+      seen.update(prior + n)
+      if (novel) Iterator.single(NoveltyAlert(key, first.ts, first.event_id))
+      else Iterator.empty
+    }
+  }
+
+  /** Template-novelty alerts over a typed template stream: one Append-
+    * mode alert row the first time each template id is seen (and, with
+    * `ttl` set, again after a full TTL of silence). First-ARRIVAL
+    * semantics with the in-batch tie broken by min(ts, event_id) — under
+    * event-ordered arrival this equals the batch statement
+    * [[batchTemplateFirsts]] row-for-row (the parity contract; late data
+    * re-ordering across batches would need the watermark variant, same
+    * caveat as the minhash dedup owner). TTL requires processing-time
+    * semantics; the TTL-free instance runs TimeMode.None for
+    * deterministic drains. */
+  def noveltyAlerts(s: SparkSession, templated: Dataset[TemplateEvent],
+                    ttl: Option[java.time.Duration] = None): Dataset[NoveltyAlert] = {
+    import s.implicits._
+    templated.groupByKey(_.template)
+      .transformWithState(
+        new TemplateNoveltyProcessor(ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE)),
+        if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None(),
+        OutputMode.Append())
+  }
+
+  /** The batch statement of the SAME rule: each template's first
+    * occurrence by (ts, event_id) — one map-side-combinable struct-min
+    * aggregate, the plan you'd run over 100 TB of archived logs to
+    * bootstrap the seen-set before attaching the stream. */
+  def batchTemplateFirsts(events: DataFrame): DataFrame =
+    events
+      .select(templateExpr.as("template"),
+        struct(col("ts").as("ts"), col("event_id").as("event_id")).as("occ"))
+      .groupBy("template")
+      .agg(min(col("occ")).as("f"))
+      .select(col("template"), col("f.ts").as("first_ts"),
+        col("f.event_id").as("first_event_id"))
+
   /** The batch statement of the SAME dedup rule: bucket owner =
     * min(struct(ts, doc_id)) per band bucket; a doc is a dup iff any of
     * its buckets' owner isn't itself. Used by StreamParity to prove the

@@ -253,6 +253,39 @@ object StreamParity {
     res
   }
 
+  /** Template-novelty parity: the full events corpus (WITH `props` — the
+    * template's variable slots live there) replayed through the seen-set
+    * processor in 6 (ts, event_id)-ordered chunks; the Append-mode alert
+    * set must equal the batch first-occurrence statement row-for-row —
+    * including the first_ts/first_event_id payloads, which is what makes
+    * ordered feeding load-bearing (the alert names the TRUE first
+    * occurrence, not whichever row of the first batch was iterated
+    * first). */
+  private def noveltyParity(s: SparkSession, sf: String): (Seq[String], Seq[String]) = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ev = Tables.events(s, sf)
+      .select("event_id", "ts", "event_type", "props")
+    val batch = StreamOps.batchTemplateFirsts(ev)
+    val rows = StreamOps.templateEvents(s, ev)
+      .collect().sortBy(r => (r.ts.getTime, r.event_id))
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ms = MemoryStream[StreamOps.TemplateEvent]
+    val q = StreamOps.noveltyAlerts(s, ms.toDS())
+      .writeStream.format("memory").queryName("sp_novelty")
+      .outputMode("append").start()
+    try {
+      rows.grouped(math.max(1, rows.length / 6)).foreach { chunk =>
+        ms.addData(chunk.toSeq); q.processAllAvailable()
+      }
+    } finally {
+      q.stop()
+      s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+    (canon(s.table("sp_novelty")), canon(batch))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val outFile = if (args.length > 1) args(1) else "STREAM_PARITY.json"
@@ -319,11 +352,20 @@ object StreamParity {
       }
       ("cdc_merge", st.length, ba.length, st == ba)
     }
+    val novelty = {
+      val (st, ba) = noveltyParity(spark, sfDir)
+      if (st != ba) {
+        (st.toSet -- ba.toSet).take(5).foreach(r => println(s"[parity] stream-only: $r"))
+        (ba.toSet -- st.toSet).take(5).foreach(r => println(s"[parity] batch-only:  $r"))
+      }
+      ("template_novelty", st.length, ba.length, st == ba)
+    }
     val (ckWant, ckGot) = checkpointRestart(spark)
     val ckOk = ckWant == ckGot
 
-    val all = (parities :+ asof :+ minhash :+ serving :+ quality :+ cdcMerge).forall(_._4) && ckOk
-    val checksJson = (parities :+ asof :+ minhash :+ serving :+ quality :+ cdcMerge).map { case (n, sr, br, eq) =>
+    val named = parities :+ asof :+ minhash :+ serving :+ quality :+ cdcMerge :+ novelty
+    val all = named.forall(_._4) && ckOk
+    val checksJson = named.map { case (n, sr, br, eq) =>
       s""""$n": {"stream_rows": $sr, "batch_rows": $br, "equal": $eq}"""
     } :+ s""""checkpoint_restart": {"expected": ${ckWant.mkString("[", ",", "]")}, "got": ${ckGot.mkString("[", ",", "]")}, "exactly_once": $ckOk}"""
     val json =

@@ -105,6 +105,48 @@ object StreamPerf {
       0L, 0L, outRows)
   }
 
+  /** Template-novelty alerting throughput: events (WITH `props` — the
+    * template's variable slots) through the Drain-style template
+    * projection + seen-set transformWithState processor, Append sink.
+    * The headline pair is rows/s (regex+state path cost per event) and
+    * state_rows (= distinct templates — the bounded seen-set size the
+    * TTL story is about). */
+  private def measureNovelty(s: SparkSession, sf: String): Perf = {
+    import org.apache.spark.sql.types._
+    val batchEvents = Tables.events(s, sf)
+      .select(col("event_id"), col("ts"), col("event_type"), col("props"))
+    val dir = Files.createTempDirectory("graft_perf_novelty").toString
+    batchEvents.repartition(8).write.mode("overwrite").parquet(dir)
+    val sch = StructType(Seq(StructField("event_id", LongType),
+      StructField("ts", TimestampType), StructField("event_type", StringType),
+      StructField("props", StringType)))
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val t0 = System.nanoTime()
+    val q = StreamOps.noveltyAlerts(s,
+        StreamOps.templateEvents(s, s.readStream.schema(sch)
+          .option("maxFilesPerTrigger", 1).parquet(dir)))
+      .writeStream.format("memory").queryName("perf_novelty")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally {
+      q.stop()
+      s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+    val wall = (System.nanoTime() - t0) / 1e9
+    val progress = q.recentProgress.filter(_.numInputRows > 0)
+    val rows = progress.map(_.numInputRows).sum
+    val lat = progress.map(_.durationMs.get("triggerExecution").toLong).sorted
+    val state = progress.lastOption.toSeq.flatMap(_.stateOperators.toSeq)
+    val outRows = s.table("perf_novelty").count()
+    rmTree(dir)
+    Perf("template_novelty", rows, progress.length, wall,
+      if (wall > 0) rows / wall else 0.0,
+      if (lat.nonEmpty) lat(lat.length / 2) else 0L,
+      if (lat.nonEmpty) lat.last else 0L,
+      state.map(_.numRowsTotal).sum, state.map(_.memoryUsedBytes).sum,
+      outRows)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val outFile = if (args.length > 1) args(1) else "STREAM_PERF.json"
@@ -128,7 +170,7 @@ object StreamPerf {
       ("hll_users", StreamOps.hllUsers),
       ("decimal_stats", StreamOps.decimalStats))
       .map { case (name, t) => measure(spark, sfDir, name, t) } :+
-      measureCdc(spark, sfDir)
+      measureCdc(spark, sfDir) :+ measureNovelty(spark, sfDir)
 
     def f(d: Double) = String.format(Locale.ROOT, "%.1f", Double.box(d))
     val blocks = checks.map { p =>

@@ -671,4 +671,58 @@ class StreamOpsSpec extends AnyFunSuite with SparkSessionTest {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
+  test("template novelty alerts once per template, re-alerts only new ones") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    def te(tpl: String, t: String, id: Long) =
+      StreamOps.TemplateEvent(tpl, ts(t), id)
+    val ms = MemoryStream[StreamOps.TemplateEvent]
+    val q = StreamOps.noveltyAlerts(spark, ms.toDS())
+      .writeStream.format("memory").queryName("t_novelty")
+      .outputMode("append").start()
+    try {
+      // batch 1: two templates, two rows of the first -- alert once each,
+      // payload = the in-batch (ts, event_id) minimum
+      ms.addData(te("sshd auth fail from <ip>", "2024-01-01 10:00:05", 7),
+        te("sshd auth fail from <ip>", "2024-01-01 10:00:01", 3),
+        te("cron job <n> done", "2024-01-01 10:00:02", 4))
+      q.processAllAvailable()
+      // batch 2: only already-seen templates -- no alerts
+      ms.addData(te("sshd auth fail from <ip>", "2024-01-01 10:01:00", 9),
+        te("cron job <n> done", "2024-01-01 10:01:01", 10))
+      q.processAllAvailable()
+      // batch 3: one old, one genuinely novel -- exactly one alert
+      ms.addData(te("cron job <n> done", "2024-01-01 10:02:00", 11),
+        te("kernel oom killed pid <n>", "2024-01-01 10:02:01", 12))
+      q.processAllAvailable()
+      val alerts = spark.table("t_novelty").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2))).toSet
+      assert(alerts == Set(
+        ("sshd auth fail from <ip>", ts("2024-01-01 10:00:01"), 3L),
+        ("cron job <n> done", ts("2024-01-01 10:00:02"), 4L),
+        ("kernel oom killed pid <n>", ts("2024-01-01 10:02:01"), 12L)))
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("templateExpr keeps short codes, folds long numeric runs") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "click", """{"k": 42}"""),
+      (2L, ts("2024-01-01 10:00:01"), "click", """{"k": 42, "sid": 9081726354}"""),
+      (3L, ts("2024-01-01 10:00:02"), "error", null.asInstanceOf[String]))
+      .toDF("event_id", "ts", "event_type", "props")
+    val tpls = StreamOps.templateEvents(spark, df).collect()
+      .sortBy(_.event_id).map(_.template).toSeq
+    // k=42 (a short code) survives; the 10-digit session id folds to <n>
+    assert(tpls == Seq("""click {"k": 42}""",
+      """click {"k": 42, "sid": <n>}""", "error "))
+    val firsts = StreamOps.batchTemplateFirsts(df).collect()
+      .map(r => (r.getString(0), r.getLong(2))).toMap
+    assert(firsts.size == 3 && firsts("""click {"k": 42}""") == 1L)
+  }
 }
