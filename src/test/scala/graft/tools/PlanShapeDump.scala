@@ -2,16 +2,45 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** One-line plan-shape census over the whole registry: per query, counts of
+/** Plan-shape census over the whole registry: per query, counts of
   * banned/structural physical nodes on the FINAL (AQE-finalized) plan at
-  * sf0.001. Source material for PlanShapeSpec's pinned expectations —
-  * `sbt "runMain graft.PlanShapeDump [regex]"`, eyeball/diff the table, pin
-  * the curated rows in the spec. Dev tool only, not a driver surface.
+  * sf0.001 — the source of truth for the committed `PLANSHAPE.tsv`
+  * baseline that [[PlanShapeSpec]] re-derives and diffs every suite run.
+  *
+  * Usage:
+  *   `sbt "Test/runMain graft.PlanShapeDump"`            — print the table
+  *   `sbt "Test/runMain graft.PlanShapeDump --tsv PLANSHAPE.tsv"`
+  *       — regenerate the committed baseline (do this DELIBERATELY when a
+  *         plan change is intended; the spec failing is the review gate)
   */
 object PlanShapeDump {
+
+  /** (cartesians, BNLJs, shuffle exchanges, broadcast exchanges, reused
+    * exchanges, scans with non-empty PushedFilters) counted from the
+    * final physical plan string. String-level counting is deliberate:
+    * it sees through AQE wrapper nodes and query stages uniformly. */
+  def metrics(plan: String): Seq[Int] = {
+    def n(re: String) = re.r.findAllIn(plan).size
+    Seq(n("CartesianProduct"), n("BroadcastNestedLoopJoin"),
+      n("Exchange (hash|range|Single|RoundRobin)"), n("BroadcastExchange"),
+      n("ReusedExchange"), n("PushedFilters: \\[[^\\]]"))
+  }
+
+  /** Run `name` to AQE finality and return its metrics row. */
+  def census(s: SparkSession, sfDir: String,
+             name: String): Either[String, Seq[Int]] =
+    try {
+      val df = SparkEntry.queries(name)(s, sfDir)
+      df.collect()
+      Right(metrics(df.queryExecution.executedPlan.toString))
+    } catch { case e: Throwable => Left(e.getClass.getSimpleName) }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
-    val pat = args.headOption.getOrElse(".")
+    val tsvOut = args.sliding(2).collectFirst {
+      case Array("--tsv", f) => f }
+    val pat = args.filterNot(a => a.startsWith("--") ||
+      tsvOut.contains(a)).headOption.getOrElse(".")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
@@ -19,24 +48,27 @@ object PlanShapeDump {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    println(f"${"query"}%-36s cart bnlj shuf bcast reuse pushed")
-    SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter(_._1.matches(s".*$pat.*")).foreach { case (name, fn) =>
-        try {
-          val df = fn(spark, sfDir)
-          df.collect()
-          val p = df.queryExecution.executedPlan.toString
-          def n(s: String) = s.r.findAllIn(p).size
-          println(f"$name%-36s ${n("CartesianProduct")}%4d " +
-            f"${n("BroadcastNestedLoopJoin")}%4d " +
-            f"${n("Exchange (hash|range|Single|RoundRobin)")}%4d " +
-            f"${n("BroadcastExchange")}%5d ${n("ReusedExchange")}%5d " +
-            f"${n("PushedFilters: \\[[^\\]]")}%6d")
-        } catch {
-          case e: Throwable =>
-            println(f"$name%-36s ERROR ${e.getClass.getSimpleName}")
+    val header = f"${"query"}%-36s cart bnlj shuf bcast reuse pushed"
+    println(header)
+    val rows = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(_._1.matches(s".*$pat.*")).map { case (name, _) =>
+        census(spark, sfDir, name) match {
+          case Right(m) =>
+            println(f"$name%-36s ${m(0)}%4d ${m(1)}%4d ${m(2)}%4d " +
+              f"${m(3)}%5d ${m(4)}%5d ${m(5)}%6d")
+            name -> m
+          case Left(err) =>
+            println(f"$name%-36s ERROR $err")
+            name -> Seq(-1, -1, -1, -1, -1, -1)
         }
       }
+    tsvOut.foreach { f =>
+      val lines = "# query\tcart\tbnlj\tshuf\tbcast\treuse\tpushed" +:
+        rows.map { case (n, m) => (n +: m.map(_.toString)).mkString("\t") }
+      java.nio.file.Files.write(java.nio.file.Paths.get(f),
+        (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+      println(s"wrote ${rows.size} rows to $f")
+    }
     spark.stop()
   }
 }
