@@ -228,6 +228,48 @@ object ScanOps {
         Tables.events(s, sf).select("event_id", "ts", "event_type", "props"))
         .orderBy("template")),
 
+    // Template MIX drift: each template's event share (ppm) on the
+    // latest day vs all prior days — the "what changed in my logs
+    // today" report that turns the miner into a daily triage surface
+    // (novelty catches NEW templates; drift catches known templates
+    // whose volume share moved). Integer-exact ppm arithmetic end to
+    // end. The corpus is scanned EXACTLY ONCE: the (template, day)
+    // count aggregate is the only pass over events (map-side
+    // combinable), materialized via localCheckpoint because three
+    // consumers (max-day, per-template fold, totals) would otherwise
+    // each re-derive it — the naive spelling re-scanned events 4×
+    // (measured in the plan census before this shape was pinned). At
+    // 100 TB the daily relation is templates × days rows; everything
+    // past the first aggregate is noise-sized, and the two scalar
+    // relations ride broadcast crosses.
+    "q_report_template_drift" -> ((s, sf) => {
+      val daily = Tables.events(s, sf)
+        .select(graft.streaming.StreamOps.templateExpr.as("template"),
+          to_date(col("ts")).as("day"))
+        .groupBy("template", "day")
+        .agg(count(lit(1)).as("cnt"))
+        .localCheckpoint()
+      val md = daily.agg(max(col("day")).as("maxd"))
+      val per = daily.crossJoin(broadcast(md))
+        .groupBy("template")
+        .agg(
+          sum(when(col("day") === col("maxd"), col("cnt")).otherwise(0L))
+            .as("cur_cnt"),
+          sum(when(col("day") < col("maxd"), col("cnt")).otherwise(0L))
+            .as("base_cnt"))
+        .localCheckpoint()
+      val tot = per.agg(sum(col("cur_cnt")).as("cur_tot"),
+        sum(col("base_cnt")).as("base_tot"))
+      per.crossJoin(broadcast(tot))
+        .select(col("template"), col("cur_cnt"), col("base_cnt"),
+          expr("CAST(cur_cnt * 1000000 DIV nullif(cur_tot, 0) AS BIGINT)")
+            .as("cur_ppm"),
+          expr("CAST(base_cnt * 1000000 DIV nullif(base_tot, 0) AS BIGINT)")
+            .as("base_ppm"))
+        .withColumn("drift_ppm", col("cur_ppm") - col("base_ppm"))
+        .orderBy(col("drift_ppm").desc, col("template"))
+    }),
+
     "q_ingest_csv" -> ((s, sf) => {
       val lineCols = array(csvLines.map(lit): _*)
       s.range(1)
@@ -1151,6 +1193,25 @@ object ScanOps {
          |                           ORDER BY ts, event_id) AS rn FROM t)
          |WHERE rn = 1
          |ORDER BY template""".stripMargin,
+
+    "q_report_template_drift" ->
+      s"""WITH t AS (SELECT
+         |    regexp_replace(event_type || ' ' || coalesce(props, ''),
+         |                   '\\d{3,}', '<n>', 'g') AS template,
+         |    CAST(ts AS DATE) AS day FROM events),
+         |md AS (SELECT max(day) AS maxd FROM t),
+         |per AS (SELECT template,
+         |    CAST(sum(CASE WHEN day = maxd THEN 1 ELSE 0 END) AS BIGINT) AS cur_cnt,
+         |    CAST(sum(CASE WHEN day < maxd THEN 1 ELSE 0 END) AS BIGINT) AS base_cnt
+         |  FROM t, md GROUP BY template),
+         |tot AS (SELECT sum(cur_cnt) AS cur_tot, sum(base_cnt) AS base_tot FROM per)
+         |SELECT template, cur_cnt, base_cnt,
+         |  CAST(cur_cnt * 1000000 // nullif(cur_tot, 0) AS BIGINT) AS cur_ppm,
+         |  CAST(base_cnt * 1000000 // nullif(base_tot, 0) AS BIGINT) AS base_ppm,
+         |  CAST(cur_cnt * 1000000 // nullif(cur_tot, 0)
+         |       - base_cnt * 1000000 // nullif(base_tot, 0) AS BIGINT) AS drift_ppm
+         |FROM per, tot
+         |ORDER BY drift_ppm DESC, template""".stripMargin,
 
     "q_ingest_jsonl" -> {
       val values = jsonlLines.zipWithIndex
