@@ -28,8 +28,16 @@ object TableLock {
   final class ConcurrentWriteException(msg: String)
     extends RuntimeException(msg)
 
-  private def lockPath(dir: String) =
-    java.nio.file.Paths.get(dir, "_graft_lock")
+  /** SIBLING of the table directory, not inside it: the rename-swap
+    * writers (StreamOps.upsertBatch stages then moves the whole table
+    * dir) would carry an in-dir lock away mid-commit, silently
+    * unlocking the table for a competitor. A sibling path survives the
+    * swap; readers never see it (it is outside the table's file
+    * listing entirely). */
+  private[graft] def lockPath(dir: String): java.nio.file.Path = {
+    val p = java.nio.file.Paths.get(dir).toAbsolutePath.normalize
+    p.resolveSibling(p.getFileName.toString + "._graft_lock")
+  }
 
   /** Default wait for a competing writer, overridable for tests via
     * `-Dgraft.lock.timeout.ms` (read per acquire so a spec can shrink
@@ -44,7 +52,8 @@ object TableLock {
       body: => T): T = {
     val waitMs = if (timeoutMs >= 0) timeoutMs else defaultTimeoutMs
     val lock = lockPath(dir)
-    java.nio.file.Files.createDirectories(lock.getParent)
+    if (lock.getParent != null)
+      java.nio.file.Files.createDirectories(lock.getParent)
     val payload =
       s"""{"pid":${ProcessHandle.current.pid},"op":"$op","ts":"${java.time.Instant.now}"}"""
     val deadline = System.nanoTime + waitMs * 1000000L

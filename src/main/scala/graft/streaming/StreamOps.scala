@@ -441,7 +441,14 @@ object StreamOps {
     * disk), instead of a delete-first window where a crash after the
     * delete loses the only copy. Staging materializes BEFORE the old
     * table is touched — overwriting a path mid-read would corrupt. */
-  def upsertBatch(batch: DataFrame, table: String, keys: Seq[String]): Unit = {
+  def upsertBatch(batch: DataFrame, table: String, keys: Seq[String]): Unit =
+    // same read-modify-write race class as keyedMerge: two writers
+    // interleaving anti-join + swap lose rows silently. The loops drive
+    // one writer per table by construction; the lock makes that a
+    // CONTRACT (serialize or ConcurrentWriteException), not an
+    // assumption. Readers stay lock-free (Search.readParquetRetry
+    // rides out the swap window).
+    graft.operators.TableLock.withLock(table, "upsertBatch") {
     val sp = batch.sparkSession
     val dir = java.nio.file.Paths.get(table)
     val oldDir = java.nio.file.Paths.get(table + "_old")
@@ -466,7 +473,8 @@ object StreamOps {
     java.nio.file.Files.move(java.nio.file.Paths.get(stage), dir)
     rmTree(oldDir)
     ()
-  }
+    }
+
 
   /** The LIVE GENRE LOOP, composed end-to-end: `tail -f`-style file-source
     * ingest → incrementally maintained serving table → interactive search

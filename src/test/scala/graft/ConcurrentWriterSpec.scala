@@ -55,7 +55,7 @@ class ConcurrentWriterSpec extends AnyFunSuite with SparkSessionTest {
       .map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(post == Map(kA -> 111111L, kB -> 222222L),
       s"a concurrent merge lost an update: $post")
-    assert(!Files.exists(Paths.get(dir, "_graft_lock")), "lock leaked")
+    assert(!Files.exists(TableLock.lockPath(dir)), "lock leaked")
   }
 
   test("a held lock makes a second writer fail LOUDLY, table untouched") {
@@ -80,6 +80,30 @@ class ConcurrentWriterSpec extends AnyFunSuite with SparkSessionTest {
       "losing writer still mutated the table")
   }
 
+  test("concurrent serving-table upserts serialize (rename-swap writer)") {
+    // upsertBatch swaps the WHOLE table dir, which is why its lock lives
+    // as a SIBLING of the dir — an in-dir lock would be carried away by
+    // the swap and silently unlock the table mid-commit
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val tbl = Files.createTempDirectory("graft_ccw_upsert")
+      .resolve("serving").toString
+    graft.streaming.StreamOps.upsertBatch(
+      Seq((1L, 10L), (2L, 20L)).toDF("k", "v"), tbl, Seq("k"))
+    val fA = Future(graft.streaming.StreamOps.upsertBatch(
+      Seq((1L, 11L)).toDF("k", "v"), tbl, Seq("k")))
+    val fB = Future(graft.streaming.StreamOps.upsertBatch(
+      Seq((3L, 30L)).toDF("k", "v"), tbl, Seq("k")))
+    Await.result(fA, 120.seconds); Await.result(fB, 120.seconds)
+    val post = spark.read.parquet(tbl).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(post == Map(1L -> 11L, 2L -> 20L, 3L -> 30L),
+      s"a concurrent upsert lost an update: $post")
+    assert(!Files.exists(TableLock.lockPath(tbl)), "lock leaked")
+  }
+
   test("the lock releases on writer failure (no wedged table)") {
     val dir = Files.createTempDirectory("graft_ccw_release").toString
     writeFixture(dir)
@@ -91,7 +115,7 @@ class ConcurrentWriterSpec extends AnyFunSuite with SparkSessionTest {
       ScanOps.keyedMerge(spark, dir, schema,
         cdcOf(Seq(("D", k, 0L, 0.0), ("I", k, 1L, 1.0))))
     }
-    assert(!Files.exists(Paths.get(dir, "_graft_lock")),
+    assert(!Files.exists(TableLock.lockPath(dir)),
       "lock survived a failed merge")
     ScanOps.keyedMerge(spark, dir, schema, cdcOf(Seq(("U", k, 777L, 7.7))))
     assert(spark.read.schema(schema).parquet(dir)
