@@ -22,7 +22,7 @@ object SparkEntry {
       TextOps.queries ++ VectorOps.queries ++ UdfOps.queries ++
       ReshapeOps.queries ++ PipelineOps.queries ++ QualityOps.queries ++
       CanaryOps.queries ++ EvalOps.queries ++ TpchOps.queries ++
-      graft.multimodal.Multimodal.queries
+      graft.multimodal.Multimodal.queries ++ graft.multimodal.MediaCodecs.queries
 
   def oracleSql: Map[String, String] =
     ScanOps.oracle ++ FilterOps.oracle ++ JoinOps.oracle ++ AggOps.oracle ++
@@ -30,5 +30,5 @@ object SparkEntry {
       TextOps.oracle ++ VectorOps.oracle ++ UdfOps.oracle ++
       ReshapeOps.oracle ++ PipelineOps.oracle ++ QualityOps.oracle ++
       CanaryOps.oracle ++ EvalOps.oracle ++ TpchOps.oracle ++
-      graft.multimodal.Multimodal.oracle
+      graft.multimodal.Multimodal.oracle ++ graft.multimodal.MediaCodecs.oracle
 }

@@ -145,6 +145,34 @@ object FnOps {
           to_json(struct(col("event_id"), col("event_type"))).as("j"))
         .orderBy("event_id")),
 
+    // XML surface (built into Spark 4's sql module — no external package):
+    // to_xml serializes a struct to an XML record (entity-escaping the
+    // payload), from_xml parses it back against a schema, and a second
+    // hand-assembled record exercises the `_`-prefixed ATTRIBUTE path.
+    // The oracle recomputes every output from the SOURCE columns, so the
+    // row only matches if the escape→parse round trip is lossless —
+    // `props` is JSON (quotes, braces) and `marked` injects <, > and &
+    // on purpose.
+    "q_fn_xml" -> ((s, sf) =>
+      Tables.events(s, sf)
+        .withColumn("marked", concat(col("event_type"), lit(" <tag> & co")))
+        .withColumn("xml",
+          to_xml(struct(col("user_id").as("u"), col("marked").as("t"),
+            col("props").as("p"))))
+        .withColumn("back",
+          from_xml(col("xml"), StructType(Seq(
+            StructField("u", LongType), StructField("t", StringType),
+            StructField("p", StringType)))))
+        .withColumn("attr",
+          from_xml(
+            concat(lit("<e id=\""), col("event_id"), lit("\"><v>"), col("user_id"),
+              lit("</v></e>")),
+            StructType(Seq(StructField("_id", LongType), StructField("v", LongType)))))
+        .select(col("event_id"),
+          col("back.u").as("u"), col("back.t").as("t"), col("back.p").as("p"),
+          col("attr._id").as("attr_id"), col("attr.v").as("v"))
+        .orderBy("event_id")),
+
     "q_explode" -> ((s, sf) =>
       Tables.documents(s, sf)
         .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos0", "word")))
@@ -499,6 +527,15 @@ object FnOps {
         |  json_extract_string(props, '$.k') AS k_str,
         |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
         |  to_json(struct_pack(event_id := event_id, event_type := event_type)) AS j
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_fn_xml" ->
+      """SELECT event_id,
+        |  user_id AS u,
+        |  event_type || ' <tag> & co' AS t,
+        |  props AS p,
+        |  event_id AS attr_id,
+        |  user_id AS v
         |FROM events ORDER BY event_id""".stripMargin,
 
     "q_explode" ->

@@ -1,0 +1,182 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.multimodal.MediaCodecs
+
+/** The REAL-format claim for [[graft.multimodal.MediaCodecs]], proven three
+  * independent ways (none of which is "our encoder and decoder agree"):
+  *
+  * 1. cross-validation against the JDK's OWN codecs — `javax.sound.sampled`
+  *    parses our WAV bytes and `javax.imageio` our BMP bytes, and every
+  *    header field and sample/pixel must match our parser's output;
+  * 2. adversarial hand-assembled bytes our encoder never produces (chunk
+  *    reordering, unknown odd-sized chunks, v5-style pixel offsets,
+  *    malformed magics/encodings that must fail loudly);
+  * 3. a `binaryFile` disk round trip — real `.wav`/`.bmp` FILES scanned by
+  *    the DataSource and decoded by the same kernel the graded queries use.
+  */
+class CodecSpec extends AnyFunSuite with SparkSessionTest {
+
+  private def asciiBytes(s: String) = s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+
+  // doc_ids chosen to fan the variants: 0 (8-bit stereo LIST top-down),
+  // 1 (16-bit mono), 5 (16-bit stereo), 6 (8-bit 32-bpp), 7 (LIST),
+  // 12 (8-bit top-down 32-bpp), 35 (16-bit stereo LIST)
+  private val fanIds = Seq(0L, 1L, 2L, 3L, 5L, 6L, 7L, 12L, 35L)
+  private val texts = Map[Long, String](
+    fanIds.map(id => id -> s"doc $id payload text with odd length? ${"x" * (id.toInt % 5)}"): _*)
+
+  test("WAV bytes parse identically under javax.sound.sampled (independent JDK codec)") {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    for (id <- fanIds) {
+      val bytes = MediaCodecs.wavEncode(id, asciiBytes(texts(id)))
+      val ours = MediaCodecs.wavDecode(bytes)
+      val in = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+      val fmt = in.getFormat
+      assert(fmt.getSampleRate.toInt === ours.sampleRate, s"doc $id rate")
+      assert(fmt.getChannels === ours.channels, s"doc $id channels")
+      assert(fmt.getSampleSizeInBits === ours.bits, s"doc $id bits")
+      assert(in.getFrameLength.toInt === ours.frames, s"doc $id frames")
+      assert(!fmt.isBigEndian || ours.bits == 8)
+      val expectedEnc =
+        if (ours.bits == 8) AudioFormat.Encoding.PCM_UNSIGNED else AudioFormat.Encoding.PCM_SIGNED
+      assert(fmt.getEncoding === expectedEnc, s"doc $id encoding")
+      val raw = in.readAllBytes()
+      val jdkSamples = new Array[Int](ours.samples.length)
+      var i = 0
+      while (i < jdkSamples.length) {
+        jdkSamples(i) =
+          if (ours.bits == 8) (raw(i) & 0xff) - 128
+          else (((raw(2 * i) & 0xff) | ((raw(2 * i + 1) & 0xff) << 8)) << 16) >> 16
+        i += 1
+      }
+      assert(jdkSamples.toSeq === ours.samples.toSeq, s"doc $id samples")
+      in.close()
+    }
+  }
+
+  test("BMP bytes parse identically under javax.imageio (independent JDK codec)") {
+    for (id <- fanIds) {
+      val bytes = MediaCodecs.bmpEncode(id, asciiBytes(texts(id)))
+      val ours = MediaCodecs.bmpDecode(bytes)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(img != null, s"doc $id: ImageIO could not parse our BMP")
+      assert(img.getWidth === ours.width, s"doc $id width")
+      assert(img.getHeight === ours.height, s"doc $id height")
+      for (y <- 0 until ours.height; x <- 0 until ours.width) {
+        val jdk = img.getRGB(x, y) & 0xffffff
+        assert(jdk === ours.pixels(y * ours.width + x), s"doc $id pixel ($x,$y)")
+      }
+    }
+  }
+
+  test("WAV chunk walk survives layouts our encoder never writes") {
+    // hand-assembled: data BEFORE fmt, an unknown odd-sized chunk (pad
+    // byte), and trailing junk chunk — 3 frames of 16-bit mono 22050 Hz
+    val bb = java.nio.ByteBuffer.allocate(128).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def chunk(id: String, payload: Array[Byte]): Unit = {
+      bb.put(asciiBytes(id)); bb.putInt(payload.length); bb.put(payload)
+      if (payload.length % 2 == 1) bb.put(0.toByte)
+    }
+    bb.put(asciiBytes("RIFF")); bb.putInt(0); bb.put(asciiBytes("WAVE")) // size fixed below
+    val data = java.nio.ByteBuffer.allocate(6).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    data.putShort(1000.toShort); data.putShort((-2).toShort); data.putShort(32767.toShort)
+    chunk("data", data.array())
+    chunk("junk", Array[Byte](1, 2, 3)) // odd size → pad byte must be skipped
+    val fmt = java.nio.ByteBuffer.allocate(16).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    fmt.putShort(1); fmt.putShort(1); fmt.putInt(22050); fmt.putInt(44100)
+    fmt.putShort(2); fmt.putShort(16)
+    chunk("fmt ", fmt.array())
+    chunk("tail", Array[Byte](9))
+    val total = bb.position()
+    bb.putInt(4, total - 8)
+    val bytes = java.util.Arrays.copyOf(bb.array(), total)
+
+    val a = MediaCodecs.wavDecode(bytes)
+    assert(a.bits === 16 && a.channels === 1 && a.sampleRate === 22050)
+    assert(a.samples.toSeq === Seq(1000, -2, 32767))
+  }
+
+  test("BMP pixel-array offset is honored, not assumed (v5-style gap)") {
+    // take a real encoded BMP and splice 16 junk bytes between the headers
+    // and the pixel array, bumping bfOffBits — a reader that hardcodes 54
+    // reads garbage
+    val base = MediaCodecs.bmpEncode(3L, asciiBytes("offset test payload"))
+    val off = 54
+    val junk = 16
+    val moved = new Array[Byte](base.length + junk)
+    System.arraycopy(base, 0, moved, 0, off)
+    java.util.Arrays.fill(moved, off, off + junk, 0xEE.toByte)
+    System.arraycopy(base, off, moved, off + junk, base.length - off)
+    // patch bfSize and bfOffBits
+    val bb = java.nio.ByteBuffer.wrap(moved).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(2, moved.length); bb.putInt(10, off + junk)
+    val ours = MediaCodecs.bmpDecode(moved)
+    assert(ours.pixels.toSeq === MediaCodecs.bmpDecode(base).pixels.toSeq)
+    val jdk = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(moved))
+    assert(jdk != null && (jdk.getRGB(0, 0) & 0xffffff) === ours.pixels(0))
+  }
+
+  test("malformed media fails loudly, never silently") {
+    intercept[IllegalArgumentException](MediaCodecs.wavDecode(asciiBytes("RIFFxxxxNOPE")))
+    intercept[IllegalArgumentException](MediaCodecs.bmpDecode(asciiBytes("PNG not bmp at all, way past 54 bytes of content so length passes.....")))
+    // μ-law format code (7) must be rejected as unsupported, not misread
+    val w = MediaCodecs.wavEncode(1L, asciiBytes("abcdef"))
+    w(20) = 7 // audioFormat field inside fmt chunk
+    intercept[IllegalArgumentException](MediaCodecs.wavDecode(w))
+    // truncated data chunk
+    val t = MediaCodecs.wavEncode(1L, asciiBytes("abcdef"))
+    intercept[IllegalArgumentException](
+      MediaCodecs.wavDecode(java.util.Arrays.copyOf(t, t.length - 3)))
+  }
+
+  test("binaryFile scan of real .wav/.bmp files decodes identically to the in-plan kernel") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_codec_files")
+    for (id <- fanIds) {
+      java.nio.file.Files.write(dir.resolve(s"doc_$id.wav"),
+        MediaCodecs.wavEncode(id, asciiBytes(texts(id))))
+      java.nio.file.Files.write(dir.resolve(s"doc_$id.bmp"),
+        MediaCodecs.bmpEncode(id, asciiBytes(texts(id))))
+    }
+    val files = spark.read.format("binaryFile").load(dir.toString)
+      .select(col("path"), col("content")).collect()
+    assert(files.length === fanIds.size * 2)
+    for (row <- files) {
+      val path = row.getString(0)
+      val id = "doc_(\\d+)".r.findFirstMatchIn(path).get.group(1).toLong
+      val content = row.getAs[Array[Byte]](1)
+      if (path.endsWith(".wav")) {
+        val a = MediaCodecs.wavDecode(content)
+        val direct = MediaCodecs.wavDecode(MediaCodecs.wavEncode(id, asciiBytes(texts(id))))
+        assert(a.samples.toSeq === direct.samples.toSeq, s"$path samples")
+        assert((a.bits, a.channels, a.sampleRate) ===
+          (direct.bits, direct.channels, direct.sampleRate), path)
+      } else {
+        val img = MediaCodecs.bmpDecode(content)
+        val direct = MediaCodecs.bmpDecode(MediaCodecs.bmpEncode(id, asciiBytes(texts(id))))
+        assert(img.pixels.toSeq === direct.pixels.toSeq, s"$path pixels")
+      }
+    }
+    // cleanup
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+      .foreach(java.nio.file.Files.delete)
+  }
+
+  test("graded queries run green on sf0.001 and agree with a direct recompute") {
+    val wav = SparkEntry.queries("q_mm_wav_decode")(spark, sf0001)
+    assert(wav.count() > 0)
+    val row = wav.filter(org.apache.spark.sql.functions.col("doc_id") === 0L).collect()(0)
+    // doc 0: 8-bit (0%3==0), stereo (0%5==0), 8000 Hz, LIST chunk present
+    assert(row.getAs[Int]("bits") === 8)
+    assert(row.getAs[Int]("n_channels") === 2)
+    assert(row.getAs[Int]("sample_rate") === 8000)
+    val bmp = SparkEntry.queries("q_mm_bmp_decode")(spark, sf0001)
+    val b0 = bmp.filter(org.apache.spark.sql.functions.col("doc_id") === 0L).collect()(0)
+    assert(b0.getAs[Int]("width") === 4 && b0.getAs[Int]("height") === 3)
+    assert(b0.getAs[Int]("bpp") === 32) // 0%6==0
+    val sniff = SparkEntry.queries("q_mm_media_sniff")(spark, sf0001)
+    assert(sniff.filter("format = 'unknown'").count() === 0)
+  }
+}

@@ -34,7 +34,10 @@ class PlanShapeSpec extends AnyFunSuite with SparkSessionTest {
     * else's. */
   private val aqeJitter = Set(
     "q_dedup_substring", "q_events_ccf", "q_graph_adamic_adar",
-    "q_graph_modularity")
+    "q_graph_modularity",
+    // measured round 14 (back-to-back PlanShapeDump runs disagree by
+    // exactly one): ols_trend ±1 shuffle, neighbor_jaccard ±1 broadcast
+    "q_agg_ols_trend", "q_graph_neighbor_jaccard")
 
   private val cartesianByDesign = Map(
     "q_agg_hodges_lehmann" -> 2, // Walsh-average pair grid, hours × hours
