@@ -390,6 +390,16 @@ object AggOps {
       s.sql(cusumSql(epoch = "unix_timestamp", idiv = "DIV"))
     }),
 
+    // Single change point per type (binary-segmentation step 1): the
+    // level-shift LOCATOR that complements q_anomaly_cusum's level-shift
+    // ALARM — cusum says "the mean drifted", this says "it broke at hour
+    // H, from mean_left to mean_right". See changepointSql for the exact
+    // integer-division objective and its overflow headroom.
+    "q_anomaly_changepoint" -> ((s, sf) => {
+      registerEvents(s, sf)
+      s.sql(changepointSql(epoch = "unix_timestamp", idiv = "DIV"))
+    }),
+
     // Peak-concurrency sweep line: each event opens a value-scaled session
     // interval (clamped to its UTC day), +1/−1 boundary points, running sum
     // = live sessions, per-day peak + first time it is reached. The window
@@ -1466,6 +1476,49 @@ object AggOps {
        |  rsum - low AS cusum_micro,
        |  CAST(CASE WHEN rsum - low > 5000000 THEN 1 ELSE 0 END AS BIGINT) AS alarm
        |FROM c ORDER BY event_type, day_num""".stripMargin
+
+  /** Single change-point detection (binary-segmentation step 1) over the
+    * per-type hourly-count series: choose the split k that maximizes the
+    * SSE reduction of a mean-shift model. The classic decomposition
+    * drops the constant T²/n, so the argmax objective is
+    * L²/k + R²/(n−k) over prefix sums L (R = T − L) — TWO running
+    * windows partitioned by event_type (parallel across types, rows
+    * bounded by series length, never by corpus size). The objective is
+    * evaluated in exact integer micro-units via integer division
+    * (L²·10⁶ DIV k), so both engines rank bit-identical scores; the
+    * argmax tiebreak is the earliest k. Headroom: L ≤ per-type event
+    * count, so L²·10⁶ stays under 2⁶³ through ~3M events/type — the
+    * 100 TB deployment swaps the BIGINT products for DECIMAL(38,0),
+    * changing nothing structural. */
+  private def changepointSql(epoch: String, idiv: String): String =
+    s"""WITH h AS (SELECT event_type,
+       |        CAST($epoch(CAST(date_trunc('hour', ts) AS TIMESTAMP)) AS BIGINT)
+       |          $idiv 3600 AS hr,
+       |        CAST(count(*) AS BIGINT) AS c
+       |      FROM events GROUP BY 1, 2),
+       |o AS (SELECT event_type, hr, c,
+       |        CAST(row_number() OVER (PARTITION BY event_type ORDER BY hr) AS BIGINT) AS k,
+       |        CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+       |        CAST(sum(c) OVER (PARTITION BY event_type ORDER BY hr
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS l,
+       |        CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS t
+       |      FROM h),
+       |g AS (SELECT event_type, hr, k, n, l, t - l AS r,
+       |        (l * l * 1000000) $idiv k
+       |          + ((t - l) * (t - l) * 1000000) $idiv (n - k) AS score_q
+       |      FROM o WHERE k < n),
+       |best AS (SELECT *,
+       |        row_number() OVER (PARTITION BY event_type
+       |          ORDER BY score_q DESC, k) AS rnk
+       |      FROM g)
+       |SELECT event_type,
+       |  CAST(n AS BIGINT) AS n_hours,
+       |  CAST(k AS BIGINT) AS split_k,
+       |  CAST(hr AS BIGINT) AS split_hr,
+       |  CAST(score_q AS BIGINT) AS score_q,
+       |  CAST((l * 1000000) $idiv k AS BIGINT) AS mean_left_micro,
+       |  CAST((r * 1000000) $idiv (n - k) AS BIGINT) AS mean_right_micro
+       |FROM best WHERE rnk = 1 ORDER BY event_type""".stripMargin
 
   /** Winsorized mean per event_type — the robust-stats sibling of
     * q_agg_trimmed that CLAMPS tail values at the exact p10/p90 order
@@ -2750,6 +2803,7 @@ object AggOps {
     "q_anomaly_seasonal" -> seasonalAnomalySql(epoch = "epoch", idiv = "//"),
 
     "q_anomaly_cusum" -> cusumSql(epoch = "epoch", idiv = "//"),
+    "q_anomaly_changepoint" -> changepointSql(epoch = "epoch", idiv = "//"),
 
     "q_report_concurrency" -> concurrencySql(epoch = "epoch", idiv = "//"),
 

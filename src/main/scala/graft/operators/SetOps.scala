@@ -44,8 +44,35 @@ object SetOps {
       e.filter(col("event_type") === "error").select("user_id")
         .except(e.filter(col("event_type") === "signup" && col("value") > 250.0).select("user_id"))
         .orderBy("user_id")
+    }),
+
+    // Recursive CTE (Spark 4 WITH RECURSIVE — iterated UNION ALL, the set
+    // operation under transitive closure): each customer walks its
+    // decimal-digit ancestor chain (cur → cur DIV 10) to the single-digit
+    // root and emits the terminal row. ONE SQL text runs on both engines
+    // (only the integer-division spelling differs), so the gate pits
+    // DuckDB's recursive executor against Spark's new one. Depth is
+    // log₁₀(max key) — bounded recursion; each step is a partition-local
+    // projection + filter and the frontier shrinks geometrically (rows
+    // exit at their root), the declarative twin of the iterative graph
+    // loops in the q_graph_* family.
+    "q_recursive_cte" -> ((s, sf) => {
+      Tables.customer(s, sf).createOrReplaceTempView("customer")
+      s.sql(recursiveChainSql(idiv = "DIV"))
     })
   )
+
+  private def recursiveChainSql(idiv: String): String =
+    s"""WITH RECURSIVE chain AS (
+       |  SELECT c_custkey, c_custkey AS cur, CAST(0 AS BIGINT) AS depth
+       |  FROM customer
+       |  UNION ALL
+       |  SELECT c_custkey, cur $idiv 10 AS cur, depth + 1 AS depth
+       |  FROM chain WHERE cur >= 10
+       |)
+       |SELECT c_custkey, CAST(cur AS BIGINT) AS root_digit,
+       |  CAST(depth AS BIGINT) AS depth
+       |FROM chain WHERE cur < 10 ORDER BY c_custkey""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q_union_all" ->
@@ -70,6 +97,8 @@ object SetOps {
       """SELECT user_id FROM events WHERE event_type = 'error'
         |EXCEPT
         |SELECT user_id FROM events WHERE event_type = 'signup' AND value > 250.0
-        |ORDER BY user_id""".stripMargin
+        |ORDER BY user_id""".stripMargin,
+
+    "q_recursive_cte" -> recursiveChainSql(idiv = "//")
   )
 }
