@@ -40,8 +40,13 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Always dump the FULL oracle map, even under a name filter: a
+    // filtered re-dump into an existing outDir must not shrink
+    // oracle_sql.json, or check.py silently downgrades every other
+    // query to a rows-only check (bit round 14: a one-query sf1 re-run
+    // left 370 oracles missing and the artifact recorded them all as
+    // no_oracle).
     val json = SparkEntry.oracleSql
-      .filter { case (k, _) => nameFilter.forall(_.findFirstIn(k).isDefined) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -58,6 +58,13 @@ object SetOps {
     // loops in the q_graph_* family.
     "q_recursive_cte" -> ((s, sf) => {
       Tables.customer(s, sf).createOrReplaceTempView("customer")
+      // The recursion emits N×(depth+1) rows total, so Spark's default
+      // 1M-row recursion guardrail (spark.sql.cteRecursionRowLimit)
+      // trips at sf1 (150k customers × ~7 levels). The limit is the
+      // engine's documented runaway-recursion brake, sized per
+      // deployment like shuffle.partitions — set it deliberately with
+      // ~40× headroom over the sf1 loop instead of disabling it.
+      s.conf.set("spark.sql.cteRecursionRowLimit", 50000000L)
       s.sql(recursiveChainSql(idiv = "DIV"))
     })
   )
