@@ -1487,9 +1487,17 @@ object AggOps {
     * evaluated in exact integer micro-units via integer division
     * (L²·10⁶ DIV k), so both engines rank bit-identical scores; the
     * argmax tiebreak is the earliest k. Headroom: L ≤ per-type event
-    * count, so L²·10⁶ stays under 2⁶³ through ~3M events/type — the
-    * 100 TB deployment swaps the BIGINT products for DECIMAL(38,0),
-    * changing nothing structural. */
+    * count, so L²·10⁶ stays under 2⁶³ through ~3M events/type — and the
+    * guard is EXPLICIT: past that, non-ANSI Spark would silently wrap
+    * while DuckDB raises, turning overflow into a confusing one-sided
+    * gate divergence (round-11 advice). The CASE below nulls score_q
+    * for the WHOLE type (condition on t, not l, so it's all-or-none
+    * per partition and the `score_q DESC, k` tiebreak stays
+    * deterministic and identical in both engines — both default to
+    * NULLS LAST under DESC), making overflow surface as an honest
+    * hash-stable null instead of divergence. The 100 TB deployment
+    * swaps the BIGINT products for DECIMAL(38,0), changing nothing
+    * structural. */
   private def changepointSql(epoch: String, idiv: String): String =
     s"""WITH h AS (SELECT event_type,
        |        CAST($epoch(CAST(date_trunc('hour', ts) AS TIMESTAMP)) AS BIGINT)
@@ -1504,8 +1512,10 @@ object AggOps {
        |        CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS t
        |      FROM h),
        |g AS (SELECT event_type, hr, k, n, l, t - l AS r,
-       |        (l * l * 1000000) $idiv k
-       |          + ((t - l) * (t - l) * 1000000) $idiv (n - k) AS score_q
+       |        CASE WHEN t <= 3000000 THEN
+       |          (l * l * 1000000) $idiv k
+       |            + ((t - l) * (t - l) * 1000000) $idiv (n - k)
+       |        END AS score_q
        |      FROM o WHERE k < n),
        |best AS (SELECT *,
        |        row_number() OVER (PARTITION BY event_type

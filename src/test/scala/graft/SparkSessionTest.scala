@@ -9,6 +9,10 @@ trait SparkSessionTest { self: Suite =>
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+    // Runaway-recursion brake sized per deployment (q_recursive_cte
+    // emits N×(depth+1) rows — default 1M trips at sf1); set in every
+    // harness session builder instead of mutated inside the query.
+    .config("spark.sql.cteRecursionRowLimit", "50000000")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 

