@@ -91,17 +91,27 @@ object Main {
 
   /** Start the follow stream into `sink` (console for the CLI; MainSpec
     * uses memory to assert the emitted lines). The alerts path needs the
-    * RocksDB state-store provider (transformWithState contract). */
+    * RocksDB state-store provider (transformWithState contract) — set
+    * just long enough for `start()` to snapshot it (a streaming query
+    * CLONES the session at start), then restored IMMEDIATELY, so a
+    * long-lived session's later streams never silently inherit RocksDB
+    * (round-12 ADVICE: session-conf hygiene). */
   def followStart(s: SparkSession, dir: String, alerts: Boolean,
                   sink: String = "console", name: String = "graft_follow")
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = if (alerts) Some(s.conf.getOption(key)) else None
     if (alerts)
-      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      s.conf.set(key,
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    follow(s, dir, alerts).writeStream
+    try follow(s, dir, alerts).writeStream
       .outputMode("append").format(sink).queryName(name)
       .option("truncate", "false")
       .start()
+    finally prev.foreach {
+      case Some(v) => s.conf.set(key, v)
+      case None    => s.conf.unset(key)
+    }
   }
 
   private def report(s: SparkSession, name: String, limit: Int): DataFrame = {
@@ -154,9 +164,8 @@ object Main {
     spark.sparkContext.setLogLevel("WARN")
     args.drop(1).toList match {
       case "follow" :: dir :: rest =>
-        val q = followStart(spark, dir, alerts = rest.contains("--alerts"))
-        val forSec = rest.sliding(2).collectFirst {
-          case Seq("--for", v) => v.toLong }
+        val (alerts, forSec) = parseFollowArgs(rest)
+        val q = followStart(spark, dir, alerts = alerts)
         forSec match {
           case Some(sec) => q.awaitTermination(sec * 1000L); q.stop()
           case None      => q.awaitTermination() // Ctrl-C to detach
@@ -165,5 +174,28 @@ object Main {
         run(spark, sfDir, rest).show(100, truncate = false)
     }
     spark.stop()
+  }
+
+  /** Strict follow-flag parsing (round-12 ADVICE: a malformed `--for 30s`
+    * used to crash with a bare NumberFormatException and unknown flags
+    * were silently ignored — both now fall through to the usage error). */
+  private[graft] def parseFollowArgs(rest: List[String]): (Boolean, Option[Long]) = {
+    def usage(bad: String): Nothing = sys.error(
+      s"""bad follow argument: $bad
+         |usage: <sfDir> follow <dir> [--alerts] [--for <seconds>]""".stripMargin)
+    var alerts = false
+    var forSec: Option[Long] = None
+    var r = rest
+    while (r.nonEmpty) r = r match {
+      case "--alerts" :: tail => alerts = true; tail
+      case "--for" :: v :: tail =>
+        v.toLongOption.filter(_ > 0) match {
+          case Some(n) => forSec = Some(n); tail
+          case None    => usage(s"--for $v")
+        }
+      case other :: _ => usage(other)
+      case Nil        => Nil
+    }
+    (alerts, forSec)
   }
 }

@@ -4,6 +4,7 @@ import graft.{Det, OracleDet, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import graft.Ckpt.LoopCheckpoint
 
 /** T4 — aggregation (SURVEY §2 T4).
   *
@@ -511,7 +512,7 @@ object AggOps {
           cast = "STRING",
           expandFrom = "FROM boot_events e " +
             "LATERAL VIEW explode(sequence(1, 64)) r AS rep"))
-        .localCheckpoint()
+        .loopCheckpoint()
         .createOrReplaceTempView("boot_mm")
       s.sql(bootstrapSelectSql("boot_mm", idiv = "DIV"))
     }),
@@ -989,7 +990,7 @@ object AggOps {
           |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS s,
           |  CAST(count(*) AS BIGINT) AS n
           |FROM events GROUP BY 1""".stripMargin)
-        .localCheckpoint().createOrReplaceTempView("hl_d")
+        .loopCheckpoint().createOrReplaceTempView("hl_d")
       s.sql(
         """WITH m AS (SELECT day, s / n AS dm FROM hl_d),
           |gg AS (SELECT (a.dm + b.dm) / 2 AS v
@@ -1151,7 +1152,7 @@ object AggOps {
     // (item_a, item_b) tie-breaks, so it is engine-deterministic.
     "q_report_market_basket" -> ((s, sf) => {
       Tables.lineitem(s, sf).createOrReplaceTempView("lineitem")
-      s.sql(marketBasketBaseSql).localCheckpoint()
+      s.sql(marketBasketBaseSql).loopCheckpoint()
         .createOrReplaceTempView("mb_b")
       s.sql(marketBasketSql(bRef = "mb_b", idiv = "DIV"))
     }),

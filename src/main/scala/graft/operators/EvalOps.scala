@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.Ckpt.LoopCheckpoint
 
 /** Classifier-evaluation suite — the metrics layer a training-data
   * pipeline needs the moment it trains a quality / language / topic
@@ -448,7 +449,7 @@ object EvalOps {
         s"""WITH $full
            |SELECT p.doc_id, p.lang, p.predicted, s.y, s.s_en, s.stot
            |FROM pred p JOIN sc s ON s.doc_id = p.doc_id""".stripMargin)
-        .localCheckpoint()
+        .loopCheckpoint()
     })
 
   private def run(s: SparkSession, sf: String, sql: String): DataFrame = {
@@ -480,7 +481,7 @@ object EvalOps {
         testT = "pmod(t.doc_id, 4) <> 0",
         bc = "/*+ BROADCAST(p) */") + "," + rankTail
       s.sql(s"WITH $full SELECT qlang, rnk, rel, rtot FROM rk")
-        .localCheckpoint()
+        .loopCheckpoint()
     })
 
   private def runRank(s: SparkSession, sf: String, sql: String): DataFrame = {
@@ -506,7 +507,7 @@ object EvalOps {
         un = e => s"explode($e)", split = "split",
         pairs = t => s"zip_with(slice($t, 1, size($t) - 1), " +
           s"slice($t, 2, size($t) - 1), (x, y) -> concat(x, ' ', y))"))
-        .localCheckpoint()
+        .loopCheckpoint()
         .createOrReplaceTempView("bleu_g")
       s.sql(bleuRestSql("bleu_g", "DIV"))
     }),
@@ -516,7 +517,7 @@ object EvalOps {
       s.sql(chrfGramSql(
         gram = (txt, n) => s"char_ngrams($txt, $n)",
         un = e => s"explode($e)"))
-        .localCheckpoint() // feeds cc and rc — materialize once
+        .loopCheckpoint() // feeds cc and rc — materialize once
         .createOrReplaceTempView("chrf_g")
       s.sql(chrfRestSql("chrf_g", "DIV"))
     }))

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.Ckpt.LoopCheckpoint
 
 /** Training-data pipeline operators over `documents` (SURVEY §2 T9 mandate:
   * "the operations a large-scale training-data pipeline would need") —
@@ -620,14 +621,14 @@ object PipelineOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pipeline_dsir" -> ((s, sf) => {
       Tables.documents(s, sf).createOrReplaceTempView("documents")
-      s.sql(dsirBgSparkSql).localCheckpoint()
+      s.sql(dsirBgSparkSql).loopCheckpoint()
         .createOrReplaceTempView("dsir_bg")
       s.sql(dsirRestSql("dsir_bg"))
     }),
     "q_pipeline_split" -> ((s, sf) => run(s, sf, splitSql("STRING"))),
     "q_text_contamination" -> ((s, sf) => {
       Tables.documents(s, sf).createOrReplaceTempView("documents")
-      s.sql(contaminationGramSparkSql).localCheckpoint()
+      s.sql(contaminationGramSparkSql).loopCheckpoint()
         .createOrReplaceTempView("g")
       s.sql(contaminationRestSparkSql)
     }),
@@ -635,7 +636,7 @@ object PipelineOps {
     "q_pipeline_dataset_card" -> ((s, sf) => run(s, sf, cardSparkSql)),
     "q_text_unigram_logprob" -> ((s, sf) => {
       Tables.documents(s, sf).createOrReplaceTempView("documents")
-      s.sql(logprobTokSparkSql).localCheckpoint()
+      s.sql(logprobTokSparkSql).loopCheckpoint()
         .createOrReplaceTempView("lp_tok")
       s.sql(logprobRestSql("lp_tok"))
     }),
@@ -653,7 +654,7 @@ object PipelineOps {
     }),
     "q_text_bigram_logprob" -> ((s, sf) => {
       Tables.documents(s, sf).createOrReplaceTempView("documents")
-      s.sql(bigramTokSparkSql).localCheckpoint()
+      s.sql(bigramTokSparkSql).loopCheckpoint()
         .createOrReplaceTempView("lp_bg")
       s.sql(bigramRestSql("lp_bg"))
     }),
@@ -661,14 +662,14 @@ object PipelineOps {
       Tables.documents(s, sf).createOrReplaceTempView("documents")
       // the bigram relation feeds four statements (pair/prefix/suffix
       // stats + the scoring join) — materialize it once
-      s.sql(bigramTokSparkSql).localCheckpoint()
+      s.sql(bigramTokSparkSql).loopCheckpoint()
         .createOrReplaceTempView("kn_bg")
       s.sql(knRestSql("kn_bg"))
     }),
     "q_text_perplexity_bucket" -> ((s, sf) => {
       Tables.documents(s, sf).createOrReplaceTempView("documents")
       // token relation feeds freq, tot AND the scoring join — materialize once
-      s.sql(logprobTokSparkSql).localCheckpoint()
+      s.sql(logprobTokSparkSql).loopCheckpoint()
         .createOrReplaceTempView("ppb_tok")
       s.sql(perplexityBucketSql("ppb_tok"))
     }),

@@ -4,6 +4,7 @@ import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import graft.Ckpt.LoopCheckpoint
 
 /** T1 — scans, sources, ingest (SURVEY §2 T1).
   *
@@ -162,6 +163,51 @@ object ScanOps {
         .orderBy("ts_raw", "host")
     }),
 
+    // Corrupt-rotation DEAD LETTER (round-12 verdict item 6): the same
+    // logrotate layout plus `app.log.3.gz` — a member truncated to its
+    // 12-byte gzip HEADER (a half-uploaded/half-rotated file). The V2
+    // reader used to throw mid-scan on that member's first read, killing
+    // the whole job at 100 TB for one bad blob; now the failure is
+    // absorbed at the FILE-MEMBER boundary and surfaces as one flagged
+    // row (fmt='corrupt', msg = the member path) while every healthy
+    // rotation still parses. The header-only truncation is the one
+    // deterministic cut: ZERO lines are recoverable on every JDK, so the
+    // oracle can restate the exact row set (all parsed lines + exactly
+    // one corrupt row naming the file).
+    "q_ingest_syslog_rotated_corrupt" -> ((s, sf) => {
+      val dir = java.nio.file.Paths.get(rtDir(s, "syslog_rot_corrupt", sf))
+      java.nio.file.Files.createDirectories(dir)
+      def put(name: String, lines: Seq[String], gz: Boolean): Unit = {
+        val bytes = (lines.mkString("\n") + "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val out = java.nio.file.Files.newOutputStream(dir.resolve(name))
+        val w = if (gz) new java.util.zip.GZIPOutputStream(out) else out
+        try w.write(bytes) finally w.close()
+      }
+      put("app.log", syslogLines.drop(6), gz = false)
+      put("app.log.1", syslogLines.slice(3, 6), gz = false)
+      put("app.log.2.gz", syslogLines.take(3), gz = true)
+      val whole = {
+        val bo = new java.io.ByteArrayOutputStream
+        val gz = new java.util.zip.GZIPOutputStream(bo)
+        gz.write((syslogLines.mkString("\n") + "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        gz.close()
+        bo.toByteArray
+      }
+      java.nio.file.Files.write(dir.resolve("app.log.3.gz"),
+        java.util.Arrays.copyOf(whole, 12)) // gzip header + 2 bytes, no deflate data
+      s.read.format("graft.sources.SyslogDataSource").load(dir.toString)
+        .select(col("ts_raw"), col("host"), col("proc"), col("pid"),
+          // flagged rows carry the member PATH; grade its basename so the
+          // oracle is path-prefix independent
+          when(col("fmt") === "corrupt",
+            regexp_extract(col("msg"), "([^/]+)$", 1))
+            .otherwise(col("msg")).as("msg"),
+          col("fmt"))
+        .orderBy("fmt", "ts_raw", "host")
+    }),
+
     "q_ingest_json_events" -> ((s, sf) =>
       Tables.events(s, sf)
         .select(
@@ -248,7 +294,7 @@ object ScanOps {
           to_date(col("ts")).as("day"))
         .groupBy("template", "day")
         .agg(count(lit(1)).as("cnt"))
-        .localCheckpoint()
+        .loopCheckpoint()
       val md = daily.agg(max(col("day")).as("maxd"))
       val per = daily.crossJoin(broadcast(md))
         .groupBy("template")
@@ -257,7 +303,7 @@ object ScanOps {
             .as("cur_cnt"),
           sum(when(col("day") < col("maxd"), col("cnt")).otherwise(0L))
             .as("base_cnt"))
-        .localCheckpoint()
+        .loopCheckpoint()
       val tot = per.agg(sum(col("cur_cnt")).as("cur_tot"),
         sum(col("base_cnt")).as("base_tot"))
       per.crossJoin(broadcast(tot))
@@ -928,7 +974,7 @@ object ScanOps {
       val kept = s.read.schema(schema).parquet(dir)
         .filter(col("bucket").isin(buckets: _*))
         .filter(!col("user_id").isin(keys: _*))
-        .localCheckpoint()
+        .loopCheckpoint()
       rewriteBuckets(s, dir, buckets, kept)
     }
   }
@@ -1096,7 +1142,7 @@ object ScanOps {
     // ConcurrentWriteException, never as silently lost rows.
     // one deterministic snapshot of the batch: the bucket list, the
     // anti-join keys and the inserted images must all agree
-    val batch = cdc.localCheckpoint()
+    val batch = cdc.loopCheckpoint()
     val Array(nOps, nKeys) = batch
       .agg(count("*"), count_distinct(col("event_id")))
       .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
@@ -1122,7 +1168,7 @@ object ScanOps {
       .join(batch.select("event_id"), Seq("event_id"), "left_anti")
     val images = batch.filter(col("op").isin("U", "I"))
       .select("event_id", "user_id", "value", "bucket")
-    val merged = baseKept.unionByName(images).localCheckpoint()
+    val merged = baseKept.unionByName(images).loopCheckpoint()
     rewriteBuckets(s, dir, buckets, merged)
   }
 
@@ -1217,6 +1263,27 @@ object ScanOps {
          |  regexp_extract(line, '$sqlPat', 5) AS msg
          |FROM (VALUES $syslogValues) AS t(line_id, line)
          |ORDER BY ts_raw, host""".stripMargin,
+
+    // Parsed lines + exactly ONE dead-letter row for the header-only
+    // .gz member (zero recoverable lines by construction). 'corrupt'
+    // sorts before 'rfc3164' in both engines; the corrupt group is a
+    // single row, so its NULL keys can't hit the engines' NULL-order
+    // divergence.
+    "q_ingest_syslog_rotated_corrupt" ->
+      s"""SELECT * FROM (
+         |  SELECT
+         |    regexp_extract(line, '$sqlPat', 1) AS ts_raw,
+         |    regexp_extract(line, '$sqlPat', 2) AS host,
+         |    regexp_extract(line, '$sqlPat', 3) AS proc,
+         |    CAST(regexp_extract(line, '$sqlPat', 4) AS INTEGER) AS pid,
+         |    regexp_extract(line, '$sqlPat', 5) AS msg,
+         |    'rfc3164' AS fmt
+         |  FROM (VALUES $syslogValues) AS t(line_id, line)
+         |  UNION ALL
+         |  SELECT CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+         |         CAST(NULL AS VARCHAR), CAST(NULL AS INTEGER),
+         |         'app.log.3.gz', 'corrupt'
+         |) ORDER BY fmt, ts_raw, host""".stripMargin,
 
     "q_ingest_json_events" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k

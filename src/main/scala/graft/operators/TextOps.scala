@@ -5,6 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import graft.Ckpt.LoopCheckpoint
 
 /** T9 — text analysis + deduplication over `documents` (MANDATED:
   * SURVEY §2 T9 + the LLM-data-pipeline operator set).
@@ -268,7 +269,7 @@ object TextOps {
     * seq) state registered as `bpe_tr_st` and returns the per-round
     * merge-pick DataFrames (kind, rnd, item, cnt). */
   private def bpeTrainLoop(s: SparkSession): Seq[DataFrame] = {
-    var st = s.sql(bpeTrainStateSparkSql).localCheckpoint()
+    var st = s.sql(bpeTrainStateSparkSql).loopCheckpoint()
     val merges = Seq.newBuilder[DataFrame]
     for (k <- 1 to bpeTrainRounds) {
       st.createOrReplaceTempView("bpe_tr_st")
@@ -277,7 +278,7 @@ object TextOps {
       // checkpointed state, materializes the state as a side effect.
       val top = s.sql(bpeTrainTopSql("bpe_tr_st", e => s"explode($e)",
           bpeTrainSparkPairs, "split"))
-        .localCheckpoint()
+        .loopCheckpoint()
       top.createOrReplaceTempView("bpe_tr_top")
       merges += top.select(lit("merge").as("kind"), lit(k).as("rnd"),
         col("pair").as("item"), col("n").as("cnt"))
@@ -486,13 +487,13 @@ object TextOps {
   private def ugViterbi(s: SparkSession, maxLen: Int): DataFrame = {
     var dp = s.sql(
       "SELECT word, c, 0 AS pos, CAST(0 AS BIGINT) AS cost, '' AS path FROM ug_wf")
-      .localCheckpoint()
+      .loopCheckpoint()
     for (p <- 1 to maxLen) {
       dp.createOrReplaceTempView("ug_dp")
-      dp = dp.unionByName(s.sql(ugStepSql(p))).localCheckpoint()
+      dp = dp.unionByName(s.sql(ugStepSql(p))).loopCheckpoint()
     }
     dp.createOrReplaceTempView("ug_dp")
-    s.sql(ugBestSql).localCheckpoint()
+    s.sql(ugBestSql).loopCheckpoint()
   }
 
   /** Checkpointed trainer state: word frequencies, per-round Viterbi
@@ -514,25 +515,25 @@ object TextOps {
   private def unigramTrain(s: SparkSession, sf: String): UgState =
     ugMemo.getOrElseUpdate(s.sparkContext.applicationId + "|" + sf, {
       import org.apache.spark.sql.functions.{col, length => sqlLength, max => sqlMax}
-      val wf = s.sql(ugWfSparkSql).localCheckpoint()
+      val wf = s.sql(ugWfSparkSql).loopCheckpoint()
       wf.createOrReplaceTempView("ug_wf")
       val maxLen = Option(wf.agg(sqlMax(sqlLength(col("word")))).head.get(0))
         .map(_.asInstanceOf[Int]).getOrElse(0)
-      s.sql(ugCandSparkSql).localCheckpoint().createOrReplaceTempView("ug_cand")
-      var vocab = s.sql(ugSeedVocabSql("ug_cand")).localCheckpoint()
+      s.sql(ugCandSparkSql).loopCheckpoint().createOrReplaceTempView("ug_cand")
+      var vocab = s.sql(ugSeedVocabSql("ug_cand")).loopCheckpoint()
       val bests = IndexedSeq.newBuilder[DataFrame]
       val vocabs = IndexedSeq.newBuilder[DataFrame]
       for (_ <- 1 to ugRounds) {
         vocab.createOrReplaceTempView("ug_vocab")
-        s.sql(ugCostsSql("ug_vocab")).localCheckpoint()
+        s.sql(ugCostsSql("ug_vocab")).loopCheckpoint()
           .createOrReplaceTempView("ug_costs")
         val best = ugViterbi(s, maxLen)
         best.createOrReplaceTempView("ug_best")
         bests += best
-        val tok = s.sql(ugTokSql).localCheckpoint()
+        val tok = s.sql(ugTokSql).loopCheckpoint()
         tok.createOrReplaceTempView("ug_tok")
         val nMulti = tok.filter(sqlLength(col("piece")) > 1).count()
-        vocab = s.sql(ugPruneSql(math.ceil(0.8 * nMulti).toLong)).localCheckpoint()
+        vocab = s.sql(ugPruneSql(math.ceil(0.8 * nMulti).toLong)).loopCheckpoint()
         vocabs += vocab
       }
       UgState(maxLen, wf, bests.result(), vocabs.result())
@@ -716,7 +717,7 @@ object TextOps {
   private[graft] def reachLabels(edges: DataFrame, seeds: DataFrame): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
     var visited = seeds.select(col("node")).distinct()
-      .withColumn("depth", lit(0)).localCheckpoint()
+      .withColumn("depth", lit(0)).loopCheckpoint()
     var frontier = visited
     var depth = 0
     var done = frontier.isEmpty
@@ -726,7 +727,7 @@ object TextOps {
         .select(e("dst").as("node")).distinct()
         .join(visited.select("node"), Seq("node"), "left_anti")
         .withColumn("depth", lit(depth))
-        .localCheckpoint()
+        .loopCheckpoint()
       if (next.isEmpty) done = true
       else {
         visited = visited.unionByName(next).localCheckpoint(eager = false)
@@ -758,7 +759,7 @@ object TextOps {
   private[graft] def ssspLabels(edges: DataFrame, seeds: DataFrame): DataFrame = {
     val e = edges.select(col("src"), col("dst"), col("w"))
     var dist = seeds.select(col("node")).distinct()
-      .withColumn("dist", lit(0L)).localCheckpoint()
+      .withColumn("dist", lit(0L)).loopCheckpoint()
     var prev: (Long, java.math.BigDecimal) = null
     var converged = false
     var iter = 0
@@ -990,7 +991,7 @@ object TextOps {
         greatest(col("a"), col("b")).as("u"),
         least(col("a"), col("b")).as("v"))
       .where(col("u") =!= col("v"))
-      .localCheckpoint()
+      .loopCheckpoint()
     dbg("init-ckpt")
     def sym(e: DataFrame): DataFrame =
       e.select(col("u").as("x"), col("v").as("y"))
@@ -2019,7 +2020,7 @@ object TextOps {
       // corpus is scanned exactly once per merge round — inlined CTEs
       // would otherwise recompute it for the pair-count, apply, and
       // final-select references (measured: 3 parquet scans → 1).
-      s.sql(bpeStateSparkSql).localCheckpoint()
+      s.sql(bpeStateSparkSql).loopCheckpoint()
         .createOrReplaceTempView("bpe_state")
       s.sql(bpeMergeSparkSql)
     }),
@@ -2101,7 +2102,7 @@ object TextOps {
       val st = unigramTrain(s, sf)
       st.wf.createOrReplaceTempView("ug_wf")
       st.vocabs.last.createOrReplaceTempView("ug_vocab_final")
-      s.sql(ugCostsSql("ug_vocab_final")).localCheckpoint()
+      s.sql(ugCostsSql("ug_vocab_final")).loopCheckpoint()
         .createOrReplaceTempView("ug_costs")
       ugViterbi(s, st.maxLen).createOrReplaceTempView("ug_apply")
       s.sql(ugApplyReadout("ug_apply", e => s"explode($e)", "split", "size"))
@@ -2170,7 +2171,7 @@ object TextOps {
       // the degree-annotated edge list is every round's loop invariant —
       // materialized once (see [[pagerankEdgeCtes]])
       s.sql(pagerankEdgesSql("STRING"))
-        .localCheckpoint().createOrReplaceTempView("pr_e")
+        .loopCheckpoint().createOrReplaceTempView("pr_e")
       s.sql(s"WITH $pagerankIterCtes\n$pagerankFinalSql")
     }),
 
@@ -2193,7 +2194,7 @@ object TextOps {
       // one-value seed aggregate up front (bounded driver handoff, the
       // DPP-threshold pattern) instead of letting every step rescan for
       // it. Measured 3.1 → 1.5 s warm at sf0.1.
-      val edges = s.sql(reachEdgesSql("STRING")).localCheckpoint()
+      val edges = s.sql(reachEdgesSql("STRING")).loopCheckpoint()
       edges.createOrReplaceTempView("rch_e")
       val seed = edges.filter(col("src") >= "s").agg(min(col("src")))
         .head().getString(0)
@@ -2218,7 +2219,7 @@ object TextOps {
     // depth, the same readout as q_graph_reachability.
     "q_graph_reach_deep" -> ((s, sf) => {
       Tables.lineitem(s, sf).createOrReplaceTempView("lineitem")
-      val edges = s.sql(reachEdgesSql("STRING", minQty = 48)).localCheckpoint()
+      val edges = s.sql(reachEdgesSql("STRING", minQty = 48)).loopCheckpoint()
       // 1-row seed relation (no driver handoff at all — the null guard is
       // the isNotNull filter, so a degenerate corpus yields empty seeds,
       // an empty visited set, and the correct empty ring table)
@@ -2247,7 +2248,7 @@ object TextOps {
     // co-partitioned semi-joins on the node key.
     "q_graph_kcore" -> ((s, sf) => {
       Tables.lineitem(s, sf).createOrReplaceTempView("lineitem")
-      var g = s.sql(reachEdgesSql("STRING", minQty = 48)).localCheckpoint()
+      var g = s.sql(reachEdgesSql("STRING", minQty = 48)).loopCheckpoint()
       def stat(r: Int, e: DataFrame): DataFrame =
         e.agg(countDistinct(col("src")).as("n_nodes"),
             count(lit(1)).as("n_edges"))
@@ -2279,10 +2280,10 @@ object TextOps {
     // the 15 largest communities + the community count.
     "q_graph_labelprop" -> ((s, sf) => {
       Tables.lineitem(s, sf).createOrReplaceTempView("lineitem")
-      val e = s.sql(reachEdgesSql("STRING", minQty = 48)).localCheckpoint()
+      val e = s.sql(reachEdgesSql("STRING", minQty = 48)).loopCheckpoint()
       e.createOrReplaceTempView("lp_e")
       var lbl = e.select(col("src").as("node")).distinct()
-        .withColumn("lab", col("node")).localCheckpoint()
+        .withColumn("lab", col("node")).loopCheckpoint()
       for (_ <- 1 to 4) {
         lbl.createOrReplaceTempView("lp_lbl")
         lbl = s.sql(
@@ -2294,7 +2295,7 @@ object TextOps {
             |      UNION ALL SELECT node, lab FROM lp_lbl) v
             |    GROUP BY v.node, v.lab) c
             |  GROUP BY node) t""".stripMargin)
-          .localCheckpoint()
+          .loopCheckpoint()
       }
       lbl.createOrReplaceTempView("lp_lbl")
       s.sql(
@@ -2315,10 +2316,10 @@ object TextOps {
     // LPA cost; the readout adds one co-partitioned edge-label join.
     "q_graph_modularity" -> ((s, sf) => {
       Tables.lineitem(s, sf).createOrReplaceTempView("lineitem")
-      val e = s.sql(reachEdgesSql("STRING", minQty = 48)).localCheckpoint()
+      val e = s.sql(reachEdgesSql("STRING", minQty = 48)).loopCheckpoint()
       e.createOrReplaceTempView("md_e")
       var lbl = e.select(col("src").as("node")).distinct()
-        .withColumn("lab", col("node")).localCheckpoint()
+        .withColumn("lab", col("node")).loopCheckpoint()
       for (_ <- 1 to 4) {
         lbl.createOrReplaceTempView("md_lbl")
         lbl = s.sql(
@@ -2330,7 +2331,7 @@ object TextOps {
             |      UNION ALL SELECT node, lab FROM md_lbl) v
             |    GROUP BY v.node, v.lab) c
             |  GROUP BY node) t""".stripMargin)
-          .localCheckpoint()
+          .loopCheckpoint()
       }
       lbl.createOrReplaceTempView("md_lbl")
       s.sql(modularityReadoutSql(eRef = "md_e", lblRef = "md_lbl", idiv = "DIV"))
@@ -2370,7 +2371,7 @@ object TextOps {
           |                          slice(toks, 2, size(toks) - 1),
           |                          (x, y) -> concat(x, ' ', y))) AS bg
           |  FROM (SELECT split(text, ' ') AS toks FROM documents)) z""".stripMargin))
-        .localCheckpoint().createOrReplaceTempView("tr_e")
+        .loopCheckpoint().createOrReplaceTempView("tr_e")
       s.sql(textrankChainSql(eRef = "tr_e", idiv = "DIV", mat = ""))
     }),
 
@@ -2396,13 +2397,13 @@ object TextOps {
       // passes (measured 4.9 s → 1.3 s at sf0.1). The oracle keeps the
       // one-statement chain with AS MATERIALIZED, so the gate proves
       // loop ≡ chain every run.
-      s.sql(hitsEdgesSql).localCheckpoint().createOrReplaceTempView("hits_e")
+      s.sql(hitsEdgesSql).loopCheckpoint().createOrReplaceTempView("hits_e")
       def step(sumSql: String, stage: String, key: String): Unit = {
-        s.sql(sumSql).localCheckpoint().createOrReplaceTempView(s"${stage}_s")
+        s.sql(sumSql).loopCheckpoint().createOrReplaceTempView(s"${stage}_s")
         s.sql(
           s"""SELECT $key, CAST(s * 1000000 DIV mx.m AS BIGINT) AS sc
              |FROM ${stage}_s CROSS JOIN (SELECT max(s) AS m FROM ${stage}_s) mx""".stripMargin)
-          .localCheckpoint().createOrReplaceTempView(stage)
+          .loopCheckpoint().createOrReplaceTempView(stage)
       }
       step("SELECT i, CAST(count(*) AS BIGINT) AS s FROM hits_e GROUP BY i", "h_a1n", "i")
       step("""SELECT e.u, CAST(sum(an.sc) AS BIGINT) AS s
@@ -2419,7 +2420,7 @@ object TextOps {
 
     "q_graph_sssp" -> ((s, sf) => {
       Tables.lineitem(s, sf).createOrReplaceTempView("lineitem")
-      val edges = s.sql(ssspEdgesSql("STRING")).localCheckpoint()
+      val edges = s.sql(ssspEdgesSql("STRING")).loopCheckpoint()
       val seeds = edges.filter(col("src") >= "s")
         .agg(min(col("src")).as("node")).filter(col("node").isNotNull)
       ssspLabels(edges, seeds)
@@ -2645,7 +2646,7 @@ object TextOps {
       s.sql(
         s"""$lshBandPairsCtesSpark
            |SELECT DISTINCT lang, doc_id AS a, doc_id_b AS b FROM pairs""".stripMargin)
-        .localCheckpoint().createOrReplaceTempView("lcc_e")
+        .loopCheckpoint().createOrReplaceTempView("lcc_e")
       s.sql("WITH " + clusterCoefSql("lcc_e", idiv = "DIV"))
     }),
 
@@ -2654,7 +2655,7 @@ object TextOps {
       s.sql(
         s"""$lshBandPairsCtesSpark
            |SELECT DISTINCT lang, doc_id AS a, doc_id_b AS b FROM pairs""".stripMargin)
-        .localCheckpoint().createOrReplaceTempView("ast_e")
+        .loopCheckpoint().createOrReplaceTempView("ast_e")
       s.sql("WITH " + assortativitySql("ast_e", idiv = "DIV"))
     }),
 
@@ -2737,7 +2738,7 @@ object TextOps {
     // proves incremental ≡ full on exactly the rows a backfill owns.
     "q_dedup_incremental" -> ((s, sf) => {
       Tables.documents(s, sf).createOrReplaceTempView("documents")
-      val dict = s.sql(incDedupDictSql).localCheckpoint()
+      val dict = s.sql(incDedupDictSql).loopCheckpoint()
       // The 4×64-bit signature covers dict ids 0..255 ONLY: an id ≥ 256
       // falls outside every bit_or CASE range, still counts in n, and
       // never intersects — silently underestimating Jaccard. Fail loudly
@@ -2751,7 +2752,7 @@ object TextOps {
           "the fixed 4x64-bit signature would silently drop tokens; " +
           "use the wide-bitmap encoding (q_dedup_near_wide) for this corpus")
       dict.createOrReplaceTempView("inc_dict")
-      s.sql(incDedupRegSql).localCheckpoint()
+      s.sql(incDedupRegSql).loopCheckpoint()
         .createOrReplaceTempView("inc_reg")
       s.sql(incDedupVerdictSql)
     }),
@@ -2768,7 +2769,7 @@ object TextOps {
       // and bitmap-encodes the corpus twice (measured 2.7 s vs 1.9 s at
       // sf0.1). localCheckpoint truncates to the materialized rows — the
       // same cache-the-build-side discipline a 100 TB run would apply.
-      val enc = s.sql(nearDupWideEncSpark).localCheckpoint()
+      val enc = s.sql(nearDupWideEncSpark).loopCheckpoint()
       enc.createOrReplaceTempView("enc_wide_ckpt")
       s.sql(nearDupWidePairSpark("enc_wide_ckpt"))
     }),
@@ -3150,7 +3151,7 @@ object TextOps {
       s.sql(
         s"""$lshBandPairsCtesSpark
           |SELECT DISTINCT lang, doc_id AS a, doc_id_b AS b FROM pairs""".stripMargin)
-        .localCheckpoint().createOrReplaceTempView("tri_e")
+        .loopCheckpoint().createOrReplaceTempView("tri_e")
       s.sql(
         """WITH tri AS (SELECT e1.lang AS lang
           |        FROM tri_e e1

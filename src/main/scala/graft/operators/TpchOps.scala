@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.Ckpt.LoopCheckpoint
 
 /** TPC-H sweep — all 22 classic query shapes graded against the DuckDB
   * oracle on one shared ANSI text each (Q1 is the long-standing
@@ -461,7 +462,7 @@ object TpchOps {
         |WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
         |  AND n_regionkey = r_regionkey AND r_name = 'ASIA'
         |GROUP BY l_partkey""".stripMargin)
-      .localCheckpoint()
+      .loopCheckpoint()
       .createOrReplaceTempView("q11_val")
     s.sql(
       """SELECT l_partkey, CAST(v AS DOUBLE) AS part_value

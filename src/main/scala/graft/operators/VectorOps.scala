@@ -4,6 +4,7 @@ import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import graft.Ckpt.LoopCheckpoint
 
 /** T10 — vector similarity over `embeddings` (MANDATED: SURVEY §2 T10).
   *
@@ -640,7 +641,7 @@ object VectorOps {
       graft.functions.GraftFunctions.register(s)
       Tables.embeddings(s, sf).createOrReplaceTempView("embeddings")
       // the frozen index: 16-row codebook materialized once
-      s.sql(incIvfTrainSparkSql).localCheckpoint()
+      s.sql(incIvfTrainSparkSql).loopCheckpoint()
         .createOrReplaceTempView("inc_ivf_cent")
       s.sql(incIvfServeSparkSql)
     }),

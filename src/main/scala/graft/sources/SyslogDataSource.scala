@@ -85,6 +85,13 @@ object SyslogDataSource {
   private def intOrNull(s: String): Any =
     if (s != null && s.nonEmpty && s.forall(_.isDigit)) s.toInt else null
 
+  /** The dead-letter record for a corrupt rotation member (round-12
+    * verdict item 6): one flagged row naming the file, fmt='corrupt' —
+    * the scan survives a truncated/corrupt `.gz`, costing a row instead
+    * of the job. */
+  private[sources] def corruptRow(file: String): Array[Any] =
+    row(msg = utf(file), fmt = "corrupt")
+
   private def row(tsRaw: Any = null, host: Any = null, proc: Any = null,
                   pid: Any = null, msg: Any = null, pri: Any = null,
                   severity: Any = null, facility: Any = null,
@@ -258,30 +265,59 @@ class SyslogReaderFactory(required: StructType,
       (SyslogDataSource.schema.fieldIndex(a), UTF8String.fromString(v))
     }
     new PartitionReader[InternalRow] {
+      // A corrupt rotation member — truncated/garbage .gz (even at the
+      // GZIP header, which the constructor itself parses), or any
+      // mid-read IO failure — must cost ONE flagged row, not the scan:
+      // IOExceptions are absorbed at the FILE-MEMBER boundary, the
+      // member's surviving lines flow through, and a terminal
+      // fmt='corrupt' record naming the file closes the partition
+      // (round-12 verdict item 6; same flag-and-continue discipline as
+      // the media dead letter).
+      private var ioFailure: String = null
       // Streamed, not slurped: a rotated /var/log file can be GBs, and a
       // `.gz` rotation decompresses transparently off the same reader.
-      private val reader = {
-        val raw = java.nio.file.Files.newInputStream(java.nio.file.Paths.get(file))
-        val in = if (file.endsWith(".gz"))
-          new java.util.zip.GZIPInputStream(raw) else raw
-        new java.io.BufferedReader(
-          new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
-      }
-      private val records = SyslogDataSource.parseRecords(
-        Iterator.continually(reader.readLine()).takeWhile(_ != null))
-      private var row: InternalRow = _
-      override def next(): Boolean = {
-        while (records.hasNext) {
-          val full = records.next()
-          if (filterIdx.forall { case (i, v) => v == full(i) }) {
-            row = InternalRow.fromSeq(idx.toSeq.map(full(_)))
-            return true
+      private val reader: java.io.BufferedReader =
+        try {
+          val raw = java.nio.file.Files.newInputStream(java.nio.file.Paths.get(file))
+          val in = if (file.endsWith(".gz"))
+            new java.util.zip.GZIPInputStream(raw) else raw
+          new java.io.BufferedReader(
+            new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
+        } catch {
+          case _: java.io.IOException => ioFailure = file; null
+        }
+      private val lines: Iterator[String] =
+        if (reader == null) Iterator.empty
+        else new Iterator[String] {
+          private var nextLine: String = _
+          private var done = false
+          private def advance(): Unit =
+            if (!done && nextLine == null)
+              try { nextLine = reader.readLine(); if (nextLine == null) done = true }
+              catch { case _: java.io.IOException => done = true; ioFailure = file }
+          override def hasNext: Boolean = { advance(); nextLine != null }
+          override def next(): String = {
+            advance(); val l = nextLine; nextLine = null; l
           }
+        }
+      private val records = SyslogDataSource.parseRecords(lines)
+      private var emittedFailure = false
+      private var row: InternalRow = _
+      private def emit(full: Array[Any]): Boolean =
+        if (filterIdx.forall { case (i, v) => v == full(i) }) {
+          row = InternalRow.fromSeq(idx.toSeq.map(full(_)))
+          true
+        } else false
+      override def next(): Boolean = {
+        while (records.hasNext) if (emit(records.next())) return true
+        if (ioFailure != null && !emittedFailure) {
+          emittedFailure = true
+          if (emit(SyslogDataSource.corruptRow(ioFailure))) return true
         }
         false
       }
       override def get(): InternalRow = row
-      override def close(): Unit = reader.close()
+      override def close(): Unit = if (reader != null) reader.close()
     }
   }
 }

