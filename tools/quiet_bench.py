@@ -101,7 +101,14 @@ def run_capture(args, tmp_out):
         stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
         start_new_session=True)
     # Sliding 30s steal monitor; abort if sustained contention appears.
+    # The first --warmup seconds are exempt: sbt/JVM startup bursts all
+    # cores and on an overcommitted host that SELF-INDUCES steal spikes
+    # before the timed loop has even begun (observed: every abort in the
+    # first capture attempts fired 70-110s in, i.e. during startup).
+    # Bench's own meta.steal_pct brackets exactly the timed loop, so the
+    # accept gate still catches a genuinely dirty run.
     tick, win = 3.0, []
+    start = time.time()
     prev = jiffies()
     while proc.poll() is None:
         time.sleep(tick)
@@ -109,7 +116,7 @@ def run_capture(args, tmp_out):
         win.append(steal_between(prev, cur))
         prev = cur
         win = win[-10:]
-        if len(win) == 10:
+        if time.time() - start > args.warmup and len(win) == 10:
             w = sum(win) / len(win)
             if w > args.abort_steal:
                 print(f"[quiet] MID-RUN ABORT: 30s steal {w:.2f}% > "
@@ -154,6 +161,9 @@ def main():
     ap.add_argument("--pre-window", type=float, default=24)
     ap.add_argument("--steal-max", type=float, default=0.8)
     ap.add_argument("--abort-steal", type=float, default=3.0)
+    ap.add_argument("--warmup", type=float, default=100,
+                    help="seconds after launch exempt from the abort "
+                         "monitor (sbt/JVM startup self-induces steal)")
     ap.add_argument("--steal-max-run", type=float, default=0.8)
     ap.add_argument("--load-max", type=float, default=2.0)
     ap.add_argument("--driver-mem", default=None)
