@@ -14,6 +14,9 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.cteRecursionRowLimit", "50000000")
+      // Reclaim reliable loop-checkpoint files as their RDDs are GC'd
+      // (static conf — must be set before the context; see Ckpt scaladoc).
+      .config(Ckpt.CleanerKey, "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -128,11 +131,28 @@ object Bench {
       "q_sink_partitioned",
       "q_ingest_orc", "q_scan_merge_schema", "q_ingest_syslog_rotated")
       .filter(SparkEntry.queries.contains)
+    // Memo-class queries share a once-per-(session, sf) training/build
+    // pass (unigram EM state, IVF/PQ codebooks, eval_base/rank_base) —
+    // whichever family member runs FIRST pays the whole build, and under
+    // GC/steal both its reps can stay slow, so best-of-2 doesn't save the
+    // reading (round-13 verdict item 3: q_text_unigram_tokenize billed
+    // 40.2 s for the training chain in one capture, 1.3 s in the clean
+    // one). Tagging them lets compare_bench.py label their movers
+    // "memo-first-payer" instead of flagging phantom regressions.
+    val memoClass = Seq(
+      "q_text_unigram_train", "q_text_unigram_tokenize",
+      "q_vec_ann_ivf", "q_vec_cluster_purity", "q_vec_ann_recall",
+      "q_vec_ann_pq", "q_vec_pq_recall",
+      "q_eval_confusion", "q_eval_prf", "q_eval_kappa", "q_eval_auc",
+      "q_eval_calibration", "q_eval_brier",
+      "q_eval_ndcg", "q_eval_mrr", "q_eval_map")
+      .filter(SparkEntry.queries.contains)
     val xmxGb = Runtime.getRuntime.maxMemory / (1 << 30)
     val meta = s"""{"ts_start":"$tsStart","ts_end":"$tsEnd",""" +
       s""""load1_start":${f(loadStart)},"load1_end":${f(loadEnd)},""" +
       s""""steal_pct":${f(stealPct)},"cpus":$cpus,"xmx_gb":$xmxGb,""" +
-      s""""write_class":${writeClass.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
+      s""""write_class":${writeClass.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+      s""""memo_class":${memoClass.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
     val line = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","meta":$meta}"""
     println(line)
     // The driver records only the TAIL of stdout, which truncated the

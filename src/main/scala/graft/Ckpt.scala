@@ -15,30 +15,64 @@ import org.apache.spark.sql.Dataset
   * At 100 TB that trade flips for long loops, so the checkpoint sink is
   * configurable: set `spark.graft.checkpointDir` to a RELIABLE location
   * (HDFS/S3 on a cluster; any shared dir locally) and every loop
-  * checkpoint becomes a reliable `checkpoint()` — each iteration's state
-  * is written out, surviving executor loss at the cost of one write per
-  * round. The first reliable checkpoint installs the dir on the
-  * SparkContext (a context-level, not session-level, setting; it is only
-  * ever touched when the user opted in by setting the conf).
+  * checkpoint — eager AND lazy (`eager = false` passes straight through
+  * to `Dataset.checkpoint(eager)`) — becomes a reliable `checkpoint()`,
+  * surviving executor loss at the cost of one write per round. The
+  * reliable path installs the dir on the SparkContext (a context-level
+  * setting; only ever touched when the user opted in by setting the
+  * conf) and RE-installs it if the conf value changes mid-session, so a
+  * new value is never silently ignored (round-13 advice).
+  *
+  * Checkpoint GARBAGE: reliable checkpoint files outlive the RDDs that
+  * wrote them unless `spark.cleaner.referenceTracking.cleanCheckpoints`
+  * is `true` (a STATIC conf, read at SparkContext construction — it
+  * cannot be flipped here). Our own entry points (`Bench`, `Verify`,
+  * `Main`, stream harnesses) set it in their builders, so iterative
+  * rounds' state is reclaimed as the per-round Datasets are GC'd on the
+  * driver; a deployer embedding this library with their own session must
+  * set it too (or point `spark.graft.checkpointDir` at a TTL'd/scratch
+  * location) — otherwise every loop round leaks its full state for the
+  * life of the cluster.
   *
   * `CkptSpec` runs a full iterative query both ways and asserts identical
-  * results plus checkpoint files actually landing in the reliable dir.
+  * results plus checkpoint files actually landing in the reliable dir,
+  * and covers the lazy path and mid-session dir changes.
   */
 object Ckpt {
   val ConfKey = "spark.graft.checkpointDir"
 
+  /** Static conf our entry points enable so reliable checkpoint files are
+    * cleaned when their RDDs are GC'd (see scaladoc above). */
+  val CleanerKey = "spark.cleaner.referenceTracking.cleanCheckpoints"
+
+  // The conf value currently installed on the (one-per-JVM) SparkContext.
+  // getCheckpointDir can't be compared directly — setCheckpointDir appends
+  // a random UUID subdir — so we track what we installed.
+  @volatile private var installedDir: String = null
+  private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.Ckpt")
+
   implicit final class LoopCheckpoint[T](private val ds: Dataset[T]) extends AnyVal {
-    /** `localCheckpoint()` by default; reliable `checkpoint()` into
-      * `spark.graft.checkpointDir` when that conf is set. Both are eager
-      * and return a lineage-truncated Dataset — drop-in equivalents. */
-    def loopCheckpoint(): Dataset[T] = {
+    /** `localCheckpoint(eager)` by default; reliable `checkpoint(eager)`
+      * into `spark.graft.checkpointDir` when that conf is set. All four
+      * combinations return a lineage-truncated Dataset — drop-in
+      * equivalents (lazy ones truncate at first materialization). */
+    def loopCheckpoint(eager: Boolean = true): Dataset[T] = {
       val s = ds.sparkSession
       s.conf.getOption(ConfKey) match {
         case Some(dir) if dir.nonEmpty =>
-          if (s.sparkContext.getCheckpointDir.isEmpty)
-            s.sparkContext.setCheckpointDir(dir)
-          ds.checkpoint()
-        case _ => ds.localCheckpoint()
+          Ckpt.synchronized {
+            val sc = s.sparkContext
+            if (sc.getCheckpointDir.isEmpty || installedDir != dir) {
+              if (installedDir != null && installedDir != dir)
+                log.warn(
+                  s"$ConfKey changed from $installedDir to $dir mid-session; " +
+                    "re-installing the SparkContext checkpoint dir")
+              sc.setCheckpointDir(dir)
+              installedDir = dir
+            }
+          }
+          ds.checkpoint(eager)
+        case _ => ds.localCheckpoint(eager)
       }
     }
   }

@@ -159,6 +159,9 @@ object Main {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.cteRecursionRowLimit", "50000000")
+      // Reclaim reliable loop-checkpoint files as their RDDs are GC'd
+      // (static conf — must be set before the context; see Ckpt scaladoc).
+      .config(Ckpt.CleanerKey, "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

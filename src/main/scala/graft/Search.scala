@@ -148,6 +148,9 @@ object Search {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // Reclaim reliable loop-checkpoint files as their RDDs are GC'd
+      // (static conf — must be set before the context; see Ckpt scaladoc).
+      .config(Ckpt.CleanerKey, "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -18,6 +18,9 @@ object Verify {
       // headroom for q_recursive_cte) — harness-managed, never
       // mutated inside a query (round-11 judge item 2).
       .config("spark.sql.cteRecursionRowLimit", "50000000")
+      // Reclaim reliable loop-checkpoint files as their RDDs are GC'd
+      // (static conf — must be set before the context; see Ckpt scaladoc).
+      .config(Ckpt.CleanerKey, "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

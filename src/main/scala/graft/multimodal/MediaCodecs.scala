@@ -439,6 +439,21 @@ object MediaCodecs {
   }
   private val jpegDcIdx = jpegCodeIndex(jpegDcVals)
   private val jpegAcIdx = jpegCodeIndex(jpegAcVals)
+  // A symbol outside the table (-1 index) would emit an 0xFF code and
+  // silently corrupt the stream. Unreachable with the quality-95 tables
+  // (worst-case |quantized| < 1024, category ≤ 10), but any table tweak
+  // could cross the line — fail loudly instead (round-13 advice).
+  private def jpegDcCode(cat: Int): Int = {
+    val ix = jpegDcIdx(cat)
+    require(ix >= 0, s"JPEG DC category $cat has no Huffman code")
+    ix
+  }
+  private def jpegAcCode(sym: Int): Int = {
+    val ix = jpegAcIdx(sym)
+    require(ix >= 0,
+      s"JPEG AC symbol (run=${sym >> 4}, size=${sym & 0xf}) has no Huffman code")
+    ix
+  }
 
   /** MSB-first bit writer with the mandatory 0xFF→0xFF 0x00 byte stuffing
     * inside entropy-coded data; `finish` pads the last byte with 1-bits. */
@@ -611,22 +626,22 @@ object MediaCodecs {
           val diff = zz(0) - prevDC(comp) // DC: category + offset bits
           prevDC(comp) = zz(0)
           val cat = jpegCategory(diff)
-          bw.put(jpegDcIdx(cat), 4)
+          bw.put(jpegDcCode(cat), 4)
           if (cat > 0) bw.put(if (diff < 0) diff + (1 << cat) - 1 else diff, cat)
           var run = 0 // AC: (run,size) symbols with ZRL/EOB
           i = 1
           while (i < 64) {
             if (zz(i) == 0) run += 1
             else {
-              while (run > 15) { bw.put(jpegAcIdx(0xf0), 8); run -= 16 }
+              while (run > 15) { bw.put(jpegAcCode(0xf0), 8); run -= 16 }
               val sz = jpegCategory(zz(i))
-              bw.put(jpegAcIdx((run << 4) | sz), 8)
+              bw.put(jpegAcCode((run << 4) | sz), 8)
               bw.put(if (zz(i) < 0) zz(i) + (1 << sz) - 1 else zz(i), sz)
               run = 0
             }
             i += 1
           }
-          if (run > 0) bw.put(jpegAcIdx(0x00), 8) // EOB
+          if (run > 0) bw.put(jpegAcCode(0x00), 8) // EOB
           comp += 1
         }
         mx += 1

@@ -283,7 +283,7 @@ object TextOps {
       merges += top.select(lit("merge").as("kind"), lit(k).as("rnd"),
         col("pair").as("item"), col("n").as("cnt"))
       st = s.sql(bpeTrainStepSql("bpe_tr_st", "bpe_tr_top"))
-        .localCheckpoint(eager = false)
+        .loopCheckpoint(eager = false)
     }
     st.createOrReplaceTempView("bpe_tr_st")
     merges.result()
@@ -730,7 +730,7 @@ object TextOps {
         .loopCheckpoint()
       if (next.isEmpty) done = true
       else {
-        visited = visited.unionByName(next).localCheckpoint(eager = false)
+        visited = visited.unionByName(next).loopCheckpoint(eager = false)
         frontier = next
       }
     }
@@ -768,7 +768,7 @@ object TextOps {
         .select(e("dst").as("node"), (dist("dist") + e("w")).as("dist"))
       val next = dist.unionByName(cand)
         .groupBy("node").agg(min(col("dist")).as("dist"))
-        .localCheckpoint(eager = false)
+        .loopCheckpoint(eager = false)
       // the convergence aggregate is the action that materializes the round
       val row = next.agg(count(lit(1)),
         sum(col("dist").cast(DecimalType(38, 0)))).head()
@@ -1027,7 +1027,7 @@ object TextOps {
       val ssSelf = m2.select(col("u"), col("m2").as("v"))
       // lazy checkpoint: the convergence aggregate below is the action
       // that materializes the round, so each round is ONE job.
-      val next = ssPairs.union(ssSelf).localCheckpoint(eager = false)
+      val next = ssPairs.union(ssSelf).loopCheckpoint(eager = false)
       val cur = labelSum(next)
       edges = next
       converged = prev != null && cur.compareTo(prev) == 0
@@ -2261,7 +2261,7 @@ object TextOps {
         val keep2 = keep.select(col("node").as("node2"))
         g = g.join(keep, g("src") === keep("node"), "left_semi")
           .join(keep2, col("dst") === keep2("node2"), "left_semi")
-          .localCheckpoint(eager = false)
+          .loopCheckpoint(eager = false)
         stats += stat(r, g)
       }
       stats.result().reduce(_ unionByName _).orderBy("round")

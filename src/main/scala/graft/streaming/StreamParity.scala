@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.Tables
+import graft.{Ckpt, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
@@ -294,6 +294,9 @@ object StreamParity {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // Reclaim reliable loop-checkpoint files as their RDDs are GC'd
+      // (static conf — must be set before the context; see Ckpt scaladoc).
+      .config(Ckpt.CleanerKey, "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

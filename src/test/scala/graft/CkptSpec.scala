@@ -40,4 +40,27 @@ class CkptSpec extends AnyFunSuite with SparkSessionTest {
     assert(df.count() === 10)
     assert(df.rdd.partitions.nonEmpty) // materialized, lineage truncated
   }
+
+  test("lazy loopCheckpoint (eager=false) goes reliable under the conf, " +
+    "and a mid-session dir change is re-installed, not silently ignored") {
+    import Ckpt.LoopCheckpoint
+    import scala.jdk.CollectionConverters._
+    def fileCount(d: java.nio.file.Path): Long =
+      java.nio.file.Files.walk(d).iterator().asScala
+        .count(java.nio.file.Files.isRegularFile(_))
+    val dirA = java.nio.file.Files.createTempDirectory("graft_ckpt_a")
+    val dirB = java.nio.file.Files.createTempDirectory("graft_ckpt_b")
+    spark.conf.set(Ckpt.ConfKey, dirA.toString)
+    try {
+      val lazyDf = spark.range(20).toDF("v").loopCheckpoint(eager = false)
+      assert(lazyDf.count() === 20) // first action materializes the checkpoint
+      assert(fileCount(dirA) > 0, s"lazy reliable checkpoint wrote nothing under $dirA")
+      // round-13 advice: a changed conf must take effect, not first-wins
+      spark.conf.set(Ckpt.ConfKey, dirB.toString)
+      assert(spark.range(5).toDF("v").loopCheckpoint().count() === 5)
+      assert(fileCount(dirB) > 0, s"changed $dirB was ignored (first-wins bug)")
+    } finally {
+      spark.conf.unset(Ckpt.ConfKey)
+    }
+  }
 }

@@ -89,6 +89,22 @@ def main() -> None:
     write_class = set((new_j.get("meta") or {}).get("write_class")
                       or (old_j.get("meta") or {}).get("write_class")
                       or wc_fallback)
+    # Memo-class queries share a once-per-(session, sf) training/build
+    # pass (unigram EM, IVF/PQ codebooks, eval_base/rank_base): whichever
+    # family member the capture happens to run FIRST pays the whole
+    # build, and both its reps pay it, so best-of-2 can't hide it. Their
+    # movers get a "memo-first-payer" label instead of a plan-audit flag
+    # (round-13 verdict item 3). Fallback mirrors Bench.scala's memoClass
+    # for artifacts predating the meta.memo_class field.
+    mc_fallback = {"q_text_unigram_train", "q_text_unigram_tokenize",
+                   "q_vec_ann_ivf", "q_vec_cluster_purity",
+                   "q_vec_ann_recall", "q_vec_ann_pq", "q_vec_pq_recall",
+                   "q_eval_confusion", "q_eval_prf", "q_eval_kappa",
+                   "q_eval_auc", "q_eval_calibration", "q_eval_brier",
+                   "q_eval_ndcg", "q_eval_mrr", "q_eval_map"}
+    memo_class = set((new_j.get("meta") or {}).get("memo_class")
+                     or (old_j.get("meta") or {}).get("memo_class")
+                     or mc_fallback)
     shared = [k for k in new
               if k in old and old[k] > 0.05 and k not in write_class]
     window = statistics.median(new[k] / old[k] for k in shared)
@@ -168,7 +184,26 @@ def main() -> None:
             # signal can clear an individual mover in a dirty capture.
             label = ""
             o_p, n_p = po.get(k), pn.get(k)
-            if o_p and n_p:
+            if k in memo_class:
+                # same-family members share one memoized build; the
+                # family SUM is invariant to which member ran first
+                def fam_of(q):
+                    if q.startswith("q_text_unigram"):
+                        return "unigram"
+                    if "pq" in q:
+                        return "pq-codebook"
+                    if q.startswith("q_vec"):
+                        return "ivf-codebook"
+                    if q in ("q_eval_ndcg", "q_eval_mrr", "q_eval_map"):
+                        return "rank_base"
+                    return "eval_base"
+                fam = [q for q in memo_class
+                       if q in old and q in new and fam_of(q) == fam_of(k)]
+                fo, fn_ = sum(old[q] for q in fam), sum(new[q] for q in fam)
+                label = (f"[MEMO-first-payer ({fam_of(k)}): shared build "
+                         f"charged to first family member — family sum "
+                         f"{fo:.1f}s->{fn_:.1f}s is the real reading]")
+            elif o_p and n_p:
                 dgc = n_p["gc"] - o_p["gc"]
                 wallr = new[k] / old[k]
                 taskr = (n_p["task"] / o_p["task"]
