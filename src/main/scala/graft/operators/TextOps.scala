@@ -1179,9 +1179,9 @@ object TextOps {
     * deterministic ≤5000-doc verification sample (the docSampleSub
     * guard shared with the exact-Jaccard family); the production
     * sub-quadratic route stays the banded LSH path. */
-  private def editDistSql(idiv: String): String =
+  private def editDistSql(idiv: String, hint: String = ""): String =
     s"""WITH d AS ($docSampleSub),
-       |b AS (SELECT doc_id, lang, text, n_chars, n_chars $idiv 20 AS band
+       |b AS (SELECT $hint doc_id, lang, text, n_chars, n_chars $idiv 20 AS band
        |      FROM d),
        |p AS (SELECT a.lang AS lang, a.doc_id AS doc_id,
        |        b2.doc_id AS doc_id_b,
@@ -1577,9 +1577,10 @@ object TextOps {
 
   /** The pair stage of [[nearDupSql]] over an encoded relation `encRef`
     * (referenced twice: probe side and build side). */
-  private[graft] def nearDupPairSql(encRef: String, probe: String): String = {
+  private[graft] def nearDupPairSql(encRef: String, probe: String,
+                                    hint: String = ""): String = {
     val inter = (0 until 4).map(w => s"bit_count(a.m$w & b.m$w)").mkString(" + ")
-    s"""WITH pr AS (SELECT doc_id, lang, m0, m1, m2, m3, n,
+    s"""WITH pr AS (SELECT $hint doc_id, lang, m0, m1, m2, m3, n,
        |         $probe AS nb
        |       FROM $encRef),
        |p AS (SELECT a.lang AS lang, a.doc_id AS doc_id, b.doc_id AS doc_id_b,
@@ -1594,14 +1595,15 @@ object TextOps {
   }
 
   /** One-WITH-query composition of enc + pair: the DuckDB oracle form. */
-  private[graft] def nearDupSql(tokTable: String, shift: String, probe: String): String = {
+  private[graft] def nearDupSql(tokTable: String, shift: String, probe: String,
+                                hint: String = ""): String = {
     // nearDupEncSql is "WITH tok AS (...), dict AS (...)\nSELECT <body>";
     // re-nest its SELECT as an `enc` CTE and append the pair stage.
     val Array(withHeader, encBody) = nearDupEncSql(tokTable, shift).split("\nSELECT ", 2)
     // nearDupPairSql opens its own WITH; fold its CTEs into this one.
     s"""$withHeader,
        |enc AS (SELECT $encBody),
-       |${nearDupPairSql("enc", probe).stripPrefix("WITH ")}""".stripMargin
+       |${nearDupPairSql("enc", probe, hint).stripPrefix("WITH ")}""".stripMargin
   }
 
   // ---- linear quality scorer -------------------------------------------
@@ -1876,11 +1878,22 @@ object TextOps {
       |FROM enc CROSS JOIN nw""".stripMargin
 
   /** Pair stage over an encoded relation `enc` — referenced twice (probe
-    * and build sides), so callers persist/materialize `enc` first. */
+    * and build sides), so callers persist/materialize `enc` first.
+    *
+    * r14 opt: the build side is BROADCAST, not SHUFFLE_HASH. The former
+    * hint shuffled both sides on (lang, band) — a handful of distinct
+    * keys, so however many partitions the shuffle had, only a few were
+    * non-empty and the whole mask_and_count pair stage ran near-serially
+    * (guide §2.5: unsplittable hot keys). Broadcasting the encode keeps
+    * the probe side's partitioning (the caller repartitions it across
+    * cores), so the pair work scales with the cluster. The build relation
+    * is the bounded ≤5000-doc sample encode (a few MB of bitmap arrays)
+    * — broadcast-safe by the same bound that makes the exact pair family
+    * feasible at all; the unbounded-corpus rung stays MinHash/LSH. */
   private[graft] def nearDupWidePairSpark(enc: String): String =
     s"""WITH pr AS (SELECT doc_id, lang, n, masks,
        |         explode(sequence((4 * n + 4) div 5, (5 * n) div 4)) AS nb FROM $enc),
-       |p AS (SELECT /*+ SHUFFLE_HASH(b) */ a.lang AS lang, a.doc_id AS doc_id, b.doc_id AS doc_id_b,
+       |p AS (SELECT /*+ BROADCAST(b) */ a.lang AS lang, a.doc_id AS doc_id, b.doc_id AS doc_id_b,
        |        mask_and_count(a.masks, b.masks) AS inter,
        |        a.n AS na, b.n AS nb
        |      FROM pr a JOIN $enc b
@@ -2625,8 +2638,23 @@ object TextOps {
     }),
 
     "q_dedup_editdist" -> ((s, sf) => {
+      // r14 opt: (a) install the band rewrite HERE — before this round it
+      // was only registered by q_fuzzy_source_match, so this query's plan
+      // depended on which query ran first in the session (isolated, the
+      // un-banded O(|a|·|b|) DP measured 262 s at sf0.1/local[32] vs 3.6 s
+      // in the full bench where fuzzy had already installed the rule);
+      // (b) spread the ≤5000-doc sample across cores — the ORDER BY+LIMIT
+      // sample lands on ONE partition (TakeOrderedAndProject), so the
+      // whole pair stage streamed through a single task (guide §2.5/§2.6:
+      // wall ≈ summed task time in the r12 lock). The REPARTITION hint is
+      // a no-op comment for the DuckDB twin and sized from the session's
+      // parallelism, never a local constant; the relation it spreads is
+      // the bounded verification sample, so the exchange is O(5000 rows)
+      // at any corpus size. Measured 262 s → 0.7 s isolated (plans/r14).
+      org.apache.spark.sql.GraftBridge.addOptimization(s, graft.plans.LevenshteinBandRule)
       Tables.documents(s, sf).createOrReplaceTempView("documents")
-      s.sql(editDistSql(idiv = "DIV"))
+      val p = s.sparkContext.defaultParallelism
+      s.sql(editDistSql(idiv = "DIV", hint = s"/*+ REPARTITION($p, doc_id) */"))
     }),
 
     "q_graph_neighbor_jaccard" -> ((s, sf) => {
@@ -2712,10 +2740,17 @@ object TextOps {
     // 4-word encode is cheap — the cost is the band-probe pair join.
     "q_dedup_near" -> ((s, sf) => {
       Tables.documents(s, sf).createOrReplaceTempView("documents")
+      // r14 opt: the probe side of the pair BHJ inherited the sample's
+      // single TakeOrderedAndProject partition, serializing the bit_count
+      // band probe on one task (guide §2.6). REPARTITION (comment-no-op
+      // in DuckDB) spreads the bounded ≤5000-doc encode across the
+      // session's cores before the broadcast join.
+      val p = s.sparkContext.defaultParallelism
       s.sql(nearDupSql(
         tokTable = s"SELECT doc_id, lang, explode(array_distinct(split(text, ' '))) AS tok FROM ($docSampleSub)",
         shift = "shiftleft(CAST(1 AS BIGINT), id - %d)",
-        probe = "explode(sequence((9 * n + 9) div 10, (10 * n) div 9))"))
+        probe = "explode(sequence((9 * n + 9) div 10, (10 * n) div 9))",
+        hint = s"/*+ REPARTITION($p, doc_id) */"))
     }),
 
     // Linear (fastText-style) quality scorer — see [[qualityScoreSql]]
@@ -2769,7 +2804,14 @@ object TextOps {
       // and bitmap-encodes the corpus twice (measured 2.7 s vs 1.9 s at
       // sf0.1). localCheckpoint truncates to the materialized rows — the
       // same cache-the-build-side discipline a 100 TB run would apply.
-      val enc = s.sql(nearDupWideEncSpark).loopCheckpoint()
+      // r14 opt: repartition the checkpointed encode across the session's
+      // cores — its aggregate output had collapsed to one AQE-coalesced
+      // partition, so the mask_and_count pair stage ran near-serially
+      // (guide §2.5/§2.6). The relation is the bounded ≤5000-doc sample,
+      // so the exchange is O(sample) at any corpus size.
+      val enc = s.sql(nearDupWideEncSpark)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .loopCheckpoint()
       enc.createOrReplaceTempView("enc_wide_ckpt")
       s.sql(nearDupWidePairSpark("enc_wide_ckpt"))
     }),
@@ -2803,8 +2845,14 @@ object TextOps {
 
     "q_dedup_ngram" -> ((s, sf) => {
       Tables.documentsPar(s, sf).createOrReplaceTempView("documents")
+      // r14 opt: the LIMIT-5000 sample is one partition, and `sig` is
+      // inlined into BOTH merge-join legs — so the bigram+md5 signature
+      // build (the expensive stage) ran twice on one task each. The
+      // REPARTITION hint spreads the bounded sample across cores before
+      // the lambda-heavy encode (guide §2.6; same fix as q_dedup_editdist).
+      val p = s.sparkContext.defaultParallelism
       s.sql(
-        s"""WITH d AS (SELECT doc_id, lang, split(text, ' ') AS toks FROM ($docSampleSub)),
+        s"""WITH d AS (SELECT /*+ REPARTITION($p, doc_id) */ doc_id, lang, split(text, ' ') AS toks FROM ($docSampleSub)),
           |sig AS (SELECT doc_id, lang,
           |          explode(slice(sort_array(transform(array_distinct(
           |            zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1),
@@ -2826,8 +2874,10 @@ object TextOps {
     // one extra 7-row window pass on the result.
     "q_dedup_threshold_sweep" -> ((s, sf) => {
       Tables.documentsPar(s, sf).createOrReplaceTempView("documents")
+      // r14 opt: same one-partition-sample fix as q_dedup_ngram above.
+      val p = s.sparkContext.defaultParallelism
       s.sql(
-        s"""WITH d AS (SELECT doc_id, lang, split(text, ' ') AS toks FROM ($docSampleSub)),
+        s"""WITH d AS (SELECT /*+ REPARTITION($p, doc_id) */ doc_id, lang, split(text, ' ') AS toks FROM ($docSampleSub)),
           |sig AS (SELECT doc_id, lang,
           |          explode(slice(sort_array(transform(array_distinct(
           |            zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1),

@@ -64,6 +64,37 @@ def steal_between(a, b):
     return 100.0 * ds / dt if dt > 0 else 0.0
 
 
+def loaded_steal(cpus, secs=12.0):
+    """Steal%% measured UNDER full synthetic load on `cpus` cores.
+
+    Round-14 (opt-1) failure mode the idle pre-gate cannot see: on an
+    overcommitted host, idle-tick steal can sit at 0.0-0.3%% while steal
+    under load is 3-6%% — the co-tenant only contends when we actually
+    want the CPU. Every capture launched through the idle-only pre-gate
+    that morning burned a 2-minute sbt startup and then aborted at
+    103-144 s (the first post-warmup abort window). A 12 s spin probe
+    predicts the loaded-steal verdict for ~1%% of that cost.
+    """
+    import multiprocessing
+
+    def _spin(sec):
+        end = time.time() + sec
+        while time.time() < end:
+            pass
+
+    procs = [multiprocessing.Process(target=_spin, args=(secs,))
+             for _ in range(cpus)]
+    for p in procs:
+        p.start()
+    time.sleep(2.0)  # let the load establish before sampling
+    a = jiffies()
+    time.sleep(max(1.0, secs - 4.0))
+    b = jiffies()
+    for p in procs:
+        p.join()
+    return steal_between(a, b)
+
+
 def pre_gate(args, deadline):
     """Block until a clean span of --pre-window seconds; True if found."""
     tick = 3.0
@@ -80,7 +111,16 @@ def pre_gate(args, deadline):
             if ok >= need:
                 print(f"[quiet] pre-gate clean: {need} ticks "
                       f"steal<{args.steal_max}% load1<{args.load_max}")
-                return True
+                # Idle-clean is necessary but not sufficient: confirm the
+                # host stays clean when WE are the load (see loaded_steal).
+                ls = loaded_steal(args.cpus)
+                if ls < args.probe_steal_max:
+                    print(f"[quiet] loaded-steal probe clean: {ls:.2f}% "
+                          f"< {args.probe_steal_max}%")
+                    return True
+                print(f"[quiet] loaded-steal probe DIRTY: {ls:.2f}% >= "
+                      f"{args.probe_steal_max}% — not launching")
+                ok = 0
         else:
             if ok:
                 print(f"[quiet] pre-gate reset at {ok}/{need} "
@@ -165,6 +205,10 @@ def main():
                     help="seconds after launch exempt from the abort "
                          "monitor (sbt/JVM startup self-induces steal)")
     ap.add_argument("--steal-max-run", type=float, default=0.8)
+    ap.add_argument("--probe-steal-max", type=float, default=1.5,
+                    help="max steal%% under a 12s full-load spin probe "
+                         "after the idle pre-gate (idle-clean windows "
+                         "can be loaded-dirty on an overcommitted host)")
     ap.add_argument("--load-max", type=float, default=2.0)
     ap.add_argument("--driver-mem", default=None)
     ap.add_argument("--deadline-min", type=float, default=240)
