@@ -944,8 +944,19 @@ object VectorOps {
       // measured 12 s by itself). Full query: ~14 → ~1.5 s warm at sf0.1;
       // the numeric path is identical to the oracle's one-query form.
       val cov = s.sql(pcaCovSparkSql)
+      // r14 opt: the SQL aggregates only the upper triangle (half the
+      // explode fan-out / agg input — see pcaCovSparkSql scaladoc); the
+      // strict-upper cells are mirrored HERE, inside the already-bounded
+      // 64x64 driver handoff, because mirroring via a UNION ALL over the
+      // aggregate CTE re-computed the whole quadratic stage twice (Spark
+      // inlines multi-referenced CTEs — the near_wide lesson). cv(j,i)
+      // := cv(i,j) is exact, so pca_cov is cell-for-cell identical to
+      // the old two-sided aggregate.
+      val ut = cov.collect()
+      val full = ut ++ ut.filter(r => r.getInt(0) != r.getInt(1))
+        .map(r => org.apache.spark.sql.Row(r.getInt(1), r.getInt(0), r.getDouble(2)))
       s.createDataFrame(
-          java.util.Arrays.asList(cov.collect(): _*), cov.schema)
+          java.util.Arrays.asList(full: _*), cov.schema)
         .createOrReplaceTempView("pca_cov")
       val b0 = s.sql("SELECT DISTINCT i AS i, CAST(0.125 AS DOUBLE) AS w FROM pca_cov")
       var b = s.createDataFrame(java.util.Arrays.asList(b0.collect(): _*), b0.schema)
@@ -1385,7 +1396,21 @@ object VectorOps {
     * shuffle in the stage carries 4096-cell per-task partials, never the
     * data. Terms are the identical fixed-point picounit longs summed with
     * the same order-independent integer SUM, so the result is bit-equal
-    * to the oracle's (the gate proves it every run). */
+    * to the oracle's (the gate proves it every run).
+    *
+    * r14 opt (guide §1.2 "don't compute things you throw away"): the
+    * matrix is symmetric and every (i,j) term floor(ci·cj·1e12 + 0.5)
+    * equals its (j,i) twin exactly (IEEE multiply commutes, floor is the
+    * same long), so only the upper triangle is aggregated — halving the
+    * explode fan-out and hash-aggregate input — and the strict-upper
+    * cells are mirrored by a projection. The mirrored sum is the SAME
+    * BIGINT, so the relation is cell-for-cell bit-identical to the
+    * two-sided aggregate (oracle hash PASS at sf0.01/sf0.1 after the
+    * change). Honest local measurement: at sf0.1 the wall/task delta is
+    * inside this host's noise band (the explode row materialization is
+    * not halved, only the term arithmetic + aggregate input); the win
+    * this targets is the corpus-proportional map-side term work at real
+    * scale, where N·4096 → N·2080 multiply+floor+hash-probe per pass. */
   private[graft] val pcaCovSparkSql: String =
     s"""WITH x AS (SELECT vec_id, posexplode(embedding) AS (pos, v) FROM embeddings),
        |mu AS (SELECT pos,
@@ -1404,6 +1429,7 @@ object VectorOps {
        |FROM cx
        |LATERAL VIEW posexplode(ca) a AS i, ci
        |LATERAL VIEW posexplode(ca) b AS j, cj
+       |WHERE j >= i
        |GROUP BY i, j""".stripMargin
 
   /** The iteration stage of [[pcaSql]] over a covariance relation. */
