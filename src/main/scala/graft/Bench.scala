@@ -148,13 +148,52 @@ object Bench {
       "q_eval_ndcg", "q_eval_mrr", "q_eval_map")
       .filter(SparkEntry.queries.contains)
     val xmxGb = Runtime.getRuntime.maxMemory / (1 << 30)
+    // Traceability (round-14 advice): stamp the artifact with the git
+    // revision (+ dirty flag) it benchmarked, so numbers are attributable
+    // to code without filename archaeology. Best-effort: a missing git
+    // binary/repo yields "unknown", never a failed run.
+    val gitRev: String = try {
+      def run(cmd: String*): String = {
+        val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+        val out = new String(p.getInputStream.readAllBytes, "UTF-8").trim
+        p.waitFor(); out
+      }
+      val sha = run("git", "rev-parse", "--short", "HEAD")
+      val dirty = if (run("git", "status", "--porcelain").nonEmpty) "-dirty" else ""
+      if (sha.matches("[0-9a-f]{4,40}")) sha + dirty else "unknown"
+    } catch { case _: Throwable => "unknown" }
+    // Memo-class first-payer accounting (r14 verdict item 9): the
+    // recorded best-of-2 for a memo query is the memoized READOUT; the
+    // once-per-(session,sf) training/build cost shows up as rep1's
+    // excess over the best rep on whichever family member ran first.
+    // Record that excess per memo query (and its sum) so totals can be
+    // stated with and without the memoized accounting.
+    val memoFirstPay = memoClass.map { n =>
+      val (a, b) = reps(n); n -> math.max(0.0, a - b)
+    }.filter(_._2 > 0.0)
+    val memoFirstPayTotal = memoFirstPay.map(_._2).sum
     val meta = s"""{"ts_start":"$tsStart","ts_end":"$tsEnd",""" +
       s""""load1_start":${f(loadStart)},"load1_end":${f(loadEnd)},""" +
       s""""steal_pct":${f(stealPct)},"cpus":$cpus,"xmx_gb":$xmxGb,""" +
+      s""""git_rev":"$gitRev",""" +
       s""""write_class":${writeClass.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
-      s""""memo_class":${memoClass.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
+      s""""memo_class":${memoClass.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+      s""""memo_first_pay_s":${memoFirstPay.map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")},""" +
+      s""""memo_first_pay_total_s":${f(memoFirstPayTotal)}}"""
     val line = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","meta":$meta}"""
     println(line)
+    // The driver records only the TAIL of stdout (~2000 chars), so the
+    // ~10 KB line above has ALWAYS arrived head-truncated — "parsed":
+    // null in every BENCH_r01..r14.json, leaving PERF's totals and
+    // per-query blocks empty (r14 verdict item 2). Print a compact
+    // SUMMARY line last, small enough to survive the tail window whole:
+    // totals + run meta only (the full per-query map stays on the line
+    // above and in the BENCH_full.json artifact — nothing is removed).
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec",""" +
+      s""""n":${results.size},"sf":"$sfDir","cpus":$cpus,""" +
+      s""""steal_pct":${f(stealPct)},"load1_start":${f(loadStart)},""" +
+      s""""load1_end":${f(loadEnd)},"memo_first_pay_total_s":${f(memoFirstPayTotal)},""" +
+      s""""full_artifact":"${sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")}"}""")
     // The driver records only the TAIL of stdout, which truncated the
     // per-query map in BENCH_r0{1..4}.json and blocked per-query diffing
     // across rounds. Persist the full line to a file as well (committed

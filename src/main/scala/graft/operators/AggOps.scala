@@ -934,6 +934,10 @@ object AggOps {
     // median — the same equivalence contract q_agg_median proves.
     "q_events_interarrival" -> ((s, sf) => {
       Tables.events(s, sf).createOrReplaceTempView("events")
+      // r15 opt: same multi-referenced-CTE fix as q_events_conversion_lag
+      // — the per-type lag window fed cnt + medSelCtes' three passes and
+      // was recomputed 4× under CTE inlining; materialize the gap rows
+      // once. Oracle unchanged (one-statement naive median).
       s.sql(
         s"""WITH e AS (SELECT event_type, event_id,
            |        CAST(unix_timestamp(CAST(date_trunc('second', ts) AS TIMESTAMP)) AS BIGINT) AS tsec
@@ -941,11 +945,13 @@ object AggOps {
            |g AS (SELECT event_type,
            |        CAST(tsec - lag(tsec) OVER (PARTITION BY event_type
            |          ORDER BY tsec, event_id) AS DOUBLE) AS v
-           |      FROM e),
-           |gg AS (SELECT event_type, v FROM g WHERE v IS NOT NULL),
-           |cnt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps
-           |        FROM gg GROUP BY event_type),
-           |${medSelCtes("ia", "gg")}
+           |      FROM e)
+           |SELECT event_type, v FROM g WHERE v IS NOT NULL""".stripMargin)
+        .loopCheckpoint().createOrReplaceTempView("ia_gg")
+      s.sql(
+        s"""WITH cnt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps
+           |        FROM ia_gg GROUP BY event_type),
+           |${medSelCtes("ia", "ia_gg")}
            |SELECT c.event_type AS event_type, c.n_gaps,
            |  iam.med AS median_gap_s
            |FROM cnt c JOIN iam ON c.event_type = iam.event_type
@@ -1017,6 +1023,15 @@ object AggOps {
     // proves the distributed selection exact.
     "q_events_conversion_lag" -> ((s, sf) => {
       Tables.events(s, sf).createOrReplaceTempView("events")
+      // r15 opt (guide §2.4 — share one exchange/pass instead of four):
+      // `gg` (the filtered scan + per-user running-max window) feeds cnt
+      // plus medSelCtes' three selection passes, and Spark inlines
+      // multi-referenced CTEs, so the single-statement form re-ran the
+      // window chain 4× (8 Window nodes / 38 Exchanges in the before
+      // plan). Materialize the per-week lag rows ONCE (the
+      // q_agg_hodges_lehmann discipline) and run the bucketed selection
+      // over the checkpointed relation; the oracle keeps the
+      // one-statement spelling, so the gate proves the split identical.
       s.sql(
         s"""WITH e AS (SELECT user_id, event_id, event_type,
            |        CAST(unix_timestamp(CAST(date_trunc('second', ts) AS TIMESTAMP)) AS BIGINT) AS tsec,
@@ -1026,13 +1041,15 @@ object AggOps {
            |        max(CASE WHEN event_type = 'click' THEN tsec END) OVER (
            |          PARTITION BY user_id ORDER BY tsec, event_id
            |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click
-           |      FROM e),
-           |gg AS (SELECT CAST(wk AS STRING) AS event_type,
-           |         CAST(tsec - last_click AS DOUBLE) AS v
-           |       FROM w WHERE event_type = 'purchase' AND last_click IS NOT NULL),
-           |cnt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_conv
-           |        FROM gg GROUP BY event_type),
-           |${medSelCtes("cl", "gg")}
+           |      FROM e)
+           |SELECT CAST(wk AS STRING) AS event_type,
+           |  CAST(tsec - last_click AS DOUBLE) AS v
+           |FROM w WHERE event_type = 'purchase' AND last_click IS NOT NULL""".stripMargin)
+        .loopCheckpoint().createOrReplaceTempView("clag_gg")
+      s.sql(
+        s"""WITH cnt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_conv
+           |        FROM clag_gg GROUP BY event_type),
+           |${medSelCtes("cl", "clag_gg")}
            |SELECT c.event_type AS week, c.n_conv, clm.med AS median_lag_s
            |FROM cnt c JOIN clm ON c.event_type = clm.event_type
            |ORDER BY week""".stripMargin)

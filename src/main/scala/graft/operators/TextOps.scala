@@ -1698,12 +1698,20 @@ object TextOps {
     * equi-join against the registry — co-partitioned on (lang, n) at any
     * scale, with the [[docSampleSub]] guard bounding the verification
     * family exactly as q_dedup_near documents. */
-  private def incDedupTokSql(half: String): String =
+  /** `hint` (r15 opt, guide §2.6): the ≤5000-doc sample compiles to a
+    * single-partition TakeOrderedAndProject, so every tokenize/encode
+    * stage on top of it ran on ONE task (QTime: wall 2.0 s ≈ task 1.6 s
+    * at 32 cpus) — the same disease fixed family-wide in r14. Callers
+    * pass `/*+ REPARTITION(p, doc_id) */` (p = defaultParallelism, never
+    * a constant) to spread the bounded sample before the per-row work;
+    * the hint is a comment-no-op in the DuckDB oracle, and the exchange
+    * is O(sample) at any corpus size. */
+  private def incDedupTokSql(half: String, hint: String = ""): String =
     s"""SELECT doc_id, lang, explode(array_distinct(split(text, ' '))) AS tok
-       |FROM ($docSampleSub) WHERE $half""".stripMargin
+       |FROM (SELECT $hint * FROM ($docSampleSub) b WHERE $half) g""".stripMargin
 
-  private[graft] val incDedupDictSql: String =
-    s"""WITH tok AS (${incDedupTokSql("doc_id % 5 <> 0")}),
+  private[graft] def incDedupDictSql(hint: String = ""): String =
+    s"""WITH tok AS (${incDedupTokSql("doc_id % 5 <> 0", hint)}),
        |${dictCtes("tok")}
        |SELECT tok, id FROM dict""".stripMargin
 
@@ -1713,21 +1721,21 @@ object TextOps {
   }.mkString(",\n          ")
 
   /** Registry rows: old docs encoded against the frozen dict. */
-  private[graft] val incDedupRegSql: String =
+  private[graft] def incDedupRegSql(hint: String = ""): String =
     s"""SELECT doc_id, lang,
        |          $incDedupWords,
        |          count(*) AS n
-       |FROM (${incDedupTokSql("doc_id % 5 <> 0")}) t
+       |FROM (${incDedupTokSql("doc_id % 5 <> 0", hint)}) t
        |JOIN inc_dict USING (tok)
        |GROUP BY doc_id, lang""".stripMargin
 
   /** New-half verdicts against the frozen registry. */
-  private[graft] val incDedupVerdictSql: String = {
+  private[graft] def incDedupVerdictSql(hint: String = ""): String = {
     val inter = (0 until 4).map(w => s"bit_count(a.m$w & b.m$w)").mkString(" + ")
     s"""WITH ne AS (SELECT doc_id, lang,
        |          $incDedupWords,
        |          count(*) AS n
-       |        FROM (${incDedupTokSql("doc_id % 5 = 0")}) t
+       |        FROM (${incDedupTokSql("doc_id % 5 = 0", hint)}) t
        |        LEFT JOIN inc_dict USING (tok)
        |        GROUP BY doc_id, lang),
        |pr AS (SELECT doc_id, lang, m0, m1, m2, m3, n,
@@ -2378,6 +2386,19 @@ object TextOps {
     // end — see [[textrankChainSql]]; edges materialized once.
     "q_text_textrank" -> ((s, sf) => {
       Tables.documentsPar(s, sf).createOrReplaceTempView("documents")
+      // r15 opt — the q_graph_hits loop discipline (guide §2.4/§5): the
+      // one-statement chain's CTEs are multi-referenced (wd feeds both
+      // contribution rounds, s1 feeds c2 AND s2), and Spark's CTE
+      // inlining re-expands them into ~7 copies of the degree aggregate
+      // + repeated join subtrees — measured 19–36 s isolated at sf0.1 /
+      // local[32] (task 350–1000 s, GC up to 176 s). Run the identical
+      // integer arithmetic as checkpointed STEPS instead, with the
+      // degree total denormalized onto the edges once (the pagerank
+      // pr_e pattern) so each round is exactly: join scores, one
+      // map-combined sum. s·w DIV wtot reads the same values either
+      // way, so scores are bit-identical; the DuckDB oracle keeps the
+      // one-statement chain (AS MATERIALIZED) and the gate proves
+      // loop ≡ chain every run.
       s.sql(textrankEdgesSql(
         """SELECT split_part(bg, ' ', 1) AS t1, split_part(bg, ' ', 2) AS t2 FROM (
           |  SELECT explode(zip_with(slice(toks, 1, size(toks) - 1),
@@ -2385,7 +2406,31 @@ object TextOps {
           |                          (x, y) -> concat(x, ' ', y))) AS bg
           |  FROM (SELECT split(text, ' ') AS toks FROM documents)) z""".stripMargin))
         .loopCheckpoint().createOrReplaceTempView("tr_e")
-      s.sql(textrankChainSql(eRef = "tr_e", idiv = "DIV", mat = ""))
+      def step(sql: String, view: String): Unit =
+        s.sql(sql).loopCheckpoint().createOrReplaceTempView(view)
+      step(
+        """SELECT e.src, e.dst, e.w, wd.wtot
+          |FROM tr_e e JOIN (SELECT src, CAST(sum(w) AS BIGINT) AS wtot
+          |                  FROM tr_e GROUP BY src) wd ON wd.src = e.src""".stripMargin,
+        "tr_ew")
+      step("SELECT DISTINCT src AS t, CAST(1000000 AS BIGINT) AS s FROM tr_ew",
+        "tr_s0")
+      def round(prevS: String, cView: String, sView: String): Unit = {
+        step(
+          s"""SELECT e.dst AS t, CAST(sum(p.s * e.w DIV e.wtot) AS BIGINT) AS contrib
+             |FROM tr_ew e JOIN $prevS p ON p.t = e.src GROUP BY e.dst""".stripMargin,
+          cView)
+        step(
+          s"""SELECT p.t, CAST(150000 + 17 * coalesce(c.contrib, 0) DIV 20 AS BIGINT) AS s
+             |FROM $prevS p LEFT JOIN $cView c ON c.t = p.t""".stripMargin,
+          sView)
+      }
+      round("tr_s0", "tr_c1", "tr_s1")
+      round("tr_s1", "tr_c2", "tr_s2")
+      s.sql(
+        """SELECT t AS token, s AS score_ppm,
+          |  CAST(row_number() OVER (ORDER BY s DESC, t) AS BIGINT) AS rank
+          |FROM tr_s2 ORDER BY rank LIMIT 20""".stripMargin)
     }),
 
     // HITS hubs/authorities over the bipartite customer→part purchase
@@ -2773,7 +2818,11 @@ object TextOps {
     // proves incremental ≡ full on exactly the rows a backfill owns.
     "q_dedup_incremental" -> ((s, sf) => {
       Tables.documents(s, sf).createOrReplaceTempView("documents")
-      val dict = s.sql(incDedupDictSql).loopCheckpoint()
+      // r15 opt: spread the one-partition sample before each of the three
+      // tokenize/encode stages (dict, registry, new-half verdicts) — see
+      // incDedupTokSql's hint scaladoc; same family-wide fix as r14.
+      val hint = s"/*+ REPARTITION(${math.min(s.sparkContext.defaultParallelism, 8)}, doc_id) */"
+      val dict = s.sql(incDedupDictSql(hint)).loopCheckpoint()
       // The 4×64-bit signature covers dict ids 0..255 ONLY: an id ≥ 256
       // falls outside every bit_or CASE range, still counts in n, and
       // never intersects — silently underestimating Jaccard. Fail loudly
@@ -2787,9 +2836,9 @@ object TextOps {
           "the fixed 4x64-bit signature would silently drop tokens; " +
           "use the wide-bitmap encoding (q_dedup_near_wide) for this corpus")
       dict.createOrReplaceTempView("inc_dict")
-      s.sql(incDedupRegSql).loopCheckpoint()
+      s.sql(incDedupRegSql(hint)).loopCheckpoint()
         .createOrReplaceTempView("inc_reg")
-      s.sql(incDedupVerdictSql)
+      s.sql(incDedupVerdictSql(hint))
     }),
 
     // Bitmap-ARRAY variant: exact bigram-set Jaccard with a dynamically

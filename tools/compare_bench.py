@@ -144,6 +144,16 @@ def main() -> None:
               "data to disk — cache-pressured run; triage big movers "
               "as memory config before plan")
     print(f"totals: {sum(old.values()):.1f}s -> {sum(new.values()):.1f}s")
+    # Memo-class first-payer accounting (r14 verdict item 9): Bench now
+    # records each memo query's rep1 excess over its best rep (the
+    # once-per-session build cost best-of-2 hides). Print totals both
+    # ways so the memoized-readout accounting is explicit.
+    for tag, j in (("old", old_j), ("new", new_j)):
+        fp = (j.get("meta") or {}).get("memo_first_pay_total_s")
+        if fp is not None:
+            t = sum(j["queries"].values())
+            print(f"  {tag} total incl. memo first-pay: {t + fp:.1f}s "
+                  f"(recorded {t:.1f}s + first-pay {fp:.1f}s)")
     wc_shared = [k for k in sorted(write_class) if k in old and k in new]
     if wc_shared:
         o = sum(old[k] for k in wc_shared)
