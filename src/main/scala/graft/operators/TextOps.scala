@@ -723,12 +723,17 @@ object TextOps {
     var done = frontier.isEmpty
     while (!done && depth < 1000) {
       depth += 1
+      // r15 opt: lazy checkpoint + count() — the count is the single
+      // action that materializes the round AND decides termination
+      // (the starContractLabels discipline). The former eager
+      // checkpoint + isEmpty() pair cost a second driver job round-trip
+      // per round, pure scheduling floor on these frontier-sized stages.
       val next = frontier.join(e, frontier("node") === e("src"))
         .select(e("dst").as("node")).distinct()
         .join(visited.select("node"), Seq("node"), "left_anti")
         .withColumn("depth", lit(depth))
-        .loopCheckpoint()
-      if (next.isEmpty) done = true
+        .loopCheckpoint(eager = false)
+      if (next.count() == 0L) done = true
       else {
         visited = visited.unionByName(next).loopCheckpoint(eager = false)
         frontier = next
@@ -2190,9 +2195,11 @@ object TextOps {
     "q_graph_pagerank" -> ((s, sf) => {
       Tables.lineitem(s, sf).createOrReplaceTempView("lineitem")
       // the degree-annotated edge list is every round's loop invariant —
-      // materialized once (see [[pagerankEdgeCtes]])
+      // materialized once (see [[pagerankEdgeCtes]]); lazy since r15:
+      // same shared-RDD truncation, one fewer driver action (the chain
+      // statement's own action materializes it)
       s.sql(pagerankEdgesSql("STRING"))
-        .loopCheckpoint().createOrReplaceTempView("pr_e")
+        .loopCheckpoint(eager = false).createOrReplaceTempView("pr_e")
       s.sql(s"WITH $pagerankIterCtes\n$pagerankFinalSql")
     }),
 
@@ -2301,10 +2308,18 @@ object TextOps {
     // the 15 largest communities + the community count.
     "q_graph_labelprop" -> ((s, sf) => {
       Tables.lineitem(s, sf).createOrReplaceTempView("lineitem")
-      val e = s.sql(reachEdgesSql("STRING", minQty = 48)).loopCheckpoint()
+      // r15 opt: every checkpoint in the loop is LAZY — each still
+      // truncates lineage to a shared single-computation RDD (so the
+      // two references per round cost one evaluation, exactly as
+      // before), but the whole 4-round loop + readout now materializes
+      // as ONE driver action instead of six. The eager form paid a job
+      // round-trip per round on KB-sized label tables — pure
+      // scheduling floor (guide §1.2: per-round driver overhead).
+      val e = s.sql(reachEdgesSql("STRING", minQty = 48))
+        .loopCheckpoint(eager = false)
       e.createOrReplaceTempView("lp_e")
       var lbl = e.select(col("src").as("node")).distinct()
-        .withColumn("lab", col("node")).loopCheckpoint()
+        .withColumn("lab", col("node")).loopCheckpoint(eager = false)
       for (_ <- 1 to 4) {
         lbl.createOrReplaceTempView("lp_lbl")
         lbl = s.sql(
@@ -2316,7 +2331,7 @@ object TextOps {
             |      UNION ALL SELECT node, lab FROM lp_lbl) v
             |    GROUP BY v.node, v.lab) c
             |  GROUP BY node) t""".stripMargin)
-          .loopCheckpoint()
+          .loopCheckpoint(eager = false)
       }
       lbl.createOrReplaceTempView("lp_lbl")
       s.sql(
@@ -2337,10 +2352,13 @@ object TextOps {
     // LPA cost; the readout adds one co-partitioned edge-label join.
     "q_graph_modularity" -> ((s, sf) => {
       Tables.lineitem(s, sf).createOrReplaceTempView("lineitem")
-      val e = s.sql(reachEdgesSql("STRING", minQty = 48)).loopCheckpoint()
+      // r15 opt: lazy loop checkpoints — see q_graph_labelprop (same
+      // LPA loop): one driver action materializes the whole loop.
+      val e = s.sql(reachEdgesSql("STRING", minQty = 48))
+        .loopCheckpoint(eager = false)
       e.createOrReplaceTempView("md_e")
       var lbl = e.select(col("src").as("node")).distinct()
-        .withColumn("lab", col("node")).loopCheckpoint()
+        .withColumn("lab", col("node")).loopCheckpoint(eager = false)
       for (_ <- 1 to 4) {
         lbl.createOrReplaceTempView("md_lbl")
         lbl = s.sql(
@@ -2352,7 +2370,7 @@ object TextOps {
             |      UNION ALL SELECT node, lab FROM md_lbl) v
             |    GROUP BY v.node, v.lab) c
             |  GROUP BY node) t""".stripMargin)
-          .loopCheckpoint()
+          .loopCheckpoint(eager = false)
       }
       lbl.createOrReplaceTempView("md_lbl")
       s.sql(modularityReadoutSql(eRef = "md_e", lblRef = "md_lbl", idiv = "DIV"))
@@ -2405,9 +2423,9 @@ object TextOps {
           |                          slice(toks, 2, size(toks) - 1),
           |                          (x, y) -> concat(x, ' ', y))) AS bg
           |  FROM (SELECT split(text, ' ') AS toks FROM documents)) z""".stripMargin))
-        .loopCheckpoint().createOrReplaceTempView("tr_e")
+        .loopCheckpoint(eager = false).createOrReplaceTempView("tr_e")
       def step(sql: String, view: String): Unit =
-        s.sql(sql).loopCheckpoint().createOrReplaceTempView(view)
+        s.sql(sql).loopCheckpoint(eager = false).createOrReplaceTempView(view)
       step(
         """SELECT e.src, e.dst, e.w, wd.wtot
           |FROM tr_e e JOIN (SELECT src, CAST(sum(w) AS BIGINT) AS wtot
@@ -2455,13 +2473,20 @@ object TextOps {
       // passes (measured 4.9 s → 1.3 s at sf0.1). The oracle keeps the
       // one-statement chain with AS MATERIALIZED, so the gate proves
       // loop ≡ chain every run.
-      s.sql(hitsEdgesSql).loopCheckpoint().createOrReplaceTempView("hits_e")
+      // r15 opt: the step checkpoints are LAZY — same lineage
+      // truncation + single evaluation per stage (each _s view is
+      // referenced twice by its rescale), but the whole 4-half-step
+      // chain materializes under the readout's one action instead of
+      // paying 9 driver job round-trips (guide §1.2).
+      s.sql(hitsEdgesSql).loopCheckpoint(eager = false)
+        .createOrReplaceTempView("hits_e")
       def step(sumSql: String, stage: String, key: String): Unit = {
-        s.sql(sumSql).loopCheckpoint().createOrReplaceTempView(s"${stage}_s")
+        s.sql(sumSql).loopCheckpoint(eager = false)
+          .createOrReplaceTempView(s"${stage}_s")
         s.sql(
           s"""SELECT $key, CAST(s * 1000000 DIV mx.m AS BIGINT) AS sc
              |FROM ${stage}_s CROSS JOIN (SELECT max(s) AS m FROM ${stage}_s) mx""".stripMargin)
-          .loopCheckpoint().createOrReplaceTempView(stage)
+          .loopCheckpoint(eager = false).createOrReplaceTempView(stage)
       }
       step("SELECT i, CAST(count(*) AS BIGINT) AS s FROM hits_e GROUP BY i", "h_a1n", "i")
       step("""SELECT e.u, CAST(sum(an.sc) AS BIGINT) AS s
