@@ -512,7 +512,7 @@ object AggOps {
           cast = "STRING",
           expandFrom = "FROM boot_events e " +
             "LATERAL VIEW explode(sequence(1, 64)) r AS rep"))
-        .loopCheckpoint()
+        .loopCheckpoint(eager = false)
         .createOrReplaceTempView("boot_mm")
       s.sql(bootstrapSelectSql("boot_mm", idiv = "DIV"))
     }),
@@ -996,7 +996,7 @@ object AggOps {
           |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS s,
           |  CAST(count(*) AS BIGINT) AS n
           |FROM events GROUP BY 1""".stripMargin)
-        .loopCheckpoint().createOrReplaceTempView("hl_d")
+        .loopCheckpoint(eager = false).createOrReplaceTempView("hl_d")
       s.sql(
         """WITH m AS (SELECT day, s / n AS dm FROM hl_d),
           |gg AS (SELECT (a.dm + b.dm) / 2 AS v

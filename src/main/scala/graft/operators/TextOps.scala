@@ -769,12 +769,24 @@ object TextOps {
     var converged = false
     var iter = 0
     while (!converged && iter < 200) {
-      val cand = dist.join(e, dist("node") === e("src"))
-        .select(e("dst").as("node"), (dist("dist") + e("w")).as("dist"))
-      val next = dist.unionByName(cand)
-        .groupBy("node").agg(min(col("dist")).as("dist"))
-        .loopCheckpoint(eager = false)
-      // the convergence aggregate is the action that materializes the round
+      // r15 opt: TWO relaxation rounds per convergence check — halves the
+      // per-round driver job floor (guide §1.2). Exactness is unchanged:
+      // relaxation is monotone (distances only decrease, the node set
+      // only grows), so (count, Σdist) stable across a 2-round batch
+      // certifies that NEITHER round changed anything — the same
+      // fixpoint argument, checked every other round. Each half is
+      // lazily checkpointed (lineage truncates at materialization); the
+      // one convergence aggregate materializes the whole batch.
+      var next = dist
+      for (_ <- 1 to 2) {
+        val cur = next
+        val cand = cur.join(e, cur("node") === e("src"))
+          .select(e("dst").as("node"), (cur("dist") + e("w")).as("dist"))
+        next = cur.unionByName(cand)
+          .groupBy("node").agg(min(col("dist")).as("dist"))
+          .loopCheckpoint(eager = false)
+      }
+      // the convergence aggregate is the action that materializes the batch
       val row = next.agg(count(lit(1)),
         sum(col("dist").cast(DecimalType(38, 0)))).head()
       val cur = (row.getLong(0),
@@ -989,14 +1001,16 @@ object TextOps {
     def dbg(m: String): Unit =
       if (sys.env.contains("GRAFT_CC_DEBUG")) System.err.println(s"CCPHASE $m t=${System.nanoTime()}")
     dbg("start")
-    // canonical undirected edges oriented (u > v); eager checkpoint —
-    // round 1 reads them twice (aggregate + join probe) and the caller's
-    // candidate-pair plan is usually the expensive part
+    // canonical undirected edges oriented (u > v); lazy checkpoint since
+    // r15 — round 1 still reads them twice (aggregate + join probe) but
+    // both references share one RDD, so the caller's expensive
+    // candidate-pair plan runs once either way; round 1's convergence
+    // aggregate is the action that materializes it (one fewer job)
     var edges = pairsAB.select(
         greatest(col("a"), col("b")).as("u"),
         least(col("a"), col("b")).as("v"))
       .where(col("u") =!= col("v"))
-      .loopCheckpoint()
+      .loopCheckpoint(eager = false)
     dbg("init-ckpt")
     def sym(e: DataFrame): DataFrame =
       e.select(col("u").as("x"), col("v").as("y"))
@@ -2222,7 +2236,9 @@ object TextOps {
       // one-value seed aggregate up front (bounded driver handoff, the
       // DPP-threshold pattern) instead of letting every step rescan for
       // it. Measured 3.1 → 1.5 s warm at sf0.1.
-      val edges = s.sql(reachEdgesSql("STRING")).loopCheckpoint()
+      // lazy since r15: the seed aggregate below is the action that
+      // materializes the edges — one fewer driver job
+      val edges = s.sql(reachEdgesSql("STRING")).loopCheckpoint(eager = false)
       edges.createOrReplaceTempView("rch_e")
       val seed = edges.filter(col("src") >= "s").agg(min(col("src")))
         .head().getString(0)
@@ -2247,7 +2263,10 @@ object TextOps {
     // depth, the same readout as q_graph_reachability.
     "q_graph_reach_deep" -> ((s, sf) => {
       Tables.lineitem(s, sf).createOrReplaceTempView("lineitem")
-      val edges = s.sql(reachEdgesSql("STRING", minQty = 48)).loopCheckpoint()
+      // lazy since r15: the loop's first action materializes the edges —
+      // one fewer driver job, same shared-RDD truncation
+      val edges = s.sql(reachEdgesSql("STRING", minQty = 48))
+        .loopCheckpoint(eager = false)
       // 1-row seed relation (no driver handoff at all — the null guard is
       // the isNotNull filter, so a degenerate corpus yields empty seeds,
       // an empty visited set, and the correct empty ring table)
@@ -2276,7 +2295,10 @@ object TextOps {
     // co-partitioned semi-joins on the node key.
     "q_graph_kcore" -> ((s, sf) => {
       Tables.lineitem(s, sf).createOrReplaceTempView("lineitem")
-      var g = s.sql(reachEdgesSql("STRING", minQty = 48)).loopCheckpoint()
+      // lazy since r15: the readout union is the single materializing
+      // action for the whole peel (rounds were already lazy)
+      var g = s.sql(reachEdgesSql("STRING", minQty = 48))
+        .loopCheckpoint(eager = false)
       def stat(r: Int, e: DataFrame): DataFrame =
         e.agg(countDistinct(col("src")).as("n_nodes"),
             count(lit(1)).as("n_edges"))
@@ -2503,7 +2525,8 @@ object TextOps {
 
     "q_graph_sssp" -> ((s, sf) => {
       Tables.lineitem(s, sf).createOrReplaceTempView("lineitem")
-      val edges = s.sql(ssspEdgesSql("STRING")).loopCheckpoint()
+      // lazy since r15: the loop's first action materializes the edges
+      val edges = s.sql(ssspEdgesSql("STRING")).loopCheckpoint(eager = false)
       val seeds = edges.filter(col("src") >= "s")
         .agg(min(col("src")).as("node")).filter(col("node").isNotNull)
       ssspLabels(edges, seeds)
@@ -2861,7 +2884,10 @@ object TextOps {
           "the fixed 4x64-bit signature would silently drop tokens; " +
           "use the wide-bitmap encoding (q_dedup_near_wide) for this corpus")
       dict.createOrReplaceTempView("inc_dict")
-      s.sql(incDedupRegSql(hint)).loopCheckpoint()
+      // lazy since r15: the verdict statement's action materializes the
+      // registry — one fewer driver job (dict stays eager: the maxId
+      // guard scalar needs it)
+      s.sql(incDedupRegSql(hint)).loopCheckpoint(eager = false)
         .createOrReplaceTempView("inc_reg")
       s.sql(incDedupVerdictSql(hint))
     }),
@@ -2885,7 +2911,7 @@ object TextOps {
       // so the exchange is O(sample) at any corpus size.
       val enc = s.sql(nearDupWideEncSpark)
         .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-        .loopCheckpoint()
+        .loopCheckpoint(eager = false)
       enc.createOrReplaceTempView("enc_wide_ckpt")
       s.sql(nearDupWidePairSpark("enc_wide_ckpt"))
     }),
@@ -3275,7 +3301,7 @@ object TextOps {
       s.sql(
         s"""$lshBandPairsCtesSpark
           |SELECT DISTINCT lang, doc_id AS a, doc_id_b AS b FROM pairs""".stripMargin)
-        .loopCheckpoint().createOrReplaceTempView("tri_e")
+        .loopCheckpoint(eager = false).createOrReplaceTempView("tri_e")
       s.sql(
         """WITH tri AS (SELECT e1.lang AS lang
           |        FROM tri_e e1

@@ -640,8 +640,9 @@ object VectorOps {
     "q_vec_incremental_ivf" -> ((s, sf) => {
       graft.functions.GraftFunctions.register(s)
       Tables.embeddings(s, sf).createOrReplaceTempView("embeddings")
-      // the frozen index: 16-row codebook materialized once
-      s.sql(incIvfTrainSparkSql).loopCheckpoint()
+      // the frozen index: 16-row codebook materialized once (lazily —
+      // the serve statement's action materializes it, one fewer job)
+      s.sql(incIvfTrainSparkSql).loopCheckpoint(eager = false)
         .createOrReplaceTempView("inc_ivf_cent")
       s.sql(incIvfServeSparkSql)
     }),
