@@ -10,7 +10,7 @@ object Bench {
     // overhead, not query cost. Verify and the specs do NOT set this —
     // the graded correctness path keeps the true parquet-scan plans.
     sys.props("graft.cache.tables") = "1"
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.cteRecursionRowLimit", "50000000")
@@ -18,7 +18,15 @@ object Bench {
       // (static conf — must be set before the context; see Ckpt scaladoc).
       .config(Ckpt.CleanerKey, "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // A/B experiment hook (r15, mirrors QTime): semicolon-separated k=v
+    // session confs. Unset in the driver's runs — the locked bench
+    // session conf is unchanged unless an experiment opts in.
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach { s =>
+      s.split(";").filter(_.contains("=")).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2); builder.config(k, v)
+      }
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: JIT + codegen + parquet-reader init otherwise land on
     // whichever query happens to run first, skewing its number (BASELINE.md
